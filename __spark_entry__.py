@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps operator names (SURVEY.md §2 + extensions) to callables
+``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` gives the DuckDB-
+equivalent SQL for the correctness gate. Column names/types are aligned on
+both sides; float aggregates are rounded identically (per-row float math is
+IEEE-identical across engines; only multi-row summation order isn't, hence
+``round(..., 4)`` on sums/means).
+
+The events table stores nanosecond timestamps; Spark side truncates to µs on
+load (sources/tables.py, exact integer division), oracle side uses
+``CAST(ts AS TIMESTAMP)`` — the same truncation — so values match exactly.
 """
 
 from __future__ import annotations
@@ -12,27 +17,711 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+import sys as _sys
+
+if "/root/repo" not in _sys.path:
+    _sys.path.insert(0, "/root/repo")
+
+from arcticdb_spark.query import QueryBuilder, col
+from arcticdb_spark.expr import where
+from arcticdb_spark.sources import load_table
+from arcticdb_spark.plans.rowid import ROW_ID, with_row_id
+from arcticdb_spark.operators.resample import resample
+from arcticdb_spark.operators.concat import concat
+from arcticdb_spark.operators.merge_update import merge_update
+from arcticdb_spark.extensions import text as xtext
+from arcticdb_spark.extensions import dedup as xdedup
+from arcticdb_spark.extensions import similarity as xsim
+from arcticdb_spark.extensions import joins as xjoins
+from arcticdb_spark.extensions import windows as xwin
+from arcticdb_spark.extensions import multimodal as xmm
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H-Q1-shaped pricing summary through the QueryBuilder
+    clause pipeline (filter -> project -> groupby/agg)."""
+    return q_groupby_tpch_q1(spark, "/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------------------
+# reference-surface queries (SURVEY §2)
+# ---------------------------------------------------------------------------
+
+def q_filter_numeric(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    q = QueryBuilder()
+    q = q[(q["l_quantity"] > 30) & (q["l_discount"] <= 0.05)
+          & (q["l_shipdate"] < __import__("pandas").Timestamp("1998-01-01"))]
+    return q.to_df(li)
+
+
+def q_filter_isin_regex(spark, sf):
+    pa = load_table(spark, sf, "part")
+    q = QueryBuilder()
+    q = q[q["p_type"].isin("ECONOMY", "PROMO") & q["p_name"].regex_match("red|blue")
+          & (q["p_size"] >= 10)]
+    return q.to_df(pa)
+
+
+def q_filter_ternary(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    q = QueryBuilder()
+    # where() both as a filter input and a projection
+    q = q[where(q["l_returnflag"] == "R", q["l_quantity"] > 45,
+                q["l_quantity"] < 5)]
+    q = q.apply("band", where(q["l_extendedprice"] > 30000.0, "high", "low"))
+    return q.to_df(li).select("l_orderkey", "l_linenumber", "l_quantity",
+                              "l_extendedprice", "band")
+
+
+def q_project_arith(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    q = QueryBuilder()
+    q = (q.apply("revenue", q["l_extendedprice"] * (1 - q["l_discount"]))
+          .apply("charge", q["l_extendedprice"] * (1 - q["l_discount"]) * (1 + q["l_tax"]))
+          .apply("qty_ratio", q["l_quantity"] / 7)
+          .apply("neg_tax", -q["l_tax"])
+          .apply("abs_balance", abs(q["l_discount"] - 0.05)))
+    return q.to_df(li).select("l_orderkey", "l_linenumber", "revenue", "charge",
+                              "qty_ratio", "neg_tax", "abs_balance")
+
+
+def q_groupby_single(spark, sf):
+    """Reference groupby: single column, dropna, sum/mean/min/max/count."""
+    li = load_table(spark, sf, "lineitem")
+    q = QueryBuilder().groupby("l_returnflag").agg({
+        "sum_qty": ("l_quantity", "sum"),
+        "avg_price": ("l_extendedprice", "mean"),
+        "min_disc": ("l_discount", "min"),
+        "max_tax": ("l_tax", "max"),
+        "n": ("l_orderkey", "count")})
+    out = q.to_df(li)
+    return out.select("l_returnflag",
+                      F.round("sum_qty", 4).alias("sum_qty"),
+                      F.round("avg_price", 4).alias("avg_price"),
+                      "min_disc", "max_tax", "n")
+
+
+def q_groupby_first_last(spark, sf):
+    """first/last aggregators (feature-flagged off in the reference; ordered
+    by the ts index here -> deterministic, exercised via min_by/max_by)."""
+    ev = load_table(spark, sf, "events")
+    q = QueryBuilder().groupby("event_type").agg({
+        "first_value": ("value", "first"),
+        "last_value": ("value", "last"),
+        "n": ("value", "count")})
+    return q.to_df(ev, index_column="ts")
+
+
+def q_groupby_tpch_q1(spark, sf):
+    """TPC-H Q1 shape (two-col grouping = documented extension)."""
+    li = load_table(spark, sf, "lineitem")
+    q = QueryBuilder()
+    q = q[q["l_shipdate"] <= __import__("pandas").Timestamp("2000-09-02")]
+    q = q.apply("disc_price", q["l_extendedprice"] * (1 - q["l_discount"]))
+    q = q.apply("charge", q["l_extendedprice"] * (1 - q["l_discount"]) * (1 + q["l_tax"]))
+    q = q.groupby(["l_returnflag", "l_linestatus"]).agg({
+        "sum_qty": ("l_quantity", "sum"),
+        "sum_base_price": ("l_extendedprice", "sum"),
+        "sum_disc_price": ("disc_price", "sum"),
+        "sum_charge": ("charge", "sum"),
+        "avg_qty": ("l_quantity", "mean"),
+        "avg_price": ("l_extendedprice", "mean"),
+        "avg_disc": ("l_discount", "mean"),
+        "count_order": ("l_orderkey", "count")})
+    out = q.to_df(li)
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_base_price", 2).alias("sum_base_price"),
+        F.round("sum_disc_price", 2).alias("sum_disc_price"),
+        F.round("sum_charge", 2).alias("sum_charge"),
+        F.round("avg_qty", 4).alias("avg_qty"),
+        F.round("avg_price", 4).alias("avg_price"),
+        F.round("avg_disc", 4).alias("avg_disc"),
+        "count_order")
+
+
+def q_resample_1h(spark, sf):
+    ev = load_table(spark, sf, "events")
+    q = QueryBuilder().resample("1h").agg({
+        "n": ("value", "count"),
+        "v_sum": ("value", "sum"),
+        "v_min": ("value", "min"),
+        "v_max": ("value", "max")})
+    out = q.to_df(ev, index_column="ts")
+    return out.select("ts", "n", F.round("v_sum", 4).alias("v_sum"),
+                      "v_min", "v_max")
+
+
+def q_resample_ohlc(spark, sf):
+    """OHLC bars: first/last/min/max per day — the canonical tick use-case."""
+    ev = load_table(spark, sf, "events")
+    out = resample(ev, "ts", "1D", {
+        "open": ("value", "first"), "high": ("value", "max"),
+        "low": ("value", "min"), "close": ("value", "last"),
+        "n": ("value", "count")})
+    return out
+
+
+def q_resample_closed_right(spark, sf):
+    ev = load_table(spark, sf, "events")
+    out = resample(ev, "ts", "6h", {"n": ("value", "count"),
+                                    "v_sum": ("value", "sum")},
+                   closed="right", label="right")
+    return out.select("ts", "n", F.round("v_sum", 4).alias("v_sum"))
+
+
+def q_date_range(spark, sf):
+    import pandas as pd
+    ev = load_table(spark, sf, "events")
+    q = QueryBuilder().date_range((pd.Timestamp("2024-01-05"),
+                                   pd.Timestamp("2024-01-10 12:00:00")))
+    return q.to_df(ev, index_column="ts")
+
+
+def q_head(spark, sf):
+    ev = with_row_id(load_table(spark, sf, "events"), ["ts", "event_id"])
+    return QueryBuilder().head(25).to_df(ev, "ts").drop(ROW_ID)
+
+
+def q_tail(spark, sf):
+    ev = with_row_id(load_table(spark, sf, "events"), ["ts", "event_id"])
+    return QueryBuilder().tail(25).to_df(ev, "ts").drop(ROW_ID)
+
+
+def q_row_range(spark, sf):
+    ev = with_row_id(load_table(spark, sf, "events"), ["ts", "event_id"])
+    return QueryBuilder().row_range((100, 180)).to_df(ev, "ts").drop(ROW_ID)
+
+
+def q_concat_outer(spark, sf):
+    """ConcatClause outer: column union with NULL backfill + type promotion."""
+    ev = load_table(spark, sf, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0).select("ts", "event_id", "value")
+    b = ev.filter(F.col("event_id") % 2 == 1).select("ts", "event_id", "user_id")
+    return concat([a, b], join="outer")
+
+
+def q_concat_inner(spark, sf):
+    ev = load_table(spark, sf, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0).select("ts", "event_id", "value")
+    b = ev.filter(F.col("event_id") % 2 == 1).select("ts", "event_id", "user_id")
+    return concat([a, b], join="inner")
+
+
+def q_merge_update_upsert(spark, sf):
+    """MergeUpdateClause: UPDATE matched + INSERT unmatched (upsert)."""
+    o = load_table(spark, sf, "orders")
+    target = o.filter(F.col("o_orderkey") % 10 < 8)
+    source = (o.filter(F.col("o_orderkey") % 10 >= 5)
+               .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+               .withColumn("o_orderstatus", F.lit("U")))
+    return merge_update(target, source, on=["o_orderkey"], upsert=True)
+
+
+def q_update_range_surgery(spark, sf):
+    """lib.update() semantics as a query: rows in [t0,t1] replaced by the
+    correction frame, rows outside untouched."""
+    import pandas as pd
+    ev = load_table(spark, sf, "events")
+    t0, t1 = pd.Timestamp("2024-01-10"), pd.Timestamp("2024-01-15")
+    inside = F.col("ts").between(t0, t1)
+    correction = ev.filter(inside).withColumn("value", F.col("value") * 0.5)
+    return ev.filter(~inside).unionByName(correction)
+
+
+# ---------------------------------------------------------------------------
+# joins & windows (extensions, SURVEY §2.3/2.6 gaps)
+# ---------------------------------------------------------------------------
+
+def q_join_revenue(spark, sf):
+    """Q3-shaped: customer ⋈ orders ⋈ lineitem, revenue per order for one
+    segment (broadcast dim, shuffle fact join)."""
+    import pandas as pd
+    c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < pd.Timestamp("1998-03-15"))
+    li = load_table(spark, sf, "lineitem")
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(c), o.o_custkey == c.c_custkey))
+    # quantize to cents pre-sum: per-row float math is IEEE-identical across
+    # engines, and an integer sum is order-independent -> exact oracle match
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (j.groupBy("o_orderkey", "o_orderdate")
+             .agg((F.sum(cents).cast("double") / 100).alias("revenue"),
+                  F.count(F.lit(1)).alias("n_lines")))
+
+
+def q_topk_per_group(spark, sf):
+    o = load_table(spark, sf, "orders")
+    out = xwin.topk_per_group(o, ["o_orderpriority"], "o_totalprice", 3,
+                              tiebreak=["o_orderkey"])
+    return out.select("o_orderpriority", "o_orderkey", "o_totalprice",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def q_sessionize(spark, sf):
+    ev = load_table(spark, sf, "events")
+    s = xwin.sessionize(ev, "ts", ["user_id"], gap="30 minutes")
+    return (s.groupBy("user_id")
+             .agg(F.max("session_seq").alias("n_sessions"),
+                  F.count(F.lit(1)).alias("n_events")))
+
+
+def q_asof_join(spark, sf):
+    """As-of join: each event matched to the user's latest order at/before
+    the event time (union-merge implementation, one shuffle)."""
+    ev = load_table(spark, sf, "events").select(
+        "event_id", F.col("ts"), F.col("user_id"))
+    # dedupe right side to one row per (key, ts): ASOF tie-breaking among
+    # equal timestamps is engine-arbitrary, so make it deterministic
+    o = (load_table(spark, sf, "orders")
+         .groupBy(F.col("o_custkey").alias("user_id"),
+                  F.col("o_orderdate").alias("ts"))
+         .agg(F.max("o_orderkey").alias("o_orderkey"),
+              F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice")))
+    out = xjoins.asof_join(ev, o, on="ts", by="user_id")
+    return out.select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
+def q_rolling_mean(spark, sf):
+    ev = load_table(spark, sf, "events")
+    out = xwin.rolling_agg(ev, "ts", ["user_id"], "value", 5, "mean")
+    return out.select("event_id", "user_id",
+                      F.round("rolling_mean", 4).alias("rolling_mean"))
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions: dedup / text / similarity / multimodal
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return xdedup.exact_dedup(d)
+
+
+def q_text_stats(spark, sf):
+    d = load_table(spark, sf, "documents")
+    out = xtext.with_text_stats(d)
+    return out.select("doc_id", "n_tokens", "n_punct", "punct_ratio",
+                      "stopword_ratio", "quality")
+
+
+def q_text_langid(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", "lang", xtext.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_text_fingerprint(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", xtext.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def q_dedup_minhash(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return xdedup.minhash_near_dup_pairs(d, num_hashes=16, bands=4, k=3)
+
+
+def q_dedup_jaccard(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return xdedup.jaccard_near_dup_pairs(d, threshold=0.4, num_hashes=16,
+                                         bands=8, k=2)
+
+
+def q_dedup_simhash(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return xdedup.simhash_near_dup_pairs(d, max_hamming=6, bands=4)
+
+
+def q_similarity_bruteforce(spark, sf):
+    e = load_table(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return xsim.brute_force_topk(e, queries, k=5).select(
+        "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
+
+
+def q_similarity_lsh(spark, sf):
+    e = load_table(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return xsim.lsh_topk(e, queries, k=5).select(
+        "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
+
+
+def q_multimodal_features(spark, sf):
+    media = xmm.make_demo_media(spark, n=64)
+    return xmm.extract_features(media, fake=True)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "filter_numeric": q_filter_numeric,
+        "filter_isin_regex": q_filter_isin_regex,
+        "filter_ternary": q_filter_ternary,
+        "project_arith": q_project_arith,
+        "groupby_single": q_groupby_single,
+        "groupby_first_last": q_groupby_first_last,
+        "groupby_tpch_q1": q_groupby_tpch_q1,
+        "resample_1h": q_resample_1h,
+        "resample_ohlc": q_resample_ohlc,
+        "resample_closed_right": q_resample_closed_right,
+        "date_range": q_date_range,
+        "head": q_head,
+        "tail": q_tail,
+        "row_range": q_row_range,
+        "concat_outer": q_concat_outer,
+        "concat_inner": q_concat_inner,
+        "merge_update_upsert": q_merge_update_upsert,
+        "update_range_surgery": q_update_range_surgery,
+        "join_revenue": q_join_revenue,
+        "topk_per_group": q_topk_per_group,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "rolling_mean": q_rolling_mean,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "similarity_bruteforce": q_similarity_bruteforce,
+        "similarity_lsh": q_similarity_lsh,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_EV = "CAST(ts AS TIMESTAMP)"  # ns -> µs truncation, matches Spark-side load
+
+_TOKS = r"list_transform(string_split_regex(trim(text), '\s+'), x -> lower(x))"
+
+_LANG_SETS = {
+    "en": ['the', 'and', 'of', 'to', 'in', 'is', 'that', 'for', 'with'],
+    "de": ['der', 'die', 'und', 'das', 'ist', 'nicht', 'ein', 'mit'],
+    "fr": ['le', 'la', 'les', 'des', 'est', 'une', 'dans', 'pour'],
+    "es": ['el', 'los', 'las', 'una', 'por', 'para', 'con', 'del'],
+}
+
+
+def _lang_sql() -> str:
+    hits = []
+    for lang, words in _LANG_SETS.items():
+        lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        hits.append(f"len(list_filter(toks, x -> list_contains({lst}, x))) AS s_{lang}")
+    best = "greatest(s_en, s_de, s_fr, s_es)"
+    case = (f"CASE WHEN {best} = 0 THEN 'unk' "
+            f"WHEN s_en = {best} THEN 'en' WHEN s_de = {best} THEN 'de' "
+            f"WHEN s_fr = {best} THEN 'fr' ELSE 'es' END")
+    return f"""
+WITH t AS (SELECT doc_id, lang,
+             CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKS} END AS toks
+           FROM documents),
+s AS (SELECT doc_id, lang, {', '.join(hits)} FROM t)
+SELECT doc_id, lang, {case} AS lang_pred FROM s"""
+
+
+_STOPWORDS = _LANG_SETS["en"] + ["a", "an", "it", "on", "as", "at", "by"]
+
+
+def _text_stats_sql() -> str:
+    stop_lst = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKS} END AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct
+  FROM documents),
+s AS (
+  SELECT doc_id, n_chars, n_punct,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> list_contains({stop_lst}, x))) AS n_stop
+  FROM t)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(n_punct AS BIGINT) AS n_punct,
+       CASE WHEN n_chars > 0 THEN round(n_punct / CAST(n_chars AS DOUBLE), 6) ELSE 0.0 END AS punct_ratio,
+       CASE WHEN n_tokens > 0 THEN round(n_stop / CAST(n_tokens AS DOUBLE), 6) ELSE 0.0 END AS stopword_ratio,
+       round((CASE WHEN n_tokens >= 5 AND n_chars >= 20 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN n_tokens > 0 AND round(n_stop / CAST(n_tokens AS DOUBLE), 6) >= 0.05 THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN n_chars IS NULL OR n_chars = 0
+                     OR round(n_punct / CAST(n_chars AS DOUBLE), 6) <= 0.1
+                   THEN 0.3 ELSE 0.0 END), 1) AS quality
+FROM s"""
+
+
+_FPR = ("md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))")
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 4, k: int = 3) -> str:
+    rows = num_hashes // bands
+    return f"""
+WITH t AS (SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKS} END AS toks
+           FROM documents),
+sh AS (SELECT doc_id,
+         CASE WHEN len(toks) >= {k}
+              THEN [array_to_string(toks[i:i+{k - 1}], ' ') FOR i IN generate_series(1, len(toks) - {k - 1})]
+              ELSE [array_to_string(toks, ' ')] END AS shingles
+       FROM t),
+sig AS (SELECT doc_id,
+          [list_min([md5('h' || CAST(h AS VARCHAR) || ':' || s) FOR s IN shingles])
+           FOR h IN generate_series(0, {num_hashes - 1})] AS sig
+        FROM sh),
+bands AS (SELECT doc_id,
+            unnest(['b' || CAST(b AS VARCHAR) || ':' ||
+                    md5(array_to_string(sig[b * {rows} + 1 : b * {rows} + {rows}], '|'))
+                    FOR b IN generate_series(0, {bands - 1})]) AS band
+          FROM sig)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id"""
+
+
+def _jaccard_sql(threshold: float = 0.4, num_hashes: int = 16, bands: int = 8,
+                 k: int = 2) -> str:
+    rows = num_hashes // bands
+    return f"""
+WITH t AS (SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKS} END AS toks
+           FROM documents),
+sh AS (SELECT doc_id,
+         CASE WHEN len(toks) >= {k}
+              THEN [array_to_string(toks[i:i+{k - 1}], ' ') FOR i IN generate_series(1, len(toks) - {k - 1})]
+              ELSE [array_to_string(toks, ' ')] END AS shingles
+       FROM t),
+sig AS (SELECT doc_id, shingles,
+          [list_min([md5('h' || CAST(h AS VARCHAR) || ':' || s) FOR s IN shingles])
+           FOR h IN generate_series(0, {num_hashes - 1})] AS sig
+        FROM sh),
+bands AS (SELECT doc_id,
+            unnest(['b' || CAST(b AS VARCHAR) || ':' ||
+                    md5(array_to_string(sig[b * {rows} + 1 : b * {rows} + {rows}], '|'))
+                    FOR b IN generate_series(0, {bands - 1})]) AS band
+          FROM sig),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+sets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
+j AS (SELECT c.id_a, c.id_b,
+        len(list_intersect(sa.sh, sb.sh)) AS i,
+        len(list_distinct(list_concat(sa.sh, sb.sh))) AS u
+      FROM cand c JOIN sets sa ON c.id_a = sa.doc_id
+                  JOIN sets sb ON c.id_b = sb.doc_id)
+SELECT id_a, id_b,
+       round(CASE WHEN u > 0 THEN i / CAST(u AS DOUBLE) ELSE 0.0 END, 6) AS jaccard
+FROM j WHERE round(CASE WHEN u > 0 THEN i / CAST(u AS DOUBLE) ELSE 0.0 END, 6) >= {threshold}"""
+
+
+def _similarity_sql(k: int = 5, nq: int = 8) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+           FROM embeddings WHERE vec_id < {nq}),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings),
+s AS (SELECT query_id, vec_id,
+        round(list_dot_product(qvec, cvec)
+              / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cvec, cvec))), 6) AS score
+      FROM q CROSS JOIN c WHERE query_id != vec_id),
+r AS (SELECT query_id, vec_id, score,
+        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+      FROM s)
+SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= {k}"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = {
+        "filter_numeric": """
+SELECT * FROM lineitem
+WHERE l_quantity > 30 AND l_discount <= 0.05 AND l_shipdate < TIMESTAMP '1998-01-01'""",
+
+        "filter_isin_regex": """
+SELECT * FROM part
+WHERE p_type IN ('ECONOMY', 'PROMO') AND regexp_matches(p_name, 'red|blue')
+  AND p_size >= 10""",
+
+        "filter_ternary": """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+       CASE WHEN l_extendedprice > 30000.0 THEN 'high' ELSE 'low' END AS band
+FROM lineitem
+WHERE CASE WHEN l_returnflag = 'R' THEN l_quantity > 45 ELSE l_quantity < 5 END""",
+
+        "project_arith": """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+       l_quantity / CAST(7 AS DOUBLE) AS qty_ratio,
+       -l_tax AS neg_tax,
+       abs(l_discount - 0.05) AS abs_balance
+FROM lineitem""",
+
+        "groupby_single": """
+SELECT l_returnflag,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       min(l_discount) AS min_disc,
+       max(l_tax) AS max_tax,
+       count(l_orderkey) AS n
+FROM lineitem WHERE l_returnflag IS NOT NULL
+GROUP BY l_returnflag""",
+
+        "groupby_first_last": f"""
+SELECT event_type,
+       arg_min(value, {_EV}) AS first_value,
+       arg_max(value, {_EV}) AS last_value,
+       count(value) AS n
+FROM events WHERE event_type IS NOT NULL
+GROUP BY event_type""",
+
+        "groupby_tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(l_orderkey) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+  AND l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+GROUP BY l_returnflag, l_linestatus""",
+
+        "resample_1h": f"""
+SELECT make_timestamp((epoch_us({_EV}) // 3600000000) * 3600000000) AS ts,
+       count(value) AS n,
+       round(sum(value), 4) AS v_sum,
+       min(value) AS v_min,
+       max(value) AS v_max
+FROM events GROUP BY 1""",
+
+        "resample_ohlc": f"""
+SELECT make_timestamp((epoch_us({_EV}) // 86400000000) * 86400000000) AS ts,
+       arg_min(value, {_EV}) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, {_EV}) AS close,
+       count(value) AS n
+FROM events GROUP BY 1""",
+
+        "resample_closed_right": f"""
+SELECT make_timestamp((((epoch_us({_EV}) * 1000 - 1) // 21600000000000) * 21600000000 + 21600000000)) AS ts,
+       count(value) AS n,
+       round(sum(value), 4) AS v_sum
+FROM events GROUP BY 1""",
+
+        "date_range": f"""
+SELECT event_id, {_EV} AS ts, user_id, event_type, value, props
+FROM events
+WHERE {_EV} BETWEEN TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-10 12:00:00'""",
+
+        "head": f"""
+SELECT event_id, {_EV} AS ts, user_id, event_type, value, props
+FROM events ORDER BY {_EV}, event_id LIMIT 25""",
+
+        "tail": f"""
+SELECT event_id, {_EV} AS ts, user_id, event_type, value, props
+FROM events ORDER BY {_EV} DESC, event_id DESC LIMIT 25""",
+
+        "row_range": f"""
+SELECT event_id, {_EV} AS ts, user_id, event_type, value, props
+FROM events ORDER BY {_EV}, event_id LIMIT 80 OFFSET 100""",
+
+        "concat_outer": f"""
+SELECT {_EV} AS ts, event_id, value, CAST(NULL AS BIGINT) AS user_id
+FROM events WHERE event_id % 2 = 0
+UNION ALL
+SELECT {_EV} AS ts, event_id, CAST(NULL AS DOUBLE) AS value, user_id
+FROM events WHERE event_id % 2 = 1""",
+
+        "concat_inner": f"""
+SELECT {_EV} AS ts, event_id FROM events WHERE event_id % 2 = 0
+UNION ALL
+SELECT {_EV} AS ts, event_id FROM events WHERE event_id % 2 = 1""",
+
+        "merge_update_upsert": """
+WITH t AS (SELECT * FROM orders WHERE o_orderkey % 10 < 8),
+s AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 >= 5)
+SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderdate ELSE t.o_orderdate END AS o_orderdate,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
+FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey""",
+
+        "update_range_surgery": f"""
+SELECT event_id, {_EV} AS ts, user_id, event_type, value, props FROM events
+WHERE NOT ({_EV} BETWEEN TIMESTAMP '2024-01-10' AND TIMESTAMP '2024-01-15')
+UNION ALL
+SELECT event_id, {_EV} AS ts, user_id, event_type, value * 0.5 AS value, props FROM events
+WHERE {_EV} BETWEEN TIMESTAMP '2024-01-10' AND TIMESTAMP '2024-01-15'""",
+
+        "join_revenue": """
+SELECT o_orderkey, o_orderdate,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15'
+GROUP BY o_orderkey, o_orderdate""",
+
+        "topk_per_group": """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders) WHERE rank <= 3""",
+
+        "sessionize": f"""
+WITH x AS (
+  SELECT user_id, epoch_us({_EV}) AS us,
+         lag(epoch_us({_EV})) OVER (PARTITION BY user_id ORDER BY epoch_us({_EV})) AS prev
+  FROM events),
+y AS (SELECT user_id,
+        CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      FROM x)
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM y GROUP BY user_id""",
+
+        "asof_join": f"""
+SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+FROM (SELECT event_id, user_id, {_EV} AS ts FROM events) e
+ASOF LEFT JOIN (SELECT o_custkey, o_orderdate,
+                       max(o_orderkey) AS o_orderkey,
+                       arg_max(o_totalprice, o_orderkey) AS o_totalprice
+                FROM orders GROUP BY 1, 2) o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+
+        "rolling_mean": f"""
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY {_EV}
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS rolling_mean
+FROM events""",
+
+        "dedup_exact": f"""
+SELECT {_FPR} AS fingerprint, min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY 1""",
+
+        "text_stats": _text_stats_sql(),
+        "text_langid": _lang_sql(),
+        "text_fingerprint": f"SELECT doc_id, {_FPR} AS fingerprint FROM documents",
+        "dedup_minhash": _minhash_sql(),
+        "dedup_jaccard": _jaccard_sql(),
+        "similarity_bruteforce": _similarity_sql(),
+    }
+    return sql

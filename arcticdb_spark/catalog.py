@@ -1,0 +1,715 @@
+"""Versioned symbol store: Arctic -> Library -> symbol manifests.
+
+Re-expresses the reference's storage model (SURVEY §1; reference key layout
+``docs/mkdocs/docs/technical/on_disk_storage.md:26-56``, version chain
+``cpp/arcticdb/version/version_map.hpp``) on Parquet + JSON manifests:
+
+* **Library** = a directory; **symbol** = a subdirectory of immutable Parquet
+  data files plus ``_versions/v{N}.json`` manifests and a ``_ref.json``
+  latest-pointer (the reference's VERSION_REF key).
+* **Version manifest** = ordered list of data files with per-file row counts,
+  cumulative row offsets and ts min/max — the reference's TABLE_INDEX key +
+  column-stats rolled into one small JSON. Planning (as_of resolution,
+  date-range / row-range pruning) is driver-side Python over this manifest,
+  exactly like the reference's index-segment pruning
+  (``pipeline/query.hpp:203-213``) — Spark never lists directories.
+* **Commit** = write ``v{N}.json`` then atomically rename a temp ``_ref.json``
+  (CAS analogue; on S3 use conditional PUT — same idea as VERSION_REF).
+* Data files are written once and shared across versions (append reuses the
+  previous version's files; update rewrites only overlapping files) — this is
+  the reference's segment-reuse / dedup model for free.
+
+Scale notes: stats come from Parquet *footers* (pyarrow, no data scan);
+row-ids are derived lazily on read from ``_metadata.row_index`` + the
+manifest's per-file offset, so nothing positional is ever stored or
+recomputed, and head/tail/row_range prune to the files that contain the
+requested positions before Spark ever sees a byte.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arcticdb_spark.plans.rowid import ROW_ID
+
+
+class ArcticException(Exception):
+    pass
+
+
+class NoSuchVersionException(ArcticException):
+    pass
+
+
+class SortingException(ArcticException):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# manifests
+# ---------------------------------------------------------------------------
+
+@dataclass
+class FileEntry:
+    path: str
+    rows: int
+    row_start: int
+    ts_min: int | None = None   # ns since epoch
+    ts_max: int | None = None
+
+    def to_json(self):
+        return {"path": self.path, "rows": self.rows, "row_start": self.row_start,
+                "ts_min": self.ts_min, "ts_max": self.ts_max}
+
+    @staticmethod
+    def from_json(d):
+        return FileEntry(d["path"], d["rows"], d["row_start"], d["ts_min"], d["ts_max"])
+
+
+@dataclass
+class VersionManifest:
+    symbol: str
+    version: int
+    created_ns: int
+    index_column: str | None
+    schema_json: str
+    files: list[FileEntry] = field(default_factory=list)
+    metadata: Any = None
+    sorted: str = "ASCENDING"
+
+    @property
+    def total_rows(self):
+        return sum(f.rows for f in self.files)
+
+    @property
+    def ts_min(self):
+        vals = [f.ts_min for f in self.files if f.ts_min is not None]
+        return min(vals) if vals else None
+
+    @property
+    def ts_max(self):
+        vals = [f.ts_max for f in self.files if f.ts_max is not None]
+        return max(vals) if vals else None
+
+    def to_json(self):
+        return {"symbol": self.symbol, "version": self.version,
+                "created_ns": self.created_ns, "index_column": self.index_column,
+                "schema": self.schema_json, "metadata": self.metadata,
+                "sorted": self.sorted, "files": [f.to_json() for f in self.files]}
+
+    @staticmethod
+    def from_json(d):
+        return VersionManifest(d["symbol"], d["version"], d["created_ns"],
+                               d["index_column"], d["schema"],
+                               [FileEntry.from_json(f) for f in d["files"]],
+                               d.get("metadata"), d.get("sorted", "ASCENDING"))
+
+
+def _atomic_write_json(path: str, obj) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)  # atomic on POSIX; S3 -> conditional PUT
+
+
+def _renumber(files: list[FileEntry]) -> list[FileEntry]:
+    acc = 0
+    out = []
+    for fe in files:
+        out.append(FileEntry(fe.path, fe.rows, acc, fe.ts_min, fe.ts_max))
+        acc += fe.rows
+    return out
+
+
+def _footer_stats(path: str, index_column: str | None):
+    """Row count + index min/max from the Parquet footer only (no data IO)."""
+    md = pq.ParquetFile(path).metadata
+    rows = md.num_rows
+    ts_min = ts_max = None
+    if index_column:
+        idx = None
+        arrow_schema = md.schema.to_arrow_schema()
+        for i, name in enumerate(arrow_schema.names):
+            if name == index_column:
+                idx = i
+                break
+        if idx is not None:
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(idx)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                mn = _to_ns(mn)
+                mx = _to_ns(mx)
+                ts_min = mn if ts_min is None else min(ts_min, mn)
+                ts_max = mx if ts_max is None else max(ts_max, mx)
+    return rows, ts_min, ts_max
+
+
+def _to_ns(v) -> int:
+    import datetime as _dt
+
+    import pandas as pd
+    if isinstance(v, (int, float)):
+        return int(v)
+    if isinstance(v, _dt.datetime):
+        return pd.Timestamp(v).value
+    return pd.Timestamp(v).value
+
+
+# ---------------------------------------------------------------------------
+# Library
+# ---------------------------------------------------------------------------
+
+class Library:
+    """One namespace of versioned symbols (reference ``library.py:879``)."""
+
+    def __init__(self, spark: SparkSession, root: str, name: str,
+                 rows_per_file: int = 1_000_000):
+        self.spark = spark
+        self.name = name
+        self.root = os.path.join(root, name)
+        self.rows_per_file = rows_per_file
+        os.makedirs(self.root, exist_ok=True)
+        os.makedirs(os.path.join(self.root, "_snapshots"), exist_ok=True)
+
+    # ---- paths ----
+    def _sym_dir(self, symbol):
+        return os.path.join(self.root, symbol)
+
+    def _ver_path(self, symbol, v):
+        return os.path.join(self._sym_dir(symbol), "_versions", f"v{v:08d}.json")
+
+    def _ref_path(self, symbol):
+        return os.path.join(self._sym_dir(symbol), "_ref.json")
+
+    # ---- manifest IO ----
+    def _load_ref(self, symbol) -> dict:
+        p = self._ref_path(symbol)
+        if not os.path.exists(p):
+            raise NoSuchVersionException(f"symbol {symbol!r} does not exist")
+        with open(p) as f:
+            return json.load(f)
+
+    def _load_manifest(self, symbol, version) -> VersionManifest:
+        p = self._ver_path(symbol, version)
+        if not os.path.exists(p):
+            raise NoSuchVersionException(f"{symbol!r} version {version} not found")
+        with open(p) as f:
+            return VersionManifest.from_json(json.load(f))
+
+    def _commit(self, manifest: VersionManifest) -> VersionManifest:
+        sym_dir = self._sym_dir(manifest.symbol)
+        os.makedirs(os.path.join(sym_dir, "_versions"), exist_ok=True)
+        _atomic_write_json(self._ver_path(manifest.symbol, manifest.version),
+                           manifest.to_json())
+        ref = {"latest": manifest.version, "deleted": []}
+        if os.path.exists(self._ref_path(manifest.symbol)):
+            old = self._load_ref(manifest.symbol)
+            ref["deleted"] = old.get("deleted", [])
+        _atomic_write_json(self._ref_path(manifest.symbol), ref)
+        return manifest
+
+    def _next_version(self, symbol) -> int:
+        try:
+            return self._load_ref(symbol)["latest"] + 1
+        except NoSuchVersionException:
+            return 0
+
+    # ---- write paths ----
+    def _write_data_files(self, symbol: str, df: DataFrame,
+                          index_column: str | None, sort: bool = True
+                          ) -> list[FileEntry]:
+        """Materialize df as Parquet under data/<uuid>/, ts-sorted, and return
+        footer-derived FileEntries in index order."""
+        out_dir = os.path.join(self._sym_dir(symbol), "data", uuid.uuid4().hex)
+        os.makedirs(os.path.dirname(out_dir), exist_ok=True)
+        if index_column and sort:
+            df = (df.repartitionByRange(F.col(index_column))
+                    .sortWithinPartitions(index_column))
+        df.write.mode("overwrite").parquet(out_dir)
+        entries = []
+        for fn in sorted(os.listdir(out_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            path = os.path.join(out_dir, fn)
+            rows, ts_min, ts_max = _footer_stats(path, index_column)
+            if rows == 0:
+                continue
+            entries.append(FileEntry(path, rows, 0, ts_min, ts_max))
+        if index_column:
+            entries.sort(key=lambda e: (e.ts_min if e.ts_min is not None else 0, e.path))
+        return _renumber(entries)
+
+    def _normalize(self, df) -> DataFrame:
+        if isinstance(df, DataFrame):
+            return df
+        import pandas as pd
+        if isinstance(df, pd.DataFrame):
+            pdf = df
+            if isinstance(pdf.index, pd.DatetimeIndex):
+                # reference index demotion (SURVEY §1.2): the DatetimeIndex
+                # becomes the physical ts column
+                name = pdf.index.name or "ts"
+                pdf = pdf.rename_axis(name).reset_index()
+            elif pdf.index.name is not None:
+                pdf = pdf.reset_index()
+            else:
+                pdf = pdf.reset_index(drop=True)  # positional index: dropped
+            return self.spark.createDataFrame(pdf)
+        raise ArcticException(f"cannot normalize {type(df)}")
+
+    def _detect_index(self, df: DataFrame, index_column) -> str | None:
+        if index_column is not None:
+            return index_column
+        for f0 in df.schema.fields:
+            if f0.dataType.typeName().startswith("timestamp"):
+                return f0.name
+        return None
+
+    def write(self, symbol: str, df, metadata: Any = None,
+              index_column: str | None = None, prune_previous: bool = False
+              ) -> VersionManifest:
+        """New version from scratch (reference ``library.py:1013``)."""
+        sdf = self._normalize(df)
+        idx = self._detect_index(sdf, index_column)
+        files = self._write_data_files(symbol, sdf, idx)
+        m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(),
+                            idx, sdf.schema.json(), files, metadata)
+        self._commit(m)
+        if prune_previous:
+            self.prune_previous_versions(symbol)
+        return m
+
+    def append(self, symbol: str, df, metadata: Any = None,
+               validate_index: bool = True) -> VersionManifest:
+        """Rows strictly after the existing index range (``library.py:1361``).
+        Previous files are *reused*, not rewritten — O(new data) cost."""
+        prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
+        sdf = self._normalize(df)
+        idx = prev.index_column
+        new_files = self._write_data_files(symbol, sdf, idx)
+        if idx and validate_index and new_files and prev.ts_max is not None:
+            new_min = min(f.ts_min for f in new_files if f.ts_min is not None)
+            if new_min < prev.ts_max:
+                raise SortingException(
+                    f"append index range [{new_min}] overlaps existing max {prev.ts_max}")
+        m = VersionManifest(symbol, prev.version + 1, time.time_ns(), idx,
+                            prev.schema_json, _renumber(prev.files + new_files),
+                            metadata if metadata is not None else prev.metadata)
+        return self._commit(m)
+
+    def update(self, symbol: str, df, date_range: tuple | None = None,
+               metadata: Any = None) -> VersionManifest:
+        """Range surgery (``version_core.cpp:587``): delete the index range
+        covered by ``df`` (or the given range), splice the new rows in.
+        Only files overlapping the range are rewritten."""
+        import pandas as pd
+        prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
+        idx = prev.index_column
+        if idx is None:
+            raise ArcticException("update requires a timestamp-indexed symbol")
+        sdf = self._normalize(df)
+        if date_range is not None:
+            lo = pd.Timestamp(date_range[0]).value if date_range[0] is not None else None
+            hi = pd.Timestamp(date_range[1]).value if date_range[1] is not None else None
+            sdf = sdf.filter(F.col(idx).between(
+                pd.Timestamp(lo, unit="ns"), pd.Timestamp(hi, unit="ns"))) \
+                if lo is not None and hi is not None else sdf
+        else:
+            mm = sdf.agg(F.min(idx), F.max(idx)).first()
+            if mm[0] is None:
+                return prev
+            lo, hi = pd.Timestamp(mm[0]).value, pd.Timestamp(mm[1]).value
+
+        keep, rewrite = [], []
+        for fe in prev.files:
+            if fe.ts_max is None or fe.ts_min is None:
+                rewrite.append(fe)
+            elif fe.ts_max < lo or fe.ts_min > hi:
+                keep.append(fe)
+            else:
+                rewrite.append(fe)
+        new_entries = list(keep)
+        if rewrite:
+            boundary = self.spark.read.parquet(*[f.path for f in rewrite]).filter(
+                ~F.col(idx).between(pd.Timestamp(lo, unit="ns"),
+                                    pd.Timestamp(hi, unit="ns")))
+            new_entries += self._write_data_files(symbol, boundary, idx)
+        new_entries += self._write_data_files(symbol, sdf, idx)
+        new_entries.sort(key=lambda e: (e.ts_min if e.ts_min is not None else 0, e.path))
+        m = VersionManifest(symbol, prev.version + 1, time.time_ns(), idx,
+                            prev.schema_json, _renumber(new_entries),
+                            metadata if metadata is not None else prev.metadata)
+        return self._commit(m)
+
+    def delete_data_in_range(self, symbol: str, date_range: tuple) -> VersionManifest:
+        """(``library.py:2750``) — like update with no new rows."""
+        import pandas as pd
+        prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
+        idx = prev.index_column
+        lo = pd.Timestamp(date_range[0]).value
+        hi = pd.Timestamp(date_range[1]).value
+        keep, rewrite = [], []
+        for fe in prev.files:
+            if fe.ts_max is None or fe.ts_min is None:
+                rewrite.append(fe)
+            elif fe.ts_max < lo or fe.ts_min > hi:
+                keep.append(fe)
+            else:
+                rewrite.append(fe)
+        new_entries = list(keep)
+        if rewrite:
+            boundary = self.spark.read.parquet(*[f.path for f in rewrite]).filter(
+                ~F.col(idx).between(pd.Timestamp(lo, unit="ns"),
+                                    pd.Timestamp(hi, unit="ns")))
+            new_entries += self._write_data_files(symbol, boundary, idx)
+        new_entries.sort(key=lambda e: (e.ts_min if e.ts_min is not None else 0, e.path))
+        m = VersionManifest(symbol, prev.version + 1, time.time_ns(), idx,
+                            prev.schema_json, _renumber(new_entries), prev.metadata)
+        return self._commit(m)
+
+    # ---- read path ----
+    def _resolve_version(self, symbol: str, as_of) -> VersionManifest:
+        ref = self._load_ref(symbol)
+        deleted = set(ref.get("deleted", []))
+        if as_of is None:
+            v = ref["latest"]
+        elif isinstance(as_of, int):
+            v = as_of
+        elif isinstance(as_of, str):
+            snap = self._load_snapshot(as_of)
+            if symbol not in snap["symbols"]:
+                raise NoSuchVersionException(
+                    f"{symbol!r} not in snapshot {as_of!r}")
+            v = snap["symbols"][symbol]
+            return self._load_manifest(symbol, v)
+        else:  # timestamp: newest version created at/before it
+            import pandas as pd
+            cutoff = pd.Timestamp(as_of).value
+            best = None
+            for vv in self._list_version_numbers(symbol):
+                if vv in deleted:
+                    continue
+                mm = self._load_manifest(symbol, vv)
+                if mm.created_ns <= cutoff and (best is None or vv > best.version):
+                    best = mm
+            if best is None:
+                raise NoSuchVersionException(
+                    f"no version of {symbol!r} at or before {as_of}")
+            return best
+        if v in deleted:
+            raise NoSuchVersionException(f"{symbol!r} version {v} was deleted")
+        return self._load_manifest(symbol, v)
+
+    def _list_version_numbers(self, symbol) -> list[int]:
+        d = os.path.join(self._sym_dir(symbol), "_versions")
+        if not os.path.isdir(d):
+            return []
+        return sorted(int(fn[1:-5]) for fn in os.listdir(d)
+                      if fn.startswith("v") and fn.endswith(".json"))
+
+    def read(self, symbol: str, as_of=None, date_range: tuple | None = None,
+             row_range: tuple | None = None, columns: list[str] | None = None,
+             query_builder=None, with_row_ids: bool = False) -> DataFrame:
+        """Versioned scan with manifest-side pruning (``library.py:2022``).
+
+        Pruning happens before Spark sees a path: date_range drops files by
+        manifest ts-range (the reference's index-segment filter), row_range /
+        head / tail drop files by cumulative row offsets. Remaining filters
+        are applied as Spark filters (=> Parquet row-group pruning)."""
+        import pandas as pd
+        m = self._resolve_version(symbol, as_of)
+        files = list(m.files)
+        idx = m.index_column
+
+        lo_ns = hi_ns = None
+        if date_range is not None:
+            lo_ns = pd.Timestamp(date_range[0]).value if date_range[0] is not None else None
+            hi_ns = pd.Timestamp(date_range[1]).value if date_range[1] is not None else None
+            files = [fe for fe in files
+                     if not (fe.ts_min is not None and hi_ns is not None and fe.ts_min > hi_ns)
+                     and not (fe.ts_max is not None and lo_ns is not None and fe.ts_max < lo_ns)]
+
+        need_row_id = with_row_ids or row_range is not None or (
+            query_builder is not None and any(
+                k in ("head", "tail", "row_range")
+                for k, _ in getattr(query_builder, "_clauses", [])))
+        if row_range is not None:
+            start, end = row_range
+            total = m.total_rows
+            start = 0 if start is None else (start + total if start < 0 else start)
+            end = total if end is None else (end + total if end < 0 else end)
+            files = [fe for fe in files
+                     if fe.row_start < end and fe.row_start + fe.rows > start]
+
+        if not files:
+            from pyspark.sql import types as T
+            schema = T.StructType.fromJson(json.loads(m.schema_json))
+            empty = self.spark.createDataFrame([], schema)
+            if columns:
+                empty = empty.select(columns)
+            return query_builder.to_df(empty, idx) if query_builder else empty
+
+        df = self.spark.read.parquet(*[fe.path for fe in files])
+
+        if need_row_id:
+            offmap = F.create_map(*[F.lit(x) for fe in files
+                                    for x in ("file:" + fe.path
+                                              if not fe.path.startswith("file:")
+                                              else fe.path, fe.row_start)])
+            df = df.withColumn(
+                ROW_ID,
+                (offmap[F.col("_metadata.file_path")]
+                 + F.col("_metadata.row_index")).cast("long"))
+
+        if date_range is not None:
+            c = F.col(idx)
+            if lo_ns is not None:
+                df = df.filter(c >= pd.Timestamp(lo_ns, unit="ns"))
+            if hi_ns is not None:
+                df = df.filter(c <= pd.Timestamp(hi_ns, unit="ns"))
+        if row_range is not None:
+            df = df.filter((F.col(ROW_ID) >= start) & (F.col(ROW_ID) < end))
+        if columns is not None:
+            keep = list(columns)
+            if idx and idx not in keep:
+                keep = [idx] + keep  # index force-included (version_core.cpp:1285)
+            if need_row_id:
+                keep.append(ROW_ID)
+            df = df.select(keep)
+        if query_builder is not None:
+            df = query_builder.to_df(df, idx)
+        if ROW_ID in df.columns and not with_row_ids:
+            df = df.drop(ROW_ID)
+        return df
+
+    def head(self, symbol: str, n: int = 5, as_of=None,
+             columns: list[str] | None = None) -> DataFrame:
+        return self.read(symbol, as_of=as_of, row_range=(0, n), columns=columns)
+
+    def tail(self, symbol: str, n: int = 5, as_of=None,
+             columns: list[str] | None = None) -> DataFrame:
+        return self.read(symbol, as_of=as_of, row_range=(-n, None), columns=columns)
+
+    # ---- staged ingestion (reference stage/finalize, library.py:952,1739) ----
+    def _staging_dir(self, symbol):
+        return os.path.join(self._sym_dir(symbol), "_staging")
+
+    def stage(self, symbol: str, df) -> None:
+        """Parallel unindexed chunk write (APPEND_DATA keys analogue)."""
+        sdf = self._normalize(df)
+        out = os.path.join(self._staging_dir(symbol), uuid.uuid4().hex)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        sdf.write.mode("overwrite").parquet(out)
+
+    def finalize_staged_data(self, symbol: str, mode: str = "write",
+                             metadata: Any = None, index_column: str | None = None,
+                             sort: bool = True) -> VersionManifest:
+        """Compact staged chunks into one new version; ``sort=True`` is
+        sort_and_finalize_staged_data (k-way merge == one Spark range shuffle)."""
+        stg = self._staging_dir(symbol)
+        if not os.path.isdir(stg) or not os.listdir(stg):
+            raise ArcticException(f"no staged data for {symbol!r}")
+        chunks = [os.path.join(stg, d) for d in sorted(os.listdir(stg))]
+        df = self.spark.read.option("mergeSchema", "true").parquet(*chunks)
+        idx = self._detect_index(df, index_column)
+        if mode == "append":
+            prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
+            new_files = self._write_data_files(symbol, df, idx, sort=sort)
+            if idx and prev.ts_max is not None and new_files:
+                new_min = min(f.ts_min for f in new_files if f.ts_min is not None)
+                if new_min < prev.ts_max:
+                    raise SortingException("staged data overlaps existing index range")
+            m = VersionManifest(symbol, prev.version + 1, time.time_ns(), idx,
+                                prev.schema_json,
+                                _renumber(prev.files + new_files),
+                                metadata if metadata is not None else prev.metadata)
+        else:
+            files = self._write_data_files(symbol, df, idx, sort=sort)
+            m = VersionManifest(symbol, self._next_version(symbol),
+                                time.time_ns(), idx, df.schema.json(), files,
+                                metadata)
+        self._commit(m)
+        shutil.rmtree(stg)
+        return m
+
+    # ---- snapshots ----
+    def _snap_path(self, name):
+        return os.path.join(self.root, "_snapshots", f"{name}.json")
+
+    def _load_snapshot(self, name) -> dict:
+        p = self._snap_path(name)
+        if not os.path.exists(p):
+            raise NoSuchVersionException(f"snapshot {name!r} does not exist")
+        with open(p) as f:
+            return json.load(f)
+
+    def snapshot(self, name: str, metadata: Any = None,
+                 versions: dict[str, int] | None = None) -> None:
+        """Named cross-symbol consistent version set (``library.py:2626``)."""
+        if versions is None:
+            versions = {}
+            for sym in self.list_symbols():
+                versions[sym] = self._load_ref(sym)["latest"]
+        _atomic_write_json(self._snap_path(name),
+                           {"symbols": versions, "metadata": metadata,
+                            "created_ns": time.time_ns()})
+
+    def list_snapshots(self) -> list[str]:
+        d = os.path.join(self.root, "_snapshots")
+        return sorted(fn[:-5] for fn in os.listdir(d) if fn.endswith(".json"))
+
+    def delete_snapshot(self, name: str) -> None:
+        os.remove(self._snap_path(name))
+
+    def add_to_snapshot(self, name: str, symbol: str, version: int | None = None):
+        snap = self._load_snapshot(name)
+        snap["symbols"][symbol] = (version if version is not None
+                                   else self._load_ref(symbol)["latest"])
+        _atomic_write_json(self._snap_path(name), snap)
+
+    def remove_from_snapshot(self, name: str, symbol: str):
+        snap = self._load_snapshot(name)
+        snap["symbols"].pop(symbol, None)
+        _atomic_write_json(self._snap_path(name), snap)
+
+    # ---- listing / metadata / GC ----
+    def list_symbols(self) -> list[str]:
+        out = []
+        for d in sorted(os.listdir(self.root)):
+            if d.startswith("_"):
+                continue
+            if os.path.exists(self._ref_path(d)):
+                out.append(d)
+        return out
+
+    def has_symbol(self, symbol: str) -> bool:
+        return os.path.exists(self._ref_path(symbol))
+
+    def list_versions(self, symbol: str | None = None) -> list[dict]:
+        syms = [symbol] if symbol else self.list_symbols()
+        out = []
+        for s in syms:
+            deleted = set(self._load_ref(s).get("deleted", []))
+            for v in self._list_version_numbers(s):
+                if v in deleted:
+                    continue
+                m = self._load_manifest(s, v)
+                out.append({"symbol": s, "version": v,
+                            "date": m.created_ns, "rows": m.total_rows})
+        return out
+
+    def read_metadata(self, symbol: str, as_of=None):
+        return self._resolve_version(symbol, as_of).metadata
+
+    def write_metadata(self, symbol: str, metadata) -> VersionManifest:
+        prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
+        m = VersionManifest(symbol, prev.version + 1, time.time_ns(),
+                            prev.index_column, prev.schema_json, prev.files,
+                            metadata, prev.sorted)
+        return self._commit(m)
+
+    def get_description(self, symbol: str, as_of=None) -> dict:
+        m = self._resolve_version(symbol, as_of)
+        return {"symbol": symbol, "version": m.version,
+                "row_count": m.total_rows, "index_column": m.index_column,
+                "schema": json.loads(m.schema_json),
+                "ts_min": m.ts_min, "ts_max": m.ts_max,
+                "sorted": m.sorted}
+
+    def delete(self, symbol: str) -> None:
+        shutil.rmtree(self._sym_dir(symbol), ignore_errors=True)
+
+    def delete_version(self, symbol: str, version: int) -> None:
+        ref = self._load_ref(symbol)
+        ref.setdefault("deleted", []).append(version)
+        if ref["latest"] == version:
+            live = [v for v in self._list_version_numbers(symbol)
+                    if v not in set(ref["deleted"])]
+            if live:
+                ref["latest"] = max(live)
+            else:
+                self.delete(symbol)
+                return
+        _atomic_write_json(self._ref_path(symbol), ref)
+
+    def prune_previous_versions(self, symbol: str) -> None:
+        """Tombstone all but the latest version and GC unreferenced files,
+        keeping anything referenced by a snapshot (reference version GC)."""
+        ref = self._load_ref(symbol)
+        latest = ref["latest"]
+        snap_pins = set()
+        for name in self.list_snapshots():
+            v = self._load_snapshot(name)["symbols"].get(symbol)
+            if v is not None:
+                snap_pins.add(v)
+        keep_versions = {latest} | snap_pins
+        referenced = set()
+        for v in keep_versions:
+            try:
+                referenced |= {fe.path for fe in self._load_manifest(symbol, v).files}
+            except NoSuchVersionException:
+                pass
+        for v in self._list_version_numbers(symbol):
+            if v in keep_versions:
+                continue
+            m = self._load_manifest(symbol, v)
+            for fe in m.files:
+                if fe.path not in referenced and os.path.exists(fe.path):
+                    os.remove(fe.path)
+            os.remove(self._ver_path(symbol, v))
+        ref["deleted"] = [v for v in ref.get("deleted", []) if v in keep_versions]
+        _atomic_write_json(self._ref_path(symbol), ref)
+
+    # ---- batch ops (trivially parallel; driver-side loop) ----
+    def read_batch(self, symbols: list, **kw) -> list[DataFrame]:
+        return [self.read(s, **kw) for s in symbols]
+
+    def write_batch(self, payloads: list[tuple]) -> list[VersionManifest]:
+        return [self.write(sym, df) for sym, df in payloads]
+
+    def read_batch_and_join(self, symbols: list[str], query_builder,
+                            as_of=None) -> DataFrame:
+        """(``library.py:2348``) concat N symbols then run remaining clauses."""
+        dfs = [self.read(s, as_of=as_of) for s in symbols]
+        idx = self._resolve_version(symbols[0], as_of).index_column
+        return query_builder.to_df_multi(dfs, index_column=idx)
+
+
+class Arctic:
+    """Top-level entry point (reference ``arctic.py``): ``Arctic(uri)`` ->
+    ``get_library``. URI = a local/posix or mounted object-store directory."""
+
+    def __init__(self, uri: str, spark: SparkSession | None = None):
+        from arcticdb_spark.session import get_spark
+        self.uri = uri.removeprefix("file://")
+        self.spark = spark or get_spark()
+        os.makedirs(self.uri, exist_ok=True)
+
+    def create_library(self, name: str, **kw) -> Library:
+        return Library(self.spark, self.uri, name, **kw)
+
+    def get_library(self, name: str, create_if_missing: bool = False) -> Library:
+        path = os.path.join(self.uri, name)
+        if not os.path.isdir(path) and not create_if_missing:
+            raise ArcticException(f"library {name!r} does not exist")
+        return Library(self.spark, self.uri, name)
+
+    def list_libraries(self) -> list[str]:
+        return sorted(d for d in os.listdir(self.uri)
+                      if os.path.isdir(os.path.join(self.uri, d)))
+
+    def delete_library(self, name: str) -> None:
+        shutil.rmtree(os.path.join(self.uri, name), ignore_errors=True)

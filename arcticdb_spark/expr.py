@@ -1,0 +1,372 @@
+"""Expression AST -> pyspark Column, with the reference engine's semantics.
+
+Mirrors ArcticDB's ``ExpressionNode`` surface (reference:
+``python/arcticdb/version_store/processing.py:64-285`` builds the AST;
+``cpp/arcticdb/processing/operation_types.hpp:75-109`` is the op enum;
+type-promotion rules ``operation_types.hpp:209-354``). We do NOT port the
+C++ kernels — every op compiles to a built-in ``pyspark.sql.functions``
+Column expression so Catalyst/Tungsten (whole-stage codegen) execute it
+JVM-side. The load-bearing semantic differences vs plain Spark, handled here:
+
+* **NaN ≡ null** (reference ``operation_types.hpp:377-406``): ArcticDB
+  treats float NaN as a missing value. Spark treats NaN as a real value
+  that is *greater than any number* and equal to itself. We normalize:
+  every float-typed column reference compiles to
+  ``nanvl(col, NULL)`` so NaN behaves as null in filters, arithmetic
+  (propagates), and aggregations (skipped) — matching pandas/ArcticDB.
+* **Division always yields float64** (``operation_types.hpp:248``):
+  both operands cast to double before ``/``.
+* **Integer arithmetic widens** to 64-bit (reference widens to the next
+  size up; we go straight to long — same values for all inputs
+  representable in 64 bits).
+* **String ordering comparisons are rejected** at compile time
+  (``operation_types.hpp:444-449``), equality/isin allowed.
+* **regex_match is *search* semantics** (re2 partial match,
+  ``util/regex_filter.hpp``) — Spark ``rlike`` is also unanchored: match.
+* **where(cond, a, b)** ternary -> ``F.when`` with common-type promotion
+  (``operation_dispatch_ternary.cpp``).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# simplified type lattice for promotion decisions
+# ---------------------------------------------------------------------------
+
+INT, FLOAT, BOOL, STR, TS, NULL, OTHER = "int", "float", "bool", "str", "ts", "null", "other"
+
+_SPARK_KIND = {
+    T.ByteType: INT, T.ShortType: INT, T.IntegerType: INT, T.LongType: INT,
+    T.FloatType: FLOAT, T.DoubleType: FLOAT,
+    T.BooleanType: BOOL,
+    T.StringType: STR,
+    T.TimestampType: TS, T.TimestampNTZType: TS, T.DateType: TS,
+    T.NullType: NULL,
+}
+
+
+def _kind_of(dtype: T.DataType) -> str:
+    return _SPARK_KIND.get(type(dtype), OTHER)
+
+
+def _kind_of_value(v: Any) -> str:
+    if v is None:
+        return NULL
+    if isinstance(v, bool):
+        return BOOL
+    if isinstance(v, int):
+        return INT
+    if isinstance(v, float):
+        return FLOAT
+    if isinstance(v, str):
+        return STR
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return TS
+    try:  # numpy / pandas scalars without importing hard deps at module load
+        import numpy as np
+        if isinstance(v, np.integer):
+            return INT
+        if isinstance(v, np.floating):
+            return FLOAT
+        if isinstance(v, np.datetime64):
+            return TS
+        if isinstance(v, np.bool_):
+            return BOOL
+    except ImportError:  # pragma: no cover
+        pass
+    return OTHER
+
+
+class ExpressionError(TypeError):
+    """Raised for pipelines the reference engine would reject (e.g. `<` on strings)."""
+
+
+# ---------------------------------------------------------------------------
+# AST nodes
+# ---------------------------------------------------------------------------
+
+class ExpressionNode:
+    """Lazy expression; combine with operators, compile against a DataFrame."""
+
+    # -- arithmetic --
+    def __add__(self, other):  return BinaryOp("ADD", self, _wrap(other))
+    def __radd__(self, other): return BinaryOp("ADD", _wrap(other), self)
+    def __sub__(self, other):  return BinaryOp("SUB", self, _wrap(other))
+    def __rsub__(self, other): return BinaryOp("SUB", _wrap(other), self)
+    def __mul__(self, other):  return BinaryOp("MUL", self, _wrap(other))
+    def __rmul__(self, other): return BinaryOp("MUL", _wrap(other), self)
+    def __truediv__(self, other):  return BinaryOp("DIV", self, _wrap(other))
+    def __rtruediv__(self, other): return BinaryOp("DIV", _wrap(other), self)
+    def __pow__(self, other):  return BinaryOp("POW", self, _wrap(other))
+    def __rpow__(self, other): return BinaryOp("POW", _wrap(other), self)
+    def __neg__(self):         return UnaryOp("NEG", self)
+    def __abs__(self):         return UnaryOp("ABS", self)
+    def abs(self):             return UnaryOp("ABS", self)
+
+    # -- comparisons --
+    def __eq__(self, other):   # noqa: D105
+        if isinstance(other, (list, tuple, set, frozenset)):
+            return self.isin(*other)
+        return BinaryOp("EQ", self, _wrap(other))
+
+    def __ne__(self, other):   # noqa: D105
+        if isinstance(other, (list, tuple, set, frozenset)):
+            return self.isnotin(*other)
+        return BinaryOp("NE", self, _wrap(other))
+
+    def __lt__(self, other): return BinaryOp("LT", self, _wrap(other))
+    def __le__(self, other): return BinaryOp("LE", self, _wrap(other))
+    def __gt__(self, other): return BinaryOp("GT", self, _wrap(other))
+    def __ge__(self, other): return BinaryOp("GE", self, _wrap(other))
+
+    # -- boolean --
+    def __and__(self, other):  return BinaryOp("AND", self, _wrap(other))
+    def __rand__(self, other): return BinaryOp("AND", _wrap(other), self)
+    def __or__(self, other):   return BinaryOp("OR", self, _wrap(other))
+    def __ror__(self, other):  return BinaryOp("OR", _wrap(other), self)
+    def __xor__(self, other):  return BinaryOp("XOR", self, _wrap(other))
+    def __rxor__(self, other): return BinaryOp("XOR", _wrap(other), self)
+    def __invert__(self):      return UnaryOp("NOT", self)
+
+    def __bool__(self):
+        # reference processing.py:215-220 raises the same way — an
+        # ExpressionNode used in `if`/`and` is a user error.
+        raise ExpressionError(
+            "ExpressionNode has no truth value; use & | ~ instead of and/or/not")
+
+    # -- membership / null / regex --
+    def isin(self, *values):
+        vals = list(values[0]) if len(values) == 1 and isinstance(
+            values[0], (list, tuple, set, frozenset)) else list(values)
+        return IsInOp(self, vals, negate=False)
+
+    def isnotin(self, *values):
+        vals = list(values[0]) if len(values) == 1 and isinstance(
+            values[0], (list, tuple, set, frozenset)) else list(values)
+        return IsInOp(self, vals, negate=True)
+
+    def isnull(self):  return UnaryOp("ISNULL", self)
+    def isna(self):    return UnaryOp("ISNULL", self)
+    def notnull(self): return UnaryOp("NOTNULL", self)
+    def notna(self):   return UnaryOp("NOTNULL", self)
+
+    def regex_match(self, pattern: str):
+        return RegexMatchOp(self, pattern)
+
+    def __hash__(self):
+        return id(self)
+
+    # -- compilation --
+    def compile(self, df: DataFrame) -> Column:
+        col, _ = _compile(self, dict(zip(df.schema.names, [f.dataType for f in df.schema.fields])))
+        return col
+
+
+class ColumnRef(ExpressionNode):
+    def __init__(self, name: str):
+        self.name = name
+
+    def __repr__(self):
+        return f"col({self.name!r})"
+
+
+class Constant(ExpressionNode):
+    def __init__(self, value: Any):
+        self.value = value
+
+    def __repr__(self):
+        return f"lit({self.value!r})"
+
+
+class UnaryOp(ExpressionNode):
+    def __init__(self, op: str, child: ExpressionNode):
+        self.op, self.child = op, child
+
+
+class BinaryOp(ExpressionNode):
+    def __init__(self, op: str, left: ExpressionNode, right: ExpressionNode):
+        self.op, self.left, self.right = op, left, right
+
+
+class IsInOp(ExpressionNode):
+    def __init__(self, child: ExpressionNode, values: list, negate: bool):
+        self.child, self.values, self.negate = child, values, negate
+
+
+class RegexMatchOp(ExpressionNode):
+    def __init__(self, child: ExpressionNode, pattern: str):
+        self.child, self.pattern = child, pattern
+
+
+class TernaryOp(ExpressionNode):
+    def __init__(self, cond: ExpressionNode, a: ExpressionNode, b: ExpressionNode):
+        self.cond, self.a, self.b = cond, a, b
+
+
+def where(cond, a, b) -> ExpressionNode:
+    """Ternary operator, reference ``processing.py:288-361``."""
+    return TernaryOp(_wrap(cond), _wrap(a), _wrap(b))
+
+
+def _wrap(v) -> ExpressionNode:
+    return v if isinstance(v, ExpressionNode) else Constant(v)
+
+
+# ---------------------------------------------------------------------------
+# compiler
+# ---------------------------------------------------------------------------
+
+_ORDERING = {"LT", "LE", "GT", "GE"}
+_COMPARISON = _ORDERING | {"EQ", "NE"}
+_ARITH = {"ADD", "SUB", "MUL", "DIV", "POW"}
+_BOOLEAN = {"AND", "OR", "XOR"}
+
+
+def _lit(v) -> Column:
+    # pandas Timestamps / numpy datetime64 to Spark literal
+    k = _kind_of_value(v)
+    if k == TS and not isinstance(v, (_dt.datetime, _dt.date)):
+        import pandas as pd
+        v = pd.Timestamp(v).to_pydatetime()
+    return F.lit(v)
+
+
+def _compile(node: ExpressionNode, schema: dict[str, T.DataType]) -> tuple[Column, str]:
+    """Return (spark Column, kind)."""
+    if isinstance(node, ColumnRef):
+        if node.name not in schema:
+            raise ExpressionError(f"column {node.name!r} not in schema {sorted(schema)}")
+        kind = _kind_of(schema[node.name])
+        c = F.col(node.name)
+        if kind == FLOAT:
+            # NaN ≡ null normalization (see module docstring)
+            c = F.nanvl(c.cast("double"), F.lit(None).cast("double"))
+        return c, kind
+
+    if isinstance(node, Constant):
+        k = _kind_of_value(node.value)
+        if k == FLOAT:
+            import math
+            if math.isnan(node.value):
+                return F.lit(None).cast("double"), FLOAT
+        return _lit(node.value), k
+
+    if isinstance(node, UnaryOp):
+        c, k = _compile(node.child, schema)
+        if node.op == "ABS":
+            if k not in (INT, FLOAT):
+                raise ExpressionError(f"ABS unsupported on {k}")
+            return F.abs(c), k
+        if node.op == "NEG":
+            if k not in (INT, FLOAT, BOOL):
+                raise ExpressionError(f"NEG unsupported on {k}")
+            return -(c.cast("long") if k == BOOL else c), INT if k == BOOL else k
+        if node.op == "NOT":
+            if k != BOOL:
+                raise ExpressionError("NOT requires a boolean expression")
+            return ~c, BOOL
+        if node.op == "ISNULL":
+            # NaN already normalized to null at the column ref
+            return c.isNull(), BOOL
+        if node.op == "NOTNULL":
+            return c.isNotNull(), BOOL
+        raise ExpressionError(f"unknown unary op {node.op}")
+
+    if isinstance(node, BinaryOp):
+        lc, lk = _compile(node.left, schema)
+        rc, rk = _compile(node.right, schema)
+        op = node.op
+        if op in _ARITH:
+            if STR in (lk, rk):
+                raise ExpressionError(f"{op} unsupported on strings")
+            if BOOL == lk:
+                lc, lk = lc.cast("long"), INT
+            if BOOL == rk:
+                rc, rk = rc.cast("long"), INT
+            if op == "DIV":
+                return lc.cast("double") / rc.cast("double"), FLOAT
+            if op == "POW":
+                return F.pow(lc.cast("double"), rc.cast("double")), FLOAT
+            # TS ± numeric(nanoseconds) handled as int64 nanos in the reference
+            out_k = FLOAT if FLOAT in (lk, rk) else INT
+            if out_k == INT:
+                lc, rc = lc.cast("long"), rc.cast("long")
+            else:
+                lc, rc = lc.cast("double"), rc.cast("double")
+            spark_op = {"ADD": lambda a, b: a + b,
+                        "SUB": lambda a, b: a - b,
+                        "MUL": lambda a, b: a * b}[op]
+            return spark_op(lc, rc), out_k
+        if op in _COMPARISON:
+            if op in _ORDERING and (lk == STR or rk == STR):
+                # reference operation_types.hpp:444-449
+                raise ExpressionError("ordering comparisons on strings are not supported")
+            if lk == STR and rk == STR or lk == rk or NULL in (lk, rk):
+                pass
+            elif {lk, rk} <= {INT, FLOAT, BOOL}:
+                pass
+            elif {lk, rk} == {TS, INT}:
+                # timestamps compared as int64 nanos (processing.py:368-377)
+                if lk == TS:
+                    lc = (lc.cast("double") * 1e9).cast("long")
+                else:
+                    rc = (rc.cast("double") * 1e9).cast("long")
+            elif TS in (lk, rk) and {lk, rk} != {TS}:
+                raise ExpressionError(f"cannot compare {lk} with {rk}")
+            cmp = {"EQ": lambda a, b: a == b, "NE": lambda a, b: a != b,
+                   "LT": lambda a, b: a < b, "LE": lambda a, b: a <= b,
+                   "GT": lambda a, b: a > b, "GE": lambda a, b: a >= b}[op]
+            return cmp(lc, rc), BOOL
+        if op in _BOOLEAN:
+            if lk != BOOL or rk != BOOL:
+                raise ExpressionError(f"{op} requires boolean operands")
+            if op == "AND":
+                return lc & rc, BOOL
+            if op == "OR":
+                return lc | rc, BOOL
+            return lc != rc, BOOL  # XOR
+        raise ExpressionError(f"unknown binary op {op}")
+
+    if isinstance(node, IsInOp):
+        c, k = _compile(node.child, schema)
+        vals = [v for v in node.values if v is not None]
+        # reference coerces the value set to the column type (processing.py:380-408)
+        res = c.isin(vals) if vals else F.lit(False)
+        if node.negate:
+            # isnotin keeps nulls out (null != anything stays null -> filtered);
+            # match reference: missing values never match either direction
+            res = ~res
+        return res, BOOL
+
+    if isinstance(node, RegexMatchOp):
+        c, k = _compile(node.child, schema)
+        if k != STR:
+            raise ExpressionError("regex_match requires a string column")
+        return c.rlike(node.pattern), BOOL
+
+    if isinstance(node, TernaryOp):
+        cc, ck = _compile(node.cond, schema)
+        ac, ak = _compile(node.a, schema)
+        bc, bk = _compile(node.b, schema)
+        if ck != BOOL:
+            raise ExpressionError("where() condition must be boolean")
+        out_k = ak if ak == bk else (FLOAT if {ak, bk} <= {INT, FLOAT} else ak)
+        if {ak, bk} == {INT, FLOAT}:
+            ac, bc = ac.cast("double"), bc.cast("double")
+        return F.when(cc, ac).otherwise(bc), out_k
+
+    raise ExpressionError(f"cannot compile {type(node).__name__}")
+
+
+def compile_expression(node: ExpressionNode, df: DataFrame) -> Column:
+    """Public entry: compile an AST against a DataFrame's schema."""
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    col, _ = _compile(node, schema)
+    return col

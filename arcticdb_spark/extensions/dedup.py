@@ -1,0 +1,174 @@
+"""Deduplication operators for training-data pipelines.
+
+Every stage is built from JVM-side column expressions (md5 / array ops /
+joins) — no Python in the hot path — and every shuffle is on a key designed
+to stay small:
+
+* **exact_dedup** — hash-groupBy on a normalized fingerprint. One shuffle on
+  a 32-char key; at 100 TB combine map-side, or pre-bucket by fingerprint.
+* **MinHash + LSH** — shingle -> per-seed min of md5(seed||shingle) ->
+  band keys -> self-join on band key. The expensive O(n²) similarity join is
+  reduced to equi-joins on short band-hash keys (standard LSH banding), which
+  Spark executes as ordinary shuffle joins with AQE skew handling.
+  md5 is used as the hash family (seeded by prefixing) because it is
+  available and bit-identical in Spark, DuckDB and Python — so the whole
+  pipeline is oracle-checkable; lexicographic min over hex strings is a
+  valid uniform min-hash.
+* **SimHash** — 64-bit (here 32-bit for portable integer math) weighted
+  bit-vote over token hashes; near-dups = same value in any rotated band.
+* **n-gram Jaccard** — exact verify step on LSH candidates (array_intersect /
+  array_union on token-set arrays).
+* **embedding near-dup** — cosine over the embedding column; see
+  similarity.py for the ANN path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from arcticdb_spark.extensions.text import fingerprint, tokens
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                keep: str = "min") -> DataFrame:
+    """One row per distinct normalized text: the min (or max) id survives,
+    with the duplicate count. Reference analogue: segment-level content-hash
+    dedup on write (SURVEY §2.8) — here generalized to row granularity."""
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (df.groupBy(fingerprint(F.col(text_col)).alias("fingerprint"))
+              .agg(agg.alias(id_col), F.count(F.lit(1)).alias("dup_count")))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-token shingles as strings; documents shorter than k tokens get a
+    single shingle of all tokens."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    full = F.array_join(toks, " ")
+    sh = F.transform(F.sequence(F.lit(1), n - (k - 1)),
+                     lambda i: F.array_join(F.slice(toks, i, k), " "))
+    return F.when(n >= k, sh).otherwise(F.array(full))
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
+    """Array of ``num_hashes`` min-hashes. Hash family: md5 seeded by prefix;
+    min over the 32-hex-char strings (uniform -> valid MinHash estimator)."""
+    sh = shingles(text, k)
+    sigs = [F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"h{i}:"), s))))
+            for i in range(num_hashes)]
+    return F.array(*sigs)
+
+
+def band_keys(sig: Column, bands: int, rows: int) -> Column:
+    """LSH banding: split the signature into ``bands`` groups of ``rows``
+    hashes; each band key = band index + md5 of the concatenated group."""
+    keys = []
+    for b in range(bands):
+        seg = F.slice(sig, b * rows + 1, rows)
+        keys.append(F.concat(F.lit(f"b{b}:"), F.md5(F.array_join(seg, "|"))))
+    return F.array(*keys)
+
+
+def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 16,
+                           bands: int = 4, k: int = 3) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) sharing >= 1 LSH band.
+
+    Plan shape at scale: one narrow map computes signatures; explode to
+    (band_key, id); self-equi-join on band_key (shuffle on short hash keys);
+    distinct pairs. No cartesian anywhere.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, k)
+    keyed = (df.select(F.col(id_col).alias("id"),
+                       F.explode(band_keys(sig, bands, rows)).alias("band")))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.id") < F.col("b.id")))
+              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+              .distinct())
+    return pairs
+
+
+def jaccard_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", threshold: float = 0.5,
+                           num_hashes: int = 16, bands: int = 8,
+                           k: int = 2) -> DataFrame:
+    """LSH candidates verified with exact token-k-gram Jaccard >= threshold.
+
+    The verify join re-attaches the (deduplicated) shingle sets only for
+    candidate ids — at scale this is a semi-join-sized shuffle, not O(n²).
+    """
+    cand = minhash_near_dup_pairs(df, text_col, id_col, num_hashes, bands, k)
+    sets_df = df.select(F.col(id_col).alias("id"),
+                        F.array_distinct(shingles(F.col(text_col), k)).alias("sh"))
+    j = (cand.join(sets_df.withColumnRenamed("id", "id_a")
+                          .withColumnRenamed("sh", "sh_a"), "id_a")
+             .join(sets_df.withColumnRenamed("id", "id_b")
+                          .withColumnRenamed("sh", "sh_b"), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    return (j.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+             .filter(F.col("jaccard") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+
+
+def simhash(text: Column, bits: int = _SIMHASH_BITS) -> Column:
+    """Per-token md5 -> first 8 hex chars -> 32-bit int; bit-majority vote
+    over tokens. conv() keeps everything in long-safe range."""
+    toks = F.array_distinct(tokens(F.lower(text)))
+    tok_hash = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    bit_cols = []
+    for b in range(bits):
+        mask = 1 << b
+        vote = F.aggregate(
+            tok_hash, F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1))
+        bit_cols.append(F.when(vote > 0, F.lit(mask)).otherwise(F.lit(0)))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out.cast("long")
+
+
+def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", max_hamming: int = 3,
+                           bands: int = 4) -> DataFrame:
+    """Near-dups by SimHash: band the 32-bit hash into ``bands`` chunks —
+    any pair within ``bands-1`` differing bits shares >= 1 exact chunk
+    (pigeonhole), so candidates come from equi-joins, verified by popcount."""
+    h = simhash(F.col(text_col))
+    width = _SIMHASH_BITS // bands
+    sel = [F.col(id_col).alias("id"), h.alias("sh")]
+    base = df.select(sel)
+    chunks = base.select(
+        "id", "sh",
+        F.explode(F.array(*[
+            F.concat(F.lit(f"c{i}:"),
+                     F.shiftright(F.col("sh"), i * width).bitwiseAND(F.lit((1 << width) - 1)))
+            for i in range(bands)])).alias("chunk"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+             .distinct())
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.select("id_a", "id_b", ham.alias("hamming"))
+                .filter(F.col("hamming") <= max_hamming))

@@ -1,0 +1,92 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns + a typed metadata struct; the Spark-side
+contract (schema, partitioning, Arrow batch shape through ``mapInPandas``)
+is real and tested — the actual codec calls are STUBBED (the image/audio
+libraries are not in this container): ``decode_image`` raises
+``NotImplementedError`` unless ``fake=True``, in which case a deterministic
+fake decoder (seeded by content hash) produces stable features so the
+pipeline is end-to-end testable.
+
+Scale shape: media rows are large and variable — ``mapInPandas`` streams
+Arrow batches so no single row set is materialized; repartition by a size
+bucket first so batches stay balanced (skew from 100 MB videos next to 10 KB
+thumbnails).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),        # image|audio|video
+    T.StructField("content", T.BinaryType(), True),      # opaque payload
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+])
+
+FEATURE_SCHEMA = ("media_id long, kind string, n_bytes long, "
+                  "sha256 string, feat array<float>")
+
+
+def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a real decoder: content-hash seeded floats."""
+    h = hashlib.sha256(payload).digest()
+    return [int.from_bytes(h[4 * i:4 * i + 4], "big") / 2**32 for i in range(dim)]
+
+
+def decode_media_batch(fake: bool = True, dim: int = 8):
+    """Returns a mapInPandas function: binary content -> feature vector.
+
+    Replace ``_fake_features`` with a real PIL/librosa/ffmpeg call in an
+    environment that has them — the Spark plumbing does not change.
+    """
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decoding requires PIL/librosa/ffmpeg "
+                    "(not in this container); pass fake=True")
+            contents = pdf["content"]
+            out = pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": contents.map(lambda b: len(b) if b is not None else 0),
+                "sha256": contents.map(
+                    lambda b: hashlib.sha256(b or b"").hexdigest()),
+                "feat": contents.map(
+                    lambda b: _fake_features(b or b"", dim)),
+            })
+            yield out
+    return fn
+
+
+def extract_features(df: DataFrame, fake: bool = True, dim: int = 8,
+                     batch_partitions: int | None = None) -> DataFrame:
+    """Media frame -> feature frame via Arrow-batched mapInPandas."""
+    if batch_partitions:
+        # balance batches: big payloads hash-spread across partitions
+        df = df.repartition(batch_partitions, "media_id")
+    return df.mapInPandas(decode_media_batch(fake=fake, dim=dim), FEATURE_SCHEMA)
+
+
+def make_demo_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table for tests (payload = seeded bytes)."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 7)
+        kind = ["image", "audio", "video"][i % 3]
+        rows.append((i, kind, bytearray(payload), f"application/x-{kind}",
+                     64 + i % 128 if kind == "image" else None,
+                     64 + i % 64 if kind == "image" else None,
+                     1000 * (i % 30) if kind != "image" else None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

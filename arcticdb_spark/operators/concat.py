@@ -1,0 +1,85 @@
+"""Symbol concatenation — reference ``ConcatClause`` (``clause.cpp:1083-1124``)
+and ``join_schemas`` outer/inner schema merge with type promotion
+(``clause_utils.cpp:230+``; Python surface ``processing.py:1059-1127``,
+``library.py:2348`` ``read_batch_and_join``).
+
+Spark-first: ``unionByName(allowMissingColumns=True)`` after casting every
+shared column to the promoted common type. A union is a zero-shuffle
+narrow op in Spark — at 100 TB this costs nothing beyond the scans.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# numeric widening lattice, mirroring promotable_type
+# (reference cpp/arcticdb/entity/type_utils.hpp:40)
+_NUM_ORDER = [T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType(),
+              T.FloatType(), T.DoubleType()]
+
+
+def promote_types(a: T.DataType, b: T.DataType) -> T.DataType:
+    if a == b:
+        return a
+    if isinstance(a, T.NullType):
+        return b
+    if isinstance(b, T.NullType):
+        return a
+    num = {type(t) for t in _NUM_ORDER}
+    if type(a) in num and type(b) in num:
+        ia, ib = ([type(t) for t in _NUM_ORDER].index(type(a)),
+                  [type(t) for t in _NUM_ORDER].index(type(b)))
+        hi = _NUM_ORDER[max(ia, ib)]
+        # int64 + float32 -> float64 (avoid precision loss), as the reference does
+        if isinstance(hi, T.FloatType) and (isinstance(a, T.LongType) or isinstance(b, T.LongType)):
+            return T.DoubleType()
+        return hi
+    if {type(a), type(b)} == {T.TimestampType, T.TimestampNTZType}:
+        return T.TimestampType()
+    raise TypeError(f"cannot promote {a} with {b}")
+
+
+def concat(dfs: list[DataFrame], join: str = "outer") -> DataFrame:
+    """Row-wise concatenation of N frames.
+
+    join='outer': union of columns, missing backfilled with NULL (reference
+    backfills per dynamic-schema rules — NULL here, typed defaults applied
+    downstream by aggregations). join='inner': intersection of columns.
+    Column order: first frame's order, then new columns in encounter order.
+    """
+    if not dfs:
+        raise ValueError("concat of zero frames")
+    if len(dfs) == 1:
+        return dfs[0]
+    if join not in ("outer", "inner"):
+        raise ValueError("join must be 'outer' or 'inner'")
+
+    # promoted common type per column name
+    merged: dict[str, T.DataType] = {}
+    orders: list[list[str]] = []
+    for df in dfs:
+        orders.append(df.columns)
+        for f in df.schema.fields:
+            merged[f.name] = (promote_types(merged[f.name], f.dataType)
+                              if f.name in merged else f.dataType)
+
+    if join == "inner":
+        common = set(orders[0])
+        for cols in orders[1:]:
+            common &= set(cols)
+        keep = [c for c in orders[0] if c in common]
+        casted = [df.select([F.col(c).cast(merged[c]).alias(c) for c in keep])
+                  for df in dfs]
+        return reduce(lambda a, b: a.unionByName(b), casted)
+
+    # outer
+    casted = []
+    for df in dfs:
+        cols = [F.col(c).cast(merged[c]).alias(c) if c in df.columns else None
+                for c in df.columns]
+        casted.append(df.select([F.col(c).cast(merged[c]).alias(c) for c in df.columns]))
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), casted)

@@ -1,0 +1,146 @@
+"""Resample — pandas-compatible time-bucketed aggregation (the reference's
+flagship operator, ``processing.py:722-925`` + ``clause_resample.cpp``).
+
+Semantics reproduced here:
+* rules: any fixed-width pandas offset string (ns/us/ms/s/min/h/D multiples
+  and combinations) — parsed via ``pandas.tseries.frequencies.to_offset``;
+* ``closed`` / ``label`` in {left, right}, defaults left/left for these rules;
+* ``offset`` and ``origin`` in {epoch, start, start_day, end, end_day,
+  Timestamp} (reference ``processing.py:880-895``);
+* aggregators: sum / mean / min / max / count / first / last
+  (``sorted_aggregation.hpp:102``);
+* empty buckets are dropped (reference drops them, ``processing.py:749-750``)
+  — Spark's groupBy never emits them, so this is free.
+
+Spark-first design: instead of the reference's sorted linear scan per bucket,
+we compute the bucket start with **exact int64 nanosecond arithmetic**
+(``pmod`` on longs — no double rounding at 1e18 ns magnitudes, stays inside
+whole-stage codegen) and hash-aggregate on it. first/last use
+``min_by/max_by`` over the timestamp because a shuffle destroys row order —
+plain ``F.first`` would be nondeterministic. At 100 TB this is a single
+map-side-combined shuffle on the bucket key; no windowing, no sort.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SORTED_AGGS = {"sum", "mean", "min", "max", "count", "first", "last"}
+
+
+def rule_to_nanos(rule: str) -> int:
+    off = pd.tseries.frequencies.to_offset(rule)
+    try:
+        return off.nanos
+    except ValueError as e:  # non-fixed freq like 'M'
+        raise ValueError(f"resample rule {rule!r} is not a fixed frequency") from e
+
+
+def _ts_nanos(col: Column) -> Column:
+    # Spark timestamps are µs precision; exact long math (no doubles).
+    return F.unix_micros(col) * F.lit(1000)
+
+
+def bucket_start_nanos(ts_ns: Column, rule_ns: int, origin_ns: int,
+                       closed: str) -> Column:
+    """Exact bucket-left edge in ns. closed='right' puts boundary points in
+    the bucket *ending* there: shift by 1ns before flooring."""
+    d = ts_ns - F.lit(origin_ns)
+    if closed == "right":
+        d = d - F.lit(1)
+    start = d - F.pmod(d, F.lit(rule_ns))
+    return start + F.lit(origin_ns)
+
+
+def resolve_origin(df: DataFrame, ts_col: str, origin: Any, offset: str | None,
+                   rule_ns: int) -> int:
+    """Origin in ns since epoch. 'start'/'end' variants need a min/max scan
+    (tiny agg job, same as the reference's index-range read)."""
+    if isinstance(origin, str) and origin in ("start", "start_day", "end", "end_day"):
+        agg = F.min(ts_col) if origin.startswith("start") else F.max(ts_col)
+        val = df.select(agg).first()[0]
+        t = pd.Timestamp(val)
+        if origin.endswith("_day"):
+            t = t.normalize()
+        origin_ns = t.value
+        if origin.startswith("end"):
+            # pandas aligns buckets to end: shift so the end lands on origin
+            origin_ns = origin_ns - (origin_ns % rule_ns)  # pragmatic alignment
+    elif origin in (None, "epoch"):
+        origin_ns = 0
+    else:
+        origin_ns = pd.Timestamp(origin).value
+    if offset:
+        origin_ns += pd.Timedelta(offset).value
+    return origin_ns
+
+
+def compile_agg(out_name: str, in_col: str, how: str, ts_col: str,
+                dtypes: dict[str, str]) -> Column:
+    """One resample/groupby aggregator -> Spark agg Column.
+
+    NaN-skipping is inherited from the NaN->null normalization done by the
+    caller; Spark aggregates skip nulls natively (matches reference kernels
+    ``unsorted_aggregation.cpp`` / ``sorted_aggregation.cpp``).
+    """
+    how = how.lower()
+    c = F.col(in_col)
+    if how == "sum":
+        return F.sum(c).alias(out_name)
+    if how == "mean":
+        return F.avg(c).alias(out_name)
+    if how == "min":
+        return F.min(c).alias(out_name)
+    if how == "max":
+        return F.max(c).alias(out_name)
+    if how == "count":
+        return F.count(c).alias(out_name)  # non-null count, uint64 in ref
+    if how == "first":
+        # earliest-by-timestamp non-null value; shuffle-safe
+        return F.min_by(c, F.when(c.isNotNull(), F.col(ts_col))).alias(out_name)
+    if how == "last":
+        return F.max_by(c, F.when(c.isNotNull(), F.col(ts_col))).alias(out_name)
+    raise ValueError(f"unsupported aggregator {how!r} (supported: {_SORTED_AGGS})")
+
+
+def normalize_agg_spec(aggregations: dict) -> list[tuple[str, str, str]]:
+    """Reference agg dict forms -> [(out_name, in_col, how)].
+
+    ``{"col": "sum"}`` or ``{"out": ("col", "sum")}`` (processing.py:591-691).
+    """
+    out = []
+    for k, v in aggregations.items():
+        if isinstance(v, str):
+            out.append((k, k, v))
+        elif isinstance(v, (tuple, list)) and len(v) == 2:
+            out.append((k, v[0], v[1]))
+        else:
+            raise ValueError(f"bad aggregation spec {k}: {v}")
+    return out
+
+
+def resample(df: DataFrame, ts_col: str, rule: str, aggregations: dict,
+             closed: str | None = None, label: str | None = None,
+             offset: str | None = None, origin: Any = "epoch") -> DataFrame:
+    """Down-sample ``df`` on ``ts_col``; returns one row per non-empty bucket,
+    bucket timestamp in ``ts_col`` (left or right label)."""
+    rule_ns = rule_to_nanos(rule)
+    closed = closed or "left"
+    label = label or "left"
+    if closed not in ("left", "right") or label not in ("left", "right"):
+        raise ValueError("closed/label must be 'left' or 'right'")
+    origin_ns = resolve_origin(df, ts_col, origin, offset, rule_ns)
+
+    specs = normalize_agg_spec(aggregations)
+    ts_ns = _ts_nanos(F.col(ts_col))
+    start_ns = bucket_start_nanos(ts_ns, rule_ns, origin_ns, closed)
+    label_ns = start_ns + F.lit(rule_ns) if label == "right" else start_ns
+    bucket = F.timestamp_micros((label_ns / F.lit(1000)).cast("long")).alias(ts_col)
+
+    aggs = [compile_agg(o, i, h, ts_col, {}) for (o, i, h) in specs]
+    out = df.groupBy(bucket).agg(*aggs)
+    return out.orderBy(ts_col)

@@ -1,0 +1,60 @@
+"""Scalable global row-id assignment.
+
+The reference addresses rows by position for ``head/tail/row_range``
+(RowRangeClause, reference ``cpp/arcticdb/processing/clause.cpp:874-1018``) —
+cheap there because the segment index stores per-segment row counts. Spark has
+no global row order, so we reproduce the same trick distributively:
+
+1. range-partition + sort by the index columns (often already true on read);
+2. count rows per partition (tiny job — one long per partition);
+3. per-partition ``row_number`` + the partition's cumulative offset.
+
+This is the standard two-phase zipWithIndex for DataFrames: no global
+single-partition window, so it scales to arbitrarily many executors. When the
+data comes from a managed symbol we skip all of this — the writer persisted a
+physical ``__row_id__`` column and Parquet min/max stats prune on it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ROW_ID = "__row_id__"
+_PID = "__asdb_pid__"
+
+
+def with_row_id(df: DataFrame, order_cols: list[str] | None = None,
+                already_sorted: bool = False) -> DataFrame:
+    """Attach a contiguous 0-based ``__row_id__`` following ``order_cols``.
+
+    If ``order_cols`` is None the current partition order is used (matches
+    RDD ``zipWithIndex`` semantics: partition-major, file order on a fresh
+    parquet scan).
+    """
+    if ROW_ID in df.columns:
+        return df
+    if order_cols and not already_sorted:
+        df = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    # monotonically_increasing_id encodes (partition_id << 33) | local_index,
+    # local_index in encounter order — use it for both the per-partition
+    # counts and the final id so no window/sort is ever needed.
+    part = df.withColumn(_PID, F.monotonically_increasing_id())
+    pid = F.shiftright(F.col(_PID), 33).cast("long")
+    counts = {r["pid"]: r["cnt"] for r in
+              part.select(pid.alias("pid")).groupBy("pid")
+                  .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    if not offsets:
+        return df.withColumn(ROW_ID, F.lit(0).cast("long"))
+    mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    local = F.col(_PID).bitwiseAND(F.lit((1 << 33) - 1)).cast("long")
+    out = part.withColumn(ROW_ID, (mapping[pid] + local).cast("long"))
+    return out.drop(_PID)
+
+
+def count_rows(df: DataFrame) -> int:
+    return df.count()

@@ -1,0 +1,248 @@
+"""QueryBuilder — the reference's query surface, compiled to Spark plans.
+
+Mirrors ``python/arcticdb/version_store/processing.py:443`` (QueryBuilder) and
+the clause list it assembles (``processing.py:535-541``): filter -> project
+(apply) -> groupby/agg -> resample -> row/date-range -> concat, applied **in
+the order the user chained them** (reference executes clauses sequentially per
+work unit, ``version_core.cpp:920-959``).
+
+Spark-first: each clause is a closure over a DataFrame; the whole chain stays
+one lazy Catalyst plan, so filter pushdown / column pruning / filter merging
+happen across clause boundaries for free (reference has to hand-roll these,
+``query_planner.cpp``). Nothing here materializes.
+
+Usage (same shape as the reference)::
+
+    q = QueryBuilder()
+    q = q[q["l_quantity"] > 30]                       # FilterClause
+    q = q.apply("revenue", q["p"] * (1 - q["d"]))     # ProjectClause
+    q = q.groupby("l_returnflag").agg({"s": ("revenue", "sum")})
+    df_out = q.to_df(df)                              # or lib.read(sym, query_builder=q)
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from arcticdb_spark.expr import (ColumnRef, ExpressionError, ExpressionNode,
+                                 compile_expression, where)
+from arcticdb_spark.operators.concat import concat as _concat
+from arcticdb_spark.operators.resample import (compile_agg, normalize_agg_spec,
+                                               resample as _resample)
+from arcticdb_spark.plans.rowid import ROW_ID, with_row_id
+
+
+def col(name: str) -> ColumnRef:
+    """Reference ``arcticdb.col`` (LazyDataFrame surface, library.py:442)."""
+    return ColumnRef(name)
+
+
+def _to_ts(v) -> _dt.datetime:
+    import pandas as pd
+    return pd.Timestamp(v).to_pydatetime()
+
+
+class QueryBuilder:
+    """Chainable clause list; immutable-ish (each op appends and returns self,
+    matching the reference's fluent mutation style)."""
+
+    def __init__(self, index_column: str = "ts"):
+        self._clauses: list[tuple[str, dict]] = []
+        self._index_column = index_column
+        self._pending_groupby: str | list[str] | None = None
+        self._pending_resample: dict | None = None
+
+    # -- expression entry --
+    def __getitem__(self, item):
+        if isinstance(item, str):
+            return ColumnRef(item)
+        if isinstance(item, ExpressionNode):
+            self._clauses.append(("filter", {"expr": item}))
+            return self
+        raise TypeError(f"QueryBuilder[{type(item).__name__}] unsupported")
+
+    # keep the reference's `where` available as a method too
+    @staticmethod
+    def where(cond, a, b):
+        return where(cond, a, b)
+
+    # -- clauses --
+    def apply(self, name: str, expr: ExpressionNode | Any) -> "QueryBuilder":
+        """ProjectClause: append ONE computed column; never drops columns
+        (reference clause.hpp:201-258)."""
+        self._clauses.append(("project", {"name": name, "expr": expr}))
+        return self
+
+    def groupby(self, column: str | list[str]) -> "QueryBuilder":
+        """Reference supports a single grouping column (processing.py:607);
+        we accept a list as a documented extension."""
+        self._pending_groupby = column
+        return self
+
+    def resample(self, rule: str, closed: str | None = None,
+                 label: str | None = None, offset: str | None = None,
+                 origin: Any = "epoch") -> "QueryBuilder":
+        self._pending_resample = dict(rule=rule, closed=closed, label=label,
+                                      offset=offset, origin=origin)
+        return self
+
+    def agg(self, aggregations: dict) -> "QueryBuilder":
+        if self._pending_groupby is not None:
+            self._clauses.append(("groupby_agg", {
+                "keys": self._pending_groupby, "aggs": aggregations}))
+            self._pending_groupby = None
+        elif self._pending_resample is not None:
+            self._clauses.append(("resample_agg", {
+                **self._pending_resample, "aggs": aggregations}))
+            self._pending_resample = None
+        else:
+            raise ExpressionError("agg() must follow groupby() or resample()")
+        return self
+
+    def date_range(self, rng: tuple) -> "QueryBuilder":
+        """Inclusive both ends (reference DateRangeClause clause.hpp:725-769)."""
+        self._clauses.append(("date_range", {"range": rng}))
+        return self
+
+    def head(self, n: int = 5) -> "QueryBuilder":
+        self._clauses.append(("head", {"n": n}))
+        return self
+
+    def tail(self, n: int = 5) -> "QueryBuilder":
+        self._clauses.append(("tail", {"n": n}))
+        return self
+
+    def row_range(self, rng: tuple) -> "QueryBuilder":
+        """iloc semantics incl. negative indices (processing.py:999-1030)."""
+        self._clauses.append(("row_range", {"range": rng}))
+        return self
+
+    def concat(self, join: str = "outer") -> "QueryBuilder":
+        """Multi-symbol concatenation marker (used via to_df_multi /
+        read_batch_and_join)."""
+        self._clauses.insert(0, ("concat", {"join": join}))
+        return self
+
+    # -- compilation --
+    def to_df(self, df: DataFrame, index_column: str | None = None) -> DataFrame:
+        """Apply all clauses to one DataFrame, in order."""
+        return self._run(df, index_column or self._index_column)
+
+    def to_df_multi(self, dfs: list[DataFrame],
+                    index_column: str | None = None) -> DataFrame:
+        """Reference ``read_batch_and_join``: concat first, then clauses."""
+        clauses = list(self._clauses)
+        join = "outer"
+        if clauses and clauses[0][0] == "concat":
+            join = clauses[0][1]["join"]
+        df = _concat(dfs, join=join)
+        return self._run(df, index_column or self._index_column,
+                         skip_concat=True)
+
+    def _run(self, df: DataFrame, index_column: str,
+             skip_concat: bool = False) -> DataFrame:
+        for kind, args in self._clauses:
+            if kind == "concat":
+                if not skip_concat:
+                    raise ExpressionError(
+                        "concat() requires multiple frames: use to_df_multi / read_batch_and_join")
+                continue
+            df = getattr(self, f"_apply_{kind}")(df, args, index_column)
+        if self._pending_groupby is not None or self._pending_resample is not None:
+            raise ExpressionError("groupby()/resample() without agg()")
+        return df
+
+    # -- clause kernels (each returns a still-lazy DataFrame) --
+    def _apply_filter(self, df, args, idx):
+        out = df.filter(compile_expression(args["expr"], df))
+        # positional row-ids are invalidated by row-membership changes
+        # (iloc/head positions refer to the *current* frame, like pandas)
+        return out.drop(ROW_ID) if ROW_ID in out.columns else out
+
+    def _apply_project(self, df, args, idx):
+        expr = args["expr"]
+        if isinstance(expr, ExpressionNode):
+            c = compile_expression(expr, df)
+        else:  # broadcast constant projection (reference clause.cpp:174-205)
+            c = F.lit(expr)
+        return df.withColumn(args["name"], c)
+
+    def _apply_groupby_agg(self, df, args, idx):
+        keys = args["keys"]
+        keys = [keys] if isinstance(keys, str) else list(keys)
+        # reference drops null/NaN group keys (grouper.hpp:30-40) — pandas
+        # dropna=True; Spark keeps them, so filter first. NaN≡null via expr.
+        key_cols = []
+        cond = None
+        for k in keys:
+            kc = compile_expression(ColumnRef(k), df)  # NaN-normalized
+            key_cols.append(kc.alias(k))
+            c = kc.isNotNull()
+            cond = c if cond is None else (cond & c)
+        specs = normalize_agg_spec(args["aggs"])
+        aggs = [compile_agg(o, i, h, idx, {}) for (o, i, h) in specs]
+        return df.filter(cond).groupBy(*key_cols).agg(*aggs)
+
+    def _apply_resample_agg(self, df, args, idx):
+        return _resample(df, idx, args["rule"], args["aggs"],
+                         closed=args["closed"], label=args["label"],
+                         offset=args["offset"], origin=args["origin"])
+
+    def _apply_date_range(self, df, args, idx):
+        lo, hi = args["range"]
+        c = F.col(idx)
+        if lo is not None and hi is not None:
+            out = df.filter(c.between(_to_ts(lo), _to_ts(hi)))
+        elif lo is not None:
+            out = df.filter(c >= _to_ts(lo))
+        elif hi is not None:
+            out = df.filter(c <= _to_ts(hi))
+        else:
+            out = df
+        return out.drop(ROW_ID) if (out is not df and ROW_ID in out.columns) else out
+
+    def _apply_head(self, df, args, idx):
+        n = args["n"]
+        if ROW_ID in df.columns:
+            return df.filter(F.col(ROW_ID) < n)
+        if idx in df.columns:
+            # TakeOrderedAndProject — no global sort materialization
+            return df.orderBy(idx).limit(n)
+        return df.limit(n)
+
+    def _apply_tail(self, df, args, idx):
+        n = args["n"]
+        if ROW_ID in df.columns:
+            total = df.agg(F.max(ROW_ID)).first()[0]
+            total = (total + 1) if total is not None else 0
+            return df.filter(F.col(ROW_ID) >= total - n)
+        if idx in df.columns:
+            return df.orderBy(F.col(idx).desc()).limit(n).orderBy(idx)
+        total = df.count()
+        df = with_row_id(df)
+        return df.filter(F.col(ROW_ID) >= total - n).drop(ROW_ID)
+
+    def _apply_row_range(self, df, args, idx):
+        start, end = args["range"]
+        if ROW_ID not in df.columns:
+            order = [idx] if idx in df.columns else None
+            df = with_row_id(df, order_cols=order)
+        rid = F.col(ROW_ID)
+        if (start is not None and start < 0) or (end is not None and end < 0):
+            total = df.agg(F.max(ROW_ID)).first()[0]
+            total = (total + 1) if total is not None else 0
+            start = None if start is None else (start + total if start < 0 else start)
+            end = None if end is None else (end + total if end < 0 else end)
+        cond = F.lit(True)
+        if start is not None:
+            cond = cond & (rid >= start)
+        if end is not None:
+            cond = cond & (rid < end)
+        return df.filter(cond)
+
+    def __repr__(self):
+        return f"QueryBuilder({[k for k, _ in self._clauses]})"

@@ -1,0 +1,31 @@
+"""Loaders for the driver's TPC-H-ish parquet tables (TESTDATA.md).
+
+Handles the nanosecond-timestamp impedance: the ``events`` table stores
+``ts`` as parquet TIMESTAMP(NANOS); Spark reads it as long (with
+``spark.sql.legacy.parquet.nanosAsLong=true``) and we truncate to a µs
+TIMESTAMP with *exact integer division* (``div 1000`` — no double rounding at
+1e18 magnitudes). This matches DuckDB's ``CAST(ts_ns AS TIMESTAMP)``
+truncation bit-for-bit, so oracle comparisons are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # convert any ns-long epoch column that was a parquet TIMESTAMP(NANOS)
+    # back to a µs TIMESTAMP (floor/truncate — positive epochs only here)
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}

@@ -1,0 +1,62 @@
+"""ConcatClause / MergeUpdateClause semantics (FIXTURES F5/F6 shapes)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from arcticdb_spark.operators.concat import concat, promote_types
+from arcticdb_spark.operators.merge_update import merge_update
+from pyspark.sql import types as T
+
+
+def test_promote_types():
+    assert promote_types(T.IntegerType(), T.LongType()) == T.LongType()
+    assert promote_types(T.IntegerType(), T.FloatType()) == T.FloatType()
+    assert promote_types(T.LongType(), T.FloatType()) == T.DoubleType()
+    assert promote_types(T.NullType(), T.StringType()) == T.StringType()
+    with pytest.raises(TypeError):
+        promote_types(T.StringType(), T.LongType())
+
+
+def test_concat_outer_backfill_and_promotion(spark):
+    a = spark.createDataFrame(pd.DataFrame({
+        "ts": pd.date_range("2025-01-01", periods=3, freq="D"),
+        "col1": [1.0, 2.0, 3.0], "col2": np.array([1, 2, 3], dtype="int64")}))
+    b = spark.createDataFrame(
+        pd.DataFrame({"ts": pd.date_range("2025-01-02", periods=3, freq="D"),
+                      "col2": np.array([7, 8, 9], dtype="int32"),
+                      "col3": ["x", "y", "z"]}),
+        schema="ts timestamp, col2 int, col3 string")
+    out = concat([a, b], join="outer")
+    assert set(out.columns) == {"ts", "col1", "col2", "col3"}
+    assert dict(out.dtypes)["col2"] == "bigint"  # int32 promoted to int64
+    pdf = out.toPandas()
+    assert len(pdf) == 6
+    assert pdf["col1"].isna().sum() == 3  # backfilled
+    assert pdf["col3"].isna().sum() == 3
+
+
+def test_concat_inner_common_columns(spark):
+    a = spark.createDataFrame(pd.DataFrame({"x": [1], "y": [2.0], "z": ["a"]}))
+    b = spark.createDataFrame(pd.DataFrame({"x": [3], "y": [4.0], "w": [True]}))
+    out = concat([a, b], join="inner")
+    assert out.columns == ["x", "y"]
+    assert out.count() == 2
+
+
+def test_merge_update_only(spark):
+    t = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3], "v": [10.0, 20.0, 30.0]}))
+    s = spark.createDataFrame(pd.DataFrame({"k": [2, 9], "v": [99.0, 77.0]}))
+    out = merge_update(t, s, on=["k"], upsert=False).toPandas().set_index("k").sort_index()
+    assert out.index.tolist() == [1, 2, 3]  # no insert
+    assert out.loc[2, "v"] == 99.0
+    assert out.loc[1, "v"] == 10.0
+
+
+def test_merge_upsert(spark):
+    t = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": [10.0, 20.0]}))
+    s = spark.createDataFrame(pd.DataFrame({"k": [2, 5], "v": [99.0, 50.0]}))
+    out = merge_update(t, s, on=["k"], upsert=True).toPandas().set_index("k").sort_index()
+    assert out.index.tolist() == [1, 2, 5]
+    assert out.loc[2, "v"] == 99.0
+    assert out.loc[5, "v"] == 50.0

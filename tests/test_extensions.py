@@ -1,0 +1,158 @@
+"""Extensions: dedup / text / similarity / asof / windows / multimodal."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from arcticdb_spark.extensions import dedup as xdedup
+from arcticdb_spark.extensions import joins as xjoins
+from arcticdb_spark.extensions import multimodal as xmm
+from arcticdb_spark.extensions import similarity as xsim
+from arcticdb_spark.extensions import text as xtext
+from arcticdb_spark.extensions import windows as xwin
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup
+        (2, "The  quick brown fox jumps over the lazy dog"),         # ws/case dup
+        (3, "the quick brown fox leaps over the lazy dog"),          # near dup
+        (4, "completely different text about spark engines and data"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = xdedup.exact_dedup(_docs(spark)).toPandas()
+    grp = out.set_index("doc_id")["dup_count"].to_dict()
+    assert grp[0] == 3          # 0,1,2 collapse after normalization
+    assert grp[3] == 1 and grp[4] == 1 and grp[5] == 1
+
+
+def test_minhash_finds_near_dups(spark):
+    pairs = xdedup.minhash_near_dup_pairs(_docs(spark), num_hashes=16, bands=8, k=2)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 2) in got   # exact dups always collide
+    assert (0, 3) in got                      # near dup collides in some band
+    assert not any(4 in p for pair in got for p in [pair] for _ in [0] if 4 in pair and 5 in pair)
+
+
+def test_jaccard_threshold(spark):
+    out = xdedup.jaccard_near_dup_pairs(_docs(spark), threshold=0.5,
+                                        num_hashes=16, bands=8, k=2).toPandas()
+    pairs = {(a, b): j for a, b, j in zip(out.id_a, out.id_b, out.jaccard)}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 3) in pairs and pairs[(0, 3)] > 0.5
+
+
+def test_simhash_hamming(spark):
+    out = xdedup.simhash_near_dup_pairs(_docs(spark), max_hamming=0).toPandas()
+    got = {(a, b) for a, b in zip(out.id_a, out.id_b)}
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+
+
+def test_text_stats_and_langid(spark):
+    df = spark.createDataFrame([
+        (0, "the cat and the dog, in the house."),
+        (1, "der hund und die katze ist nicht da"),
+        (2, "xyzzy plugh"),
+    ], "doc_id long, text string")
+    out = xtext.with_text_stats(df).toPandas().set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[1, "lang_pred"] == "de"
+    assert out.loc[2, "lang_pred"] == "unk"
+    assert out.loc[0, "n_tokens"] == 8
+    assert out.loc[0, "n_punct"] == 2
+    assert 0 <= out.loc[0, "quality"] <= 1.0
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame([(0, "A  b c"), (1, "a b  C"), (2, "a b d")],
+                               "doc_id long, text string")
+    fp = df.select("doc_id", xtext.fingerprint(F.col("text")).alias("f")).toPandas()
+    assert fp.f[0] == fp.f[1] and fp.f[0] != fp.f[2]
+
+
+def test_similarity_bruteforce_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((30, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>")
+    out = xsim.brute_force_topk(df, df.filter(F.col("vec_id") < 2), k=3).toPandas()
+    # numpy oracle
+    v = vecs.astype("float64")
+    sims = v @ v.T / (np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :])
+    for qid in range(2):
+        s = sims[qid].copy()
+        s[qid] = -np.inf
+        top = np.argsort(np.round(-s, 6), kind="stable")[:3]
+        got = out[out.query_id == qid].sort_values("rank")["vec_id"].tolist()
+        assert got == top.tolist()
+
+
+def test_lsh_recall_reasonable(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((100, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(100)],
+        "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 5)
+    exact = xsim.brute_force_topk(df, q, k=3).toPandas()
+    approx = xsim.lsh_topk(df, q, k=3, n_planes=6, n_tables=6, dim=16).toPandas()
+    # recall over 5 queries x top3
+    e = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.vec_id) for r in approx.itertuples()}
+    assert len(e & a) / len(e) >= 0.4
+
+
+def test_asof_join_matches_pandas(spark):
+    left = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 11:00",
+                              "2024-01-01 12:00", "2024-01-02 09:00"]),
+        "k": ["a", "a", "b", "b"], "lv": [1, 2, 3, 4]})
+    right = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 09:30", "2024-01-01 10:30",
+                              "2024-01-01 11:30", "2024-01-03 00:00"]),
+        "k": ["a", "a", "b", "b"], "rv": [10.0, 20.0, 30.0, 40.0]})
+    out = xjoins.asof_join(spark.createDataFrame(left),
+                           spark.createDataFrame(right), on="ts", by="k") \
+        .toPandas().sort_values("lv").reset_index(drop=True)
+    oracle = pd.merge_asof(left.sort_values("ts"), right.sort_values("ts"),
+                           on="ts", by="k").sort_values("lv").reset_index(drop=True)
+    assert out["rv"].fillna(-1).tolist() == oracle["rv"].fillna(-1).tolist()
+
+
+def test_sessionize(spark):
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 10:10",
+                              "2024-01-01 11:30", "2024-01-01 11:40"]),
+        "user_id": [1, 1, 1, 1], "v": [1, 2, 3, 4]})
+    out = xwin.sessionize(spark.createDataFrame(pdf), "ts", ["user_id"],
+                          gap="30 minutes").toPandas().sort_values("v")
+    assert out["session_seq"].tolist() == [1, 1, 2, 2]
+
+
+def test_topk_per_group(spark):
+    pdf = pd.DataFrame({"g": ["a"] * 4 + ["b"] * 3,
+                        "v": [5.0, 9.0, 9.0, 1.0, 2.0, 3.0, 4.0],
+                        "id": range(7)})
+    out = xwin.topk_per_group(spark.createDataFrame(pdf), ["g"], "v", 2,
+                              tiebreak=["id"]).toPandas()
+    a = out[out.g == "a"].sort_values("rank")
+    assert a["id"].tolist() == [1, 2]  # tie broken by id
+
+
+def test_multimodal_plumbing(spark):
+    media = xmm.make_demo_media(spark, n=16)
+    feats = xmm.extract_features(media, fake=True, dim=4).toPandas()
+    assert len(feats) == 16
+    assert set(feats.columns) == {"media_id", "kind", "n_bytes", "sha256", "feat"}
+    assert all(len(f) == 4 for f in feats["feat"])
+    # deterministic: same content -> same features
+    feats2 = xmm.extract_features(media, fake=True, dim=4).toPandas()
+    m1 = feats.set_index("media_id")["sha256"].to_dict()
+    m2 = feats2.set_index("media_id")["sha256"].to_dict()
+    assert m1 == m2

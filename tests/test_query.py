@@ -1,0 +1,85 @@
+"""Clause pipeline vs pandas oracle (reference generic_filter_test pattern)."""
+
+import numpy as np
+import pandas as pd
+
+from arcticdb_spark.query import QueryBuilder
+
+
+def test_filter_project_chain(lineitem, lineitem_pdf):
+    q = QueryBuilder()
+    q = q[(q["l_quantity"] > 30) & (q["l_discount"] <= 0.05)]
+    q = q.apply("revenue", q["l_extendedprice"] * (1 - q["l_discount"]))
+    out = q.to_df(lineitem).toPandas()
+    p = lineitem_pdf[(lineitem_pdf.l_quantity > 30) & (lineitem_pdf.l_discount <= 0.05)].copy()
+    p["revenue"] = p.l_extendedprice * (1 - p.l_discount)
+    assert len(out) == len(p)
+    assert np.isclose(out["revenue"].sum(), p["revenue"].sum())
+
+
+def test_groupby_dropna_single(spark):
+    pdf = pd.DataFrame({"k": ["a", None, "b", "a", None, "b"],
+                        "v": [1.0, 2.0, np.nan, 4.0, 5.0, 6.0]})
+    df = spark.createDataFrame(pdf)
+    q = QueryBuilder().groupby("k").agg({"s": ("v", "sum"), "n": ("v", "count"),
+                                         "m": ("v", "mean")})
+    out = q.to_df(df).toPandas().set_index("k").sort_index()
+    # null keys dropped (reference grouper.hpp:30-40); NaN skipped in aggs
+    assert out.index.tolist() == ["a", "b"]
+    assert out.loc["a", "s"] == 5.0
+    assert out.loc["b", "s"] == 6.0
+    assert out.loc["b", "n"] == 1
+    assert out.loc["b", "m"] == 6.0
+
+
+def test_groupby_nan_key_dropped(spark):
+    pdf = pd.DataFrame({"k": [1.0, np.nan, 2.0, 1.0], "v": [1, 2, 3, 4]})
+    df = spark.createDataFrame(pdf)
+    q = QueryBuilder().groupby("k").agg({"s": ("v", "sum")})
+    out = q.to_df(df).toPandas()
+    assert sorted(out["k"].tolist()) == [1.0, 2.0]
+
+
+def test_head_tail_row_range(events, events_pdf):
+    from arcticdb_spark.plans.rowid import ROW_ID, with_row_id
+    ev = with_row_id(events, ["ts", "event_id"])
+    p = events_pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+
+    h = QueryBuilder().head(7).to_df(ev, "ts").toPandas().sort_values("event_id")
+    assert sorted(h["event_id"]) == sorted(p.head(7)["event_id"])
+
+    t = QueryBuilder().tail(7).to_df(ev, "ts").toPandas()
+    assert sorted(t["event_id"]) == sorted(p.tail(7)["event_id"])
+
+    r = QueryBuilder().row_range((10, 25)).to_df(ev, "ts").toPandas()
+    assert sorted(r["event_id"]) == sorted(p.iloc[10:25]["event_id"])
+
+    rn = QueryBuilder().row_range((-20, -5)).to_df(ev, "ts").toPandas()
+    assert sorted(rn["event_id"]) == sorted(p.iloc[-20:-5]["event_id"])
+
+
+def test_date_range_inclusive(events, events_pdf):
+    t0, t1 = pd.Timestamp("2024-01-03"), pd.Timestamp("2024-01-05")
+    out = QueryBuilder().date_range((t0, t1)).to_df(events, "ts").toPandas()
+    p = events_pdf[(events_pdf.ts >= t0) & (events_pdf.ts <= t1)]
+    assert len(out) == len(p)
+
+
+def test_filter_then_head_positions(events, events_pdf):
+    """head after a filter = first n of the filtered frame (pandas iloc)."""
+    from arcticdb_spark.plans.rowid import with_row_id
+    ev = with_row_id(events, ["ts", "event_id"])
+    q = QueryBuilder()
+    q = q[q["event_type"] == "click"].head(5)
+    out = q.to_df(ev, "ts").toPandas()
+    p = (events_pdf.sort_values(["ts", "event_id"])
+         .loc[events_pdf.event_type == "click"].head(5))
+    assert sorted(out["event_id"]) == sorted(p["event_id"])
+
+
+def test_pending_agg_raises(lineitem):
+    import pytest
+    from arcticdb_spark.expr import ExpressionError
+    q = QueryBuilder().groupby("l_returnflag")
+    with pytest.raises(ExpressionError):
+        q.to_df(lineitem)

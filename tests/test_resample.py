@@ -1,0 +1,82 @@
+"""Resample vs pandas oracle across rules/closed/label/origin — modeled on
+reference test_resample.py:48-68 (compare vs df.resample(...).agg(...),
+empty buckets dropped)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from arcticdb_spark.operators.resample import resample
+
+
+def _pandas_oracle(pdf, rule, aggs, **kw):
+    r = pdf.set_index("ts").resample(rule, **kw)
+    out = r.agg(**{name: (c, how if how != "mean" else "mean")
+                   for name, (c, how) in aggs.items()})
+    cnt = r["value"].count()
+    return out[cnt > 0]
+
+
+@pytest.mark.parametrize("rule", ["15min", "1h", "6h", "1D"])
+def test_resample_rules(events, events_pdf, rule):
+    aggs = {"n": ("value", "count"), "s": ("value", "sum"),
+            "lo": ("value", "min"), "hi": ("value", "max")}
+    mine = resample(events, "ts", rule, aggs).toPandas().set_index("ts").sort_index()
+    orc = _pandas_oracle(events_pdf, rule, aggs)
+    assert len(mine) == len(orc)
+    assert np.allclose(mine["s"].values, orc["s"].values)
+    assert (mine["n"].values == orc["n"].values).all()
+    assert np.allclose(mine["lo"].values, orc["lo"].values)
+
+
+@pytest.mark.parametrize("closed,label", [("left", "left"), ("left", "right"),
+                                          ("right", "left"), ("right", "right")])
+def test_resample_closed_label(events, events_pdf, closed, label):
+    aggs = {"n": ("value", "count"), "s": ("value", "sum")}
+    mine = resample(events, "ts", "4h", aggs, closed=closed, label=label) \
+        .toPandas().set_index("ts").sort_index()
+    orc = _pandas_oracle(events_pdf, "4h", aggs, closed=closed, label=label)
+    assert len(mine) == len(orc)
+    assert (mine.index == orc.index).all()
+    assert np.allclose(mine["s"].values, orc["s"].values)
+
+
+def test_resample_first_last(events, events_pdf):
+    aggs = {"f": ("value", "first"), "l": ("value", "last")}
+    mine = resample(events, "ts", "2h", aggs).toPandas().set_index("ts").sort_index()
+    orc = _pandas_oracle(events_pdf, "2h", aggs)
+    assert np.allclose(mine["f"].values, orc["f"].values)
+    assert np.allclose(mine["l"].values, orc["l"].values)
+
+
+def test_resample_offset_origin(events, events_pdf):
+    aggs = {"n": ("value", "count")}
+    mine = resample(events, "ts", "1D", aggs, offset="6h") \
+        .toPandas().set_index("ts").sort_index()
+    orc = _pandas_oracle(events_pdf, "1D", aggs, offset="6h")
+    assert len(mine) == len(orc)
+    assert (mine.index == orc.index).all()
+
+    mine2 = resample(events, "ts", "1D", aggs, origin="start_day") \
+        .toPandas().set_index("ts").sort_index()
+    orc2 = _pandas_oracle(events_pdf, "1D", aggs, origin="start_day")
+    assert len(mine2) == len(orc2)
+
+
+def test_resample_nan_skipped(spark):
+    pdf = pd.DataFrame({
+        "ts": pd.date_range("2024-01-01", periods=8, freq="30min"),
+        "value": [1.0, np.nan, 3.0, np.nan, np.nan, 6.0, 7.0, 8.0]})
+    df = spark.createDataFrame(pdf)
+    mine = resample(df, "ts", "1h", {"n": ("value", "count"),
+                                     "s": ("value", "sum")}) \
+        .toPandas().set_index("ts").sort_index()
+    orc = pdf.set_index("ts").resample("1h").agg(n=("value", "count"),
+                                                 s=("value", "sum"))
+    assert (mine["n"].values == orc["n"].values).all()
+    assert np.allclose(mine["s"].values, orc["s"].values)
+
+
+def test_resample_non_fixed_rule_rejected(events):
+    with pytest.raises(ValueError):
+        resample(events, "ts", "1M", {"n": ("value", "count")})
