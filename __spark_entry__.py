@@ -331,8 +331,8 @@ def q_dedup_minhash(spark, sf):
 
 def q_dedup_jaccard(spark, sf):
     d = load_table(spark, sf, "documents")
-    return xdedup.jaccard_near_dup_pairs(d, threshold=0.4, num_hashes=16,
-                                         bands=8, k=2)
+    return xdedup.jaccard_near_dup_pairs(d, threshold=0.5, num_hashes=16,
+                                         bands=4, k=3)
 
 
 def q_dedup_simhash(spark, sf):
@@ -489,8 +489,8 @@ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id"""
 
 
-def _jaccard_sql(threshold: float = 0.4, num_hashes: int = 16, bands: int = 8,
-                 k: int = 2) -> str:
+def _jaccard_sql(threshold: float = 0.5, num_hashes: int = 16, bands: int = 4,
+                 k: int = 3) -> str:
     rows = num_hashes // bands
     return f"""
 WITH t AS (SELECT doc_id,

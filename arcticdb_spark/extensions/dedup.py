@@ -78,19 +78,42 @@ def band_keys(sig: Column, bands: int, rows: int) -> Column:
     return F.array(*keys)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Single-file parquet scans arrive as 1 partition — spread the heavy
+    hash computation across cores before the narrow map."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
+def minhash_band_table(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 16,
+                       bands: int = 4, k: int = 3) -> DataFrame:
+    """(id, band_key) rows, persisted: the signature expression is expensive
+    (num_hashes × md5 per shingle), and the self-join would otherwise
+    evaluate it twice per side."""
+    rows = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, k)
+    # materialize signatures BEFORE banding: the band slices would otherwise
+    # each inline (and re-evaluate) the whole num_hashes-wide md5 expression
+    sigs = (_spread(df.select(F.col(id_col).alias("id"), text_col))
+            .select("id", sig.alias("sig")).persist())
+    keyed = sigs.select(
+        "id", F.explode(band_keys(F.col("sig"), bands, rows)).alias("band"))
+    return keyed.persist()
+
+
 def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 16,
                            bands: int = 4, k: int = 3) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing >= 1 LSH band.
 
-    Plan shape at scale: one narrow map computes signatures; explode to
-    (band_key, id); self-equi-join on band_key (shuffle on short hash keys);
-    distinct pairs. No cartesian anywhere.
+    Plan shape at scale: one narrow map computes signatures (persisted);
+    explode to (band_key, id); self-equi-join on band_key (shuffle on short
+    hash keys); distinct pairs. No cartesian anywhere.
     """
-    rows = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, k)
-    keyed = (df.select(F.col(id_col).alias("id"),
-                       F.explode(band_keys(sig, bands, rows)).alias("band")))
+    keyed = minhash_band_table(df, text_col, id_col, num_hashes, bands, k)
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
                     & (F.col("a.id") < F.col("b.id")))
@@ -109,8 +132,9 @@ def jaccard_near_dup_pairs(df: DataFrame, text_col: str = "text",
     candidate ids — at scale this is a semi-join-sized shuffle, not O(n²).
     """
     cand = minhash_near_dup_pairs(df, text_col, id_col, num_hashes, bands, k)
-    sets_df = df.select(F.col(id_col).alias("id"),
-                        F.array_distinct(shingles(F.col(text_col), k)).alias("sh"))
+    sets_df = _spread(df.select(F.col(id_col).alias("id"), text_col)) \
+        .select("id", F.array_distinct(shingles(F.col(text_col), k)).alias("sh")) \
+        .persist()
     j = (cand.join(sets_df.withColumnRenamed("id", "id_a")
                           .withColumnRenamed("sh", "sh_a"), "id_a")
              .join(sets_df.withColumnRenamed("id", "id_b")
@@ -126,14 +150,16 @@ def jaccard_near_dup_pairs(df: DataFrame, text_col: str = "text",
 # SimHash
 # ---------------------------------------------------------------------------
 
-_SIMHASH_BITS = 32
+_SIMHASH_BITS = 60
 
 
 def simhash(text: Column, bits: int = _SIMHASH_BITS) -> Column:
-    """Per-token md5 -> first 8 hex chars -> 32-bit int; bit-majority vote
-    over tokens. conv() keeps everything in long-safe range."""
+    """Per-token md5 -> first 15 hex chars -> 60-bit int; bit-majority vote
+    over tokens. 60 bits (not 64) keeps conv() inside signed-long range;
+    wide hashes matter — a 32-bit simhash over a small vocabulary collides
+    catastrophically (observed: 4.5M candidate pairs on 5k docs)."""
     toks = F.array_distinct(tokens(F.lower(text)))
-    tok_hash = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    tok_hash = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
     bit_cols = []
     for b in range(bits):
         mask = 1 << b
@@ -155,8 +181,8 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     (pigeonhole), so candidates come from equi-joins, verified by popcount."""
     h = simhash(F.col(text_col))
     width = _SIMHASH_BITS // bands
-    sel = [F.col(id_col).alias("id"), h.alias("sh")]
-    base = df.select(sel)
+    base = _spread(df.select(F.col(id_col).alias("id"), text_col)) \
+        .select("id", h.alias("sh")).persist()
     chunks = base.select(
         "id", "sh",
         F.explode(F.array(*[
