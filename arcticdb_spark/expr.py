@@ -244,11 +244,13 @@ def _compile(node: ExpressionNode, schema: dict[str, T.DataType]) -> tuple[Colum
         if node.name not in schema:
             raise ExpressionError(f"column {node.name!r} not in schema {sorted(schema)}")
         kind = _kind_of(schema[node.name])
-        c = F.col(node.name)
-        if kind == FLOAT:
-            # NaN ≡ null normalization (see module docstring)
-            c = F.nanvl(c.cast("double"), F.lit(None).cast("double"))
-        return c, kind
+        # NOTE: floats are NOT nanvl-wrapped here — a wrapped column defeats
+        # Parquet filter pushdown (PushedFilters goes empty). NaN ≡ null is
+        # instead enforced per-operation below: comparisons/isin get a
+        # ~isnan guard (a separate, pushdown-preserving conjunct), isnull
+        # checks add isnan, and aggregation inputs are nanvl-wrapped by the
+        # query layer (see query.py nan_safe_input).
+        return F.col(node.name), kind
 
     if isinstance(node, Constant):
         k = _kind_of_value(node.value)
@@ -273,9 +275,13 @@ def _compile(node: ExpressionNode, schema: dict[str, T.DataType]) -> tuple[Colum
                 raise ExpressionError("NOT requires a boolean expression")
             return ~c, BOOL
         if node.op == "ISNULL":
-            # NaN already normalized to null at the column ref
+            # NaN ≡ missing (reference operation_types.hpp:377-406)
+            if k == FLOAT:
+                return c.isNull() | F.isnan(c), BOOL
             return c.isNull(), BOOL
         if node.op == "NOTNULL":
+            if k == FLOAT:
+                return c.isNotNull() & ~F.isnan(c), BOOL
             return c.isNotNull(), BOOL
         raise ExpressionError(f"unknown unary op {node.op}")
 
@@ -323,7 +329,16 @@ def _compile(node: ExpressionNode, schema: dict[str, T.DataType]) -> tuple[Colum
             cmp = {"EQ": lambda a, b: a == b, "NE": lambda a, b: a != b,
                    "LT": lambda a, b: a < b, "LE": lambda a, b: a <= b,
                    "GT": lambda a, b: a > b, "GE": lambda a, b: a >= b}[op]
-            return cmp(lc, rc), BOOL
+            res = cmp(lc, rc)
+            # NaN ≡ missing: Spark orders NaN greater-than-everything and
+            # NaN == NaN true; the reference excludes NaN rows. Guard with
+            # ~isnan as SEPARATE conjuncts so the comparison itself remains
+            # a pushable Parquet filter.
+            if lk == FLOAT:
+                res = res & ~F.isnan(lc)
+            if rk == FLOAT:
+                res = res & ~F.isnan(rc)
+            return res, BOOL
         if op in _BOOLEAN:
             if lk != BOOL or rk != BOOL:
                 raise ExpressionError(f"{op} requires boolean operands")
@@ -336,13 +351,17 @@ def _compile(node: ExpressionNode, schema: dict[str, T.DataType]) -> tuple[Colum
 
     if isinstance(node, IsInOp):
         c, k = _compile(node.child, schema)
-        vals = [v for v in node.values if v is not None]
+        import math
+        vals = [v for v in node.values
+                if v is not None and not (isinstance(v, float) and math.isnan(v))]
         # reference coerces the value set to the column type (processing.py:380-408)
         res = c.isin(vals) if vals else F.lit(False)
         if node.negate:
             # isnotin keeps nulls out (null != anything stays null -> filtered);
             # match reference: missing values never match either direction
             res = ~res
+        if k == FLOAT:
+            res = res & ~F.isnan(c)
         return res, BOOL
 
     if isinstance(node, RegexMatchOp):

@@ -79,16 +79,24 @@ def resolve_origin(df: DataFrame, ts_col: str, origin: Any, offset: str | None,
     return origin_ns
 
 
+def nan_safe(c: Column, dtype: str | None) -> Column:
+    """NaN -> null for float agg inputs (reference kernels skip NaN; Spark
+    aggregates skip null but would propagate NaN through sum/mean)."""
+    if dtype in ("float", "double"):
+        return F.nanvl(c.cast("double"), F.lit(None).cast("double"))
+    return c
+
+
 def compile_agg(out_name: str, in_col: str, how: str, ts_col: str,
                 dtypes: dict[str, str]) -> Column:
     """One resample/groupby aggregator -> Spark agg Column.
 
-    NaN-skipping is inherited from the NaN->null normalization done by the
-    caller; Spark aggregates skip nulls natively (matches reference kernels
+    Spark aggregates skip nulls natively; float inputs are nanvl-normalized
+    so NaN is skipped too (matches reference kernels
     ``unsorted_aggregation.cpp`` / ``sorted_aggregation.cpp``).
     """
     how = how.lower()
-    c = F.col(in_col)
+    c = nan_safe(F.col(in_col), dtypes.get(in_col))
     if how == "sum":
         return F.sum(c).alias(out_name)
     if how == "mean":
@@ -141,6 +149,7 @@ def resample(df: DataFrame, ts_col: str, rule: str, aggregations: dict,
     label_ns = start_ns + F.lit(rule_ns) if label == "right" else start_ns
     bucket = F.timestamp_micros((label_ns / F.lit(1000)).cast("long")).alias(ts_col)
 
-    aggs = [compile_agg(o, i, h, ts_col, {}) for (o, i, h) in specs]
+    dtypes = dict(df.dtypes)
+    aggs = [compile_agg(o, i, h, ts_col, dtypes) for (o, i, h) in specs]
     out = df.groupBy(bucket).agg(*aggs)
     return out.orderBy(ts_col)

@@ -176,15 +176,19 @@ class QueryBuilder:
         keys = [keys] if isinstance(keys, str) else list(keys)
         # reference drops null/NaN group keys (grouper.hpp:30-40) — pandas
         # dropna=True; Spark keeps them, so filter first. NaN≡null via expr.
+        from arcticdb_spark.operators.resample import nan_safe
+        dtypes = dict(df.dtypes)
         key_cols = []
         cond = None
         for k in keys:
-            kc = compile_expression(ColumnRef(k), df)  # NaN-normalized
+            if k not in df.columns:
+                raise ExpressionError(f"grouping column {k!r} not in schema")
+            kc = nan_safe(F.col(k), dtypes.get(k))  # NaN keys -> null -> dropped
             key_cols.append(kc.alias(k))
             c = kc.isNotNull()
             cond = c if cond is None else (cond & c)
         specs = normalize_agg_spec(args["aggs"])
-        aggs = [compile_agg(o, i, h, idx, {}) for (o, i, h) in specs]
+        aggs = [compile_agg(o, i, h, idx, dtypes) for (o, i, h) in specs]
         return df.filter(cond).groupBy(*key_cols).agg(*aggs)
 
     def _apply_resample_agg(self, df, args, idx):
