@@ -291,6 +291,61 @@ def q_asof_join(spark, sf):
     return out.select("event_id", "user_id", "o_orderkey", "o_totalprice")
 
 
+def q_window_lag_lead(spark, sf):
+    """lead/lag per key (reference has no window functions — SURVEY §2.6)."""
+    from pyspark.sql import Window
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.row_number().over(w).cast("long").alias("seq"))
+
+
+def q_cumulative_sum(spark, sf):
+    from pyspark.sql import Window
+    ev = load_table(spark, sf, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return ev.select("event_id", "user_id",
+                     F.round(F.sum("value").over(w), 2).alias("running_value"))
+
+
+def q_distinct_agg(spark, sf):
+    ev = load_table(spark, sf, "events")
+    return (ev.groupBy("event_type")
+              .agg(F.countDistinct("user_id").alias("n_users"),
+                   F.count(F.lit(1)).alias("n_events")))
+
+
+def q_pivot(spark, sf):
+    o = load_table(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (o.withColumn("cents", cents)
+             .groupBy("o_orderpriority")
+             .pivot("o_orderstatus", ["O", "F", "P"])
+             .agg((F.sum("cents").cast("double") / 100))
+             .withColumnsRenamed({"O": "open_total", "F": "finished_total",
+                                  "P": "pending_total"}))
+
+
+def q_percentiles(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
+                   F.round(F.percentile("l_extendedprice", 0.95), 4).alias("p95"),
+                   F.round(F.percentile("l_quantity", 0.25), 4).alias("q25_qty")))
+
+
+def q_set_ops(spark, sf):
+    """Users who both clicked and purchased (semi-join intersection)."""
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicks.intersect(buys)
+
+
 def q_rolling_mean(spark, sf):
     ev = load_table(spark, sf, "events")
     out = xwin.rolling_agg(ev, "ts", ["user_id"], "value", 5, "mean")
@@ -354,6 +409,48 @@ def q_similarity_lsh(spark, sf):
         "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
 
 
+def q_ngram_top(spark, sf):
+    """Top-25 token bigrams by document frequency (text-analysis op)."""
+    from arcticdb_spark.extensions.text import tokens
+    d = load_table(spark, sf, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    bigrams = F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                          lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                                                F.element_at(toks, i + 1)))
+    exploded = (d.filter(F.size(toks) >= 2)
+                 .select(F.explode(bigrams).alias("bigram")))
+    counted = exploded.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
+    return (counted.withColumn("rank", F.row_number().over(w).cast("long"))
+                   .filter(F.col("rank") <= 25))
+
+
+def q_token_frequencies(spark, sf):
+    """Corpus token frequencies (top 30, deterministic tiebreak)."""
+    from arcticdb_spark.extensions.text import tokens
+    d = load_table(spark, sf, "documents")
+    toks = (d.select(F.explode(tokens(F.lower(F.col("text")))).alias("token")))
+    counted = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (counted.withColumn("rank", F.row_number().over(w).cast("long"))
+                   .filter(F.col("rank") <= 30))
+
+
+def q_embedding_label_stats(spark, sf):
+    """Per-label embedding stats: count + mean L2 norm + mean first component."""
+    e = load_table(spark, sf, "embeddings")
+    sq = F.aggregate(F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                     F.lit(0.0), lambda a, v: a + v)
+    return (e.withColumn("norm", F.sqrt(sq))
+             .withColumn("c0", F.element_at("embedding", 1).cast("double"))
+             .groupBy("label")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.avg("norm"), 4).alias("mean_norm"),
+                  F.round(F.avg("c0"), 4).alias("mean_c0")))
+
+
 def q_multimodal_features(spark, sf):
     media = xmm.make_demo_media(spark, n=64)
     return xmm.extract_features(media, fake=True)
@@ -385,6 +482,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_range_surgery": q_update_range_surgery,
         "join_revenue": q_join_revenue,
         "topk_per_group": q_topk_per_group,
+        "window_lag_lead": q_window_lag_lead,
+        "cumulative_sum": q_cumulative_sum,
+        "distinct_agg": q_distinct_agg,
+        "pivot": q_pivot,
+        "percentiles": q_percentiles,
+        "set_ops": q_set_ops,
+        "ngram_top": q_ngram_top,
+        "token_frequencies": q_token_frequencies,
+        "embedding_label_stats": q_embedding_label_stats,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "rolling_mean": q_rolling_mean,
@@ -685,6 +791,68 @@ SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
          row_number() OVER (PARTITION BY o_orderpriority
                             ORDER BY o_totalprice DESC, o_orderkey) AS rank
   FROM orders) WHERE rank <= 3""",
+
+        "window_lag_lead": f"""
+SELECT event_id, user_id,
+       lag(value) OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       CAST(row_number() OVER w AS BIGINT) AS seq
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY {_EV}, event_id)""",
+
+        "cumulative_sum": f"""
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY {_EV}, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+       AS running_value
+FROM events""",
+
+        "distinct_agg": """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type""",
+
+        "pivot": """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100 AS open_total,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100 AS finished_total,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100 AS pending_total
+FROM orders GROUP BY o_orderpriority""",
+
+        "percentiles": """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+       round(quantile_cont(l_quantity, 0.25), 4) AS q25_qty
+FROM lineitem GROUP BY l_returnflag""",
+
+        "set_ops": """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'""",
+
+        "ngram_top": f"""
+WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKS} END AS toks
+           FROM documents),
+b AS (SELECT unnest([toks[i] || ' ' || toks[i+1] FOR i IN generate_series(1, len(toks) - 1)]) AS bigram
+      FROM t WHERE len(toks) >= 2),
+c AS (SELECT bigram, count(*) AS n FROM b GROUP BY bigram)
+SELECT bigram, n, CAST(row_number() OVER (ORDER BY n DESC, bigram) AS BIGINT) AS rank
+FROM c QUALIFY rank <= 25""",
+
+        "token_frequencies": f"""
+WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKS} END AS toks
+           FROM documents),
+x AS (SELECT unnest(toks) AS token FROM t),
+c AS (SELECT token, count(*) AS n FROM x GROUP BY token)
+SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+FROM c QUALIFY rank <= 30""",
+
+        "embedding_label_stats": """
+SELECT label, count(*) AS n,
+       round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])))), 4) AS mean_norm,
+       round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS mean_c0
+FROM embeddings GROUP BY label""",
 
         "sessionize": f"""
 WITH x AS (
