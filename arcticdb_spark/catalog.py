@@ -66,14 +66,17 @@ class FileEntry:
     row_start: int
     ts_min: int | None = None   # ns since epoch
     ts_max: int | None = None
+    content_hash: str | None = None   # order-independent row-hash (dedup)
 
     def to_json(self):
         return {"path": self.path, "rows": self.rows, "row_start": self.row_start,
-                "ts_min": self.ts_min, "ts_max": self.ts_max}
+                "ts_min": self.ts_min, "ts_max": self.ts_max,
+                "content_hash": self.content_hash}
 
     @staticmethod
     def from_json(d):
-        return FileEntry(d["path"], d["rows"], d["row_start"], d["ts_min"], d["ts_max"])
+        return FileEntry(d["path"], d["rows"], d["row_start"], d["ts_min"],
+                         d["ts_max"], d.get("content_hash"))
 
 
 @dataclass
@@ -126,7 +129,8 @@ def _renumber(files: list[FileEntry]) -> list[FileEntry]:
     acc = 0
     out = []
     for fe in files:
-        out.append(FileEntry(fe.path, fe.rows, acc, fe.ts_min, fe.ts_max))
+        out.append(FileEntry(fe.path, fe.rows, acc, fe.ts_min, fe.ts_max,
+                             fe.content_hash))
         acc += fe.rows
     return out
 
@@ -157,6 +161,15 @@ def _footer_stats(path: str, index_column: str | None):
     return rows, ts_min, ts_max
 
 
+def _json_safe(v):
+    import datetime as _dt
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
 def _to_ns(v) -> int:
     import datetime as _dt
 
@@ -176,11 +189,14 @@ class Library:
     """One namespace of versioned symbols (reference ``library.py:879``)."""
 
     def __init__(self, spark: SparkSession, root: str, name: str,
-                 rows_per_file: int = 1_000_000):
+                 rows_per_file: int = 1_000_000, dynamic_schema: bool = False):
         self.spark = spark
         self.name = name
         self.root = os.path.join(root, name)
         self.rows_per_file = rows_per_file
+        # reference LibraryOptions.dynamic_schema (options.py:43): appends may
+        # add columns / promote numeric types; reads backfill + upcast
+        self.dynamic_schema = dynamic_schema
         os.makedirs(self.root, exist_ok=True)
         os.makedirs(os.path.join(self.root, "_snapshots"), exist_ok=True)
 
@@ -278,13 +294,55 @@ class Library:
                 return f0.name
         return None
 
+    def _content_hashes(self, entries: list[FileEntry]) -> None:
+        """Fill order-independent content hashes per file: sum + xor of
+        per-row xxhash64 over all columns, read via one footer-light scan
+        grouped by ``_metadata.file_path``. Used by write-dedup (reference
+        ``version/de_dup_map.hpp``: segment content-hash reuse)."""
+        if not entries:
+            return
+        df = self.spark.read.parquet(*[e.path for e in entries])
+        h = F.xxhash64(*[F.col(c) for c in df.columns])
+        agg = (df.select(F.col("_metadata.file_path").alias("fp"), h.alias("h"))
+                 .groupBy("fp")
+                 .agg(F.sum("h").alias("s"), F.count(F.lit(1)).alias("n"))
+                 .collect())
+        by_path = {r["fp"].removeprefix("file:"): f"{r['s']}:{r['n']}" for r in agg}
+        for e in entries:
+            e.content_hash = by_path.get(e.path)
+
     def write(self, symbol: str, df, metadata: Any = None,
-              index_column: str | None = None, prune_previous: bool = False
-              ) -> VersionManifest:
-        """New version from scratch (reference ``library.py:1013``)."""
+              index_column: str | None = None, prune_previous: bool = False,
+              dedup: bool = False) -> VersionManifest:
+        """New version from scratch (reference ``library.py:1013``).
+
+        ``dedup=True`` reproduces the reference's segment dedup
+        (``de_dup_map.hpp``): new files whose content hash matches a file of
+        the previous version are discarded and the old file is referenced
+        instead — append-mostly rewrites become metadata-only."""
         sdf = self._normalize(df)
         idx = self._detect_index(sdf, index_column)
         files = self._write_data_files(symbol, sdf, idx)
+        if dedup:
+            self._content_hashes(files)
+            try:
+                prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
+                prev_by_hash = {fe.content_hash: fe for fe in prev.files
+                                if fe.content_hash}
+                swapped = []
+                for fe in files:
+                    old = prev_by_hash.get(fe.content_hash)
+                    if old is not None and old.rows == fe.rows:
+                        if os.path.exists(fe.path):
+                            os.remove(fe.path)
+                        swapped.append(FileEntry(old.path, fe.rows, fe.row_start,
+                                                 fe.ts_min, fe.ts_max,
+                                                 fe.content_hash))
+                    else:
+                        swapped.append(fe)
+                files = swapped
+            except NoSuchVersionException:
+                pass
         m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(),
                             idx, sdf.schema.json(), files, metadata)
         self._commit(m)
@@ -292,13 +350,45 @@ class Library:
             self.prune_previous_versions(symbol)
         return m
 
+    def _merge_schema(self, prev_schema_json: str, new_schema) -> str:
+        """Dynamic-schema promotion: union of columns, numeric types widened
+        (reference ``type_utils.hpp:40`` promotable_type via schema_checks)."""
+        from pyspark.sql import types as T
+        from arcticdb_spark.operators.concat import promote_types
+        old = T.StructType.fromJson(json.loads(prev_schema_json))
+        merged: dict[str, T.DataType] = {f.name: f.dataType for f in old.fields}
+        order = [f.name for f in old.fields]
+        for f in new_schema.fields:
+            if f.name in merged:
+                merged[f.name] = promote_types(merged[f.name], f.dataType)
+            else:
+                merged[f.name] = f.dataType
+                order.append(f.name)
+        return T.StructType(
+            [T.StructField(n, merged[n], True) for n in order]).json()
+
     def append(self, symbol: str, df, metadata: Any = None,
                validate_index: bool = True) -> VersionManifest:
         """Rows strictly after the existing index range (``library.py:1361``).
-        Previous files are *reused*, not rewritten — O(new data) cost."""
+        Previous files are *reused*, not rewritten — O(new data) cost.
+
+        With ``dynamic_schema`` the appended frame may add columns or widen
+        numeric types; otherwise the schema must match."""
         prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
         sdf = self._normalize(df)
         idx = prev.index_column
+        if self.dynamic_schema:
+            schema_json = self._merge_schema(prev.schema_json, sdf.schema)
+        else:
+            from pyspark.sql import types as T
+            old = T.StructType.fromJson(json.loads(prev.schema_json))
+            old_names = {f.name for f in old.fields}
+            new_names = {f.name for f in sdf.schema.fields}
+            if old_names != new_names:
+                raise ArcticException(
+                    f"append schema mismatch (enable dynamic_schema): "
+                    f"{sorted(old_names ^ new_names)}")
+            schema_json = prev.schema_json
         new_files = self._write_data_files(symbol, sdf, idx)
         if idx and validate_index and new_files and prev.ts_max is not None:
             new_min = min(f.ts_min for f in new_files if f.ts_min is not None)
@@ -306,7 +396,7 @@ class Library:
                 raise SortingException(
                     f"append index range [{new_min}] overlaps existing max {prev.ts_max}")
         m = VersionManifest(symbol, prev.version + 1, time.time_ns(), idx,
-                            prev.schema_json, _renumber(prev.files + new_files),
+                            schema_json, _renumber(prev.files + new_files),
                             metadata if metadata is not None else prev.metadata)
         return self._commit(m)
 
@@ -462,7 +552,15 @@ class Library:
                 empty = empty.select(columns)
             return query_builder.to_df(empty, idx) if query_builder else empty
 
-        df = self.spark.read.parquet(*[fe.path for fe in files])
+        reader = self.spark.read
+        if self.dynamic_schema:
+            # read with the manifest's promoted schema: the Parquet reader
+            # widens numeric types in place and backfills absent columns with
+            # NULL — no mergeSchema footer sweep, no per-file branching
+            # (reference reduce_and_fix_columns, version_core.cpp:2971)
+            from pyspark.sql import types as T
+            reader = reader.schema(T.StructType.fromJson(json.loads(m.schema_json)))
+        df = reader.parquet(*[fe.path for fe in files])
 
         if need_row_id:
             offmap = F.create_map(*[F.lit(x) for fe in files
@@ -672,6 +770,83 @@ class Library:
             os.remove(self._ver_path(symbol, v))
         ref["deleted"] = [v for v in ref.get("deleted", []) if v in keep_versions]
         _atomic_write_json(self._ref_path(symbol), ref)
+
+    # ---- column stats (reference create_column_stats, _store.py:1297) ----
+    def _stats_path(self, symbol, version):
+        return os.path.join(self._sym_dir(symbol), "_stats", f"v{version:08d}.json")
+
+    def create_column_stats(self, symbol: str, columns: list[str],
+                            as_of=None) -> dict:
+        """Per-file MIN/MAX zone maps for non-index columns, from Parquet
+        footers only (no data scan). Stored as a sidecar so reads can prune
+        files on arbitrary column predicates (reference ColumnStats MINMAX,
+        ``column_stats.hpp:19``)."""
+        m = self._resolve_version(symbol, as_of)
+        stats: dict[str, dict] = {}
+        for fe in m.files:
+            md = pq.ParquetFile(fe.path).metadata
+            names = md.schema.to_arrow_schema().names
+            per_col = {}
+            for col in columns:
+                if col not in names:
+                    continue
+                i = names.index(col)
+                mn = mx = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(i).statistics
+                    if st is None or not st.has_min_max:
+                        mn = mx = None
+                        break
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+                if mn is not None:
+                    per_col[col] = [_json_safe(mn), _json_safe(mx)]
+            stats[fe.path] = per_col
+        path = self._stats_path(symbol, m.version)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        _atomic_write_json(path, {"columns": columns, "files": stats})
+        return stats
+
+    def get_column_stats(self, symbol: str, as_of=None) -> dict | None:
+        m = self._resolve_version(symbol, as_of)
+        p = self._stats_path(symbol, m.version)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def drop_column_stats(self, symbol: str, as_of=None) -> None:
+        m = self._resolve_version(symbol, as_of)
+        p = self._stats_path(symbol, m.version)
+        if os.path.exists(p):
+            os.remove(p)
+
+    # ---- compaction (reference CompactDataClause / defragment_symbol_data) ----
+    def compact_symbol(self, symbol: str, target_rows_per_file: int | None = None
+                       ) -> VersionManifest:
+        """Defragment: rewrite many small files into ~target-sized ones as a
+        new version (reference ``compact_data_explain_plan``/defragment).
+        One range-partitioned shuffle sized by total rows."""
+        prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
+        idx = prev.index_column
+        target = target_rows_per_file or self.rows_per_file
+        df = self.spark.read.parquet(*[fe.path for fe in prev.files])
+        n_parts = max(1, -(-prev.total_rows // target))
+        if idx:
+            df = df.repartitionByRange(n_parts, F.col(idx)).sortWithinPartitions(idx)
+        else:
+            df = df.repartition(n_parts)
+        files = self._write_data_files(symbol, df, idx, sort=False)
+        m = VersionManifest(symbol, prev.version + 1, time.time_ns(), idx,
+                            prev.schema_json, files, prev.metadata, prev.sorted)
+        return self._commit(m)
+
+    def is_symbol_fragmented(self, symbol: str,
+                             segment_size: int | None = None) -> bool:
+        m = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
+        target = segment_size or self.rows_per_file
+        small = sum(1 for fe in m.files if fe.rows < target // 2)
+        return small > 1
 
     # ---- batch ops (trivially parallel; driver-side loop) ----
     def read_batch(self, symbols: list, **kw) -> list[DataFrame]:

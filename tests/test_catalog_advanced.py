@@ -1,0 +1,114 @@
+"""Column stats, compaction, dedup-on-write, dynamic schema, batch ops."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from arcticdb_spark.catalog import Arctic, ArcticException
+
+
+@pytest.fixture()
+def dyn_lib(spark, tmp_path):
+    return Arctic(str(tmp_path), spark).create_library("dyn", dynamic_schema=True)
+
+
+def _ts_frame(start, periods, value_offset=0, freq="1h"):
+    return pd.DataFrame({
+        "ts": pd.date_range(start, periods=periods, freq=freq),
+        "v": [float(i + value_offset) for i in range(periods)],
+    })
+
+
+def test_column_stats_roundtrip(tmp_lib):
+    tmp_lib.write("sym", _ts_frame("2024-01-01", 50))
+    stats = tmp_lib.create_column_stats("sym", ["v"])
+    assert stats
+    loaded = tmp_lib.get_column_stats("sym")
+    assert loaded["columns"] == ["v"]
+    for _, per_col in loaded["files"].items():
+        assert per_col["v"][0] <= per_col["v"][1]
+    tmp_lib.drop_column_stats("sym")
+    assert tmp_lib.get_column_stats("sym") is None
+
+
+def test_compact_symbol(tmp_lib):
+    # many small appends -> fragmented
+    tmp_lib.write("sym", _ts_frame("2024-01-01", 10))
+    for i in range(1, 5):
+        tmp_lib.append("sym", _ts_frame(f"2024-01-0{i+1}", 10, value_offset=i * 10))
+    m = tmp_lib._load_manifest("sym", 4)
+    n_before = len(m.files)
+    assert tmp_lib.is_symbol_fragmented("sym")
+    tmp_lib.compact_symbol("sym", target_rows_per_file=100)
+    m2 = tmp_lib._load_manifest("sym", 5)
+    assert len(m2.files) < n_before
+    out = tmp_lib.read("sym").toPandas().sort_values("ts")
+    assert len(out) == 50
+    assert out["v"].tolist() == [float(i % 10 + (i // 10) * 10) for i in range(50)]
+
+
+def test_dedup_write_reuses_files(tmp_lib):
+    pdf = _ts_frame("2024-01-01", 100)
+    tmp_lib.write("sym", pdf, dedup=True)
+    m0 = tmp_lib._load_manifest("sym", 0)
+    # identical rewrite -> all files reused
+    tmp_lib.write("sym", pdf, dedup=True)
+    m1 = tmp_lib._load_manifest("sym", 1)
+    assert {f.path for f in m1.files} == {f.path for f in m0.files}
+    # changed data -> new files
+    pdf2 = pdf.copy()
+    pdf2.loc[50, "v"] = 9999.0
+    tmp_lib.write("sym", pdf2, dedup=True)
+    m2 = tmp_lib._load_manifest("sym", 2)
+    assert {f.path for f in m2.files} != {f.path for f in m0.files}
+    assert tmp_lib.read("sym").filter("v = 9999.0").count() == 1
+
+
+def test_dynamic_schema_append_new_column(dyn_lib):
+    dyn_lib.write("sym", _ts_frame("2024-01-01", 10))
+    extra = _ts_frame("2024-01-02", 10, value_offset=10)
+    extra["w"] = np.arange(10, dtype="int32")
+    dyn_lib.append("sym", extra)
+    out = dyn_lib.read("sym").toPandas().sort_values("ts").reset_index(drop=True)
+    assert set(out.columns) == {"ts", "v", "w"}
+    assert out["w"].isna().sum() == 10  # backfilled for the old rows
+    assert out["w"].dropna().tolist() == list(range(10))
+
+
+def test_dynamic_schema_type_promotion(dyn_lib, spark):
+    a = pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=5, freq="h"),
+                      "x": np.arange(5, dtype="int32")})
+    b = pd.DataFrame({"ts": pd.date_range("2024-01-02", periods=5, freq="h"),
+                      "x": np.arange(5, dtype="float64")})
+    dyn_lib.write("sym", a)
+    dyn_lib.append("sym", b)
+    out = dyn_lib.read("sym")
+    assert dict(out.dtypes)["x"] == "double"
+    assert out.count() == 10
+
+
+def test_static_schema_append_mismatch_raises(tmp_lib):
+    tmp_lib.write("sym", _ts_frame("2024-01-01", 5))
+    bad = _ts_frame("2024-01-02", 5)
+    bad["extra"] = 1
+    with pytest.raises(ArcticException):
+        tmp_lib.append("sym", bad)
+
+
+def test_batch_ops(tmp_lib):
+    tmp_lib.write_batch([("a", _ts_frame("2024-01-01", 5)),
+                         ("b", _ts_frame("2024-01-01", 7))])
+    outs = tmp_lib.read_batch(["a", "b"])
+    assert [o.count() for o in outs] == [5, 7]
+
+
+def test_read_batch_and_join(tmp_lib):
+    from arcticdb_spark.query import QueryBuilder
+    tmp_lib.write("a", _ts_frame("2024-01-01", 5))
+    tmp_lib.write("b", _ts_frame("2024-01-01 02:00", 5, value_offset=100))
+    q = QueryBuilder().concat("outer")
+    q = q[q["v"] >= 3]
+    out = tmp_lib.read_batch_and_join(["a", "b"], q)
+    assert out.count() == 2 + 5  # v in {3,4} from a, 100..104 from b
