@@ -451,6 +451,27 @@ def q_embedding_label_stats(spark, sf):
                   F.round(F.avg("c0"), 4).alias("mean_c0")))
 
 
+def q_json_extract(spark, sf):
+    """Semi-structured props column: JSON field extraction + aggregation
+    (beyond the reference's scalar surface — SURVEY §2.10 notes it lacks
+    string/json functions)."""
+    ev = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.withColumn("k", k)
+              .filter(F.col("k") > 50)
+              .groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("k").alias("sum_k"),
+                   F.max("k").alias("max_k")))
+
+
+def q_similarity_ivf(spark, sf):
+    e = load_table(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return xsim.ivf_topk(e, queries, k=5, n_lists=16, nprobe=4).select(
+        "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
+
+
 def q_multimodal_features(spark, sf):
     media = xmm.make_demo_media(spark, n=64)
     return xmm.extract_features(media, fake=True)
@@ -503,6 +524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "similarity_bruteforce": q_similarity_bruteforce,
         "similarity_lsh": q_similarity_lsh,
+        "similarity_ivf": q_similarity_ivf,
+        "json_extract": q_json_extract,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -884,6 +907,12 @@ FROM events""",
         "dedup_exact": f"""
 SELECT {_FPR} AS fingerprint, min(doc_id) AS doc_id, count(*) AS dup_count
 FROM documents GROUP BY 1""",
+
+        "json_extract": """
+WITH x AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k
+FROM x WHERE k > 50 GROUP BY event_type""",
 
         "text_stats": _text_stats_sql(),
         "text_langid": _lang_sql(),
