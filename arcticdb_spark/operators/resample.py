@@ -96,9 +96,22 @@ def compile_agg(out_name: str, in_col: str, how: str, ts_col: str,
     ``unsorted_aggregation.cpp`` / ``sorted_aggregation.cpp``).
     """
     how = how.lower()
-    c = nan_safe(F.col(in_col), dtypes.get(in_col))
+    dt = dtypes.get(in_col)
+    # reference per-type support matrix (processing.py:742-747): strings
+    # support only count/first/last; timestamps everything except sum
+    if dt == "string" and how in ("sum", "mean", "min", "max"):
+        raise ValueError(f"aggregator {how!r} unsupported on string column {in_col!r}")
+    if dt is not None and dt.startswith("timestamp") and how == "sum":
+        raise ValueError(f"sum unsupported on timestamp column {in_col!r}")
+    c = nan_safe(F.col(in_col), dt)
     if how == "sum":
-        return F.sum(c).alias(out_name)
+        # reference SumAggregator starts at 0 and skips missing: a group with
+        # no valid values yields 0, not null (pandas matches; Spark gives
+        # null) — get_default_value, unsorted_aggregation.hpp:76-88
+        zero = F.lit(0).cast("long") if dt and dt in ("tinyint", "smallint",
+                                                      "int", "bigint") \
+            else F.lit(0.0)
+        return F.coalesce(F.sum(c), zero).alias(out_name)
     if how == "mean":
         return F.avg(c).alias(out_name)
     if how == "min":

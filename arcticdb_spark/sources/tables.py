@@ -18,7 +18,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def ensure_session_conf(spark: SparkSession) -> None:
+    """Make an externally-created session (e.g. the verify driver's) behave
+    like ours for the configs that change RESULTS, not just speed. All are
+    runtime-settable SQL confs."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # convert any ns-long epoch column that was a parquet TIMESTAMP(NANOS)
     # back to a µs TIMESTAMP (floor/truncate — positive epochs only here)
