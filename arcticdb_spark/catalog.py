@@ -512,14 +512,24 @@ class Library:
 
     def read(self, symbol: str, as_of=None, date_range: tuple | None = None,
              row_range: tuple | None = None, columns: list[str] | None = None,
-             query_builder=None, with_row_ids: bool = False) -> DataFrame:
+             query_builder=None, with_row_ids: bool = False,
+             lazy: bool = False, output_format: str = "spark"):
         """Versioned scan with manifest-side pruning (``library.py:2022``).
 
         Pruning happens before Spark sees a path: date_range drops files by
         manifest ts-range (the reference's index-segment filter), row_range /
         head / tail drop files by cumulative row offsets. Remaining filters
-        are applied as Spark filters (=> Parquet row-group pruning)."""
+        are applied as Spark filters (=> Parquet row-group pruning).
+
+        ``lazy=True`` returns a LazyDataFrame (reference library.py:442) to
+        chain further clauses; ``output_format`` in {"spark", "pandas",
+        "arrow"} (reference OutputFormat, options.py:170-196)."""
         import pandas as pd
+        if lazy:
+            from arcticdb_spark.lazy import LazyDataFrame
+            return LazyDataFrame(self, symbol, dict(
+                as_of=as_of, date_range=date_range, row_range=row_range,
+                columns=columns, output_format=output_format))
         m = self._resolve_version(symbol, as_of)
         files = list(m.files)
         idx = m.index_column
@@ -550,7 +560,8 @@ class Library:
             empty = self.spark.createDataFrame([], schema)
             if columns:
                 empty = empty.select(columns)
-            return query_builder.to_df(empty, idx) if query_builder else empty
+            out = query_builder.to_df(empty, idx) if query_builder else empty
+            return self._format_output(out, output_format)
 
         reader = self.spark.read
         if self.dynamic_schema:
@@ -591,7 +602,17 @@ class Library:
             df = query_builder.to_df(df, idx)
         if ROW_ID in df.columns and not with_row_ids:
             df = df.drop(ROW_ID)
-        return df
+        return self._format_output(df, output_format)
+
+    @staticmethod
+    def _format_output(df: DataFrame, output_format: str):
+        if output_format in (None, "spark"):
+            return df
+        if output_format == "pandas":
+            return df.toPandas()   # Arrow-accelerated collection
+        if output_format == "arrow":
+            return df.toArrow()
+        raise ArcticException(f"unknown output_format {output_format!r}")
 
     def head(self, symbol: str, n: int = 5, as_of=None,
              columns: list[str] | None = None) -> DataFrame:
@@ -848,12 +869,27 @@ class Library:
         small = sum(1 for fe in m.files if fe.rows < target // 2)
         return small > 1
 
-    # ---- batch ops (trivially parallel; driver-side loop) ----
+    # ---- batch ops (reference library.py:2161,1241,1469,1643,2506;
+    # trivially parallel — each symbol's plan is independent, and Spark
+    # schedules the jobs concurrently if submitted from threads) ----
     def read_batch(self, symbols: list, **kw) -> list[DataFrame]:
         return [self.read(s, **kw) for s in symbols]
 
     def write_batch(self, payloads: list[tuple]) -> list[VersionManifest]:
         return [self.write(sym, df) for sym, df in payloads]
+
+    def append_batch(self, payloads: list[tuple]) -> list[VersionManifest]:
+        return [self.append(sym, df) for sym, df in payloads]
+
+    def update_batch(self, payloads: list[tuple]) -> list[VersionManifest]:
+        return [self.update(sym, df) for sym, df in payloads]
+
+    def read_metadata_batch(self, symbols: list[str]) -> list:
+        return [self.read_metadata(s) for s in symbols]
+
+    def delete_batch(self, symbols: list[str]) -> None:
+        for s in symbols:
+            self.delete(s)
 
     def read_batch_and_join(self, symbols: list[str], query_builder,
                             as_of=None) -> DataFrame:

@@ -1,0 +1,53 @@
+"""LazyDataFrame / output formats / batch API parity."""
+
+import pandas as pd
+import pytest
+
+
+def _frame(start, periods, off=0):
+    return pd.DataFrame({"ts": pd.date_range(start, periods=periods, freq="1h"),
+                         "v": [float(i + off) for i in range(periods)]})
+
+
+def test_lazy_read_chain(tmp_lib):
+    tmp_lib.write("sym", _frame("2024-01-01", 50))
+    lf = tmp_lib.read("sym", lazy=True)
+    lf = lf[lf["v"] >= 10]
+    lf = lf.apply("v2", lf["v"] * 2)
+    out = lf.collect().toPandas()
+    assert len(out) == 40
+    assert (out["v2"] == out["v"] * 2).all()
+
+
+def test_lazy_collection_concat(tmp_lib):
+    from arcticdb_spark.lazy import LazyDataFrameCollection, concat
+    tmp_lib.write("a", _frame("2024-01-01", 5))
+    tmp_lib.write("b", _frame("2024-01-01", 7, off=100))
+    coll = LazyDataFrameCollection([tmp_lib.read("a", lazy=True),
+                                    tmp_lib.read("b", lazy=True)])
+    u = concat(coll)
+    assert u.count() == 12
+
+
+def test_output_formats(tmp_lib):
+    tmp_lib.write("sym", _frame("2024-01-01", 10))
+    pdf = tmp_lib.read("sym", output_format="pandas")
+    assert isinstance(pdf, pd.DataFrame) and len(pdf) == 10
+    arrow = tmp_lib.read("sym", output_format="arrow")
+    import pyarrow as pa
+    assert isinstance(arrow, pa.Table) and arrow.num_rows == 10
+    with pytest.raises(Exception):
+        tmp_lib.read("sym", output_format="polars")
+
+
+def test_batch_variants(tmp_lib):
+    tmp_lib.write_batch([("a", _frame("2024-01-01", 5)),
+                         ("b", _frame("2024-01-01", 5))])
+    tmp_lib.append_batch([("a", _frame("2024-01-02", 3))])
+    assert tmp_lib.read("a").count() == 8
+    tmp_lib.update_batch([("b", _frame("2024-01-01 02:00", 2, off=50))])
+    out = tmp_lib.read("b").toPandas()
+    assert sorted(out["v"])[-2:] == [50.0, 51.0]
+    assert tmp_lib.read_metadata_batch(["a", "b"]) == [None, None]
+    tmp_lib.delete_batch(["a"])
+    assert tmp_lib.list_symbols() == ["b"]
