@@ -178,6 +178,34 @@ def q_resample_closed_right(spark, sf):
     return out.select("ts", "n", F.round("v_sum", 4).alias("v_sum"))
 
 
+def q_resample_offset(spark, sf):
+    """Daily buckets shifted by 6h (offset param, processing.py:880-888)."""
+    ev = load_table(spark, sf, "events")
+    out = resample(ev, "ts", "1D", {"n": ("value", "count"),
+                                    "v_sum": ("value", "sum")}, offset="6h")
+    return out.select("ts", "n", F.round("v_sum", 4).alias("v_sum"))
+
+
+def q_project_then_groupby(spark, sf):
+    """Clause composition: projection feeding a groupby (pipeline order)."""
+    li = load_table(spark, sf, "lineitem")
+    q = QueryBuilder()
+    q = q.apply("rev_cents", q["l_extendedprice"] * (1 - q["l_discount"]) * 100)
+    out = q.to_df(li)
+    cents = F.round(F.col("rev_cents")).cast("long")
+    return (out.withColumn("c", cents).groupBy("l_linestatus")
+               .agg((F.sum("c").cast("double") / 100).alias("revenue"),
+                    F.count(F.lit(1)).alias("n")))
+
+
+def q_pipeline_filter_head(spark, sf):
+    """filter -> head positional semantics on the filtered frame."""
+    ev = with_row_id(load_table(spark, sf, "events"), ["ts", "event_id"])
+    q = QueryBuilder()
+    q = q[q["event_type"] == "purchase"].head(50)
+    return q.to_df(ev, "ts").drop(ROW_ID)
+
+
 def q_date_range(spark, sf):
     import pandas as pd
     ev = load_table(spark, sf, "events")
@@ -412,7 +440,8 @@ def q_similarity_lsh(spark, sf):
 def q_ngram_top(spark, sf):
     """Top-25 token bigrams by document frequency (text-analysis op)."""
     from arcticdb_spark.extensions.text import tokens
-    d = load_table(spark, sf, "documents")
+    from arcticdb_spark.extensions.dedup import _spread
+    d = _spread(load_table(spark, sf, "documents"))
     toks = tokens(F.lower(F.col("text")))
     bigrams = F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
                           lambda i: F.concat_ws(" ", F.element_at(toks, i),
@@ -429,7 +458,8 @@ def q_ngram_top(spark, sf):
 def q_token_frequencies(spark, sf):
     """Corpus token frequencies (top 30, deterministic tiebreak)."""
     from arcticdb_spark.extensions.text import tokens
-    d = load_table(spark, sf, "documents")
+    from arcticdb_spark.extensions.dedup import _spread
+    d = _spread(load_table(spark, sf, "documents"))
     toks = (d.select(F.explode(tokens(F.lower(F.col("text")))).alias("token")))
     counted = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     from pyspark.sql import Window
@@ -474,7 +504,7 @@ def q_similarity_ivf(spark, sf):
 
 def q_multimodal_features(spark, sf):
     media = xmm.make_demo_media(spark, n=64)
-    return xmm.extract_features(media, fake=True)
+    return xmm.extract_features(media, fake=True, batch_partitions=4)
 
 
 # ---------------------------------------------------------------------------
@@ -493,6 +523,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_1h": q_resample_1h,
         "resample_ohlc": q_resample_ohlc,
         "resample_closed_right": q_resample_closed_right,
+        "resample_offset": q_resample_offset,
+        "project_then_groupby": q_project_then_groupby,
+        "pipeline_filter_head": q_pipeline_filter_head,
         "date_range": q_date_range,
         "head": q_head,
         "tail": q_tail,
@@ -748,6 +781,23 @@ SELECT make_timestamp((((epoch_us({_EV}) * 1000 - 1) // 21600000000000) * 216000
        count(value) AS n,
        round(sum(value), 4) AS v_sum
 FROM events GROUP BY 1""",
+
+        "resample_offset": f"""
+SELECT make_timestamp(((epoch_us({_EV}) - 21600000000) // 86400000000) * 86400000000 + 21600000000) AS ts,
+       count(value) AS n,
+       round(sum(value), 4) AS v_sum
+FROM events GROUP BY 1""",
+
+        "project_then_groupby": """
+SELECT l_linestatus,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+       count(*) AS n
+FROM lineitem GROUP BY l_linestatus""",
+
+        "pipeline_filter_head": f"""
+SELECT event_id, {_EV} AS ts, user_id, event_type, value, props
+FROM events WHERE event_type = 'purchase'
+ORDER BY {_EV}, event_id LIMIT 50""",
 
         "date_range": f"""
 SELECT event_id, {_EV} AS ts, user_id, event_type, value, props

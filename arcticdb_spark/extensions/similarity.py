@@ -65,7 +65,7 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id as a string of 0/1."""
+    """Sign-bit bucket id as a string of 0/1 (pure-SQL variant)."""
     bits = []
     for p in planes:
         lit = F.array(*[F.lit(float(x)) for x in p])
@@ -73,22 +73,49 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def _bucket_udf(planes_list: list[list[list[float]]]):
+    """All tables' bucket ids in one vectorized numpy matmul per Arrow batch.
+
+    The SQL fold (`F.aggregate`) runs interpreted per element — for
+    n_tables*n_planes dot products per vector a Pandas UDF is the documented
+    fast path (~10-100x). Bucketing is self-consistent (corpus and queries
+    hash identically), so float summation order here cannot break results.
+    """
+    import numpy as np
+    import pandas as pd
+
+    mats = [np.asarray(p, dtype="float64").T for p in planes_list]  # dim x planes
+
+    @F.pandas_udf("array<string>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(v, dtype="float64") for v in vecs])
+        per_table = []
+        for t, M in enumerate(mats):
+            S = (V @ M) >= 0.0
+            per_table.append([f"t{t}:" + "".join("1" if b else "0" for b in row)
+                              for row in S])
+        return pd.Series([list(x) for x in zip(*per_table)])
+
+    return buckets
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_planes: int = 8, n_tables: int = 4, dim: int = 64) -> DataFrame:
-    """Approximate top-k: union of ``n_tables`` independent hyperplane
-    bucketings; candidates = bucket equi-join; exact cosine rescoring."""
-    cands = None
-    for t in range(n_tables):
-        planes = _planes(dim, n_planes, seed=1000 + t)
-        cb = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"),
-                           hyperplane_bucket(F.col(vec_col), planes).alias("bucket"))
-        qb = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-                            hyperplane_bucket(F.col(vec_col), planes).alias("bucket"))
-        j = cb.join(F.broadcast(qb), "bucket").filter(F.col("query_id") != F.col("vec_id")) \
-              .select("query_id", "vec_id", "qvec", "cvec")
-        cands = j if cands is None else cands.unionByName(j)
-    cands = cands.dropDuplicates(["query_id", "vec_id"])
+    """Approximate top-k: ``n_tables`` independent hyperplane bucketings
+    computed in ONE pass over the corpus (bucket array + explode with the
+    table index), candidates from a single equi-join on (table, bucket),
+    exact cosine rescoring. One scan + one shuffle regardless of n_tables."""
+    buckets_all = _bucket_udf([_planes(dim, n_planes, seed=1000 + t)
+                               for t in range(n_tables)])
+    cb = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"),
+                       F.explode(buckets_all(F.col(vec_col))).alias("bucket"))
+    qb = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+                        F.explode(buckets_all(F.col(vec_col))).alias("bucket"))
+    cands = (cb.join(F.broadcast(qb), "bucket")
+               .filter(F.col("query_id") != F.col("vec_id"))
+               .select("query_id", "vec_id", "qvec", "cvec")
+               .dropDuplicates(["query_id", "vec_id"]))
     scored = cands.select("query_id", "vec_id",
                           F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("score"))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
@@ -104,23 +131,26 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_lists: int = 16, nprobe: int = 4) -> DataFrame:
     """IVF: centroids = deterministic sample of corpus vectors; every vector
     assigned to its best centroid; queries search only nprobe lists."""
+    import numpy as np
+    import pandas as pd
     cent_rows = (corpus.orderBy(id_col).limit(n_lists)
                  .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
                  .collect())
-    cents = [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in cent_rows]
+    cids = np.array([int(r["cid"]) for r in cent_rows])
+    M = np.stack([np.asarray(r["cv"], dtype="float64") for r in cent_rows]).T
 
-    def best_lists(vec: Column, n: int) -> Column:
-        scored = F.array(*[
-            F.struct(F.round(_dot(vec, F.array(*[F.lit(x) for x in cv])), 6).alias("s"),
-                     F.lit(cid).alias("cid"))
-            for cid, cv in cents])
-        top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
-        return F.transform(top, lambda s: s.getField("cid"))
+    @F.pandas_udf("array<bigint>")
+    def centroid_order(vecs: pd.Series) -> pd.Series:
+        # vectorized matmul: centroid ids sorted by descending dot product
+        V = np.stack([np.asarray(v, dtype="float64") for v in vecs])
+        order = np.argsort(-(V @ M), axis=1, kind="stable")
+        return pd.Series([cids[o].tolist() for o in order])
 
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"),
-                      best_lists(F.col(vec_col), 1)[0].alias("list_id"))
+                      centroid_order(F.col(vec_col))[0].alias("list_id"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-                       F.explode(best_lists(F.col(vec_col), nprobe)).alias("list_id"))
+                       F.explode(F.slice(centroid_order(F.col(vec_col)), 1, nprobe))
+                        .alias("list_id"))
     j = c.join(F.broadcast(q), "list_id").filter(F.col("query_id") != F.col("vec_id"))
     scored = j.select("query_id", "vec_id",
                       F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("score"))
