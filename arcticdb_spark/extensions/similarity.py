@@ -16,6 +16,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -81,9 +83,6 @@ def _bucket_udf(planes_list: list[list[list[float]]]):
     fast path (~10-100x). Bucketing is self-consistent (corpus and queries
     hash identically), so float summation order here cannot break results.
     """
-    import numpy as np
-    import pandas as pd
-
     mats = [np.asarray(p, dtype="float64").T for p in planes_list]  # dim x planes
 
     @F.pandas_udf("array<string>")
@@ -131,8 +130,6 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_lists: int = 16, nprobe: int = 4) -> DataFrame:
     """IVF: centroids = deterministic sample of corpus vectors; every vector
     assigned to its best centroid; queries search only nprobe lists."""
-    import numpy as np
-    import pandas as pd
     cent_rows = (corpus.orderBy(id_col).limit(n_lists)
                  .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
                  .collect())
