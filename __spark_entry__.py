@@ -423,6 +423,13 @@ def q_dedup_simhash(spark, sf):
     return xdedup.simhash_near_dup_pairs(d, max_hamming=6, bands=4)
 
 
+def q_dedup_embedding(spark, sf):
+    """Embedding-cosine near-dup pairs: exact below 2000 rows (the oracle
+    path), hyperplane-LSH + exact verify at scale."""
+    e = load_table(spark, sf, "embeddings")
+    return xdedup.embedding_near_dup_pairs(e, threshold=0.45)
+
+
 def q_similarity_bruteforce(spark, sf):
     e = load_table(spark, sf, "embeddings")
     queries = e.filter(F.col("vec_id") < 8)
@@ -555,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
         "similarity_bruteforce": q_similarity_bruteforce,
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
@@ -969,6 +977,13 @@ FROM x WHERE k > 50 GROUP BY event_type""",
         "text_fingerprint": f"SELECT doc_id, {_FPR} AS fingerprint FROM documents",
         "dedup_minhash": _minhash_sql(),
         "dedup_jaccard": _jaccard_sql(),
+        "dedup_embedding": """
+WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+p AS (SELECT a.id AS id_a, b.id AS id_b,
+        round(list_dot_product(a.vec, b.vec)
+              / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cos
+      FROM v a JOIN v b ON a.id < b.id)
+SELECT id_a, id_b, cos FROM p WHERE cos >= 0.45""",
         "similarity_bruteforce": _similarity_sql(),
     }
     return sql

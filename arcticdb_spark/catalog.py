@@ -664,6 +664,34 @@ class Library:
         shutil.rmtree(stg)
         return m
 
+    def sort_and_finalize_staged_data(self, symbol: str, mode: str = "write",
+                                      metadata: Any = None) -> VersionManifest:
+        """Reference ``library.py:1873``: k-way merge of unsorted staged
+        chunks == one Spark range shuffle + per-partition sort."""
+        return self.finalize_staged_data(symbol, mode=mode, metadata=metadata,
+                                         sort=True)
+
+    def defragment_symbol_data(self, symbol: str,
+                               segment_size: int | None = None) -> VersionManifest:
+        """Reference API name for compaction."""
+        return self.compact_symbol(symbol, target_rows_per_file=segment_size)
+
+    def read_index(self, symbol: str, as_of=None):
+        """Index-structure introspection (reference ``_store.py:2712``):
+        one row per data file with row/ts ranges — the manifest as a frame."""
+        import pandas as pd
+        m = self._resolve_version(symbol, as_of)
+        rows = [{"start_row": fe.row_start,
+                 "end_row": fe.row_start + fe.rows,
+                 "rows": fe.rows,
+                 "start_index": (pd.Timestamp(fe.ts_min, unit="ns")
+                                 if fe.ts_min is not None else None),
+                 "end_index": (pd.Timestamp(fe.ts_max, unit="ns")
+                               if fe.ts_max is not None else None),
+                 "path": fe.path}
+                for fe in m.files]
+        return pd.DataFrame(rows)
+
     # ---- snapshots ----
     def _snap_path(self, name):
         return os.path.join(self.root, "_snapshots", f"{name}.json")

@@ -147,6 +147,46 @@ def jaccard_near_dup_pairs(df: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                             id_col: str = "vec_id", vec_col: str = "embedding",
+                             exact_below: int = 2000, dim: int = 64,
+                             n_planes: int = 6, n_tables: int = 8) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    Two physical strategies, same logical result:
+    * small inputs (< exact_below rows): exact all-pairs self-join — the
+      deterministic reference answer;
+    * at scale: hyperplane-LSH candidate generation (high-recall multi-table
+      bucketing) + exact cosine verification — never materializes O(n²).
+    """
+    from arcticdb_spark.extensions.similarity import (_bucket_udf, _planes,
+                                                      cosine)
+    n = df.count()
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if n < exact_below:
+        a = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
+        b = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        buckets = _bucket_udf([_planes(dim, n_planes, seed=7000 + t)
+                               for t in range(n_tables)])
+        keyed = base.select("id", "vec", F.explode(buckets(F.col("vec"))).alias("bk")) \
+                    .persist()
+        a, b = keyed.alias("a"), keyed.alias("b")
+        pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                        & (F.col("a.id") < F.col("b.id")))
+                  .select(F.col("a.id").alias("id_a"), F.col("a.vec").alias("va"),
+                          F.col("b.id").alias("id_b"), F.col("b.vec").alias("vb"))
+                  .dropDuplicates(["id_a", "id_b"]))
+    scored = pairs.select("id_a", "id_b",
+                          F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+    return scored.filter(F.col("cos") >= threshold)
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,98 @@
+"""Stateful streaming sessionization + salted aggregation + new lib APIs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_stream_sessionize_stateful(spark, tmp_path):
+    from arcticdb_spark.streaming.stateful import stream_sessionize
+    src = str(tmp_path / "src")
+    # user 1: two sessions (gap 2h); user 2: one session
+    ts = (list(pd.date_range("2024-01-01 10:00", periods=3, freq="5min"))
+          + list(pd.date_range("2024-01-01 14:00", periods=2, freq="5min"))
+          + list(pd.date_range("2024-01-01 10:00", periods=4, freq="10min")))
+    users = [1] * 5 + [2] * 4
+    pdf = pd.DataFrame({"ts": ts, "user_id": users})
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("ts timestamp, user_id long").parquet(src)
+    out = stream_sessionize(stream, gap="30 minutes")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("sessions").start())
+    try:
+        q.processAllAvailable()
+        res = spark.sql("SELECT * FROM sessions ORDER BY user_id, session_start") \
+                   .toPandas()
+    finally:
+        q.stop()
+    # closed sessions only: user 1's first session (the second is still open
+    # in state), nothing for user 2 (single open session)
+    assert len(res) == 1
+    assert res.iloc[0]["user_id"] == 1
+    assert res.iloc[0]["n_events"] == 3
+
+
+def test_salted_groupby_matches_plain(spark):
+    from arcticdb_spark.plans.skew import salted_groupby
+    rng = np.random.default_rng(3)
+    # heavily skewed: 80% of rows on one key
+    keys = np.where(rng.random(5000) < 0.8, "hot", rng.choice(list("abcde"), 5000))
+    pdf = pd.DataFrame({"k": keys, "v": rng.uniform(0, 10, 5000)})
+    df = spark.createDataFrame(pdf)
+    out = salted_groupby(df, "k", {"s": ("v", "sum"), "n": ("v", "count"),
+                                   "mx": ("v", "max"), "m": ("v", "mean")},
+                         salt=8).toPandas().set_index("k").sort_index()
+    plain = (df.groupBy("k").agg(F.sum("v").alias("s"), F.count("v").alias("n"),
+                                 F.max("v").alias("mx"), F.avg("v").alias("m"))
+             .toPandas().set_index("k").sort_index())
+    assert (out["n"] == plain["n"]).all()
+    assert np.allclose(out["s"], plain["s"])
+    assert np.allclose(out["mx"], plain["mx"])
+    assert np.allclose(out["m"], plain["m"])
+
+
+def test_embedding_near_dup_exact_vs_lsh(spark):
+    from arcticdb_spark.extensions.dedup import embedding_near_dup_pairs
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((50, 16)).astype("float32")
+    # plant near-duplicates: 5 vectors with tiny noise
+    dups = base[:5] + rng.standard_normal((5, 16)).astype("float32") * 0.01
+    vecs = np.vstack([base, dups])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(55)],
+        "vec_id long, embedding array<float>")
+    exact = embedding_near_dup_pairs(df, threshold=0.99, exact_below=100).toPandas()
+    planted = {(i, 50 + i) for i in range(5)}
+    got = {(a, b) for a, b in zip(exact.id_a, exact.id_b)}
+    assert planted <= got
+    # LSH path finds the planted dups too (high-recall multi-table)
+    lsh = embedding_near_dup_pairs(df, threshold=0.99, exact_below=10,
+                                   dim=16, n_planes=4, n_tables=8).toPandas()
+    got_lsh = {(a, b) for a, b in zip(lsh.id_a, lsh.id_b)}
+    assert len(planted & got_lsh) >= 4
+
+
+def test_read_index_and_defragment(tmp_lib):
+    pdf = pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=30, freq="1h"),
+                        "v": [float(i) for i in range(30)]})
+    tmp_lib.write("sym", pdf)
+    tmp_lib.append("sym", pd.DataFrame({
+        "ts": pd.date_range("2024-01-03", periods=30, freq="1h"),
+        "v": [float(i) for i in range(30)]}))
+    idx = tmp_lib.read_index("sym")
+    assert idx["rows"].sum() == 60
+    assert (idx["end_row"] - idx["start_row"] == idx["rows"]).all()
+    tmp_lib.defragment_symbol_data("sym")
+    assert tmp_lib.read("sym").count() == 60
+
+
+def test_sort_and_finalize_alias(tmp_lib):
+    c = pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=10, freq="1h")[::-1],
+                      "v": list(range(10))})
+    tmp_lib.stage("s", c)
+    m = tmp_lib.sort_and_finalize_staged_data("s")
+    assert m.sorted == "ASCENDING"
+    out = tmp_lib.read("s").toPandas()
+    assert out["ts"].is_monotonic_increasing
