@@ -612,6 +612,13 @@ class Library:
             return df.toPandas()   # Arrow-accelerated collection
         if output_format == "arrow":
             return df.toArrow()
+        if output_format == "polars":
+            try:
+                import polars as pl
+            except ImportError as e:
+                raise ArcticException(
+                    "output_format='polars' requires the polars package") from e
+            return pl.from_arrow(df.toArrow())
         raise ArcticException(f"unknown output_format {output_format!r}")
 
     def head(self, symbol: str, n: int = 5, as_of=None,

@@ -112,3 +112,20 @@ def test_read_batch_and_join(tmp_lib):
     q = q[q["v"] >= 3]
     out = tmp_lib.read_batch_and_join(["a", "b"], q)
     assert out.count() == 2 + 5  # v in {3,4} from a, 100..104 from b
+
+
+def test_empty_frame_write_and_append(tmp_lib, spark):
+    import pandas as pd
+    empty = spark.createDataFrame([], "ts timestamp, v double")
+    tmp_lib.write("sym", empty)
+    assert tmp_lib.read("sym").count() == 0
+    assert tmp_lib.get_description("sym")["row_count"] == 0
+    # appending real data to an empty symbol works (EMPTY-type promotion)
+    tmp_lib.append("sym", pd.DataFrame({
+        "ts": pd.date_range("2024-01-01", periods=3, freq="1h"),
+        "v": [1.0, 2.0, 3.0]}))
+    assert tmp_lib.read("sym").count() == 3
+    # date_range over an empty prune result returns an empty, well-typed frame
+    out = tmp_lib.read("sym", date_range=(pd.Timestamp("1990-01-01"),
+                                          pd.Timestamp("1990-01-02")))
+    assert out.count() == 0 and "v" in out.columns
