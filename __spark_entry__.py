@@ -206,6 +206,39 @@ def q_pipeline_filter_head(spark, sf):
     return q.to_df(ev, "ts").drop(ROW_ID)
 
 
+def q_resample_std_median(spark, sf):
+    """Extension aggregators on time buckets: stddev/var/median."""
+    ev = load_table(spark, sf, "events")
+    out = resample(ev, "ts", "1D", {"sd": ("value", "std"),
+                                    "vr": ("value", "var"),
+                                    "med": ("value", "median"),
+                                    "n": ("value", "count")})
+    return out.select("ts", F.round("sd", 4).alias("sd"),
+                      F.round("vr", 4).alias("vr"),
+                      F.round("med", 4).alias("med"), "n")
+
+
+def q_corpus_clean(spark, sf):
+    """End-to-end training-corpus cleaning: quality gate + language filter +
+    exact dedup, emitting the surviving docs with token counts — the
+    composite LLM-pipeline flow."""
+    from arcticdb_spark.extensions.text import (fingerprint, lang_id,
+                                                quality_score, token_count)
+    d = load_table(spark, sf, "documents")
+    scored = d.select(
+        "doc_id", "text",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+        lang_id(F.col("text")).alias("lang_pred"),
+        fingerprint(F.col("text")).alias("fp"))
+    kept = scored.filter((F.col("quality") >= 0.7) & (F.col("lang_pred") == "en"))
+    deduped = (kept.groupBy("fp")
+               .agg(F.min("doc_id").alias("doc_id"),
+                    F.max("n_tokens").alias("n_tokens"),
+                    F.count(F.lit(1)).alias("n_copies")))
+    return deduped.select("doc_id", "n_tokens", "n_copies")
+
+
 def q_date_range(spark, sf):
     import pandas as pd
     ev = load_table(spark, sf, "events")
@@ -531,6 +564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_ohlc": q_resample_ohlc,
         "resample_closed_right": q_resample_closed_right,
         "resample_offset": q_resample_offset,
+        "resample_std_median": q_resample_std_median,
+        "corpus_clean": q_corpus_clean,
         "project_then_groupby": q_project_then_groupby,
         "pipeline_filter_head": q_pipeline_filter_head,
         "date_range": q_date_range,
@@ -708,6 +743,43 @@ r AS (SELECT query_id, vec_id, score,
 SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= {k}"""
 
 
+def _corpus_clean_sql() -> str:
+    stop_lst = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+    hits = []
+    for lang, words in _LANG_SETS.items():
+        lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        hits.append(f"len(list_filter(toks, x -> list_contains({lst}, x))) AS s_{lang}")
+    best = "greatest(s_en, s_de, s_fr, s_es)"
+    lang_case = (f"CASE WHEN {best} = 0 THEN 'unk' "
+                 f"WHEN s_en = {best} THEN 'en' WHEN s_de = {best} THEN 'de' "
+                 f"WHEN s_fr = {best} THEN 'fr' ELSE 'es' END")
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKS} END AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+         {_FPR} AS fp
+  FROM documents),
+s AS (
+  SELECT doc_id, fp, n_chars, n_punct, len(toks) AS n_tokens,
+         len(list_filter(toks, x -> list_contains({stop_lst}, x))) AS n_stop,
+         {', '.join(hits)}
+  FROM t),
+scored AS (
+  SELECT doc_id, fp, CAST(n_tokens AS BIGINT) AS n_tokens,
+         round((CASE WHEN n_tokens >= 5 AND n_chars >= 20 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN n_tokens > 0 AND round(n_stop / CAST(n_tokens AS DOUBLE), 6) >= 0.05 THEN 0.3 ELSE 0.0 END)
+             + (CASE WHEN n_chars IS NULL OR n_chars = 0
+                       OR round(n_punct / CAST(n_chars AS DOUBLE), 6) <= 0.1
+                     THEN 0.3 ELSE 0.0 END), 1) AS quality,
+         {lang_case} AS lang_pred
+  FROM s)
+SELECT min(doc_id) AS doc_id, max(n_tokens) AS n_tokens, count(*) AS n_copies
+FROM scored WHERE quality >= 0.7 AND lang_pred = 'en'
+GROUP BY fp"""
+
+
 def oracle_sql() -> dict[str, str]:
     sql = {
         "filter_numeric": """
@@ -806,6 +878,16 @@ FROM lineitem GROUP BY l_linestatus""",
 SELECT event_id, {_EV} AS ts, user_id, event_type, value, props
 FROM events WHERE event_type = 'purchase'
 ORDER BY {_EV}, event_id LIMIT 50""",
+
+        "resample_std_median": f"""
+SELECT make_timestamp((epoch_us({_EV}) // 86400000000) * 86400000000) AS ts,
+       round(stddev_samp(value), 4) AS sd,
+       round(var_samp(value), 4) AS vr,
+       round(median(value), 4) AS med,
+       count(value) AS n
+FROM events GROUP BY 1""",
+
+        "corpus_clean": _corpus_clean_sql(),
 
         "date_range": f"""
 SELECT event_id, {_EV} AS ts, user_id, event_type, value, props

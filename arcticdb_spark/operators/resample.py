@@ -29,7 +29,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_SORTED_AGGS = {"sum", "mean", "min", "max", "count", "first", "last"}
+_SORTED_AGGS = {"sum", "mean", "min", "max", "count", "first", "last",
+                "std", "var", "median"}
 
 
 def rule_to_nanos(rule: str) -> int:
@@ -120,6 +121,12 @@ def compile_agg(out_name: str, in_col: str, how: str, ts_col: str,
         return F.max(c).alias(out_name)
     if how == "count":
         return F.count(c).alias(out_name)  # non-null count, uint64 in ref
+    if how == "std":      # extension beyond the reference's 7 aggregators
+        return F.stddev_samp(c).alias(out_name)
+    if how == "var":
+        return F.var_samp(c).alias(out_name)
+    if how == "median":
+        return F.median(c).alias(out_name)
     if how == "first":
         # earliest-by-timestamp non-null value; shuffle-safe
         return F.min_by(c, F.when(c.isNotNull(), F.col(ts_col))).alias(out_name)

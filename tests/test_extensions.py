@@ -156,3 +156,20 @@ def test_multimodal_plumbing(spark):
     m1 = feats.set_index("media_id")["sha256"].to_dict()
     m2 = feats2.set_index("media_id")["sha256"].to_dict()
     assert m1 == m2
+
+
+def test_range_join(spark):
+    left = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 10:15", "2024-01-01 11:45",
+                              "2024-01-01 13:30", "2024-01-02 10:15"]),
+        "k": ["a", "a", "a", "b"], "lv": [1, 2, 3, 4]})
+    right = pd.DataFrame({
+        "lo": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 13:00"]),
+        "hi": pd.to_datetime(["2024-01-01 12:00", "2024-01-01 14:00"]),
+        "k": ["a", "a"], "rv": [100, 200]})
+    out = xjoins.range_join(spark.createDataFrame(left),
+                            spark.createDataFrame(right),
+                            left_ts="ts", right_lo="lo", right_hi="hi",
+                            by=["k"], bucket="1 hour").toPandas()
+    got = sorted(zip(out.lv, out.rv))
+    assert got == [(1, 100), (2, 100), (3, 200)]
