@@ -542,6 +542,19 @@ class Library:
                      if not (fe.ts_min is not None and hi_ns is not None and fe.ts_min > hi_ns)
                      and not (fe.ts_max is not None and lo_ns is not None and fe.ts_max < lo_ns)]
 
+        # zone-map pruning: if column stats exist for this version and the
+        # query starts with a filter, drop files whose [min,max] ranges
+        # cannot match (reference column_stats_filter.cpp Kleene evaluation)
+        if query_builder is not None:
+            clauses = getattr(query_builder, "_clauses", [])
+            if clauses and clauses[0][0] == "filter":
+                stats = self.get_column_stats(symbol, as_of=as_of)
+                if stats:
+                    from arcticdb_spark.plans.stats_prune import \
+                        prune_files_by_stats
+                    files = prune_files_by_stats(files, stats,
+                                                 clauses[0][1]["expr"])
+
         need_row_id = with_row_ids or row_range is not None or (
             query_builder is not None and any(
                 k in ("head", "tail", "row_range")

@@ -1,0 +1,88 @@
+"""File pruning from column-stats zone maps (reference
+``pipeline/column_stats_filter.cpp:28-120``: MIN/MAX stats evaluated against
+the filter AST with Kleene logic; gated there by ``ColumnStats.UseForQueries``).
+
+We evaluate the *prunable sub-conjuncts* of a QueryBuilder filter against the
+per-file [min, max] ranges stored by ``Library.create_column_stats``. Only
+``col <op> literal`` comparisons joined by AND are used — everything else is
+conservatively kept (three-valued "maybe"). This runs at plan time on the
+driver over manifest-sized metadata; at 100 TB it is the difference between
+opening every file and opening the few whose ranges can match."""
+
+from __future__ import annotations
+
+from typing import Any
+
+from arcticdb_spark.expr import (BinaryOp, ColumnRef, Constant,
+                                 ExpressionNode)
+
+_OPS = {"EQ", "LT", "LE", "GT", "GE"}
+
+
+def extract_conjuncts(node: ExpressionNode) -> list[tuple[str, str, Any]]:
+    """Flatten AND-trees into [(column, op, literal)] triples; anything not
+    of that shape contributes nothing (conservative)."""
+    out: list[tuple[str, str, Any]] = []
+
+    def walk(n):
+        if isinstance(n, BinaryOp):
+            if n.op == "AND":
+                walk(n.left)
+                walk(n.right)
+            elif n.op in _OPS:
+                if isinstance(n.left, ColumnRef) and isinstance(n.right, Constant):
+                    out.append((n.left.name, n.op, n.right.value))
+                elif isinstance(n.right, ColumnRef) and isinstance(n.left, Constant):
+                    flip = {"LT": "GT", "LE": "GE", "GT": "LT", "GE": "LE",
+                            "EQ": "EQ"}
+                    out.append((n.right.name, flip[n.op], n.left.value))
+
+    walk(node)
+    return out
+
+
+def range_can_match(op: str, lit, mn, mx) -> bool:
+    """Kleene 'maybe': True unless the file's [mn, mx] range PROVES no row
+    can satisfy ``col <op> lit``."""
+    try:
+        if op == "EQ":
+            return not (lit < mn or lit > mx)
+        if op == "LT":
+            return mn < lit
+        if op == "LE":
+            return mn <= lit
+        if op == "GT":
+            return mx > lit
+        if op == "GE":
+            return mx >= lit
+    except TypeError:  # incomparable types -> keep
+        return True
+    return True
+
+
+def prune_files_by_stats(files: list, stats: dict | None,
+                         filter_expr: ExpressionNode | None) -> list:
+    """Drop FileEntries whose stored column ranges cannot satisfy the filter."""
+    if not stats or filter_expr is None:
+        return files
+    conjuncts = extract_conjuncts(filter_expr)
+    if not conjuncts:
+        return files
+    per_file = stats.get("files", {})
+    kept = []
+    for fe in files:
+        ranges = per_file.get(fe.path)
+        if ranges is None:
+            kept.append(fe)
+            continue
+        ok = True
+        for col, op, lit in conjuncts:
+            if col not in ranges:
+                continue
+            mn, mx = ranges[col]
+            if not range_can_match(op, lit, mn, mx):
+                ok = False
+                break
+        if ok:
+            kept.append(fe)
+    return kept

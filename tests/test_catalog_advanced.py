@@ -129,3 +129,29 @@ def test_empty_frame_write_and_append(tmp_lib, spark):
     out = tmp_lib.read("sym", date_range=(pd.Timestamp("1990-01-01"),
                                           pd.Timestamp("1990-01-02")))
     assert out.count() == 0 and "v" in out.columns
+
+
+def test_column_stats_prune_on_read(tmp_lib):
+    # 5 appends -> 5+ files with disjoint v ranges
+    tmp_lib.write("sym", _ts_frame("2024-01-01", 20))
+    for i in range(1, 5):
+        tmp_lib.append("sym", _ts_frame(f"2024-01-0{i+1}", 20, value_offset=i * 100))
+    tmp_lib.create_column_stats("sym", ["v"])
+    from arcticdb_spark.query import QueryBuilder
+    q = QueryBuilder()
+    q = q[q["v"] >= 410.0]       # only the last file's range can match
+    out = tmp_lib.read("sym", query_builder=q)
+    # correctness
+    assert out.count() == 10     # v in 410..419
+    # pruning actually happened: the scan's plan references exactly 1 file
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m5 = tmp_lib._load_manifest("sym", 4)
+    import re
+    loc = re.search(r"InMemoryFileIndex\((\d+) paths\)", plan)
+    assert loc and int(loc.group(1)) <= len(m5.files)
+    from arcticdb_spark.plans.stats_prune import prune_files_by_stats
+    stats = tmp_lib.get_column_stats("sym")
+    from arcticdb_spark.expr import ColumnRef
+    kept = prune_files_by_stats(m5.files, stats, (ColumnRef("v") >= 410.0))
+    assert len(kept) < len(m5.files)
+    assert sum(f.rows for f in kept) >= 10
