@@ -193,12 +193,23 @@ class Library:
         self.spark = spark
         self.name = name
         self.root = os.path.join(root, name)
+        os.makedirs(self.root, exist_ok=True)
+        os.makedirs(os.path.join(self.root, "_snapshots"), exist_ok=True)
+        # persisted LibraryOptions (reference options.py:21): a library
+        # re-opened later keeps its configuration
+        cfg_path = os.path.join(self.root, "_config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                cfg = json.load(f)
+            rows_per_file = cfg.get("rows_per_file", rows_per_file)
+            dynamic_schema = cfg.get("dynamic_schema", dynamic_schema)
+        else:
+            _atomic_write_json(cfg_path, {"rows_per_file": rows_per_file,
+                                          "dynamic_schema": dynamic_schema})
         self.rows_per_file = rows_per_file
         # reference LibraryOptions.dynamic_schema (options.py:43): appends may
         # add columns / promote numeric types; reads backfill + upcast
         self.dynamic_schema = dynamic_schema
-        os.makedirs(self.root, exist_ok=True)
-        os.makedirs(os.path.join(self.root, "_snapshots"), exist_ok=True)
 
     # ---- paths ----
     def _sym_dir(self, symbol):
@@ -226,14 +237,29 @@ class Library:
             return VersionManifest.from_json(json.load(f))
 
     def _commit(self, manifest: VersionManifest) -> VersionManifest:
+        """Commit = write v{N}.json then swap _ref.json. The version file
+        write is the CAS: creating v{N} with O_EXCL fails if a concurrent
+        writer claimed the same version number (the reference's VERSION_REF
+        compare-and-swap; on S3 this is a conditional PUT If-None-Match)."""
         sym_dir = self._sym_dir(manifest.symbol)
         os.makedirs(os.path.join(sym_dir, "_versions"), exist_ok=True)
-        _atomic_write_json(self._ver_path(manifest.symbol, manifest.version),
-                           manifest.to_json())
+        vpath = self._ver_path(manifest.symbol, manifest.version)
+        tmp = f"{vpath}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest.to_json(), f)
+        try:
+            os.link(tmp, vpath)   # fails with EEXIST on a lost race
+        except FileExistsError:
+            os.remove(tmp)
+            raise ArcticException(
+                f"concurrent write to {manifest.symbol!r}: version "
+                f"{manifest.version} was committed by another writer")
+        os.remove(tmp)
         ref = {"latest": manifest.version, "deleted": []}
         if os.path.exists(self._ref_path(manifest.symbol)):
             old = self._load_ref(manifest.symbol)
             ref["deleted"] = old.get("deleted", [])
+            ref["latest"] = max(manifest.version, old.get("latest", -1))
         _atomic_write_json(self._ref_path(manifest.symbol), ref)
         return manifest
 

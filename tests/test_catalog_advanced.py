@@ -155,3 +155,27 @@ def test_column_stats_prune_on_read(tmp_lib):
     kept = prune_files_by_stats(m5.files, stats, (ColumnRef("v") >= 410.0))
     assert len(kept) < len(m5.files)
     assert sum(f.rows for f in kept) >= 10
+
+
+def test_library_config_persisted(spark, tmp_path):
+    from arcticdb_spark.catalog import Arctic
+    ac = Arctic(str(tmp_path), spark)
+    ac.create_library("mylib", dynamic_schema=True, rows_per_file=1234)
+    reopened = ac.get_library("mylib")
+    assert reopened.dynamic_schema is True
+    assert reopened.rows_per_file == 1234
+
+
+def test_commit_conflict_detected(tmp_lib):
+    from arcticdb_spark.catalog import ArcticException
+    tmp_lib.write("sym", _ts_frame("2024-01-01", 5))
+    # simulate a lost race: another writer claimed version 1 already
+    m = tmp_lib._load_manifest("sym", 0)
+    from arcticdb_spark.catalog import VersionManifest
+    import time as _t
+    other = VersionManifest("sym", 1, _t.time_ns(), m.index_column,
+                            m.schema_json, m.files)
+    tmp_lib._commit(other)
+    with pytest.raises(ArcticException, match="concurrent"):
+        tmp_lib._commit(VersionManifest("sym", 1, _t.time_ns(), m.index_column,
+                                        m.schema_json, m.files))
