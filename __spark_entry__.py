@@ -682,7 +682,8 @@ sh AS (SELECT doc_id,
               ELSE [array_to_string(toks, ' ')] END AS shingles
        FROM t),
 sig AS (SELECT doc_id,
-          [list_min([md5('h' || CAST(h AS VARCHAR) || ':' || s) FOR s IN shingles])
+          [list_min([substring(md5('h' || CAST(h // 4 AS VARCHAR) || ':' || s),
+                               (h % 4) * 8 + 1, 8) FOR s IN shingles])
            FOR h IN generate_series(0, {num_hashes - 1})] AS sig
         FROM sh),
 bands AS (SELECT doc_id,
@@ -707,7 +708,8 @@ sh AS (SELECT doc_id,
               ELSE [array_to_string(toks, ' ')] END AS shingles
        FROM t),
 sig AS (SELECT doc_id, shingles,
-          [list_min([md5('h' || CAST(h AS VARCHAR) || ':' || s) FOR s IN shingles])
+          [list_min([substring(md5('h' || CAST(h // 4 AS VARCHAR) || ':' || s),
+                               (h % 4) * 8 + 1, 8) FOR s IN shingles])
            FOR h IN generate_series(0, {num_hashes - 1})] AS sig
         FROM sh),
 bands AS (SELECT doc_id,

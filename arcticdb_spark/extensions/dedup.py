@@ -62,11 +62,24 @@ def shingles(text: Column, k: int = 3) -> Column:
 
 
 def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
-    """Array of ``num_hashes`` min-hashes. Hash family: md5 seeded by prefix;
-    min over the 32-hex-char strings (uniform -> valid MinHash estimator)."""
+    """Array of ``num_hashes`` min-hashes.
+
+    Hash family: one seeded md5 per shingle yields FOUR independent 32-bit
+    hashes (8-hex-char substrings of the 128-bit digest) — 4x fewer digest
+    computations than one md5 per signature position; Catalyst subexpression
+    elimination shares the md5 across the 4 chunk extractions. Min over hex
+    strings is a valid uniform min-hash; identical SQL exists in DuckDB, so
+    the whole construction stays oracle-checkable."""
     sh = shingles(text, k)
-    sigs = [F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"h{i}:"), s))))
-            for i in range(num_hashes)]
+    def chunk_hash(seed: int, chunk: int):
+        # single-arg lambda required (Spark maps lambda arity to HOF args)
+        return lambda s: F.substring(
+            F.md5(F.concat(F.lit(f"h{seed}:"), s)), chunk * 8 + 1, 8)
+
+    sigs = []
+    for i in range(num_hashes):
+        seed, chunk = divmod(i, 4)
+        sigs.append(F.array_min(F.transform(sh, chunk_hash(seed, chunk))))
     return F.array(*sigs)
 
 
@@ -97,10 +110,11 @@ def minhash_band_table(df: DataFrame, text_col: str = "text",
     evaluate it twice per side."""
     rows = num_hashes // bands
     sig = minhash_signature(F.col(text_col), num_hashes, k)
-    # materialize signatures BEFORE banding: the band slices would otherwise
-    # each inline (and re-evaluate) the whole num_hashes-wide md5 expression
+    # two-step select so the band slices reference the materialized signature
+    # array instead of inlining (and re-evaluating) the md5-wide expression;
+    # only the final small (id, band) table is persisted for the self-join
     sigs = (_spread(df.select(F.col(id_col).alias("id"), text_col))
-            .select("id", sig.alias("sig")).persist())
+            .select("id", sig.alias("sig")))
     keyed = sigs.select(
         "id", F.explode(band_keys(F.col("sig"), bands, rows)).alias("band"))
     return keyed.persist()
