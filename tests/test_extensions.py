@@ -32,7 +32,9 @@ def test_exact_dedup(spark):
 
 
 def test_minhash_finds_near_dups(spark):
-    pairs = xdedup.minhash_near_dup_pairs(_docs(spark), num_hashes=16, bands=8, k=2)
+    # rows-per-band=1: any agreeing signature position -> candidate
+    # (p_miss = (1-j)^16 ~ 0 for the planted near-dup)
+    pairs = xdedup.minhash_near_dup_pairs(_docs(spark), num_hashes=16, bands=16, k=2)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (0, 1) in got and (0, 2) in got   # exact dups always collide
     assert (0, 3) in got                      # near dup collides in some band
@@ -41,7 +43,7 @@ def test_minhash_finds_near_dups(spark):
 
 def test_jaccard_threshold(spark):
     out = xdedup.jaccard_near_dup_pairs(_docs(spark), threshold=0.5,
-                                        num_hashes=16, bands=8, k=2).toPandas()
+                                        num_hashes=16, bands=16, k=2).toPandas()
     pairs = {(a, b): j for a, b, j in zip(out.id_a, out.id_b, out.jaccard)}
     assert pairs[(0, 1)] == 1.0
     assert (0, 3) in pairs and pairs[(0, 3)] > 0.5
