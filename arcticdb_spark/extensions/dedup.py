@@ -109,14 +109,30 @@ def minhash_band_table(df: DataFrame, text_col: str = "text",
     (num_hashes × md5 per shingle), and the self-join would otherwise
     evaluate it twice per side."""
     rows = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, k)
-    # two-step select so the band slices reference the materialized signature
-    # array instead of inlining (and re-evaluating) the md5-wide expression;
-    # only the final small (id, band) table is persisted for the self-join
-    sigs = (_spread(df.select(F.col(id_col).alias("id"), text_col))
-            .select("id", sig.alias("sig")))
-    keyed = sigs.select(
-        "id", F.explode(band_keys(F.col("sig"), bands, rows)).alias("band"))
+    n_seeds = -(-num_hashes // 4)
+    # ONE array traversal computes all digests (n_seeds md5 per shingle,
+    # concatenated to one hex string); separate per-position lambdas would
+    # re-run md5 per signature position (no CSE across HOF lambdas).
+    digests = F.transform(
+        shingles(F.col(text_col), k),
+        lambda s: F.concat(*[F.md5(F.concat(F.lit(f"h{j}:"), s))
+                             for j in range(n_seeds)]))
+    hs_df = (_spread(df.select(F.col(id_col).alias("id"), text_col))
+             .select("id", digests.alias("hs")).persist())
+    # signature position i = 8-hex-char chunk at offset i*8 of the concat
+    # (== substring(md5(h{i//4}:s), (i%4)*8+1, 8) — same family as
+    # minhash_signature and the DuckDB oracle). Band keys are built straight
+    # from the per-position mins so every position is traversed exactly once.
+    def sig_i(i: int):
+        off = i * 8 + 1
+        return F.array_min(F.transform(F.col("hs"),
+                                       lambda h: F.substring(h, off, 8)))
+
+    keys = [F.concat(F.lit(f"b{b}:"),
+                     F.md5(F.concat_ws("|", *[sig_i(b * rows + r)
+                                              for r in range(rows)])))
+            for b in range(bands)]
+    keyed = hs_df.select("id", F.explode(F.array(*keys)).alias("band"))
     return keyed.persist()
 
 
