@@ -224,7 +224,8 @@ def q_corpus_clean(spark, sf):
     composite LLM-pipeline flow."""
     from arcticdb_spark.extensions.text import (fingerprint, lang_id,
                                                 quality_score, token_count)
-    d = load_table(spark, sf, "documents")
+    from arcticdb_spark.extensions.dedup import _spread
+    d = _spread(load_table(spark, sf, "documents"))
     scored = d.select(
         "doc_id", "text",
         token_count(F.col("text")).alias("n_tokens"),

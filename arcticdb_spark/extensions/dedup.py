@@ -213,6 +213,20 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                   .select(F.col("a.id").alias("id_a"), F.col("a.vec").alias("va"),
                           F.col("b.id").alias("id_b"), F.col("b.vec").alias("vb"))
                   .dropDuplicates(["id_a", "id_b"]))
+        # scale path: vectorized numpy rescore per Arrow batch (candidate
+        # volume makes the interpreted fold the bottleneck; this path is not
+        # oracle-hash-checked, the exact path below is and keeps the fold)
+        @F.pandas_udf("double")
+        def cos_np(va: pd.Series, vb: pd.Series) -> pd.Series:
+            A = np.stack([np.asarray(v, dtype="float64") for v in va])
+            B = np.stack([np.asarray(v, dtype="float64") for v in vb])
+            num = (A * B).sum(axis=1)
+            den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+            return pd.Series(np.round(num / den, 6))
+
+        scored = pairs.select("id_a", "id_b",
+                              cos_np(F.col("va"), F.col("vb")).alias("cos"))
+        return scored.filter(F.col("cos") >= threshold)
     scored = pairs.select("id_a", "id_b",
                           F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
     return scored.filter(F.col("cos") >= threshold)
