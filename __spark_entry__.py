@@ -148,6 +148,35 @@ def q_groupby_tpch_q1(spark, sf):
         "count_order")
 
 
+def q_groupby_ts_minmax(spark, sf):
+    """min/max over timestamp columns (datetime aggregation support)."""
+    li = load_table(spark, sf, "lineitem")
+    q = QueryBuilder().groupby("l_returnflag").agg({
+        "first_ship": ("l_shipdate", "min"),
+        "last_ship": ("l_shipdate", "max"),
+        "n": ("l_shipdate", "count")})
+    return q.to_df(li)
+
+
+def q_resample_weekly(spark, sf):
+    """7-day buckets on a second table's timestamp (lineitem shipdate)."""
+    li = load_table(spark, sf, "lineitem")
+    out = resample(li, "l_shipdate", "7D", {"n": ("l_quantity", "count"),
+                                            "qty": ("l_quantity", "sum")})
+    return out.select(F.col("l_shipdate"), "n",
+                      F.round("qty", 4).alias("qty"))
+
+
+def q_concat_three(spark, sf):
+    """Three-way outer concat with distinct column subsets."""
+    ev = load_table(spark, sf, "events")
+    a = ev.filter(F.col("event_id") % 3 == 0).select("ts", "event_id", "value")
+    b = ev.filter(F.col("event_id") % 3 == 1).select("ts", "event_id", "user_id")
+    c = ev.filter(F.col("event_id") % 3 == 2).select("ts", "event_id",
+                                                     "event_type", "value")
+    return concat([a, b, c], join="outer")
+
+
 def q_resample_1h(spark, sf):
     ev = load_table(spark, sf, "events")
     q = QueryBuilder().resample("1h").agg({
@@ -561,6 +590,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_single": q_groupby_single,
         "groupby_first_last": q_groupby_first_last,
         "groupby_tpch_q1": q_groupby_tpch_q1,
+        "groupby_ts_minmax": q_groupby_ts_minmax,
+        "resample_weekly": q_resample_weekly,
+        "concat_three": q_concat_three,
         "resample_1h": q_resample_1h,
         "resample_ohlc": q_resample_ohlc,
         "resample_closed_right": q_resample_closed_right,
@@ -841,6 +873,28 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02'
   AND l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
 GROUP BY l_returnflag, l_linestatus""",
+
+        "groupby_ts_minmax": """
+SELECT l_returnflag, min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship,
+       count(l_shipdate) AS n
+FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag""",
+
+        "resample_weekly": """
+SELECT make_timestamp((epoch_us(l_shipdate) // 604800000000) * 604800000000) AS l_shipdate,
+       count(l_quantity) AS n,
+       round(sum(l_quantity), 4) AS qty
+FROM lineitem GROUP BY 1""",
+
+        "concat_three": f"""
+SELECT {_EV} AS ts, event_id, value,
+       CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS VARCHAR) AS event_type
+FROM events WHERE event_id % 3 = 0
+UNION ALL
+SELECT {_EV} AS ts, event_id, CAST(NULL AS DOUBLE), user_id, CAST(NULL AS VARCHAR)
+FROM events WHERE event_id % 3 = 1
+UNION ALL
+SELECT {_EV} AS ts, event_id, value, CAST(NULL AS BIGINT), event_type
+FROM events WHERE event_id % 3 = 2""",
 
         "resample_1h": f"""
 SELECT make_timestamp((epoch_us({_EV}) // 3600000000) * 3600000000) AS ts,

@@ -288,11 +288,12 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                      F.shiftright(F.col("sh"), i * width).bitwiseAND(F.lit((1 << width) - 1)))
             for i in range(bands)])).alias("chunk"))
     a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    # filter on hamming BEFORE distinct: the cheap bit math prunes the
+    # candidate stream so the dedup shuffle only carries surviving pairs
+    return (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
                    & (F.col("a.id") < F.col("b.id")))
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                     F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+                     ham.alias("hamming"))
+             .filter(F.col("hamming") <= max_hamming)
              .distinct())
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (cand.select("id_a", "id_b", ham.alias("hamming"))
-                .filter(F.col("hamming") <= max_hamming))

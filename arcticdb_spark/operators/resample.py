@@ -43,7 +43,9 @@ def rule_to_nanos(rule: str) -> int:
 
 def _ts_nanos(col: Column) -> Column:
     # Spark timestamps are µs precision; exact long math (no doubles).
-    return F.unix_micros(col) * F.lit(1000)
+    # cast handles TIMESTAMP_NTZ inputs (naive parquet timestamps) — the
+    # session timezone is pinned to UTC so the cast is value-preserving.
+    return F.unix_micros(col.cast("timestamp")) * F.lit(1000)
 
 
 def bucket_start_nanos(ts_ns: Column, rule_ns: int, origin_ns: int,
