@@ -350,6 +350,35 @@ def q_join_revenue(spark, sf):
                   F.count(F.lit(1)).alias("n_lines")))
 
 
+def q_anti_join(spark, sf):
+    """NOT EXISTS: customers with no orders (left-anti join)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+             .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+def q_semi_join_date_arith(spark, sf):
+    """EXISTS + timestamp interval arithmetic: orders with a line shipped
+    more than 60 days after the order date."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    late = li.join(o, li.l_orderkey == o.o_orderkey) \
+             .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")) \
+             .select("o_orderkey").distinct()
+    return (o.join(late, "o_orderkey", "left_semi")
+             .groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n_late_orders")))
+
+
+def q_except_users(spark, sf):
+    """EXCEPT: users who clicked but never purchased."""
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicks.exceptAll(buys).distinct()
+
+
 def q_topk_per_group(spark, sf):
     o = load_table(spark, sf, "orders")
     out = xwin.topk_per_group(o, ["o_orderpriority"], "o_totalprice", 3,
@@ -610,6 +639,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_update_upsert": q_merge_update_upsert,
         "update_range_surgery": q_update_range_surgery,
         "join_revenue": q_join_revenue,
+        "anti_join": q_anti_join,
+        "semi_join_date_arith": q_semi_join_date_arith,
+        "except_users": q_except_users,
         "topk_per_group": q_topk_per_group,
         "window_lag_lead": q_window_lag_lead,
         "cumulative_sum": q_cumulative_sum,
@@ -1004,6 +1036,22 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15'
 GROUP BY o_orderkey, o_orderdate""",
+
+        "anti_join": """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+
+        "semi_join_date_arith": """
+SELECT o_orderpriority, count(*) AS n_late_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority""",
+
+        "except_users": """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'""",
 
         "topk_per_group": """
 SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
