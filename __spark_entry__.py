@@ -477,6 +477,23 @@ def q_rolling_mean(spark, sf):
 # LLM-pipeline extensions: dedup / text / similarity / multimodal
 # ---------------------------------------------------------------------------
 
+def q_rollup(spark, sf):
+    """ROLLUP subtotals (grouping-sets family, beyond the reference)."""
+    li = load_table(spark, sf, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("l_quantity"), 2).alias("qty")))
+
+
+def q_unpivot(spark, sf):
+    """Wide->long unpivot via stack()."""
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.selectExpr(
+        "l_orderkey", "l_linenumber",
+        "stack(3, 'quantity', l_quantity, 'price', l_extendedprice, "
+        "'discount', l_discount) AS (metric, value)")
+
+
 def q_dedup_exact(spark, sf):
     d = load_table(spark, sf, "documents")
     return xdedup.exact_dedup(d)
@@ -649,6 +666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot": q_pivot,
         "percentiles": q_percentiles,
         "set_ops": q_set_ops,
+        "rollup": q_rollup,
+        "unpivot": q_unpivot,
         "ngram_top": q_ngram_top,
         "token_frequencies": q_token_frequencies,
         "embedding_label_stats": q_embedding_label_stats,
@@ -1097,6 +1116,18 @@ FROM lineitem GROUP BY l_returnflag""",
 SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
 INTERSECT
 SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'""",
+
+        "rollup": """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+        "unpivot": """
+WITH s AS (SELECT * FROM lineitem WHERE l_orderkey % 50 = 0)
+SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value FROM s
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM s
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM s""",
 
         "ngram_top": f"""
 WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKS} END AS toks
