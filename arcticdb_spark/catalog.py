@@ -118,11 +118,16 @@ class VersionManifest:
                                d.get("metadata"), d.get("sorted", "ASCENDING"))
 
 
+# metadata IO goes through the filesystem abstraction (sources/filesystem.py)
+# — an object-store backend implements that protocol (atomic PUT +
+# conditional-PUT CAS); everything below is backend-agnostic.
+from arcticdb_spark.sources.filesystem import LocalFileSystem
+
+_FS = LocalFileSystem()
+
+
 def _atomic_write_json(path: str, obj) -> None:
-    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(obj, f)
-    os.replace(tmp, path)  # atomic on POSIX; S3 -> conditional PUT
+    _FS.write_json_atomic(path, obj)
 
 
 def _renumber(files: list[FileEntry]) -> list[FileEntry]:
@@ -244,17 +249,10 @@ class Library:
         sym_dir = self._sym_dir(manifest.symbol)
         os.makedirs(os.path.join(sym_dir, "_versions"), exist_ok=True)
         vpath = self._ver_path(manifest.symbol, manifest.version)
-        tmp = f"{vpath}.tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(manifest.to_json(), f)
-        try:
-            os.link(tmp, vpath)   # fails with EEXIST on a lost race
-        except FileExistsError:
-            os.remove(tmp)
+        if not _FS.write_json_if_absent(vpath, manifest.to_json()):
             raise ArcticException(
                 f"concurrent write to {manifest.symbol!r}: version "
                 f"{manifest.version} was committed by another writer")
-        os.remove(tmp)
         ref = {"latest": manifest.version, "deleted": []}
         if os.path.exists(self._ref_path(manifest.symbol)):
             old = self._load_ref(manifest.symbol)

@@ -68,9 +68,17 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
     only = [a for a in sys.argv[1:] if "/" not in a]
 
+    import os
     import __spark_entry__ as entry_mod
-    from arcticdb_spark import get_spark
-    spark = get_spark()
+    if os.environ.get("BARE_SESSION"):
+        # simulate the verify driver: plain session, none of our configs
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[*]")
+                 .config("spark.sql.session.timeZone", "America/New_York")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+    else:
+        from arcticdb_spark import get_spark
+        spark = get_spark()
 
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
