@@ -578,6 +578,32 @@ class Library:
                         prune_files_by_stats
                     files = prune_files_by_stats(files, stats,
                                                  clauses[0][1]["expr"])
+            # positional pruning for a LEADING head/tail/row_range clause:
+            # cumulative row offsets identify the files containing the
+            # requested positions (reference RowRangeClause
+            # structure_for_processing, clause.cpp:874-930)
+            if clauses and clauses[0][0] in ("head", "tail", "row_range"):
+                kind0, args0 = clauses[0]
+                total = m.total_rows
+                if kind0 == "head":
+                    lo_r, hi_r = 0, args0["n"]
+                elif kind0 == "tail":
+                    lo_r, hi_r = max(0, total - args0["n"]), total
+                else:
+                    s0, e0 = args0["range"]
+                    s0 = 0 if s0 is None else (s0 + total if s0 < 0 else s0)
+                    e0 = total if e0 is None else (e0 + total if e0 < 0 else e0)
+                    lo_r, hi_r = s0, e0
+                files = [fe for fe in files
+                         if fe.row_start < hi_r and fe.row_start + fe.rows > lo_r]
+                # rewrite the clause with RESOLVED bounds: the pruned frame
+                # no longer spans [0, total), so positional re-resolution
+                # (tail totals, negative indices) inside the clause would be
+                # wrong — give it absolute row ids instead
+                import copy
+                query_builder = copy.copy(query_builder)
+                query_builder._clauses = ([("row_range", {"range": (lo_r, hi_r)})]
+                                          + clauses[1:])
 
         need_row_id = with_row_ids or row_range is not None or (
             query_builder is not None and any(

@@ -179,3 +179,26 @@ def test_commit_conflict_detected(tmp_lib):
     with pytest.raises(ArcticException, match="concurrent"):
         tmp_lib._commit(VersionManifest("sym", 1, _t.time_ns(), m.index_column,
                                         m.schema_json, m.files))
+
+
+def test_leading_rowrange_clause_prunes_files(tmp_lib):
+    from arcticdb_spark.query import QueryBuilder
+    tmp_lib.write("sym", _ts_frame("2024-01-01", 24))
+    for d in range(2, 6):
+        tmp_lib.append("sym", _ts_frame(f"2024-01-0{d}", 24, value_offset=(d - 1) * 24))
+    m = tmp_lib._load_manifest("sym", 4)
+    assert len(m.files) >= 3
+    total = 120
+    # head through the clause pipeline
+    out = tmp_lib.read("sym", query_builder=QueryBuilder().head(5))
+    import re
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    loc = re.search(r"InMemoryFileIndex\((\d+) paths\)", plan)
+    assert loc and int(loc.group(1)) < len(m.files)
+    assert sorted(r.v for r in out.collect()) == [0.0, 1.0, 2.0, 3.0, 4.0]
+    # tail
+    t = tmp_lib.read("sym", query_builder=QueryBuilder().tail(5))
+    assert sorted(r.v for r in t.collect()) == [115.0, 116.0, 117.0, 118.0, 119.0]
+    # negative row_range fully inside an interior file
+    rr = tmp_lib.read("sym", query_builder=QueryBuilder().row_range((-20, -10)))
+    assert sorted(r.v for r in rr.collect()) == [float(x) for x in range(100, 110)]
