@@ -618,6 +618,18 @@ def q_similarity_ivf(spark, sf):
         "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
 
 
+def q_approx_sketches(spark, sf):
+    """Sketch aggregations for the 100 TB path: HyperLogLog distinct counts
+    and t-digest-style quantiles — O(1) state per group vs exact shuffles.
+    rows-only check: sketch estimates are engine-specific by design; the
+    exact counterparts are oracle-checked in distinct_agg / percentiles."""
+    ev = load_table(spark, sf, "events")
+    return (ev.groupBy("event_type")
+              .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+                   F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
+                   F.count(F.lit(1)).alias("n")))
+
+
 def q_multimodal_features(spark, sf):
     media = xmm.make_demo_media(spark, n=64)
     return xmm.extract_features(media, fake=True, batch_partitions=4)
@@ -686,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
         "json_extract": q_json_extract,
+        "approx_sketches": q_approx_sketches,
         "multimodal_features": q_multimodal_features,
     }
 
