@@ -228,11 +228,12 @@ def q_project_then_groupby(spark, sf):
 
 
 def q_pipeline_filter_head(spark, sf):
-    """filter -> head positional semantics on the filtered frame."""
-    ev = with_row_id(load_table(spark, sf, "events"), ["ts", "event_id"])
+    """filter -> head positional semantics on the filtered frame (head on
+    the post-filter frame compiles to TakeOrdered, no row-id pass)."""
+    ev = load_table(spark, sf, "events")
     q = QueryBuilder()
     q = q[q["event_type"] == "purchase"].head(50)
-    return q.to_df(ev, "ts").drop(ROW_ID)
+    return q.to_df(ev, ["ts", "event_id"])
 
 
 def q_resample_std_median(spark, sf):
@@ -278,18 +279,22 @@ def q_date_range(spark, sf):
 
 
 def q_head(spark, sf):
-    ev = with_row_id(load_table(spark, sf, "events"), ["ts", "event_id"])
-    return QueryBuilder().head(25).to_df(ev, "ts").drop(ROW_ID)
+    # composite index = deterministic position order; the bare-frame head
+    # compiles to TakeOrderedAndProject — no row-id shuffle, no collect
+    ev = load_table(spark, sf, "events")
+    return QueryBuilder().head(25).to_df(ev, ["ts", "event_id"])
 
 
 def q_tail(spark, sf):
-    ev = with_row_id(load_table(spark, sf, "events"), ["ts", "event_id"])
-    return QueryBuilder().tail(25).to_df(ev, "ts").drop(ROW_ID)
+    ev = load_table(spark, sf, "events")
+    return QueryBuilder().tail(25).to_df(ev, ["ts", "event_id"])
 
 
 def q_row_range(spark, sf):
-    ev = with_row_id(load_table(spark, sf, "events"), ["ts", "event_id"])
-    return QueryBuilder().row_range((100, 180)).to_df(ev, "ts").drop(ROW_ID)
+    # bounded prefix: TakeOrdered(180) + window over those 180 rows only
+    ev = load_table(spark, sf, "events")
+    out = QueryBuilder().row_range((100, 180)).to_df(ev, ["ts", "event_id"])
+    return out.drop(ROW_ID)
 
 
 def q_concat_outer(spark, sf):
@@ -565,10 +570,12 @@ def q_ngram_top(spark, sf):
     exploded = (d.filter(F.size(toks) >= 2)
                  .select(F.explode(bigrams).alias("bigram")))
     counted = exploded.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    # top-k via TakeOrderedAndProject (no global single-task window over the
+    # vocabulary-sized count table); rank assigned on the 25-row result
     from pyspark.sql import Window
+    top = counted.orderBy(F.col("n").desc(), F.col("bigram")).limit(25)
     w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
-    return (counted.withColumn("rank", F.row_number().over(w).cast("long"))
-                   .filter(F.col("rank") <= 25))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def q_token_frequencies(spark, sf):
@@ -578,10 +585,11 @@ def q_token_frequencies(spark, sf):
     d = _spread(load_table(spark, sf, "documents"))
     toks = (d.select(F.explode(tokens(F.lower(F.col("text")))).alias("token")))
     counted = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    # TakeOrdered top-30, then rank over the 30-row result only
     from pyspark.sql import Window
+    top = counted.orderBy(F.col("n").desc(), F.col("token")).limit(30)
     w = Window.orderBy(F.col("n").desc(), F.col("token"))
-    return (counted.withColumn("rank", F.row_number().over(w).cast("long"))
-                   .filter(F.col("rank") <= 30))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def q_embedding_label_stats(spark, sf):

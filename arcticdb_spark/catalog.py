@@ -175,6 +175,17 @@ def _json_safe(v):
     return v
 
 
+def _norm_range_ns(date_range: tuple) -> tuple[int, int]:
+    """(lo, hi) date_range with None = open end, as exact ns ints clamped to
+    the pandas-representable extremes (so they survive pd.Timestamp round
+    trips in boundary filters)."""
+    import pandas as pd
+    lo, hi = date_range
+    lo = pd.Timestamp.min.value + 1 if lo is None else pd.Timestamp(lo).value
+    hi = pd.Timestamp.max.value if hi is None else pd.Timestamp(hi).value
+    return lo, hi
+
+
 def _to_ns(v) -> int:
     import datetime as _dt
 
@@ -436,11 +447,12 @@ class Library:
             raise ArcticException("update requires a timestamp-indexed symbol")
         sdf = self._normalize(df)
         if date_range is not None:
-            lo = pd.Timestamp(date_range[0]).value if date_range[0] is not None else None
-            hi = pd.Timestamp(date_range[1]).value if date_range[1] is not None else None
+            # open-ended bounds (reference supports them): normalize to the
+            # representable ns extremes so the keep/rewrite split and the
+            # boundary filter below stay plain int/timestamp comparisons
+            lo, hi = _norm_range_ns(date_range)
             sdf = sdf.filter(F.col(idx).between(
-                pd.Timestamp(lo, unit="ns"), pd.Timestamp(hi, unit="ns"))) \
-                if lo is not None and hi is not None else sdf
+                pd.Timestamp(lo, unit="ns"), pd.Timestamp(hi, unit="ns")))
         else:
             mm = sdf.agg(F.min(idx), F.max(idx)).first()
             if mm[0] is None:
@@ -473,8 +485,7 @@ class Library:
         import pandas as pd
         prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
         idx = prev.index_column
-        lo = pd.Timestamp(date_range[0]).value
-        hi = pd.Timestamp(date_range[1]).value
+        lo, hi = _norm_range_ns(date_range)
         keep, rewrite = [], []
         for fe in prev.files:
             if fe.ts_max is None or fe.ts_min is None:
@@ -558,26 +569,54 @@ class Library:
         files = list(m.files)
         idx = m.index_column
 
+        if query_builder is not None and (date_range is not None
+                                          or row_range is not None):
+            # Reference semantics (library.py:2022): the read-level
+            # date_range/row_range parameters filter BEFORE the
+            # query_builder clauses run, and positional clauses then apply
+            # to the *filtered* frame. Fold the params in as leading
+            # clauses so the clause kernels' ROW_ID invalidation /
+            # re-resolution logic runs — applying them as absolute-rowid
+            # post-filters would intersect wrongly with positional clauses
+            # (e.g. date_range + head(5) would return empty).
+            import copy
+            query_builder = copy.copy(query_builder)
+            pre = []
+            if date_range is not None:
+                pre.append(("date_range", {"range": date_range}))
+            if row_range is not None:
+                pre.append(("row_range", {"range": row_range}))
+            query_builder._clauses = pre + list(query_builder._clauses)
+            param_date_range = date_range
+            date_range = row_range = None
+        else:
+            param_date_range = None
+
         lo_ns = hi_ns = None
-        if date_range is not None:
-            lo_ns = pd.Timestamp(date_range[0]).value if date_range[0] is not None else None
-            hi_ns = pd.Timestamp(date_range[1]).value if date_range[1] is not None else None
+        dr = date_range if date_range is not None else param_date_range
+        if dr is not None:
+            lo_ns = pd.Timestamp(dr[0]).value if dr[0] is not None else None
+            hi_ns = pd.Timestamp(dr[1]).value if dr[1] is not None else None
             files = [fe for fe in files
                      if not (fe.ts_min is not None and hi_ns is not None and fe.ts_min > hi_ns)
                      and not (fe.ts_max is not None and lo_ns is not None and fe.ts_max < lo_ns)]
 
         # zone-map pruning: if column stats exist for this version and the
-        # query starts with a filter, drop files whose [min,max] ranges
-        # cannot match (reference column_stats_filter.cpp Kleene evaluation)
+        # query starts with a filter (a leading date_range clause only
+        # removes rows, so it doesn't change zone-map applicability), drop
+        # files whose [min,max] ranges cannot match (reference
+        # column_stats_filter.cpp Kleene evaluation)
         if query_builder is not None:
             clauses = getattr(query_builder, "_clauses", [])
-            if clauses and clauses[0][0] == "filter":
+            first_non_dr = next(
+                (c for c in clauses if c[0] != "date_range"), None)
+            if first_non_dr is not None and first_non_dr[0] == "filter":
                 stats = self.get_column_stats(symbol, as_of=as_of)
                 if stats:
                     from arcticdb_spark.plans.stats_prune import \
                         prune_files_by_stats
                     files = prune_files_by_stats(files, stats,
-                                                 clauses[0][1]["expr"])
+                                                 first_non_dr[1]["expr"])
             # positional pruning for a LEADING head/tail/row_range clause:
             # cumulative row offsets identify the files containing the
             # requested positions (reference RowRangeClause

@@ -229,6 +229,18 @@ _ARITH = {"ADD", "SUB", "MUL", "DIV", "POW"}
 _BOOLEAN = {"AND", "OR", "XOR"}
 
 
+def _ts_to_nanos(c: Column) -> Column:
+    """Timestamp column -> exact int64 nanoseconds since epoch.
+
+    ``unix_micros`` is exact long arithmetic (Spark timestamps are µs
+    precision), so ``* 1000`` is the exact ns value — unlike
+    ``cast("double") * 1e9`` which loses ~256 ns of precision at 2020-era
+    epochs. NTZ/date inputs are cast to TIMESTAMP first (value-preserving
+    under the UTC session we enforce).
+    """
+    return F.unix_micros(c.cast("timestamp")) * F.lit(1000).cast("long")
+
+
 def _lit(v) -> Column:
     # pandas Timestamps / numpy datetime64 to Spark literal
     k = _kind_of_value(v)
@@ -319,11 +331,13 @@ def _compile(node: ExpressionNode, schema: dict[str, T.DataType]) -> tuple[Colum
             elif {lk, rk} <= {INT, FLOAT, BOOL}:
                 pass
             elif {lk, rk} == {TS, INT}:
-                # timestamps compared as int64 nanos (processing.py:368-377)
+                # timestamps compared as int64 nanos (processing.py:368-377).
+                # Exact long math — a double at ~1.7e18 ns has ~256 ns ulp and
+                # would misclassify boundary rows; unix_micros stays integral.
                 if lk == TS:
-                    lc = (lc.cast("double") * 1e9).cast("long")
+                    lc = _ts_to_nanos(lc)
                 else:
-                    rc = (rc.cast("double") * 1e9).cast("long")
+                    rc = _ts_to_nanos(rc)
             elif TS in (lk, rk) and {lk, rk} != {TS}:
                 raise ExpressionError(f"cannot compare {lk} with {rk}")
             cmp = {"EQ": lambda a, b: a == b, "NE": lambda a, b: a != b,

@@ -31,6 +31,27 @@ from pyspark.sql import functions as F
 
 from arcticdb_spark.extensions.text import fingerprint, tokens
 
+# Persisted intermediates (signature / band tables) registered here so a
+# long-lived session doing repeated dedup can release executor memory:
+# call unpersist_all() after consuming the result (bench.py does).
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def unpersist_all() -> None:
+    """Release every cached dedup intermediate (safe to call any time after
+    the result DataFrames have been consumed)."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+
 
 # ---------------------------------------------------------------------------
 # exact
@@ -117,8 +138,8 @@ def minhash_band_table(df: DataFrame, text_col: str = "text",
         shingles(F.col(text_col), k),
         lambda s: F.concat(*[F.md5(F.concat(F.lit(f"h{j}:"), s))
                              for j in range(n_seeds)]))
-    hs_df = (_spread(df.select(F.col(id_col).alias("id"), text_col))
-             .select("id", digests.alias("hs")).persist())
+    hs_df = _persist(_spread(df.select(F.col(id_col).alias("id"), text_col))
+                     .select("id", digests.alias("hs")))
     # signature position i = 8-hex-char chunk at offset i*8 of the concat
     # (== substring(md5(h{i//4}:s), (i%4)*8+1, 8) — same family as
     # minhash_signature and the DuckDB oracle). Band keys are built straight
@@ -133,7 +154,7 @@ def minhash_band_table(df: DataFrame, text_col: str = "text",
                                               for r in range(rows)])))
             for b in range(bands)]
     keyed = hs_df.select("id", F.explode(F.array(*keys)).alias("band"))
-    return keyed.persist()
+    return _persist(keyed)
 
 
 def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
@@ -164,9 +185,9 @@ def jaccard_near_dup_pairs(df: DataFrame, text_col: str = "text",
     candidate ids — at scale this is a semi-join-sized shuffle, not O(n²).
     """
     cand = minhash_near_dup_pairs(df, text_col, id_col, num_hashes, bands, k)
-    sets_df = _spread(df.select(F.col(id_col).alias("id"), text_col)) \
-        .select("id", F.array_distinct(shingles(F.col(text_col), k)).alias("sh")) \
-        .persist()
+    sets_df = _persist(
+        _spread(df.select(F.col(id_col).alias("id"), text_col))
+        .select("id", F.array_distinct(shingles(F.col(text_col), k)).alias("sh")))
     j = (cand.join(sets_df.withColumnRenamed("id", "id_a")
                           .withColumnRenamed("sh", "sh_a"), "id_a")
              .join(sets_df.withColumnRenamed("id", "id_b")
@@ -205,8 +226,8 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     else:
         buckets = _bucket_udf([_planes(dim, n_planes, seed=7000 + t)
                                for t in range(n_tables)])
-        keyed = base.select("id", "vec", F.explode(buckets(F.col("vec"))).alias("bk")) \
-                    .persist()
+        keyed = _persist(base.select(
+            "id", "vec", F.explode(buckets(F.col("vec"))).alias("bk")))
         a, b = keyed.alias("a"), keyed.alias("b")
         pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
                         & (F.col("a.id") < F.col("b.id")))
@@ -279,8 +300,8 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     (pigeonhole), so candidates come from equi-joins, verified by popcount."""
     h = simhash(F.col(text_col))
     width = _SIMHASH_BITS // bands
-    base = _spread(df.select(F.col(id_col).alias("id"), text_col)) \
-        .select("id", h.alias("sh")).persist()
+    base = _persist(_spread(df.select(F.col(id_col).alias("id"), text_col))
+                    .select("id", h.alias("sh")))
     chunks = base.select(
         "id", "sh",
         F.explode(F.array(*[

@@ -30,7 +30,12 @@ def merge_update(target: DataFrame, source: DataFrame, on: list[str],
             raise ValueError(f"merge key {k!r} missing from target or source")
 
     t = target.alias("t")
-    s = source.alias("s")
+    # Explicit matched flag: keys join with eqNullSafe, so a NULL source key
+    # can legitimately match a NULL target key — testing s.<key>.isNotNull()
+    # would misclassify that row as unmatched. A literal TRUE column from the
+    # source side is null exactly when the join found no source row.
+    _MATCHED = "__merge_matched__"
+    s = source.withColumn(_MATCHED, F.lit(True)).alias("s")
     how = "full_outer" if upsert else "left_outer"
     cond = None
     for k in on:
@@ -41,12 +46,12 @@ def merge_update(target: DataFrame, source: DataFrame, on: list[str],
     out_cols = []
     src_cols = set(source.columns)
     tgt_cols = set(target.columns)
+    matched = F.col(f"s.{_MATCHED}").isNotNull()
     for c in target.columns:
         if c in on:
             out_cols.append(F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c))
         elif c in src_cols:
             # matched (or inserted) -> source value; else keep target
-            matched = F.col(f"s.{on[0]}").isNotNull()
             out_cols.append(
                 F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c))
         else:

@@ -67,12 +67,16 @@ def resolve_origin(df: DataFrame, ts_col: str, origin: Any, offset: str | None,
         agg = F.min(ts_col) if origin.startswith("start") else F.max(ts_col)
         val = df.select(agg).first()[0]
         t = pd.Timestamp(val)
-        if origin.endswith("_day"):
+        # pandas TimeGrouper anchors (core/resample.py _get_timestamp_range_edges):
+        #   start:     data min          start_day: floor-midnight of first day
+        #   end:       data max          end_day:   ceiling-midnight of last day
+        # Bucket edges are then aligned mod rule to this anchor — no extra
+        # epoch flooring (reference processing.py:890-895 keeps all six exact).
+        if origin == "start_day":
             t = t.normalize()
+        elif origin == "end_day":
+            t = t.ceil("D")
         origin_ns = t.value
-        if origin.startswith("end"):
-            # pandas aligns buckets to end: shift so the end lands on origin
-            origin_ns = origin_ns - (origin_ns % rule_ns)  # pragmatic alignment
     elif origin in (None, "epoch"):
         origin_ns = 0
     else:
@@ -159,8 +163,11 @@ def resample(df: DataFrame, ts_col: str, rule: str, aggregations: dict,
     """Down-sample ``df`` on ``ts_col``; returns one row per non-empty bucket,
     bucket timestamp in ``ts_col`` (left or right label)."""
     rule_ns = rule_to_nanos(rule)
-    closed = closed or "left"
-    label = label or "left"
+    # end origins flip the default boundary to right (reference
+    # processing.py:898-906, mirroring pandas TimeGrouper.__init__)
+    end_origin = isinstance(origin, str) and origin in ("end", "end_day")
+    closed = closed or ("right" if end_origin else "left")
+    label = label or ("right" if end_origin else "left")
     if closed not in ("left", "right") or label not in ("left", "right"):
         raise ValueError("closed/label must be 'left' or 'right'")
     origin_ns = resolve_origin(df, ts_col, origin, offset, rule_ns)
@@ -169,7 +176,13 @@ def resample(df: DataFrame, ts_col: str, rule: str, aggregations: dict,
     ts_ns = _ts_nanos(F.col(ts_col))
     start_ns = bucket_start_nanos(ts_ns, rule_ns, origin_ns, closed)
     label_ns = start_ns + F.lit(rule_ns) if label == "right" else start_ns
-    bucket = F.timestamp_micros((label_ns / F.lit(1000)).cast("long")).alias(ts_col)
+    # ns -> µs must stay exact: long `/` is double division and at ~1.7e18 ns
+    # the pre-division rounding error can truncate the quotient one µs low.
+    # Floor to a multiple of 1000 in long math, then divide in decimal
+    # (exact for any int64 input).
+    label_us = ((label_ns - F.pmod(label_ns, F.lit(1000)))
+                .cast("decimal(38,0)") / F.lit(1000)).cast("long")
+    bucket = F.timestamp_micros(label_us).alias(ts_col)
 
     dtypes = dict(df.dtypes)
     aggs = [compile_agg(o, i, h, ts_col, dtypes) for (o, i, h) in specs]

@@ -50,7 +50,11 @@ class QueryBuilder:
     """Chainable clause list; immutable-ish (each op appends and returns self,
     matching the reference's fluent mutation style)."""
 
-    def __init__(self, index_column: str = "ts"):
+    def __init__(self, index_column: str | list[str] = "ts"):
+        # index_column may be a list (MultiIndex-style composite): the first
+        # element is the event-time column used by date_range/resample/
+        # first-last aggs; the full list is the deterministic positional
+        # order for head/tail/row_range (tie-break columns).
         self._clauses: list[tuple[str, dict]] = []
         self._index_column = index_column
         self._pending_groupby: str | list[str] | None = None
@@ -128,12 +132,13 @@ class QueryBuilder:
         return self
 
     # -- compilation --
-    def to_df(self, df: DataFrame, index_column: str | None = None) -> DataFrame:
+    def to_df(self, df: DataFrame, index_column: str | list[str] | None = None
+              ) -> DataFrame:
         """Apply all clauses to one DataFrame, in order."""
         return self._run(df, index_column or self._index_column)
 
     def to_df_multi(self, dfs: list[DataFrame],
-                    index_column: str | None = None) -> DataFrame:
+                    index_column: str | list[str] | None = None) -> DataFrame:
         """Reference ``read_batch_and_join``: concat first, then clauses."""
         clauses = list(self._clauses)
         join = "outer"
@@ -143,7 +148,20 @@ class QueryBuilder:
         return self._run(df, index_column or self._index_column,
                          skip_concat=True)
 
-    def _run(self, df: DataFrame, index_column: str,
+    @staticmethod
+    def _ts_col(idx) -> str | None:
+        """Event-time column: first element of a composite index."""
+        if isinstance(idx, (list, tuple)):
+            return idx[0] if idx else None
+        return idx
+
+    @staticmethod
+    def _order_cols(idx, df: DataFrame) -> list[str]:
+        """Deterministic positional ordering: every index column present."""
+        cols = list(idx) if isinstance(idx, (list, tuple)) else [idx]
+        return [c for c in cols if c is not None and c in df.columns]
+
+    def _run(self, df: DataFrame, index_column,
              skip_concat: bool = False) -> DataFrame:
         for kind, args in self._clauses:
             if kind == "concat":
@@ -188,17 +206,18 @@ class QueryBuilder:
             c = kc.isNotNull()
             cond = c if cond is None else (cond & c)
         specs = normalize_agg_spec(args["aggs"])
-        aggs = [compile_agg(o, i, h, idx, dtypes) for (o, i, h) in specs]
+        ts = self._ts_col(idx)
+        aggs = [compile_agg(o, i, h, ts, dtypes) for (o, i, h) in specs]
         return df.filter(cond).groupBy(*key_cols).agg(*aggs)
 
     def _apply_resample_agg(self, df, args, idx):
-        return _resample(df, idx, args["rule"], args["aggs"],
+        return _resample(df, self._ts_col(idx), args["rule"], args["aggs"],
                          closed=args["closed"], label=args["label"],
                          offset=args["offset"], origin=args["origin"])
 
     def _apply_date_range(self, df, args, idx):
         lo, hi = args["range"]
-        c = F.col(idx)
+        c = F.col(self._ts_col(idx))
         if lo is not None and hi is not None:
             out = df.filter(c.between(_to_ts(lo), _to_ts(hi)))
         elif lo is not None:
@@ -209,13 +228,20 @@ class QueryBuilder:
             out = df
         return out.drop(ROW_ID) if (out is not df and ROW_ID in out.columns) else out
 
+    # row counts below which a single-task row_number window over an
+    # already-limited frame is cheaper than a distributed two-phase row-id
+    # assignment (the frame at that point holds at most `end` rows)
+    _LIMIT_WINDOW_MAX = 1_000_000
+
     def _apply_head(self, df, args, idx):
         n = args["n"]
         if ROW_ID in df.columns:
+            # prefix keeps positions aligned — no rebase needed
             return df.filter(F.col(ROW_ID) < n)
-        if idx in df.columns:
-            # TakeOrderedAndProject — no global sort materialization
-            return df.orderBy(idx).limit(n)
+        order = self._order_cols(idx, df)
+        if order:
+            # TakeOrderedAndProject — no shuffle, no global sort
+            return df.orderBy(*order).limit(n)
         return df.limit(n)
 
     def _apply_tail(self, df, args, idx):
@@ -223,9 +249,15 @@ class QueryBuilder:
         if ROW_ID in df.columns:
             total = df.agg(F.max(ROW_ID)).first()[0]
             total = (total + 1) if total is not None else 0
-            return df.filter(F.col(ROW_ID) >= total - n)
-        if idx in df.columns:
-            return df.orderBy(F.col(idx).desc()).limit(n).orderBy(idx)
+            cut = max(total - n, 0)
+            out = df.filter(F.col(ROW_ID) >= cut)
+            # rebase so a following positional clause sees 0-based positions
+            return out.withColumn(ROW_ID, F.col(ROW_ID) - F.lit(cut)) if cut else out
+        order = self._order_cols(idx, df)
+        if order:
+            # reverse TakeOrdered, then an n-row sort back to index order
+            return (df.orderBy(*[F.col(c).desc() for c in order]).limit(n)
+                      .orderBy(*order))
         total = df.count()
         df = with_row_id(df)
         return df.filter(F.col(ROW_ID) >= total - n).drop(ROW_ID)
@@ -233,8 +265,20 @@ class QueryBuilder:
     def _apply_row_range(self, df, args, idx):
         start, end = args["range"]
         if ROW_ID not in df.columns:
-            order = [idx] if idx in df.columns else None
-            df = with_row_id(df, order_cols=order)
+            order = self._order_cols(idx, df)
+            small_prefix = (order and start is not None and start >= 0
+                            and end is not None
+                            and 0 <= end <= self._LIMIT_WINDOW_MAX)
+            if small_prefix:
+                # TakeOrdered the first `end` rows, then number that bounded
+                # set with a window — the window input is ≤ end rows, so the
+                # single task is fine; the full table is never shuffled.
+                from pyspark.sql import Window
+                top = df.orderBy(*order).limit(end)
+                rn = F.row_number().over(Window.orderBy(*order)) - 1
+                df = top.withColumn(ROW_ID, rn.cast("long"))
+            else:
+                df = with_row_id(df, order_cols=order or None)
         rid = F.col(ROW_ID)
         if (start is not None and start < 0) or (end is not None and end < 0):
             total = df.agg(F.max(ROW_ID)).first()[0]
@@ -246,7 +290,11 @@ class QueryBuilder:
             cond = cond & (rid >= start)
         if end is not None:
             cond = cond & (rid < end)
-        return df.filter(cond)
+        out = df.filter(cond)
+        if start:
+            # rebase: positions in the sliced frame start at 0
+            out = out.withColumn(ROW_ID, rid - F.lit(int(start)))
+        return out
 
     def __repr__(self):
         return f"QueryBuilder({[k for k, _ in self._clauses]})"
