@@ -119,15 +119,12 @@ class VersionManifest:
 
 
 # metadata IO goes through the filesystem abstraction (sources/filesystem.py)
-# — an object-store backend implements that protocol (atomic PUT +
-# conditional-PUT CAS); everything below is backend-agnostic.
-from arcticdb_spark.sources.filesystem import LocalFileSystem
-
-_FS = LocalFileSystem()
-
-
-def _atomic_write_json(path: str, obj) -> None:
-    _FS.write_json_atomic(path, obj)
+# — each Library holds an implementation of that protocol (atomic PUT +
+# conditional-PUT CAS); S3ObjectFileSystem gives the reference's serverless
+# object-store layout, LocalFileSystem covers posix/NFS. Data files (parquet)
+# are written by Spark and can live on a different root (data_root) so
+# object-store metadata + locally-mounted data compose.
+from arcticdb_spark.sources.filesystem import LocalFileSystem, S3ObjectFileSystem
 
 
 def _renumber(files: list[FileEntry]) -> list[FileEntry]:
@@ -205,52 +202,66 @@ class Library:
     """One namespace of versioned symbols (reference ``library.py:879``)."""
 
     def __init__(self, spark: SparkSession, root: str, name: str,
-                 rows_per_file: int = 1_000_000, dynamic_schema: bool = False):
+                 rows_per_file: int = 1_000_000, dynamic_schema: bool = False,
+                 fs=None, data_root: str | None = None):
         self.spark = spark
         self.name = name
-        self.root = os.path.join(root, name)
-        os.makedirs(self.root, exist_ok=True)
-        os.makedirs(os.path.join(self.root, "_snapshots"), exist_ok=True)
+        self._fs = fs or LocalFileSystem()
+        self.root = self._fs.join(root, name)
+        # data (parquet) root: Spark/pyarrow-visible path. Defaults to the
+        # metadata root for the local backend; an object-store metadata fs
+        # needs an explicit data_root (e.g. a mounted bucket or s3a:// URI).
+        if data_root is not None:
+            self.data_root = os.path.join(data_root, name)
+        elif isinstance(self._fs, LocalFileSystem):
+            self.data_root = self.root
+        else:
+            raise ArcticException(
+                "object-store metadata fs requires data_root for Spark data files")
+        self._fs.makedirs(self.root)
+        self._fs.makedirs(self._fs.join(self.root, "_snapshots"))
+        os.makedirs(self.data_root, exist_ok=True)
         # persisted LibraryOptions (reference options.py:21): a library
         # re-opened later keeps its configuration
-        cfg_path = os.path.join(self.root, "_config.json")
-        if os.path.exists(cfg_path):
-            with open(cfg_path) as f:
-                cfg = json.load(f)
+        cfg_path = self._fs.join(self.root, "_config.json")
+        try:
+            cfg = self._fs.read_json(cfg_path)
             rows_per_file = cfg.get("rows_per_file", rows_per_file)
             dynamic_schema = cfg.get("dynamic_schema", dynamic_schema)
-        else:
-            _atomic_write_json(cfg_path, {"rows_per_file": rows_per_file,
-                                          "dynamic_schema": dynamic_schema})
+        except FileNotFoundError:
+            self._fs.write_json_atomic(cfg_path, {"rows_per_file": rows_per_file,
+                                                  "dynamic_schema": dynamic_schema})
         self.rows_per_file = rows_per_file
         # reference LibraryOptions.dynamic_schema (options.py:43): appends may
         # add columns / promote numeric types; reads backfill + upcast
         self.dynamic_schema = dynamic_schema
 
-    # ---- paths ----
+    # ---- paths (metadata via self._fs; data via local/Spark paths) ----
     def _sym_dir(self, symbol):
-        return os.path.join(self.root, symbol)
+        return self._fs.join(self.root, symbol)
+
+    def _data_sym_dir(self, symbol):
+        return os.path.join(self.data_root, symbol)
 
     def _ver_path(self, symbol, v):
-        return os.path.join(self._sym_dir(symbol), "_versions", f"v{v:08d}.json")
+        return self._fs.join(self._sym_dir(symbol), "_versions", f"v{v:08d}.json")
 
     def _ref_path(self, symbol):
-        return os.path.join(self._sym_dir(symbol), "_ref.json")
+        return self._fs.join(self._sym_dir(symbol), "_ref.json")
 
     # ---- manifest IO ----
     def _load_ref(self, symbol) -> dict:
-        p = self._ref_path(symbol)
-        if not os.path.exists(p):
+        try:
+            return self._fs.read_json(self._ref_path(symbol))
+        except FileNotFoundError:
             raise NoSuchVersionException(f"symbol {symbol!r} does not exist")
-        with open(p) as f:
-            return json.load(f)
 
     def _load_manifest(self, symbol, version) -> VersionManifest:
-        p = self._ver_path(symbol, version)
-        if not os.path.exists(p):
+        try:
+            return VersionManifest.from_json(
+                self._fs.read_json(self._ver_path(symbol, version)))
+        except FileNotFoundError:
             raise NoSuchVersionException(f"{symbol!r} version {version} not found")
-        with open(p) as f:
-            return VersionManifest.from_json(json.load(f))
 
     def _commit(self, manifest: VersionManifest) -> VersionManifest:
         """Commit = write v{N}.json then swap _ref.json. The version file
@@ -258,18 +269,20 @@ class Library:
         writer claimed the same version number (the reference's VERSION_REF
         compare-and-swap; on S3 this is a conditional PUT If-None-Match)."""
         sym_dir = self._sym_dir(manifest.symbol)
-        os.makedirs(os.path.join(sym_dir, "_versions"), exist_ok=True)
+        self._fs.makedirs(self._fs.join(sym_dir, "_versions"))
         vpath = self._ver_path(manifest.symbol, manifest.version)
-        if not _FS.write_json_if_absent(vpath, manifest.to_json()):
+        if not self._fs.write_json_if_absent(vpath, manifest.to_json()):
             raise ArcticException(
                 f"concurrent write to {manifest.symbol!r}: version "
                 f"{manifest.version} was committed by another writer")
         ref = {"latest": manifest.version, "deleted": []}
-        if os.path.exists(self._ref_path(manifest.symbol)):
+        try:
             old = self._load_ref(manifest.symbol)
             ref["deleted"] = old.get("deleted", [])
             ref["latest"] = max(manifest.version, old.get("latest", -1))
-        _atomic_write_json(self._ref_path(manifest.symbol), ref)
+        except NoSuchVersionException:
+            pass
+        self._fs.write_json_atomic(self._ref_path(manifest.symbol), ref)
         return manifest
 
     def _next_version(self, symbol) -> int:
@@ -284,7 +297,7 @@ class Library:
                           ) -> list[FileEntry]:
         """Materialize df as Parquet under data/<uuid>/, ts-sorted, and return
         footer-derived FileEntries in index order."""
-        out_dir = os.path.join(self._sym_dir(symbol), "data", uuid.uuid4().hex)
+        out_dir = os.path.join(self._data_sym_dir(symbol), "data", uuid.uuid4().hex)
         os.makedirs(os.path.dirname(out_dir), exist_ok=True)
         if index_column and sort:
             df = (df.repartitionByRange(F.col(index_column))
@@ -539,10 +552,10 @@ class Library:
         return self._load_manifest(symbol, v)
 
     def _list_version_numbers(self, symbol) -> list[int]:
-        d = os.path.join(self._sym_dir(symbol), "_versions")
-        if not os.path.isdir(d):
+        d = self._fs.join(self._sym_dir(symbol), "_versions")
+        if not self._fs.isdir(d):
             return []
-        return sorted(int(fn[1:-5]) for fn in os.listdir(d)
+        return sorted(int(fn[1:-5]) for fn in self._fs.listdir(d)
                       if fn.startswith("v") and fn.endswith(".json"))
 
     def read(self, symbol: str, as_of=None, date_range: tuple | None = None,
@@ -733,7 +746,7 @@ class Library:
 
     # ---- staged ingestion (reference stage/finalize, library.py:952,1739) ----
     def _staging_dir(self, symbol):
-        return os.path.join(self._sym_dir(symbol), "_staging")
+        return os.path.join(self._data_sym_dir(symbol), "_staging")
 
     def stage(self, symbol: str, df) -> None:
         """Parallel unindexed chunk write (APPEND_DATA keys analogue)."""
@@ -803,14 +816,13 @@ class Library:
 
     # ---- snapshots ----
     def _snap_path(self, name):
-        return os.path.join(self.root, "_snapshots", f"{name}.json")
+        return self._fs.join(self.root, "_snapshots", f"{name}.json")
 
     def _load_snapshot(self, name) -> dict:
-        p = self._snap_path(name)
-        if not os.path.exists(p):
+        try:
+            return self._fs.read_json(self._snap_path(name))
+        except FileNotFoundError:
             raise NoSuchVersionException(f"snapshot {name!r} does not exist")
-        with open(p) as f:
-            return json.load(f)
 
     def snapshot(self, name: str, metadata: Any = None,
                  versions: dict[str, int] | None = None) -> None:
@@ -819,40 +831,43 @@ class Library:
             versions = {}
             for sym in self.list_symbols():
                 versions[sym] = self._load_ref(sym)["latest"]
-        _atomic_write_json(self._snap_path(name),
-                           {"symbols": versions, "metadata": metadata,
-                            "created_ns": time.time_ns()})
+        self._fs.write_json_atomic(self._snap_path(name),
+                                   {"symbols": versions, "metadata": metadata,
+                                    "created_ns": time.time_ns()})
 
     def list_snapshots(self) -> list[str]:
-        d = os.path.join(self.root, "_snapshots")
-        return sorted(fn[:-5] for fn in os.listdir(d) if fn.endswith(".json"))
+        d = self._fs.join(self.root, "_snapshots")
+        if not self._fs.isdir(d):
+            return []
+        return sorted(fn[:-5] for fn in self._fs.listdir(d)
+                      if fn.endswith(".json"))
 
     def delete_snapshot(self, name: str) -> None:
-        os.remove(self._snap_path(name))
+        self._fs.remove(self._snap_path(name))
 
     def add_to_snapshot(self, name: str, symbol: str, version: int | None = None):
         snap = self._load_snapshot(name)
         snap["symbols"][symbol] = (version if version is not None
                                    else self._load_ref(symbol)["latest"])
-        _atomic_write_json(self._snap_path(name), snap)
+        self._fs.write_json_atomic(self._snap_path(name), snap)
 
     def remove_from_snapshot(self, name: str, symbol: str):
         snap = self._load_snapshot(name)
         snap["symbols"].pop(symbol, None)
-        _atomic_write_json(self._snap_path(name), snap)
+        self._fs.write_json_atomic(self._snap_path(name), snap)
 
     # ---- listing / metadata / GC ----
     def list_symbols(self) -> list[str]:
         out = []
-        for d in sorted(os.listdir(self.root)):
+        for d in self._fs.listdir(self.root):
             if d.startswith("_"):
                 continue
-            if os.path.exists(self._ref_path(d)):
+            if self._fs.exists(self._ref_path(d)):
                 out.append(d)
-        return out
+        return sorted(out)
 
     def has_symbol(self, symbol: str) -> bool:
-        return os.path.exists(self._ref_path(symbol))
+        return self._fs.exists(self._ref_path(symbol))
 
     def list_versions(self, symbol: str | None = None) -> list[dict]:
         syms = [symbol] if symbol else self.list_symbols()
@@ -886,7 +901,9 @@ class Library:
                 "sorted": m.sorted}
 
     def delete(self, symbol: str) -> None:
-        shutil.rmtree(self._sym_dir(symbol), ignore_errors=True)
+        self._fs.rmtree(self._sym_dir(symbol))
+        if self.data_root != self.root:
+            shutil.rmtree(self._data_sym_dir(symbol), ignore_errors=True)
 
     def delete_version(self, symbol: str, version: int) -> None:
         ref = self._load_ref(symbol)
@@ -899,7 +916,7 @@ class Library:
             else:
                 self.delete(symbol)
                 return
-        _atomic_write_json(self._ref_path(symbol), ref)
+        self._fs.write_json_atomic(self._ref_path(symbol), ref)
 
     def prune_previous_versions(self, symbol: str) -> None:
         """Tombstone all but the latest version and GC unreferenced files,
@@ -925,13 +942,13 @@ class Library:
             for fe in m.files:
                 if fe.path not in referenced and os.path.exists(fe.path):
                     os.remove(fe.path)
-            os.remove(self._ver_path(symbol, v))
+            self._fs.remove(self._ver_path(symbol, v))
         ref["deleted"] = [v for v in ref.get("deleted", []) if v in keep_versions]
-        _atomic_write_json(self._ref_path(symbol), ref)
+        self._fs.write_json_atomic(self._ref_path(symbol), ref)
 
     # ---- column stats (reference create_column_stats, _store.py:1297) ----
     def _stats_path(self, symbol, version):
-        return os.path.join(self._sym_dir(symbol), "_stats", f"v{version:08d}.json")
+        return self._fs.join(self._sym_dir(symbol), "_stats", f"v{version:08d}.json")
 
     def create_column_stats(self, symbol: str, columns: list[str],
                             as_of=None) -> dict:
@@ -961,23 +978,22 @@ class Library:
                     per_col[col] = [_json_safe(mn), _json_safe(mx)]
             stats[fe.path] = per_col
         path = self._stats_path(symbol, m.version)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        _atomic_write_json(path, {"columns": columns, "files": stats})
+        self._fs.makedirs(self._fs.join(self._sym_dir(symbol), "_stats"))
+        self._fs.write_json_atomic(path, {"columns": columns, "files": stats})
         return stats
 
     def get_column_stats(self, symbol: str, as_of=None) -> dict | None:
         m = self._resolve_version(symbol, as_of)
-        p = self._stats_path(symbol, m.version)
-        if not os.path.exists(p):
+        try:
+            return self._fs.read_json(self._stats_path(symbol, m.version))
+        except FileNotFoundError:
             return None
-        with open(p) as f:
-            return json.load(f)
 
     def drop_column_stats(self, symbol: str, as_of=None) -> None:
         m = self._resolve_version(symbol, as_of)
         p = self._stats_path(symbol, m.version)
-        if os.path.exists(p):
-            os.remove(p)
+        if self._fs.exists(p):
+            self._fs.remove(p)
 
     # ---- compaction (reference CompactDataClause / defragment_symbol_data) ----
     def compact_symbol(self, symbol: str, target_rows_per_file: int | None = None
@@ -1038,26 +1054,48 @@ class Library:
 
 class Arctic:
     """Top-level entry point (reference ``arctic.py``): ``Arctic(uri)`` ->
-    ``get_library``. URI = a local/posix or mounted object-store directory."""
+    ``get_library``.
 
-    def __init__(self, uri: str, spark: SparkSession | None = None):
+    URI forms (reference supports s3://, lmdb://, mem:// etc.):
+    * local/posix or mounted object-store directory (default);
+    * ``s3://bucket/prefix`` — metadata on S3 via conditional-PUT CAS
+      (``S3ObjectFileSystem``); pass ``data_root`` (mounted/local path) for
+      the Spark-written parquet files, and optionally ``s3_client`` (e.g. a
+      moto/minio client for tests).
+    """
+
+    def __init__(self, uri: str, spark: SparkSession | None = None,
+                 data_root: str | None = None, s3_client=None):
         from arcticdb_spark.session import get_spark
-        self.uri = uri.removeprefix("file://")
         self.spark = spark or get_spark()
-        os.makedirs(self.uri, exist_ok=True)
+        self.data_root = data_root
+        if uri.startswith("s3://"):
+            rest = uri[len("s3://"):]
+            bucket, _, prefix = rest.partition("/")
+            self.fs = S3ObjectFileSystem(bucket, client=s3_client, prefix=prefix)
+            self.uri = ""
+        else:
+            self.fs = LocalFileSystem()
+            self.uri = uri.removeprefix("file://")
+            os.makedirs(self.uri, exist_ok=True)
 
     def create_library(self, name: str, **kw) -> Library:
+        kw.setdefault("fs", self.fs)
+        kw.setdefault("data_root", self.data_root)
         return Library(self.spark, self.uri, name, **kw)
 
     def get_library(self, name: str, create_if_missing: bool = False) -> Library:
-        path = os.path.join(self.uri, name)
-        if not os.path.isdir(path) and not create_if_missing:
+        path = self.fs.join(self.uri, name) if self.uri else name
+        if not self.fs.isdir(path) and not create_if_missing:
             raise ArcticException(f"library {name!r} does not exist")
-        return Library(self.spark, self.uri, name)
+        return Library(self.spark, self.uri, name, fs=self.fs,
+                       data_root=self.data_root)
 
     def list_libraries(self) -> list[str]:
-        return sorted(d for d in os.listdir(self.uri)
-                      if os.path.isdir(os.path.join(self.uri, d)))
+        return sorted(d for d in self.fs.listdir(self.uri)
+                      if self.fs.isdir(self.fs.join(self.uri, d) if self.uri else d))
 
     def delete_library(self, name: str) -> None:
-        shutil.rmtree(os.path.join(self.uri, name), ignore_errors=True)
+        self.fs.rmtree(self.fs.join(self.uri, name) if self.uri else name)
+        if self.data_root:
+            shutil.rmtree(os.path.join(self.data_root, name), ignore_errors=True)

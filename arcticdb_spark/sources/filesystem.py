@@ -11,10 +11,12 @@ is an 8-method implementation:
   (fails EEXIST on a lost race); S3: conditional PUT with
   ``If-None-Match: *``; GCS: ``x-goods-if-generation-match: 0``; Azure:
   ``If-None-Match: *``. This is the exact analogue of the reference's
-  VERSION_REF compare-and-swap (``version/version_map.hpp``).
+  VERSION_REF compare-and-swap (``version/version_map.hpp``;
+  S3 conditional-write usage ``cpp/arcticdb/storage/s3/s3_storage.cpp``).
 
-Only ``LocalFileSystem`` ships (no object store reachable from this
-container); the catalog takes any implementation of this protocol.
+Two implementations ship: ``LocalFileSystem`` (posix / NFS / FUSE-mounted
+buckets) and ``S3ObjectFileSystem`` (boto3, real or S3-compatible endpoint;
+tested against moto). The catalog takes any implementation of this protocol.
 """
 
 from __future__ import annotations
@@ -71,3 +73,117 @@ class LocalFileSystem:
             return False
         finally:
             os.remove(tmp)
+
+
+class S3ObjectFileSystem:
+    """Metadata store on S3 (or any S3-compatible endpoint) via boto3.
+
+    Paths are bucket-relative keys ('/'-joined); directories are virtual
+    (prefixes), so ``makedirs`` is a no-op and ``isdir`` means "any key
+    under this prefix". The version-commit CAS maps to S3 conditional
+    writes: ``PUT`` with ``If-None-Match: *`` fails with 412
+    PreconditionFailed if the key exists — the serverless multi-writer
+    safety mechanism the reference builds VERSION_REF on
+    (``version/version_map.hpp``, ``storage/s3/s3_storage.cpp``).
+    Plain PUTs are atomic per key (never a torn read), giving
+    ``write_json_atomic`` for free.
+    """
+
+    def __init__(self, bucket: str, client=None, prefix: str = ""):
+        if client is None:  # pragma: no cover - network path
+            import boto3
+            client = boto3.client("s3")
+        self.bucket = bucket
+        self.client = client
+        self.prefix = prefix.strip("/")
+
+    def _key(self, path: str) -> str:
+        path = path.strip("/")
+        if not path:
+            return self.prefix
+        return f"{self.prefix}/{path}" if self.prefix else path
+
+    def _dir_prefix(self, path: str) -> str:
+        k = self._key(path)
+        return k + "/" if k else ""
+
+    def join(self, *parts: str) -> str:
+        return "/".join(p.strip("/") for p in parts if p)
+
+    def exists(self, path: str) -> bool:
+        try:
+            self.client.head_object(Bucket=self.bucket, Key=self._key(path))
+            return True
+        except Exception:
+            return False
+
+    def isdir(self, path: str) -> bool:
+        resp = self.client.list_objects_v2(
+            Bucket=self.bucket, Prefix=self._dir_prefix(path), MaxKeys=1)
+        return resp.get("KeyCount", 0) > 0
+
+    def makedirs(self, path: str) -> None:
+        pass  # prefixes are virtual
+
+    def listdir(self, path: str) -> list[str]:
+        """Immediate children (files and 'directories') under the prefix."""
+        prefix = self._dir_prefix(path)
+        names: set[str] = set()
+        token = None
+        while True:
+            kw = dict(Bucket=self.bucket, Prefix=prefix, Delimiter="/")
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self.client.list_objects_v2(**kw)
+            for obj in resp.get("Contents", []):
+                names.add(obj["Key"][len(prefix):])
+            for cp in resp.get("CommonPrefixes", []):
+                names.add(cp["Prefix"][len(prefix):].rstrip("/"))
+            if not resp.get("IsTruncated"):
+                break
+            token = resp.get("NextContinuationToken")
+        return sorted(n for n in names if n)
+
+    def remove(self, path: str) -> None:
+        self.client.delete_object(Bucket=self.bucket, Key=self._key(path))
+
+    def rmtree(self, path: str) -> None:
+        prefix = self._dir_prefix(path)
+        token = None
+        while True:
+            kw = dict(Bucket=self.bucket, Prefix=prefix)
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self.client.list_objects_v2(**kw)
+            keys = [{"Key": o["Key"]} for o in resp.get("Contents", [])]
+            if keys:
+                self.client.delete_objects(Bucket=self.bucket,
+                                           Delete={"Objects": keys})
+            if not resp.get("IsTruncated"):
+                break
+            token = resp.get("NextContinuationToken")
+
+    def read_json(self, path: str):
+        try:
+            resp = self.client.get_object(Bucket=self.bucket,
+                                          Key=self._key(path))
+        except self.client.exceptions.NoSuchKey:
+            raise FileNotFoundError(path)
+        return json.loads(resp["Body"].read())
+
+    def write_json_atomic(self, path: str, obj) -> None:
+        self.client.put_object(Bucket=self.bucket, Key=self._key(path),
+                               Body=json.dumps(obj).encode())
+
+    def write_json_if_absent(self, path: str, obj) -> bool:
+        """Conditional PUT (If-None-Match: *) — the VERSION_REF CAS."""
+        try:
+            self.client.put_object(Bucket=self.bucket, Key=self._key(path),
+                                   Body=json.dumps(obj).encode(),
+                                   IfNoneMatch="*")
+            return True
+        except Exception as e:
+            code = getattr(e, "response", {}).get("Error", {}).get("Code")
+            if code in ("PreconditionFailed", "412", "ConditionalRequestConflict"):
+                return False
+            raise
