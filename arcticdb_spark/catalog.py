@@ -89,6 +89,9 @@ class VersionManifest:
     files: list[FileEntry] = field(default_factory=list)
     metadata: Any = None
     sorted: str = "ASCENDING"
+    # normalization metadata (reference _normalization.py:931-950): how the
+    # pandas index was demoted to physical columns, so reads can restore it
+    norm_meta: Any = None
 
     @property
     def total_rows(self):
@@ -108,14 +111,16 @@ class VersionManifest:
         return {"symbol": self.symbol, "version": self.version,
                 "created_ns": self.created_ns, "index_column": self.index_column,
                 "schema": self.schema_json, "metadata": self.metadata,
-                "sorted": self.sorted, "files": [f.to_json() for f in self.files]}
+                "sorted": self.sorted, "norm_meta": self.norm_meta,
+                "files": [f.to_json() for f in self.files]}
 
     @staticmethod
     def from_json(d):
         return VersionManifest(d["symbol"], d["version"], d["created_ns"],
                                d["index_column"], d["schema"],
                                [FileEntry.from_json(f) for f in d["files"]],
-                               d.get("metadata"), d.get("sorted", "ASCENDING"))
+                               d.get("metadata"), d.get("sorted", "ASCENDING"),
+                               d.get("norm_meta"))
 
 
 # metadata IO goes through the filesystem abstraction (sources/filesystem.py)
@@ -293,15 +298,18 @@ class Library:
 
     # ---- write paths ----
     def _write_data_files(self, symbol: str, df: DataFrame,
-                          index_column: str | None, sort: bool = True
+                          index_column: str | None, sort: bool = True,
+                          tiebreak_cols: list[str] | None = None
                           ) -> list[FileEntry]:
         """Materialize df as Parquet under data/<uuid>/, ts-sorted, and return
-        footer-derived FileEntries in index order."""
+        footer-derived FileEntries in index order. ``tiebreak_cols`` extend
+        the within-partition sort (MultiIndex levels >= 1) so roundtrips are
+        deterministic under equal timestamps."""
         out_dir = os.path.join(self._data_sym_dir(symbol), "data", uuid.uuid4().hex)
         os.makedirs(os.path.dirname(out_dir), exist_ok=True)
         if index_column and sort:
             df = (df.repartitionByRange(F.col(index_column))
-                    .sortWithinPartitions(index_column))
+                    .sortWithinPartitions(index_column, *(tiebreak_cols or [])))
         df.write.mode("overwrite").parquet(out_dir)
         entries = []
         for fn in sorted(os.listdir(out_dir)):
@@ -316,12 +324,36 @@ class Library:
             entries.sort(key=lambda e: (e.ts_min if e.ts_min is not None else 0, e.path))
         return _renumber(entries)
 
-    def _normalize(self, df) -> DataFrame:
+    def _normalize(self, df) -> tuple[DataFrame, dict | None]:
+        """pandas/Spark input -> (Spark frame, normalization metadata).
+
+        Index demotion follows the reference (_normalization.py:923-959):
+        a DatetimeIndex becomes the physical ts column; MultiIndex level 0
+        becomes the ts column and levels >= 1 become ordinary columns named
+        ``__idx__<name>`` / ``__fkidx__<n>`` (:931-950); an unnamed
+        RangeIndex is positional and dropped."""
         if isinstance(df, DataFrame):
-            return df
+            return df, None
         import pandas as pd
         if isinstance(df, pd.DataFrame):
             pdf = df
+            if isinstance(pdf.index, pd.MultiIndex):
+                names = list(pdf.index.names)
+                phys = []
+                for i, nm in enumerate(names):
+                    if i == 0:
+                        phys.append(nm or "ts")
+                    elif nm is not None:
+                        phys.append(f"__idx__{nm}")
+                    else:
+                        phys.append(f"__fkidx__{i}")
+                pdf = pdf.copy(deep=False)
+                pdf.index = pdf.index.set_names(phys)
+                pdf = pdf.reset_index()
+                meta = {"index_type": "multiindex",
+                        "level_names": [nm for nm in names],
+                        "physical": phys}
+                return self.spark.createDataFrame(pdf), meta
             if isinstance(pdf.index, pd.DatetimeIndex):
                 # reference index demotion (SURVEY §1.2): the DatetimeIndex
                 # becomes the physical ts column
@@ -331,7 +363,7 @@ class Library:
                 pdf = pdf.reset_index()
             else:
                 pdf = pdf.reset_index(drop=True)  # positional index: dropped
-            return self.spark.createDataFrame(pdf)
+            return self.spark.createDataFrame(pdf), None
         raise ArcticException(f"cannot normalize {type(df)}")
 
     def _detect_index(self, df: DataFrame, index_column) -> str | None:
@@ -368,9 +400,12 @@ class Library:
         (``de_dup_map.hpp``): new files whose content hash matches a file of
         the previous version are discarded and the old file is referenced
         instead — append-mostly rewrites become metadata-only."""
-        sdf = self._normalize(df)
+        sdf, norm_meta = self._normalize(df)
         idx = self._detect_index(sdf, index_column)
-        files = self._write_data_files(symbol, sdf, idx)
+        tiebreak = (norm_meta["physical"][1:]
+                    if norm_meta and norm_meta.get("index_type") == "multiindex"
+                    else None)
+        files = self._write_data_files(symbol, sdf, idx, tiebreak_cols=tiebreak)
         if dedup:
             self._content_hashes(files)
             try:
@@ -392,7 +427,8 @@ class Library:
             except NoSuchVersionException:
                 pass
         m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(),
-                            idx, sdf.schema.json(), files, metadata)
+                            idx, sdf.schema.json(), files, metadata,
+                            norm_meta=norm_meta)
         self._commit(m)
         if prune_previous:
             self.prune_previous_versions(symbol)
@@ -423,7 +459,7 @@ class Library:
         With ``dynamic_schema`` the appended frame may add columns or widen
         numeric types; otherwise the schema must match."""
         prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
-        sdf = self._normalize(df)
+        sdf, _ = self._normalize(df)
         idx = prev.index_column
         if self.dynamic_schema:
             schema_json = self._merge_schema(prev.schema_json, sdf.schema)
@@ -445,7 +481,8 @@ class Library:
                     f"append index range [{new_min}] overlaps existing max {prev.ts_max}")
         m = VersionManifest(symbol, prev.version + 1, time.time_ns(), idx,
                             schema_json, _renumber(prev.files + new_files),
-                            metadata if metadata is not None else prev.metadata)
+                            metadata if metadata is not None else prev.metadata,
+                            norm_meta=prev.norm_meta)
         return self._commit(m)
 
     def update(self, symbol: str, df, date_range: tuple | None = None,
@@ -458,7 +495,7 @@ class Library:
         idx = prev.index_column
         if idx is None:
             raise ArcticException("update requires a timestamp-indexed symbol")
-        sdf = self._normalize(df)
+        sdf, _ = self._normalize(df)
         if date_range is not None:
             # open-ended bounds (reference supports them): normalize to the
             # representable ns extremes so the keep/rewrite split and the
@@ -490,7 +527,8 @@ class Library:
         new_entries.sort(key=lambda e: (e.ts_min if e.ts_min is not None else 0, e.path))
         m = VersionManifest(symbol, prev.version + 1, time.time_ns(), idx,
                             prev.schema_json, _renumber(new_entries),
-                            metadata if metadata is not None else prev.metadata)
+                            metadata if metadata is not None else prev.metadata,
+                            norm_meta=prev.norm_meta)
         return self._commit(m)
 
     def delete_data_in_range(self, symbol: str, date_range: tuple) -> VersionManifest:
@@ -515,7 +553,8 @@ class Library:
             new_entries += self._write_data_files(symbol, boundary, idx)
         new_entries.sort(key=lambda e: (e.ts_min if e.ts_min is not None else 0, e.path))
         m = VersionManifest(symbol, prev.version + 1, time.time_ns(), idx,
-                            prev.schema_json, _renumber(new_entries), prev.metadata)
+                            prev.schema_json, _renumber(new_entries), prev.metadata,
+                            norm_meta=prev.norm_meta)
         return self._commit(m)
 
     # ---- read path ----
@@ -676,7 +715,7 @@ class Library:
             if columns:
                 empty = empty.select(columns)
             out = query_builder.to_df(empty, idx) if query_builder else empty
-            return self._format_output(out, output_format)
+            return self._format_output(out, output_format, m.norm_meta)
 
         reader = self.spark.read
         if self.dynamic_schema:
@@ -717,14 +756,22 @@ class Library:
             df = query_builder.to_df(df, idx)
         if ROW_ID in df.columns and not with_row_ids:
             df = df.drop(ROW_ID)
-        return self._format_output(df, output_format)
+        return self._format_output(df, output_format, m.norm_meta)
 
     @staticmethod
-    def _format_output(df: DataFrame, output_format: str):
+    def _format_output(df: DataFrame, output_format: str, norm_meta=None):
         if output_format in (None, "spark"):
             return df
         if output_format == "pandas":
-            return df.toPandas()   # Arrow-accelerated collection
+            pdf = df.toPandas()   # Arrow-accelerated collection
+            # restore a demoted MultiIndex (reference _denormalize,
+            # _normalization.py:931-950) when all physical level columns
+            # survived the query pipeline
+            if (norm_meta and norm_meta.get("index_type") == "multiindex"
+                    and all(c in pdf.columns for c in norm_meta["physical"])):
+                pdf = pdf.set_index(norm_meta["physical"])
+                pdf.index = pdf.index.set_names(norm_meta["level_names"])
+            return pdf
         if output_format == "arrow":
             return df.toArrow()
         if output_format == "polars":
@@ -750,7 +797,7 @@ class Library:
 
     def stage(self, symbol: str, df) -> None:
         """Parallel unindexed chunk write (APPEND_DATA keys analogue)."""
-        sdf = self._normalize(df)
+        sdf, _ = self._normalize(df)
         out = os.path.join(self._staging_dir(symbol), uuid.uuid4().hex)
         os.makedirs(os.path.dirname(out), exist_ok=True)
         sdf.write.mode("overwrite").parquet(out)
@@ -889,7 +936,7 @@ class Library:
         prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
         m = VersionManifest(symbol, prev.version + 1, time.time_ns(),
                             prev.index_column, prev.schema_json, prev.files,
-                            metadata, prev.sorted)
+                            metadata, prev.sorted, prev.norm_meta)
         return self._commit(m)
 
     def get_description(self, symbol: str, as_of=None) -> dict:
@@ -1012,7 +1059,8 @@ class Library:
             df = df.repartition(n_parts)
         files = self._write_data_files(symbol, df, idx, sort=False)
         m = VersionManifest(symbol, prev.version + 1, time.time_ns(), idx,
-                            prev.schema_json, files, prev.metadata, prev.sorted)
+                            prev.schema_json, files, prev.metadata, prev.sorted,
+                            prev.norm_meta)
         return self._commit(m)
 
     def is_symbol_fragmented(self, symbol: str,
@@ -1022,27 +1070,38 @@ class Library:
         small = sum(1 for fe in m.files if fe.rows < target // 2)
         return small > 1
 
-    # ---- batch ops (reference library.py:2161,1241,1469,1643,2506;
-    # trivially parallel — each symbol's plan is independent, and Spark
-    # schedules the jobs concurrently if submitted from threads) ----
+    # ---- batch ops (reference library.py:2161,1241,1469,1643,2506) ----
+    # Each symbol's work is independent; the reference runs batches on its
+    # IO executor (C++ thread pools). Spark job submission is thread-safe
+    # per session, so a driver-side pool gives concurrent manifest IO +
+    # concurrent Spark jobs (FAIR-schedulable) instead of N serial jobs.
+    _BATCH_WORKERS = 8
+
+    def _pmap(self, fn, items: list) -> list:
+        if len(items) <= 1:
+            return [fn(x) for x in items]
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(
+                max_workers=min(self._BATCH_WORKERS, len(items))) as ex:
+            return list(ex.map(fn, items))
+
     def read_batch(self, symbols: list, **kw) -> list[DataFrame]:
-        return [self.read(s, **kw) for s in symbols]
+        return self._pmap(lambda s: self.read(s, **kw), symbols)
 
     def write_batch(self, payloads: list[tuple]) -> list[VersionManifest]:
-        return [self.write(sym, df) for sym, df in payloads]
+        return self._pmap(lambda p: self.write(p[0], p[1]), payloads)
 
     def append_batch(self, payloads: list[tuple]) -> list[VersionManifest]:
-        return [self.append(sym, df) for sym, df in payloads]
+        return self._pmap(lambda p: self.append(p[0], p[1]), payloads)
 
     def update_batch(self, payloads: list[tuple]) -> list[VersionManifest]:
-        return [self.update(sym, df) for sym, df in payloads]
+        return self._pmap(lambda p: self.update(p[0], p[1]), payloads)
 
     def read_metadata_batch(self, symbols: list[str]) -> list:
-        return [self.read_metadata(s) for s in symbols]
+        return self._pmap(self.read_metadata, symbols)
 
     def delete_batch(self, symbols: list[str]) -> None:
-        for s in symbols:
-            self.delete(s)
+        self._pmap(self.delete, symbols)
 
     def read_batch_and_join(self, symbols: list[str], query_builder,
                             as_of=None) -> DataFrame:
