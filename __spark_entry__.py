@@ -533,6 +533,9 @@ def q_dedup_jaccard(spark, sf):
 
 
 def q_dedup_simhash(spark, sf):
+    """SimHash near-dup pairs — oracle-exact: the 60-bit majority vote, chunk
+    banding and Hamming verify are pure integer/md5 math replicated in
+    DuckDB SQL."""
     d = load_table(spark, sf, "documents")
     return xdedup.simhash_near_dup_pairs(d, max_hamming=6, bands=4)
 
@@ -551,11 +554,28 @@ def q_similarity_bruteforce(spark, sf):
         "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
 
 
+def _ann_recall_check(ann, bf, min_hits: int):
+    """Per-query driver-verified ANN invariant: |ANN∩exact| >= min_hits of
+    top-5. The oracle asserts recall_ok for every query id, so a recall
+    regression fails the hash compare; bench.py records the actual recall."""
+    hits = (ann.select("query_id", "vec_id")
+               .join(bf.select("query_id", "vec_id"), ["query_id", "vec_id"])
+               .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    qids = bf.select("query_id").distinct()
+    return (qids.join(hits, "query_id", "left")
+                .select("query_id",
+                        (F.coalesce("n_hit", F.lit(0)) >= min_hits).alias("recall_ok")))
+
+
 def q_similarity_lsh(spark, sf):
+    """Multi-probe hyperplane-LSH top-5 verified against exact brute force:
+    every query must recover >= 3 of the true top-5 (measured 4-5/5 at
+    sf0.001-0.1 with 6 planes x 8 tables, probe=1)."""
     e = load_table(spark, sf, "embeddings")
     queries = e.filter(F.col("vec_id") < 8)
-    return xsim.lsh_topk(e, queries, k=5).select(
-        "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
+    ann = xsim.lsh_topk(e, queries, k=5)
+    bf = xsim.brute_force_topk(e, queries, k=5)
+    return _ann_recall_check(ann, bf, min_hits=3)
 
 
 def q_ngram_top(spark, sf):
@@ -620,26 +640,46 @@ def q_json_extract(spark, sf):
 
 
 def q_similarity_ivf(spark, sf):
+    """IVF coarse-quantized top-5 verified against exact brute force:
+    every query must recover >= 3 of the true top-5 (measured 3-5/5 at
+    nprobe=6 across sf0.001-0.1)."""
     e = load_table(spark, sf, "embeddings")
     queries = e.filter(F.col("vec_id") < 8)
-    return xsim.ivf_topk(e, queries, k=5, n_lists=16, nprobe=4).select(
-        "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
+    ann = xsim.ivf_topk(e, queries, k=5, n_lists=16, nprobe=6)
+    bf = xsim.brute_force_topk(e, queries, k=5)
+    return _ann_recall_check(ann, bf, min_hits=3)
 
 
 def q_approx_sketches(spark, sf):
     """Sketch aggregations for the 100 TB path: HyperLogLog distinct counts
-    and t-digest-style quantiles — O(1) state per group vs exact shuffles.
-    rows-only check: sketch estimates are engine-specific by design; the
-    exact counterparts are oracle-checked in distinct_agg / percentiles."""
+    and quantile sketches — O(1) state per group vs exact shuffles.
+    Driver-verified invariants (sketch values are engine-specific, so the
+    oracle checks exact columns + error bounds): HLL estimate within 3x the
+    configured rsd of the exact distinct count; approx p95 bracketed by the
+    exact p90/p99."""
     ev = load_table(spark, sf, "events")
-    return (ev.groupBy("event_type")
-              .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-                   F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
-                   F.count(F.lit(1)).alias("n")))
+    agg = (ev.groupBy("event_type")
+             .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+                  F.count_distinct("user_id").alias("exact_users"),
+                  F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
+                  F.percentile("value", 0.90).alias("p90"),
+                  F.percentile("value", 0.99).alias("p99"),
+                  F.count(F.lit(1)).alias("n")))
+    hll_ok = (F.abs(F.col("approx_users") - F.col("exact_users"))
+              <= F.greatest(F.lit(1.0), F.col("exact_users") * 0.06))
+    p95_ok = (F.col("p95_approx") >= F.col("p90")) & (F.col("p95_approx") <= F.col("p99"))
+    return agg.select("event_type", "exact_users", "n",
+                      hll_ok.alias("hll_ok"), p95_ok.alias("p95_ok"))
 
 
 def q_multimodal_features(spark, sf):
-    media = xmm.make_demo_media(spark, n=64)
+    """Opaque-binary media pipeline, oracle-exact: payloads are the UTF-8
+    document bytes, decoded through the real Arrow-batched mapInPandas
+    plumbing (deterministic fake decoder — sha256-seeded features that
+    DuckDB reproduces from the same bytes). Swapping in a real codec changes
+    only the decode function, not the Spark contract."""
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 64)
+    media = xmm.media_from_documents(docs)
     return xmm.extract_features(media, fake=True, batch_partitions=4)
 
 
@@ -649,6 +689,18 @@ def q_multimodal_features(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # Queries the round-1 driver gate never reached (it stopped at 50
+        # entries) run FIRST so a budget cutoff can only drop queries that
+        # already have a green CORRECTNESS_r01 row.
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "similarity_bruteforce": q_similarity_bruteforce,
+        "similarity_lsh": q_similarity_lsh,
+        "similarity_ivf": q_similarity_ivf,
+        "json_extract": q_json_extract,
+        "approx_sketches": q_approx_sketches,
+        "multimodal_features": q_multimodal_features,
         "filter_numeric": q_filter_numeric,
         "filter_isin_regex": q_filter_isin_regex,
         "filter_ternary": q_filter_ternary,
@@ -699,15 +751,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "dedup_minhash": q_dedup_minhash,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "similarity_bruteforce": q_similarity_bruteforce,
-        "similarity_lsh": q_similarity_lsh,
-        "similarity_ivf": q_similarity_ivf,
-        "json_extract": q_json_extract,
-        "approx_sketches": q_approx_sketches,
-        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -833,6 +876,55 @@ j AS (SELECT c.id_a, c.id_b,
 SELECT id_a, id_b,
        round(CASE WHEN u > 0 THEN i / CAST(u AS DOUBLE) ELSE 0.0 END, 6) AS jaccard
 FROM j WHERE round(CASE WHEN u > 0 THEN i / CAST(u AS DOUBLE) ELSE 0.0 END, 6) >= {threshold}"""
+
+
+def _simhash_sql(max_hamming: int = 6, bands: int = 4, bits: int = 60) -> str:
+    """Full SimHash replication: 60-bit majority vote over per-token md5
+    prefixes (hex-cast to BIGINT), chunk banding, Hamming verify — the same
+    integer math as arcticdb_spark.extensions.dedup.simhash."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    return f"""
+WITH t AS (SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKS} END AS toks
+           FROM documents),
+hs AS (SELECT doc_id,
+         [CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)
+          FOR t IN list_distinct(toks)] AS hs
+       FROM t),
+sig AS (SELECT doc_id, CAST(coalesce(list_sum(
+          [CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+                THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END
+           FOR b IN generate_series(0, {bits - 1})]), 0) AS BIGINT) AS sh
+        FROM hs),
+chunks AS (SELECT doc_id, sh,
+             unnest(['c' || CAST(i AS VARCHAR) || ':' ||
+                     CAST((sh >> (i * {width})) & {mask} AS VARCHAR)
+                     FOR i IN generate_series(0, {bands - 1})]) AS chunk
+           FROM sig)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}"""
+
+
+def _multimodal_sql(dim: int = 8, limit: int = 64) -> str:
+    """Replicates the fake decoder from the raw payload bytes: n_bytes,
+    sha256 hex, and dim exact (chunk / 2^32) double features."""
+    feat = ", ".join(
+        f"CAST('0x' || substring(sha, {8 * i + 1}, 8) AS BIGINT) / 4294967296.0"
+        for i in range(dim))
+    return f"""
+WITH m AS (SELECT doc_id AS media_id,
+             ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+             text
+           FROM documents WHERE doc_id < {limit}),
+h AS (SELECT media_id, kind, octet_length(encode(text)) AS n_bytes,
+        sha256(text) AS sha
+      FROM m)
+SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes, sha AS sha256,
+       [{feat}] AS feat
+FROM h"""
 
 
 def _similarity_sql(k: int = 5, nq: int = 8) -> str:
@@ -1224,5 +1316,29 @@ p AS (SELECT a.id AS id_a, b.id AS id_b,
       FROM v a JOIN v b ON a.id < b.id)
 SELECT id_a, id_b, cos FROM p WHERE cos >= 0.45""",
         "similarity_bruteforce": _similarity_sql(),
+        "dedup_simhash": _simhash_sql(),
+
+        # ANN invariants: the oracle pins the exact query-id set and asserts
+        # recall_ok for every one of them — a recall regression (or a missing
+        # query) fails rows/hash. The approximate top-k values themselves are
+        # engine-specific by construction.
+        "similarity_lsh": """
+SELECT DISTINCT vec_id AS query_id, true AS recall_ok
+FROM embeddings WHERE vec_id < 8""",
+        "similarity_ivf": """
+SELECT DISTINCT vec_id AS query_id, true AS recall_ok
+FROM embeddings WHERE vec_id < 8""",
+
+        # sketch invariant: exact columns computed exactly; sketch estimates
+        # asserted inside their error bounds
+        "approx_sketches": """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(*) AS n,
+       true AS hll_ok,
+       true AS p95_ok
+FROM events GROUP BY event_type""",
+
+        "multimodal_features": _multimodal_sql(),
     }
     return sql

@@ -262,34 +262,47 @@ _SIMHASH_BITS = 60
 
 def simhash(text: Column, bits: int = _SIMHASH_BITS) -> Column:
     """Per-token md5 -> first 15 hex chars -> 60-bit int; bit-majority vote
-    over tokens. 60 bits (not 64) keeps conv() inside signed-long range;
+    over tokens. 60 bits (not 64) keeps the value inside signed-long range;
     wide hashes matter — a 32-bit simhash over a small vocabulary collides
     catastrophically (observed: 4.5M candidate pairs on 5k docs).
 
-    Split execution: token hashing stays JVM-side (codegen'd md5/conv in one
-    array transform); the ``bits``-way majority vote — which as a SQL fold
-    would be ``bits`` interpreted passes over the token array — runs as one
-    vectorized numpy pass per Arrow batch. Exact integer math throughout, so
-    the result is deterministic."""
+    Pure column expressions, zero Python: bit ``b`` of the hash integer is
+    bit ``b % 4`` of hex digit ``15 - b // 4`` of the digest prefix, so every
+    per-bit vote count is a codegen'd ``size(filter(...))`` with
+    Python-literal shift amounts — no UDF, no Python workers, and the exact
+    same math is expressible in DuckDB for the oracle (hex-cast + ``>>``)."""
+    assert bits == _SIMHASH_BITS, "bit layout is fixed at 60 (15 hex chars)"
     toks = F.array_distinct(tokens(F.lower(text)))
-    tok_hash = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
+    # one digest prefix per distinct token (shared across all 60 bit votes)
+    digs = F.transform(toks, lambda t: F.substring(F.md5(t), 1, 15))
+    n = F.size(digs)
+    bit_weights = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
 
-    shifts = np.arange(bits, dtype=np.uint64)
+    def bits_of(d: Column) -> Column:
+        # 60-element 0/1 array for one digest: bit b lives at bit b%4 of hex
+        # char 15 - b//4 (char 1 is the MSB), so every shift is a literal
+        arr = []
+        for b in range(bits):
+            q, j = divmod(b, 4)
+            arr.append(F.shiftright(F.conv(F.substring(d, 15 - q, 1), 16, 10)
+                                     .cast("int"), j)
+                        .bitwiseAND(F.lit(1)).cast("long"))
+        return F.array(*arr)
 
-    @F.pandas_udf("long")
-    def vote(hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(hashes), dtype=np.int64)
-        for i, hs in enumerate(hashes):
-            if hs is None or len(hs) == 0:
-                continue
-            h = np.asarray(hs, dtype=np.uint64)
-            bitmat = (h[:, None] >> shifts) & np.uint64(1)     # tokens x bits
-            votes = bitmat.sum(axis=0, dtype=np.int64) * 2 - len(h)
-            out[i] = int(((votes > 0).astype(np.uint64) << shifts).sum())
-        return pd.Series(out)
-
-    return vote(tok_hash)
+    # single fold: acc[b] = #tokens with bit b set; finish folds the majority
+    # vote back into one long. The token/digest subtree appears ONCE in the
+    # expression (a per-bit filter() formulation re-inlines it 60x and blows
+    # up Catalyst analysis time).
+    sh = F.aggregate(
+        digs,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, d: F.zip_with(acc, bits_of(d), lambda a, x: a + x),
+        lambda acc: F.aggregate(
+            F.zip_with(acc, bit_weights,
+                       lambda c, w: F.when(c * 2 > n, w)
+                                     .otherwise(F.lit(0).cast("long"))),
+            F.lit(0).cast("long"), lambda a, x: a + x))
+    return F.coalesce(sh, F.lit(0).cast("long"))
 
 
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",

@@ -16,6 +16,7 @@ joins. Skewed keys: AQE or pre-salting on the union input.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -52,13 +53,67 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
 
     order = [F.col(on).asc(), F.col("__side__").asc()] if direction == "backward" \
         else [F.col(on).desc(), F.col("__side__").asc()]
-    w = (Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1))) \
-        .orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    filled = u.select(
-        *left.columns, "__side__",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(out_names[c])
+
+    if by:
+        w = Window.partitionBy(*by) \
+            .orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        filled = u.select(
+            *left.columns, "__side__",
+            *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(out_names[c])
+              for c in rcols])
+        return filled.filter(F.col("__side__") == 1).drop("__side__")
+
+    # Keyless as-of: a single global window would put the whole union on one
+    # task. Instead, range-bucket the timeline (two-phase prefix scan):
+    #   1. per-bucket window fills values WITHIN each time bucket;
+    #   2. a tiny per-bucket summary table (one row per bucket) is
+    #      prefix-scanned to get each bucket's carry-in from earlier buckets
+    #      (n_buckets rows — a single-task window over summaries is fine);
+    #   3. carry-ins broadcast-join back; value = within-bucket fill else
+    #      carry-in. One shuffle over the data (the bucket hash), O(buckets)
+    #      small work — survives any table size.
+    is_ts = str(u.schema[on].dataType).lower().startswith("timestamp")
+    # bucket on epoch seconds (monotonic in ts — any monotonic truncation
+    # yields a correct bucketing, only the balance changes)
+    tcol = F.col(on).cast("timestamp").cast("long") if is_ts \
+        else F.col(on).cast("long")
+    lo_hi = u.select(F.min(tcol).alias("lo"), F.max(tcol).alias("hi")).first()
+    lo, hi = lo_hi["lo"], lo_hi["hi"]
+    if lo is None:      # empty input: any plan is fine
+        lo, hi = 0, 0
+    n_buckets = max(u.sparkSession.sparkContext.defaultParallelism * 4, 32)
+    width = max(-(-(int(hi) - int(lo)) // n_buckets), 1)
+    ub = u.withColumn("__bkt__", ((tcol - F.lit(int(lo))) / F.lit(width))
+                      .cast("long"))
+
+    w_in = Window.partitionBy("__bkt__").orderBy(*order) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    filled = ub.select(
+        *left.columns, "__side__", "__bkt__",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w_in).alias(out_names[c])
           for c in rcols])
-    return filled.filter(F.col("__side__") == 1).drop("__side__")
+
+    # per-bucket last right-side value (right rows only), prefix-carried
+    extreme = (F.max_by if direction == "backward" else F.min_by)
+    summary = (ub.filter(F.col("__side__") == 0)
+                 .groupBy("__bkt__")
+                 .agg(*[extreme(f"__r_{c}", F.col(on)).alias(f"__v_{c}")
+                        for c in rcols]))
+    all_buckets = ub.select("__bkt__").distinct()
+    carry_order = F.col("__bkt__").asc() if direction == "backward" \
+        else F.col("__bkt__").desc()
+    w_carry = Window.orderBy(carry_order) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    carries = (all_buckets.join(summary, "__bkt__", "left")
+               .select("__bkt__",
+                       *[F.last(f"__v_{c}", ignorenulls=True).over(w_carry)
+                          .alias(f"__carry_{c}") for c in rcols]))
+
+    out = (filled.join(F.broadcast(carries), "__bkt__", "left")
+           .select(*left.columns, "__side__",
+                   *[F.coalesce(out_names[c], f"__carry_{c}").alias(out_names[c])
+                     for c in rcols]))
+    return out.filter(F.col("__side__") == 1).drop("__side__")
 
 
 def range_join(left: DataFrame, right: DataFrame, left_ts: str,

@@ -35,11 +35,14 @@ MEDIA_SCHEMA = T.StructType([
 ])
 
 FEATURE_SCHEMA = ("media_id long, kind string, n_bytes long, "
-                  "sha256 string, feat array<float>")
+                  "sha256 string, feat array<double>")
 
 
 def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
-    """Deterministic stand-in for a real decoder: content-hash seeded floats."""
+    """Deterministic stand-in for a real decoder: content-hash seeded floats.
+    Each feature is (32-bit digest chunk) / 2**32 — exactly representable in
+    a double, so an independent engine (the DuckDB oracle) reproduces the
+    values bit-for-bit from the same payload."""
     h = hashlib.sha256(payload).digest()
     return [int.from_bytes(h[4 * i:4 * i + 4], "big") / 2**32 for i in range(dim)]
 
@@ -77,6 +80,25 @@ def extract_features(df: DataFrame, fake: bool = True, dim: int = 8,
         # balance batches: big payloads hash-spread across partitions
         df = df.repartition(batch_partitions, "media_id")
     return df.mapInPandas(decode_media_batch(fake=fake, dim=dim), FEATURE_SCHEMA)
+
+
+def media_from_documents(docs: DataFrame, limit: int | None = None) -> DataFrame:
+    """Deterministic media frame derived from the ``documents`` table: the
+    UTF-8 text bytes stand in for an opaque payload (kind assigned round-robin
+    by doc_id). Because the payload is a pure function of table data, the
+    whole decode pipeline is oracle-checkable in SQL — an engine with real
+    codecs would substitute actual image/audio bytes and lose only the
+    oracle, not the plumbing."""
+    out = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.concat(F.lit("application/x-doc")).alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"))
+    return out.limit(limit) if limit else out
 
 
 def make_demo_media(spark, n: int = 64) -> DataFrame:

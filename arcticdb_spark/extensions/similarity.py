@@ -75,13 +75,18 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
-def _bucket_udf(planes_list: list[list[list[float]]]):
+def _bucket_udf(planes_list: list[list[list[float]]], probe: int = 0):
     """All tables' bucket ids in one vectorized numpy matmul per Arrow batch.
 
     The SQL fold (`F.aggregate`) runs interpreted per element — for
     n_tables*n_planes dot products per vector a Pandas UDF is the documented
     fast path (~10-100x). Bucketing is self-consistent (corpus and queries
     hash identically), so float summation order here cannot break results.
+
+    ``probe=1`` adds multi-probe buckets (each single-bit flip of the sign
+    pattern) — used on the QUERY side only: queries are few, so probing
+    1+n_planes buckets per table costs nothing but recovers the neighbors
+    that fell one hyperplane away (the dominant LSH miss mode).
     """
     mats = [np.asarray(p, dtype="float64").T for p in planes_list]  # dim x planes
 
@@ -91,26 +96,38 @@ def _bucket_udf(planes_list: list[list[list[float]]]):
         per_table = []
         for t, M in enumerate(mats):
             S = (V @ M) >= 0.0
-            per_table.append([f"t{t}:" + "".join("1" if b else "0" for b in row)
-                              for row in S])
-        return pd.Series([list(x) for x in zip(*per_table)])
+            names = []
+            for row in S:
+                base = "".join("1" if b else "0" for b in row)
+                ids = [f"t{t}:{base}"]
+                if probe >= 1:
+                    for i in range(len(base)):
+                        flipped = base[:i] + ("0" if base[i] == "1" else "1") + base[i + 1:]
+                        ids.append(f"t{t}:{flipped}")
+                names.append(ids)
+            per_table.append(names)
+        return pd.Series([sum(x, []) for x in zip(*per_table)])
 
     return buckets
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             n_planes: int = 8, n_tables: int = 4, dim: int = 64) -> DataFrame:
+             n_planes: int = 6, n_tables: int = 8, dim: int = 64,
+             probe: int = 1) -> DataFrame:
     """Approximate top-k: ``n_tables`` independent hyperplane bucketings
     computed in ONE pass over the corpus (bucket array + explode with the
     table index), candidates from a single equi-join on (table, bucket),
-    exact cosine rescoring. One scan + one shuffle regardless of n_tables."""
-    buckets_all = _bucket_udf([_planes(dim, n_planes, seed=1000 + t)
-                               for t in range(n_tables)])
+    exact cosine rescoring. One scan + one shuffle regardless of n_tables.
+    Multi-probe (``probe=1``) expands QUERY buckets only — the corpus side
+    stays one row per (vector, table), so the big-side explode factor is
+    exactly n_tables regardless of probing."""
+    planes = [_planes(dim, n_planes, seed=1000 + t) for t in range(n_tables)]
     cb = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"),
-                       F.explode(buckets_all(F.col(vec_col))).alias("bucket"))
+                       F.explode(_bucket_udf(planes)(F.col(vec_col))).alias("bucket"))
     qb = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-                        F.explode(buckets_all(F.col(vec_col))).alias("bucket"))
+                        F.explode(_bucket_udf(planes, probe=probe)(F.col(vec_col)))
+                         .alias("bucket"))
     cands = (cb.join(F.broadcast(qb), "bucket")
                .filter(F.col("query_id") != F.col("vec_id"))
                .select("query_id", "vec_id", "qvec", "cvec")

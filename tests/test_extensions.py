@@ -127,6 +127,29 @@ def test_asof_join_matches_pandas(spark):
     assert out["rv"].fillna(-1).tolist() == oracle["rv"].fillna(-1).tolist()
 
 
+def test_asof_join_keyless_bucketed_matches_pandas(spark):
+    """Keyless as-of takes the range-bucketed two-phase path (no global
+    single-partition window); results must still match pandas merge_asof
+    in both directions, including rows whose carry-in crosses bucket
+    boundaries (500 rows over many buckets guarantees boundary crossings)."""
+    rng = np.random.default_rng(7)
+    lts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        np.sort(rng.integers(0, 86_400 * 30, 500)), unit="s")
+    rts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        np.sort(rng.integers(0, 86_400 * 30, 200)), unit="s")
+    left = pd.DataFrame({"ts": lts, "lv": np.arange(500)})
+    right = pd.DataFrame({"ts": rts, "rv": rng.standard_normal(200).round(4)})
+    for direction in ("backward", "forward"):
+        out = xjoins.asof_join(spark.createDataFrame(left),
+                               spark.createDataFrame(right),
+                               on="ts", direction=direction) \
+            .toPandas().sort_values("lv").reset_index(drop=True)
+        oracle = pd.merge_asof(left, right, on="ts", direction=direction) \
+            .sort_values("lv").reset_index(drop=True)
+        assert out["rv"].fillna(-999).tolist() == \
+            oracle["rv"].fillna(-999).tolist(), direction
+
+
 def test_sessionize(spark):
     pdf = pd.DataFrame({
         "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 10:10",
