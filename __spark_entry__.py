@@ -542,9 +542,12 @@ def q_dedup_simhash(spark, sf):
 
 def q_dedup_embedding(spark, sf):
     """Embedding-cosine near-dup pairs: exact below 2000 rows (the oracle
-    path), hyperplane-LSH + exact verify at scale."""
+    path), hyperplane-LSH + exact verify at scale. Strategy choice comes from
+    the parquet footer row count (metadata-only), not a df.count() scan."""
+    from arcticdb_spark.sources.tables import table_rows
     e = load_table(spark, sf, "embeddings")
-    return xdedup.embedding_near_dup_pairs(e, threshold=0.45)
+    return xdedup.embedding_near_dup_pairs(e, threshold=0.45,
+                                           n_rows=table_rows(sf, "embeddings"))
 
 
 def q_similarity_bruteforce(spark, sf):

@@ -364,7 +364,9 @@ class Library:
             else:
                 pdf = pdf.reset_index(drop=True)  # positional index: dropped
             return self.spark.createDataFrame(pdf), None
-        raise ArcticException(f"cannot normalize {type(df)}")
+        raise ArcticException(
+            f"cannot normalize {type(df).__name__}: write() takes a Spark or "
+            "pandas DataFrame; use write_pickle() for arbitrary objects")
 
     def _detect_index(self, df: DataFrame, index_column) -> str | None:
         if index_column is not None:
@@ -434,6 +436,50 @@ class Library:
             self.prune_previous_versions(symbol)
         return m
 
+    # 16 MiB pickle chunks: large objects span rows (and so files), keeping
+    # any single parquet page/row bounded
+    _PICKLE_CHUNK = 16 << 20
+
+    def write_pickle(self, symbol: str, data: Any, metadata: Any = None,
+                     prune_previous: bool = False) -> VersionManifest:
+        """Arbitrary-object fallback (reference ``library.py:1166``
+        write_pickle; ``_normalization.py:1359,1467`` msgpack/pickle
+        fallback): the object is pickled and stored as chunked BINARY rows
+        ``(chunk_id long, data binary)``. Pickled symbols are opaque —
+        ``read`` returns the object; query_builder/date_range/row_range/
+        columns, append and update all raise, matching the reference's
+        "Cannot use queries on pickled data" behavior."""
+        import pickle
+        payload = pickle.dumps(data, protocol=4)
+        chunks = [payload[i:i + self._PICKLE_CHUNK]
+                  for i in range(0, len(payload), self._PICKLE_CHUNK)] or [b""]
+        sdf = self.spark.createDataFrame(
+            [(i, bytearray(c)) for i, c in enumerate(chunks)],
+            schema="chunk_id long, data binary")
+        files = self._write_data_files(symbol, sdf, None, sort=False)
+        m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(),
+                            None, sdf.schema.json(), files, metadata,
+                            norm_meta={"index_type": "pickled",
+                                       "total_bytes": len(payload)})
+        self._commit(m)
+        if prune_previous:
+            self.prune_previous_versions(symbol)
+        return m
+
+    @staticmethod
+    def _is_pickled(m: "VersionManifest") -> bool:
+        return bool(m.norm_meta) and m.norm_meta.get("index_type") == "pickled"
+
+    def is_symbol_pickled(self, symbol: str, as_of=None) -> bool:
+        """Reference ``library.py:2484`` is_symbol_pickled."""
+        return self._is_pickled(self._resolve_version(symbol, as_of))
+
+    def _read_pickled(self, m: "VersionManifest"):
+        import pickle
+        rows = (self.spark.read.parquet(*[fe.path for fe in m.files])
+                .orderBy("chunk_id").collect())
+        return pickle.loads(b"".join(bytes(r["data"]) for r in rows))
+
     def _merge_schema(self, prev_schema_json: str, new_schema) -> str:
         """Dynamic-schema promotion: union of columns, numeric types widened
         (reference ``type_utils.hpp:40`` promotable_type via schema_checks)."""
@@ -459,6 +505,8 @@ class Library:
         With ``dynamic_schema`` the appended frame may add columns or widen
         numeric types; otherwise the schema must match."""
         prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
+        if self._is_pickled(prev):
+            raise ArcticException(f"cannot append to pickled symbol {symbol!r}")
         sdf, _ = self._normalize(df)
         idx = prev.index_column
         if self.dynamic_schema:
@@ -492,6 +540,8 @@ class Library:
         Only files overlapping the range are rewritten."""
         import pandas as pd
         prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
+        if self._is_pickled(prev):
+            raise ArcticException(f"cannot update pickled symbol {symbol!r}")
         idx = prev.index_column
         if idx is None:
             raise ArcticException("update requires a timestamp-indexed symbol")
@@ -618,6 +668,14 @@ class Library:
                 as_of=as_of, date_range=date_range, row_range=row_range,
                 columns=columns, output_format=output_format))
         m = self._resolve_version(symbol, as_of)
+        if self._is_pickled(m):
+            if (query_builder is not None or date_range is not None
+                    or row_range is not None or columns is not None):
+                raise ArcticException(
+                    f"{symbol!r} is pickled data: queries/slicing/column "
+                    "selection are unsupported (reference: pickled symbols "
+                    "are opaque)")
+            return self._read_pickled(m)
         files = list(m.files)
         idx = m.index_column
 

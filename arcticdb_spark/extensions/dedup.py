@@ -53,6 +53,15 @@ def unpersist_all() -> None:
             pass
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Persist AND populate the cache now. Required before a self-join:
+    persist() alone is lazy, so both join sides race to compute the (still
+    empty) cache and the expensive signature expression runs twice."""
+    df = _persist(df)
+    df.count()
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -138,8 +147,8 @@ def minhash_band_table(df: DataFrame, text_col: str = "text",
         shingles(F.col(text_col), k),
         lambda s: F.concat(*[F.md5(F.concat(F.lit(f"h{j}:"), s))
                              for j in range(n_seeds)]))
-    hs_df = _persist(_spread(df.select(F.col(id_col).alias("id"), text_col))
-                     .select("id", digests.alias("hs")))
+    hs_df = (_spread(df.select(F.col(id_col).alias("id"), text_col))
+             .select("id", digests.alias("hs")))
     # signature position i = 8-hex-char chunk at offset i*8 of the concat
     # (== substring(md5(h{i//4}:s), (i%4)*8+1, 8) — same family as
     # minhash_signature and the DuckDB oracle). Band keys are built straight
@@ -154,7 +163,7 @@ def minhash_band_table(df: DataFrame, text_col: str = "text",
                                               for r in range(rows)])))
             for b in range(bands)]
     keyed = hs_df.select("id", F.explode(F.array(*keys)).alias("band"))
-    return _persist(keyed)
+    return _materialize(keyed)
 
 
 def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
@@ -185,7 +194,9 @@ def jaccard_near_dup_pairs(df: DataFrame, text_col: str = "text",
     candidate ids — at scale this is a semi-join-sized shuffle, not O(n²).
     """
     cand = minhash_near_dup_pairs(df, text_col, id_col, num_hashes, bands, k)
-    sets_df = _persist(
+    # used on BOTH sides of the verify join — materialize so the shingle
+    # arrays compute once
+    sets_df = _materialize(
         _spread(df.select(F.col(id_col).alias("id"), text_col))
         .select("id", F.array_distinct(shingles(F.col(text_col), k)).alias("sh")))
     j = (cand.join(sets_df.withColumnRenamed("id", "id_a")
@@ -206,7 +217,8 @@ def jaccard_near_dup_pairs(df: DataFrame, text_col: str = "text",
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              exact_below: int = 2000, dim: int = 64,
-                             n_planes: int = 6, n_tables: int = 8) -> DataFrame:
+                             n_planes: int = 6, n_tables: int = 8,
+                             n_rows: int | None = None) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold.
 
     Two physical strategies, same logical result:
@@ -214,10 +226,15 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
       deterministic reference answer;
     * at scale: hyperplane-LSH candidate generation (high-recall multi-table
       bucketing) + exact cosine verification — never materializes O(n²).
+
+    Pass ``n_rows`` (manifest total_rows / parquet footer count) to pick the
+    strategy without a driver-side scan; ``exact_below=0`` forces the LSH
+    path unconditionally. The ``df.count()`` fallback only runs when the
+    caller provides neither.
     """
     from arcticdb_spark.extensions.similarity import (_bucket_udf, _planes,
                                                       cosine)
-    n = df.count()
+    n = n_rows if n_rows is not None else (0 if exact_below <= 0 else df.count())
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     if n < exact_below:
         a = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
@@ -226,7 +243,7 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     else:
         buckets = _bucket_udf([_planes(dim, n_planes, seed=7000 + t)
                                for t in range(n_tables)])
-        keyed = _persist(base.select(
+        keyed = _materialize(base.select(
             "id", "vec", F.explode(buckets(F.col("vec"))).alias("bk")))
         a, b = keyed.alias("a"), keyed.alias("b")
         pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
@@ -313,8 +330,8 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     (pigeonhole), so candidates come from equi-joins, verified by popcount."""
     h = simhash(F.col(text_col))
     width = _SIMHASH_BITS // bands
-    base = _persist(_spread(df.select(F.col(id_col).alias("id"), text_col))
-                    .select("id", h.alias("sh")))
+    base = _materialize(_spread(df.select(F.col(id_col).alias("id"), text_col))
+                        .select("id", h.alias("sh")))
     chunks = base.select(
         "id", "sh",
         F.explode(F.array(*[

@@ -77,9 +77,6 @@ def concat(dfs: list[DataFrame], join: str = "outer") -> DataFrame:
         return reduce(lambda a, b: a.unionByName(b), casted)
 
     # outer
-    casted = []
-    for df in dfs:
-        cols = [F.col(c).cast(merged[c]).alias(c) if c in df.columns else None
-                for c in df.columns]
-        casted.append(df.select([F.col(c).cast(merged[c]).alias(c) for c in df.columns]))
+    casted = [df.select([F.col(c).cast(merged[c]).alias(c) for c in df.columns])
+              for df in dfs]
     return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), casted)

@@ -62,3 +62,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from the parquet footer — metadata-only, no scan.
+
+    The distributed analogue is the manifest's ``total_rows`` / per-file
+    footer num_rows; strategy decisions (exact vs LSH) should use this, not
+    ``df.count()``."""
+    import pyarrow.parquet as pq
+    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows

@@ -202,3 +202,53 @@ def test_leading_rowrange_clause_prunes_files(tmp_lib):
     # negative row_range fully inside an interior file
     rr = tmp_lib.read("sym", query_builder=QueryBuilder().row_range((-20, -10)))
     assert sorted(r.v for r in rr.collect()) == [float(x) for x in range(100, 110)]
+
+
+# ---------------------------------------------------------------------------
+# pickled arbitrary-object fallback (reference library.py write_pickle,
+# _normalization.py:1359,1467)
+# ---------------------------------------------------------------------------
+
+def test_write_pickle_roundtrip(tmp_lib):
+    obj = {"a": [1, 2, 3], "nested": {"x": (4.5, "s")}, "none": None}
+    tmp_lib.write_pickle("blob", obj, metadata={"kind": "dict"})
+    assert tmp_lib.is_symbol_pickled("blob")
+    assert tmp_lib.read("blob") == obj
+    assert tmp_lib.read_metadata("blob") == {"kind": "dict"}
+
+
+def test_write_pickle_large_multichunk(tmp_lib):
+    import pickle
+    big = b"x" * (tmp_lib._PICKLE_CHUNK + 1024)  # spans 2 chunks post-pickle
+    tmp_lib.write_pickle("big", big)
+    assert tmp_lib.read("big") == big
+
+
+def test_write_pickle_versioned(tmp_lib):
+    tmp_lib.write_pickle("obj", [1, 2])
+    tmp_lib.write_pickle("obj", [3, 4])
+    assert tmp_lib.read("obj") == [3, 4]
+    assert tmp_lib.read("obj", as_of=0) == [1, 2]
+
+
+def test_pickled_symbol_rejects_queries_and_mutation(tmp_lib):
+    import pandas as pd
+    import pytest
+    from arcticdb_spark.catalog import ArcticException
+    from arcticdb_spark.query import QueryBuilder
+    tmp_lib.write_pickle("blob", {"k": 1})
+    with pytest.raises(ArcticException, match="pickled"):
+        tmp_lib.read("blob", query_builder=QueryBuilder())
+    with pytest.raises(ArcticException, match="pickled"):
+        tmp_lib.read("blob", columns=["data"])
+    with pytest.raises(ArcticException, match="pickled"):
+        tmp_lib.append("blob", pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=2), "v": [1.0, 2.0]}))
+    with pytest.raises(ArcticException, match="pickled"):
+        tmp_lib.update("blob", pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=2), "v": [1.0, 2.0]}))
+
+
+def test_write_non_normalizable_suggests_pickle(tmp_lib):
+    import pytest
+    from arcticdb_spark.catalog import ArcticException
+    with pytest.raises(ArcticException, match="write_pickle"):
+        tmp_lib.write("bad", {"not": "a frame"})
