@@ -898,6 +898,26 @@ class Library:
         return self.finalize_staged_data(symbol, mode=mode, metadata=metadata,
                                          sort=True)
 
+    def get_staged_symbols(self) -> list[str]:
+        """Symbols with staged, unfinalized data (``library.py:2006``)."""
+        if not os.path.isdir(self.data_root):
+            return []
+        out = []
+        for d in sorted(os.listdir(self.data_root)):
+            stg = self._staging_dir(d)
+            if os.path.isdir(stg) and os.listdir(stg):
+                out.append(d)
+        return out
+
+    def delete_staged_data(self, symbol: str) -> None:
+        """Drop staged chunks without finalizing (``library.py:1723``)."""
+        shutil.rmtree(self._staging_dir(symbol), ignore_errors=True)
+
+    def remove_incompletes(self, symbols: list[str]) -> None:
+        """Batch delete_staged_data (``library.py:855``)."""
+        for s in symbols:
+            self.delete_staged_data(s)
+
     def defragment_symbol_data(self, symbol: str,
                                segment_size: int | None = None) -> VersionManifest:
         """Reference API name for compaction."""
@@ -1128,6 +1148,26 @@ class Library:
         small = sum(1 for fe in m.files if fe.rows < target // 2)
         return small > 1
 
+    def compact_data(self, symbol: str,
+                     rows_per_segment: int | None = None) -> VersionManifest:
+        """Reference ``library.py:3258`` — name-compatible alias of
+        compact_symbol."""
+        return self.compact_symbol(symbol, target_rows_per_file=rows_per_segment)
+
+    def compact_data_explain_plan(self, symbol: str,
+                                  rows_per_segment: int | None = None) -> dict:
+        """Dry run of compact_data (``library.py:3202``): current vs projected
+        segment layout, purely from manifest row counts — no data touched."""
+        m = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
+        target = rows_per_segment or self.rows_per_file
+        after = max(1, -(-m.total_rows // target))
+        return {"symbol": symbol,
+                "total_rows": m.total_rows,
+                "segments_before": len(m.files),
+                "segments_after": after,
+                "rows_per_segment": target,
+                "is_fragmented": self.is_symbol_fragmented(symbol, target)}
+
     # ---- batch ops (reference library.py:2161,1241,1469,1643,2506) ----
     # Each symbol's work is independent; the reference runs batches on its
     # IO executor (C++ thread pools). Spark job submission is thread-safe
@@ -1157,6 +1197,31 @@ class Library:
 
     def read_metadata_batch(self, symbols: list[str]) -> list:
         return self._pmap(self.read_metadata, symbols)
+
+    def write_pickle_batch(self, payloads: list[tuple]) -> list[VersionManifest]:
+        """(``library.py:1319``) payloads = [(symbol, data[, metadata]), ...]."""
+        return self._pmap(
+            lambda p: self.write_pickle(p[0], p[1],
+                                        metadata=p[2] if len(p) > 2 else None),
+            payloads)
+
+    def write_metadata_batch(self, payloads: list[tuple]) -> list[VersionManifest]:
+        """(``library.py:2568``) payloads = [(symbol, metadata), ...]."""
+        return self._pmap(lambda p: self.write_metadata(p[0], p[1]), payloads)
+
+    def get_description_batch(self, symbols: list[str]) -> list[dict]:
+        """(``library.py:3138``)."""
+        return self._pmap(self.get_description, symbols)
+
+    def reload_symbol_list(self) -> None:
+        """(``library.py:3175``) The reference maintains a cached symbol-list
+        key that can drift and need a rebuild; here list_symbols derives
+        directly from the metadata store on every call, so there is no cache
+        to reload — provided for API compatibility."""
+
+    def compact_symbol_list(self) -> None:
+        """(``library.py:3184``) See reload_symbol_list: no symbol-list cache
+        exists in this design; compaction is a no-op."""
 
     def delete_batch(self, symbols: list[str]) -> None:
         self._pmap(self.delete, symbols)
@@ -1216,3 +1281,27 @@ class Arctic:
         self.fs.rmtree(self.fs.join(self.uri, name) if self.uri else name)
         if self.data_root:
             shutil.rmtree(os.path.join(self.data_root, name), ignore_errors=True)
+
+    def has_library(self, name: str) -> bool:
+        """Reference ``arctic.py`` has_library."""
+        path = self.fs.join(self.uri, name) if self.uri else name
+        return self.fs.isdir(path)
+
+    def get_uri(self) -> str:
+        """Reference ``arctic.py`` get_uri."""
+        return self.uri
+
+    def modify_library_option(self, library: "Library", option: str, value) -> None:
+        """Reference ``arctic.py`` modify_library_option: persist a changed
+        LibraryOptions value (rows_per_file / dynamic_schema) so future opens
+        see it; applies to the live Library object too."""
+        if option not in ("rows_per_file", "dynamic_schema"):
+            raise ArcticException(f"unknown library option {option!r}")
+        cfg_path = library._fs.join(library.root, "_config.json")
+        try:
+            cfg = library._fs.read_json(cfg_path)
+        except FileNotFoundError:
+            cfg = {}
+        cfg[option] = value
+        library._fs.write_json_atomic(cfg_path, cfg)
+        setattr(library, option, value)

@@ -214,6 +214,47 @@ def jaccard_near_dup_pairs(df: DataFrame, text_col: str = "text",
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
+# vectors collected into a task-side lookup matrix up to this many rows
+# (64-dim float64 @ 2M rows = ~1 GB — the broadcast-join size class)
+_BCAST_VECS_MAX = 2_000_000
+
+
+def _score_pairs_broadcast(base: DataFrame, pairs: DataFrame) -> DataFrame:
+    """cos(id_a, id_b) via a normalized vector matrix shipped to tasks —
+    the same physical pattern as broadcasting a dimension table."""
+    rows = base.select("id", "vec").collect()
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    M = np.stack([np.asarray(r["vec"], dtype="float64") for r in rows])
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids_sorted, M_sorted = ids[order], M[order]
+
+    @F.pandas_udf("double")
+    def cos_lookup(ia: pd.Series, ib: pd.Series) -> pd.Series:
+        A = M_sorted[np.searchsorted(ids_sorted, ia.to_numpy())]
+        B = M_sorted[np.searchsorted(ids_sorted, ib.to_numpy())]
+        return pd.Series(np.round((A * B).sum(axis=1), 6))
+
+    return pairs.select("id_a", "id_b",
+                        cos_lookup(F.col("id_a"), F.col("id_b")).alias("cos"))
+
+
+def _score_pairs_join(base: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Re-attach vectors by equi-join, then batch-vectorized cosine."""
+    @F.pandas_udf("double")
+    def cos_np(va: pd.Series, vb: pd.Series) -> pd.Series:
+        A = np.stack([np.asarray(v, dtype="float64") for v in va])
+        B = np.stack([np.asarray(v, dtype="float64") for v in vb])
+        num = (A * B).sum(axis=1)
+        den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+        return pd.Series(np.round(num / den, 6))
+
+    j = (pairs.join(base.select(F.col("id").alias("id_a"),
+                                F.col("vec").alias("va")), "id_a")
+              .join(base.select(F.col("id").alias("id_b"),
+                                F.col("vec").alias("vb")), "id_b"))
+    return j.select("id_a", "id_b", cos_np(F.col("va"), F.col("vb")).alias("cos"))
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              exact_below: int = 2000, dim: int = 64,
@@ -243,27 +284,25 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     else:
         buckets = _bucket_udf([_planes(dim, n_planes, seed=7000 + t)
                                for t in range(n_tables)])
+        # candidate generation joins IDS ONLY: the (id, bucket) table is two
+        # scalars per row, so the self-join + dedup shuffles never carry the
+        # 64-float vectors (the naive form moves dim*8 bytes per candidate)
         keyed = _materialize(base.select(
-            "id", "vec", F.explode(buckets(F.col("vec"))).alias("bk")))
+            "id", F.explode(buckets(F.col("vec"))).alias("bk")))
         a, b = keyed.alias("a"), keyed.alias("b")
         pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
                         & (F.col("a.id") < F.col("b.id")))
-                  .select(F.col("a.id").alias("id_a"), F.col("a.vec").alias("va"),
-                          F.col("b.id").alias("id_b"), F.col("b.vec").alias("vb"))
+                  .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
                   .dropDuplicates(["id_a", "id_b"]))
-        # scale path: vectorized numpy rescore per Arrow batch (candidate
-        # volume makes the interpreted fold the bottleneck; this path is not
-        # oracle-hash-checked, the exact path below is and keeps the fold)
-        @F.pandas_udf("double")
-        def cos_np(va: pd.Series, vb: pd.Series) -> pd.Series:
-            A = np.stack([np.asarray(v, dtype="float64") for v in va])
-            B = np.stack([np.asarray(v, dtype="float64") for v in vb])
-            num = (A * B).sum(axis=1)
-            den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
-            return pd.Series(np.round(num / den, 6))
-
-        scored = pairs.select("id_a", "id_b",
-                              cos_np(F.col("va"), F.col("vb")).alias("cos"))
+        if n_rows is not None and n_rows <= _BCAST_VECS_MAX:
+            # vectors fit an executor-side broadcast (the dimension-table
+            # pattern): rescore candidate id pairs against a normalized
+            # numpy matrix — Arrow moves 2 longs per pair, not 2 vectors
+            scored = _score_pairs_broadcast(base, pairs)
+        else:
+            # at larger scale re-attach vectors by joining the (small
+            # relative to pairs) vector table back, then rescore per batch
+            scored = _score_pairs_join(base, pairs)
         return scored.filter(F.col("cos") >= threshold)
     scored = pairs.select("id_a", "id_b",
                           F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
@@ -283,68 +322,88 @@ def simhash(text: Column, bits: int = _SIMHASH_BITS) -> Column:
     wide hashes matter — a 32-bit simhash over a small vocabulary collides
     catastrophically (observed: 4.5M candidate pairs on 5k docs).
 
-    Pure column expressions, zero Python: bit ``b`` of the hash integer is
-    bit ``b % 4`` of hex digit ``15 - b // 4`` of the digest prefix, so every
-    per-bit vote count is a codegen'd ``size(filter(...))`` with
-    Python-literal shift amounts — no UDF, no Python workers, and the exact
-    same math is expressible in DuckDB for the oracle (hex-cast + ``>>``)."""
+    Split execution: token hashing stays JVM-side (codegen'd md5 + conv in
+    one array transform — one op per token); the 60-way bit-majority vote —
+    which as a SQL fold is 60 interpreted lambda passes per token — runs as
+    one vectorized numpy pass per Arrow batch. Exact integer math
+    throughout, so the value is bit-identical to the pure-SQL formulation
+    the DuckDB oracle uses (hex-cast + ``>>`` votes)."""
     assert bits == _SIMHASH_BITS, "bit layout is fixed at 60 (15 hex chars)"
     toks = F.array_distinct(tokens(F.lower(text)))
-    # one digest prefix per distinct token (shared across all 60 bit votes)
-    digs = F.transform(toks, lambda t: F.substring(F.md5(t), 1, 15))
-    n = F.size(digs)
-    bit_weights = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    tok_hash = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
 
-    def bits_of(d: Column) -> Column:
-        # 60-element 0/1 array for one digest: bit b lives at bit b%4 of hex
-        # char 15 - b//4 (char 1 is the MSB), so every shift is a literal
-        arr = []
-        for b in range(bits):
-            q, j = divmod(b, 4)
-            arr.append(F.shiftright(F.conv(F.substring(d, 15 - q, 1), 16, 10)
-                                     .cast("int"), j)
-                        .bitwiseAND(F.lit(1)).cast("long"))
-        return F.array(*arr)
+    shifts = np.arange(bits, dtype=np.uint64)
 
-    # single fold: acc[b] = #tokens with bit b set; finish folds the majority
-    # vote back into one long. The token/digest subtree appears ONCE in the
-    # expression (a per-bit filter() formulation re-inlines it 60x and blows
-    # up Catalyst analysis time).
-    sh = F.aggregate(
-        digs,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, d: F.zip_with(acc, bits_of(d), lambda a, x: a + x),
-        lambda acc: F.aggregate(
-            F.zip_with(acc, bit_weights,
-                       lambda c, w: F.when(c * 2 > n, w)
-                                     .otherwise(F.lit(0).cast("long"))),
-            F.lit(0).cast("long"), lambda a, x: a + x))
-    return F.coalesce(sh, F.lit(0).cast("long"))
+    @F.pandas_udf("long")
+    def vote(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for i, hs in enumerate(hashes):
+            if hs is None or len(hs) == 0:
+                continue
+            h = np.asarray(hs, dtype=np.uint64)
+            bitmat = (h[:, None] >> shifts) & np.uint64(1)     # tokens x bits
+            votes = bitmat.sum(axis=0, dtype=np.int64) * 2 - len(h)
+            out[i] = int(((votes > 0).astype(np.uint64) << shifts).sum())
+        return pd.Series(out)
+
+    return vote(tok_hash)
 
 
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", max_hamming: int = 3,
                            bands: int = 4) -> DataFrame:
-    """Near-dups by SimHash: band the 32-bit hash into ``bands`` chunks —
-    any pair within ``bands-1`` differing bits shares >= 1 exact chunk
-    (pigeonhole), so candidates come from equi-joins, verified by popcount."""
+    """Near-dups by SimHash: band the hash into ``bands`` chunks — any pair
+    within ``bands-1`` differing bits shares >= 1 exact chunk (pigeonhole),
+    so candidates come from equi-joins, verified by popcount.
+
+    The join runs at the DISTINCT-HASH level: documents with identical
+    hashes collapse to one node first (template-heavy corpora have far
+    fewer hashes than docs — 3812 vs 5000 in the test corpus), the banded
+    self-join + hamming verify touches hash pairs only, and surviving hash
+    pairs expand back to id pairs via the per-hash id lists. This removes
+    the two scale hazards of the per-doc join: skewed chunk buckets go
+    quadratic in DOCS (one 1582-doc bucket = 1.25M pairs in one task) when
+    they should be quadratic in distinct hashes, and the final
+    ``distinct()`` over the (huge) id-pair stream disappears because the
+    hash-level expansion emits each pair exactly once."""
     h = simhash(F.col(text_col))
     width = _SIMHASH_BITS // bands
-    base = _materialize(_spread(df.select(F.col(id_col).alias("id"), text_col))
-                        .select("id", h.alias("sh")))
-    chunks = base.select(
-        "id", "sh",
+    base = _spread(df.select(F.col(id_col).alias("id"), text_col)) \
+        .select("id", h.alias("sh"))
+    groups = _materialize(base.groupBy("sh").agg(F.collect_list("id").alias("ids")))
+    hc = groups.select(
+        "sh",
         F.explode(F.array(*[
             F.concat(F.lit(f"c{i}:"),
                      F.shiftright(F.col("sh"), i * width).bitwiseAND(F.lit((1 << width) - 1)))
             for i in range(bands)])).alias("chunk"))
-    a, b = chunks.alias("a"), chunks.alias("b")
+    a, b = hc.alias("a"), hc.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
-    # filter on hamming BEFORE distinct: the cheap bit math prunes the
-    # candidate stream so the dedup shuffle only carries surviving pairs
-    return (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
-                   & (F.col("a.id") < F.col("b.id")))
-             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                     ham.alias("hamming"))
-             .filter(F.col("hamming") <= max_hamming)
-             .distinct())
+    hpairs = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                     & (F.col("a.sh") < F.col("b.sh")))
+               .select(F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"),
+                       ham.alias("hamming"))
+               .filter(F.col("hamming") <= max_hamming)
+               .distinct())
+    # cross-hash expansion: each (sh_a < sh_b) pair appears once, and a doc
+    # belongs to exactly one hash group, so no id-level dedup is needed
+    cross = (hpairs
+             .join(groups.select(F.col("sh").alias("sh_a"),
+                                 F.col("ids").alias("ids_a")), "sh_a")
+             .join(groups.select(F.col("sh").alias("sh_b"),
+                                 F.col("ids").alias("ids_b")), "sh_b")
+             .select(F.explode("ids_a").alias("ia"), F.col("ids_b"), "hamming")
+             .select("ia", F.explode("ids_b").alias("ib"), "hamming")
+             .select(F.least("ia", "ib").alias("id_a"),
+                     F.greatest("ia", "ib").alias("id_b"), "hamming"))
+    # same-hash pairs (hamming 0): ordered combinations within each group,
+    # generated JVM-side with array HOFs — no join, no shuffle
+    same = (groups.filter(F.size("ids") > 1)
+            .select(F.explode(F.expr(
+                "flatten(transform(ids, x -> "
+                "transform(filter(ids, y -> y > x), "
+                "y -> struct(x AS id_a, y AS id_b))))")).alias("p"))
+            .select(F.col("p.id_a"), F.col("p.id_b"),
+                    F.lit(0).cast("int").alias("hamming")))
+    return cross.unionByName(same)

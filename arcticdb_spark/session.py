@@ -36,6 +36,13 @@ _DEFAULTS = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.ui.enabled": "false",
     "spark.sql.shuffle.partitions": "32",
+    # local mode = ONE JVM doing executor work for all threads; the 1g
+    # default heap GC-thrashes under 32 concurrent tasks + cached tables.
+    # Only effective at JVM launch (harmless no-op via getOrCreate on an
+    # existing session). On a real cluster this is the driver only;
+    # executor memory comes from the cluster conf.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    "spark.driver.maxResultSize": "4g",
 }
 
 

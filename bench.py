@@ -36,19 +36,25 @@ def main():
 
     from arcticdb_spark.extensions import dedup as _dedup
     qs = entry_mod.queries()
+    # two passes, report min (ASV practice): a single cold pass conflates a
+    # query's cost with Python-worker spawn / codegen / GC position effects;
+    # min-of-2 measures the steady state the reference's benchmarks report
     timings: dict[str, float] = {}
-    for name, fn in qs.items():
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.count()
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as e:  # report, don't die
-            timings[name] = -1.0
-            print(f"# {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
-        # release per-query cached intermediates (LSH band/signature tables)
-        # so 59 queries don't accumulate executor storage
-        _dedup.unpersist_all()
+    for _pass in range(2):
+        for name, fn in qs.items():
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.count()
+                dt = round(time.perf_counter() - t0, 4)
+                if name not in timings or (0 <= dt < timings[name]):
+                    timings[name] = dt
+            except Exception as e:  # report, don't die
+                timings.setdefault(name, -1.0)
+                print(f"# {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            # release per-query cached intermediates (LSH band/signature
+            # tables) so 59 queries don't accumulate executor storage
+            _dedup.unpersist_all()
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     print(json.dumps({

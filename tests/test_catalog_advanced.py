@@ -252,3 +252,66 @@ def test_write_non_normalizable_suggests_pickle(tmp_lib):
     from arcticdb_spark.catalog import ArcticException
     with pytest.raises(ArcticException, match="write_pickle"):
         tmp_lib.write("bad", {"not": "a frame"})
+
+
+# ---------------------------------------------------------------------------
+# API-surface completions: staged helpers, batch variants, compact_data,
+# Arctic admin (reference library.py:855,1319,1723,2006,2568,3138,3202,3258)
+# ---------------------------------------------------------------------------
+
+def test_staged_symbols_and_delete(tmp_lib):
+    import pandas as pd
+    f = pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=4), "v": [1.0, 2, 3, 4]})
+    tmp_lib.stage("a", f)
+    tmp_lib.stage("b", f)
+    assert tmp_lib.get_staged_symbols() == ["a", "b"]
+    tmp_lib.delete_staged_data("a")
+    assert tmp_lib.get_staged_symbols() == ["b"]
+    tmp_lib.remove_incompletes(["b"])
+    assert tmp_lib.get_staged_symbols() == []
+
+
+def test_batch_variants_pickle_metadata_description(tmp_lib):
+    import pandas as pd
+    tmp_lib.write_pickle_batch([("p1", {"x": 1}), ("p2", [1, 2], {"m": "2"})])
+    assert tmp_lib.read("p1") == {"x": 1}
+    assert tmp_lib.read_metadata("p2") == {"m": "2"}
+    f = pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=4), "v": [1.0, 2, 3, 4]})
+    tmp_lib.write("s1", f)
+    tmp_lib.write("s2", f)
+    tmp_lib.write_metadata_batch([("s1", {"a": 1}), ("s2", {"b": 2})])
+    assert tmp_lib.read_metadata_batch(["s1", "s2"]) == [{"a": 1}, {"b": 2}]
+    descs = tmp_lib.get_description_batch(["s1", "s2"])
+    assert [d["row_count"] for d in descs] == [4, 4]
+    tmp_lib.reload_symbol_list()  # no-op by design, must not raise
+    tmp_lib.compact_symbol_list()
+
+
+def test_compact_data_and_explain_plan(tmp_lib):
+    import pandas as pd
+    lib = tmp_lib
+    for i in range(4):
+        f = pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=10, freq="1h") + pd.Timedelta(hours=10 * i),
+                          "v": [float(i)] * 10})
+        (lib.write if i == 0 else lib.append)("frag", f)
+    plan = lib.compact_data_explain_plan("frag", rows_per_segment=40)
+    assert plan["segments_before"] >= 4 and plan["segments_after"] == 1
+    assert plan["is_fragmented"]
+    lib.compact_data("frag", rows_per_segment=40)
+    m = lib._load_manifest("frag", lib._load_ref("frag")["latest"])
+    assert len(m.files) == 1 and m.total_rows == 40
+    out = lib.read("frag").toPandas()
+    assert len(out) == 40
+
+
+def test_arctic_admin_surface(spark, tmp_path):
+    from arcticdb_spark.catalog import Arctic
+    ac = Arctic(str(tmp_path), spark)
+    lib = ac.create_library("adminlib")
+    assert ac.has_library("adminlib")
+    assert not ac.has_library("nope")
+    assert ac.get_uri() == str(tmp_path)
+    ac.modify_library_option(lib, "rows_per_file", 123)
+    assert lib.rows_per_file == 123
+    lib2 = ac.get_library("adminlib")
+    assert lib2.rows_per_file == 123
