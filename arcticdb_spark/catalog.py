@@ -368,6 +368,33 @@ class Library:
             f"cannot normalize {type(df).__name__}: write() takes a Spark or "
             "pandas DataFrame; use write_pickle() for arbitrary objects")
 
+    # -- EMPTY (all-None) columns: reference ValueType::EMPTY (types.hpp:85-93)
+    # -- a void column is recorded in the manifest schema but never written to
+    # -- parquet (parquet has no null type); reads backfill it with NULLs and a
+    # -- dynamic-schema append promotes it to the incoming type (promote_types
+    # -- treats NullType as promotable to anything).
+    @staticmethod
+    def _void_cols(schema) -> list[str]:
+        from pyspark.sql import types as T
+        return [f.name for f in schema.fields
+                if isinstance(f.dataType, T.NullType)]
+
+    def _drop_void(self, sdf: DataFrame) -> DataFrame:
+        vc = self._void_cols(sdf.schema)
+        return sdf.drop(*vc) if vc else sdf
+
+    def _read_physical(self, m: "VersionManifest",
+                       files: list | None = None) -> DataFrame:
+        """Scan the given files under the manifest's physical schema (void
+        columns stripped; absent columns NULL-backfilled, numeric types
+        widened by the Parquet reader)."""
+        from pyspark.sql import types as T
+        schema = T.StructType.fromJson(json.loads(m.schema_json))
+        phys = T.StructType([f for f in schema.fields
+                             if f.name not in self._void_cols(schema)])
+        return self.spark.read.schema(phys).parquet(
+            *[fe.path for fe in (files if files is not None else m.files)])
+
     def _detect_index(self, df: DataFrame, index_column) -> str | None:
         if index_column is not None:
             return index_column
@@ -407,7 +434,8 @@ class Library:
         tiebreak = (norm_meta["physical"][1:]
                     if norm_meta and norm_meta.get("index_type") == "multiindex"
                     else None)
-        files = self._write_data_files(symbol, sdf, idx, tiebreak_cols=tiebreak)
+        files = self._write_data_files(symbol, self._drop_void(sdf), idx,
+                                       tiebreak_cols=tiebreak)
         if dedup:
             self._content_hashes(files)
             try:
@@ -520,8 +548,15 @@ class Library:
                 raise ArcticException(
                     f"append schema mismatch (enable dynamic_schema): "
                     f"{sorted(old_names ^ new_names)}")
+            old_void = set(self._void_cols(old))
+            typed_into_void = old_void - set(self._void_cols(sdf.schema))
+            if typed_into_void:
+                raise ArcticException(
+                    f"columns {sorted(typed_into_void)} were written all-None "
+                    "(EMPTY type); promoting them on append requires "
+                    "dynamic_schema")
             schema_json = prev.schema_json
-        new_files = self._write_data_files(symbol, sdf, idx)
+        new_files = self._write_data_files(symbol, self._drop_void(sdf), idx)
         if idx and validate_index and new_files and prev.ts_max is not None:
             new_min = min(f.ts_min for f in new_files if f.ts_min is not None)
             if new_min < prev.ts_max:
@@ -569,11 +604,11 @@ class Library:
                 rewrite.append(fe)
         new_entries = list(keep)
         if rewrite:
-            boundary = self.spark.read.parquet(*[f.path for f in rewrite]).filter(
+            boundary = self._read_physical(prev, rewrite).filter(
                 ~F.col(idx).between(pd.Timestamp(lo, unit="ns"),
                                     pd.Timestamp(hi, unit="ns")))
             new_entries += self._write_data_files(symbol, boundary, idx)
-        new_entries += self._write_data_files(symbol, sdf, idx)
+        new_entries += self._write_data_files(symbol, self._drop_void(sdf), idx)
         new_entries.sort(key=lambda e: (e.ts_min if e.ts_min is not None else 0, e.path))
         m = VersionManifest(symbol, prev.version + 1, time.time_ns(), idx,
                             prev.schema_json, _renumber(new_entries),
@@ -597,7 +632,7 @@ class Library:
                 rewrite.append(fe)
         new_entries = list(keep)
         if rewrite:
-            boundary = self.spark.read.parquet(*[f.path for f in rewrite]).filter(
+            boundary = self._read_physical(prev, rewrite).filter(
                 ~F.col(idx).between(pd.Timestamp(lo, unit="ns"),
                                     pd.Timestamp(hi, unit="ns")))
             new_entries += self._write_data_files(symbol, boundary, idx)
@@ -775,15 +810,18 @@ class Library:
             out = query_builder.to_df(empty, idx) if query_builder else empty
             return self._format_output(out, output_format, m.norm_meta)
 
-        reader = self.spark.read
-        if self.dynamic_schema:
-            # read with the manifest's promoted schema: the Parquet reader
-            # widens numeric types in place and backfills absent columns with
-            # NULL — no mergeSchema footer sweep, no per-file branching
-            # (reference reduce_and_fix_columns, version_core.cpp:2971)
-            from pyspark.sql import types as T
-            reader = reader.schema(T.StructType.fromJson(json.loads(m.schema_json)))
-        df = reader.parquet(*[fe.path for fe in files])
+        # read with the manifest's schema: the Parquet reader widens numeric
+        # types in place and backfills absent columns with NULL — no
+        # mergeSchema footer sweep, no per-file branching (reference
+        # reduce_and_fix_columns, version_core.cpp:2971). EMPTY (void)
+        # columns are never physically stored: strip them from the reader
+        # schema and re-attach as NULL literals below.
+        from pyspark.sql import types as T
+        mschema = T.StructType.fromJson(json.loads(m.schema_json))
+        void_cols = self._void_cols(mschema)
+        phys = T.StructType([f for f in mschema.fields
+                             if f.name not in void_cols])
+        df = self.spark.read.schema(phys).parquet(*[fe.path for fe in files])
 
         if need_row_id:
             offmap = F.create_map(*[F.lit(x) for fe in files
@@ -794,6 +832,13 @@ class Library:
                 ROW_ID,
                 (offmap[F.col("_metadata.file_path")]
                  + F.col("_metadata.row_index")).cast("long"))
+
+        if void_cols:
+            for c in void_cols:
+                df = df.withColumn(c, F.lit(None))
+            # restore manifest column order (ROW_ID, if any, stays last)
+            df = df.select([f.name for f in mschema.fields]
+                           + ([ROW_ID] if need_row_id else []))
 
         if date_range is not None:
             c = F.col(idx)
@@ -858,7 +903,7 @@ class Library:
         sdf, _ = self._normalize(df)
         out = os.path.join(self._staging_dir(symbol), uuid.uuid4().hex)
         os.makedirs(os.path.dirname(out), exist_ok=True)
-        sdf.write.mode("overwrite").parquet(out)
+        self._drop_void(sdf).write.mode("overwrite").parquet(out)
 
     def finalize_staged_data(self, symbol: str, mode: str = "write",
                              metadata: Any = None, index_column: str | None = None,
@@ -1129,7 +1174,7 @@ class Library:
         prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
         idx = prev.index_column
         target = target_rows_per_file or self.rows_per_file
-        df = self.spark.read.parquet(*[fe.path for fe in prev.files])
+        df = self._read_physical(prev)
         n_parts = max(1, -(-prev.total_rows // target))
         if idx:
             df = df.repartitionByRange(n_parts, F.col(idx)).sortWithinPartitions(idx)

@@ -315,3 +315,66 @@ def test_arctic_admin_surface(spark, tmp_path):
     assert lib.rows_per_file == 123
     lib2 = ac.get_library("adminlib")
     assert lib2.rows_per_file == 123
+
+
+# ---------------------------------------------------------------------------
+# EMPTY (all-None) column type + array (Dim1) columns — reference
+# types.hpp:85-93 (ValueType::EMPTY promotable on append), types.hpp:388/481
+# (make_array_type), python/tests/.../test_array_column_type.py
+# ---------------------------------------------------------------------------
+
+def _dyn_lib(spark, tmp_path, name="dyn"):
+    from arcticdb_spark.catalog import Arctic
+    return Arctic(str(tmp_path), spark).create_library(name, dynamic_schema=True)
+
+
+def test_empty_column_roundtrip_and_promotion(spark, tmp_path):
+    import pandas as pd
+    lib = _dyn_lib(spark, tmp_path)
+    f1 = pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=2), "v": [None, None]})
+    lib.write("e", f1)
+    out = lib.read("e").toPandas()
+    assert out["v"].isna().all() and len(out) == 2
+    f2 = pd.DataFrame({"ts": pd.date_range("2024-02-01", periods=2), "v": [1.5, 2.5]})
+    lib.append("e", f2)
+    out = lib.read("e").toPandas().sort_values("ts")
+    assert out["v"].dtype == "float64"
+    assert out["v"].tolist()[2:] == [1.5, 2.5]
+    assert out["v"].isna().tolist()[:2] == [True, True]
+
+
+def test_empty_column_static_mode_rejected(spark, tmp_path):
+    import pandas as pd
+    import pytest
+    from arcticdb_spark.catalog import Arctic, ArcticException
+    lib = Arctic(str(tmp_path), spark).create_library("static")
+    f1 = pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=2), "v": [None, None]})
+    lib.write("e", f1)
+    with pytest.raises(ArcticException, match="EMPTY"):
+        lib.append("e", pd.DataFrame({"ts": pd.date_range("2024-02-01", periods=2),
+                                      "v": [1.0, 2.0]}))
+    # appending more all-None rows is fine in static mode
+    lib.append("e", pd.DataFrame({"ts": pd.date_range("2024-03-01", periods=2),
+                                  "v": [None, None]}))
+    assert lib.read("e").count() == 4
+
+
+def test_void_append_into_typed_column(spark, tmp_path):
+    import pandas as pd
+    lib = _dyn_lib(spark, tmp_path)
+    lib.write("t", pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=2),
+                                 "v": [1.5, 2.5]}))
+    lib.append("t", pd.DataFrame({"ts": pd.date_range("2024-02-01", periods=2),
+                                  "v": [None, None]}))
+    out = lib.read("t").toPandas().sort_values("ts")
+    assert out["v"].tolist()[:2] == [1.5, 2.5]
+    assert out["v"].isna().tolist()[2:] == [True, True]
+
+
+def test_ragged_array_column_roundtrip(tmp_lib):
+    import pandas as pd
+    f = pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=3),
+                      "arr": [[1.0, 2.0], [3.0], [4.0, 5.0, 6.0]]})
+    tmp_lib.write("arrsym", f)
+    out = tmp_lib.read("arrsym").toPandas().sort_values("ts")
+    assert [list(x) for x in out["arr"]] == [[1.0, 2.0], [3.0], [4.0, 5.0, 6.0]]
