@@ -132,6 +132,30 @@ class VersionManifest:
 from arcticdb_spark.sources.filesystem import LocalFileSystem, S3ObjectFileSystem
 
 
+def _schema_from_pandas_dtypes(pdf):
+    """Spark schema for a ZERO-ROW pandas frame (inference needs data).
+    object dtype maps to string; an all-None column in a 0-row frame is
+    indistinguishable from text, which matches the reference's dynamic
+    string default."""
+    from pyspark.sql import types as T
+    import pandas as pd
+    m = []
+    for name, dt in pdf.dtypes.items():
+        if pd.api.types.is_datetime64_any_dtype(dt):
+            t = T.TimestampType()
+        elif pd.api.types.is_float_dtype(dt):
+            t = T.DoubleType() if dt.itemsize == 8 else T.FloatType()
+        elif pd.api.types.is_bool_dtype(dt):
+            t = T.BooleanType()
+        elif pd.api.types.is_integer_dtype(dt):
+            t = {1: T.ByteType(), 2: T.ShortType(),
+                 4: T.IntegerType()}.get(dt.itemsize, T.LongType())
+        else:
+            t = T.StringType()
+        m.append(T.StructField(str(name), t, True))
+    return T.StructType(m)
+
+
 def _renumber(files: list[FileEntry]) -> list[FileEntry]:
     acc = 0
     out = []
@@ -363,6 +387,11 @@ class Library:
                 pdf = pdf.reset_index()
             else:
                 pdf = pdf.reset_index(drop=True)  # positional index: dropped
+            if len(pdf) == 0:
+                # schema inference needs rows; map pandas dtypes explicitly
+                # (reference supports empty writes: test_empty_writes)
+                return self.spark.createDataFrame(
+                    pdf, schema=_schema_from_pandas_dtypes(pdf)), None
             return self.spark.createDataFrame(pdf), None
         raise ArcticException(
             f"cannot normalize {type(df).__name__}: write() takes a Spark or "

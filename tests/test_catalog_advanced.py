@@ -378,3 +378,32 @@ def test_ragged_array_column_roundtrip(tmp_lib):
     tmp_lib.write("arrsym", f)
     out = tmp_lib.read("arrsym").toPandas().sort_values("ts")
     assert [list(x) for x in out["arr"]] == [[1.0, 2.0], [3.0], [4.0, 5.0, 6.0]]
+
+
+def test_zero_row_write_then_append(spark, tmp_path):
+    import pandas as pd
+    lib = _dyn_lib(spark, tmp_path, "zero")
+    lib.write("z", pd.DataFrame({"ts": pd.to_datetime([]),
+                                 "v": pd.Series([], dtype="float64")}))
+    assert lib.read("z").count() == 0
+    assert lib.read("z").schema.simpleString() == "struct<ts:timestamp,v:double>"
+    lib.append("z", pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=3),
+                                  "v": [1.0, 2.0, 3.0]}))
+    out = lib.read("z").toPandas().sort_values("ts")
+    assert out["v"].tolist() == [1.0, 2.0, 3.0]
+
+
+def test_nat_index_and_unicode_filter(tmp_lib):
+    import pandas as pd
+    from arcticdb_spark.query import QueryBuilder
+    f = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01", None, "2024-01-03"]),
+                      "v": [1.0, 2.0, 3.0]})
+    tmp_lib.write("nat", f)
+    out = tmp_lib.read("nat").toPandas()
+    assert len(out) == 3 and out["ts"].isna().sum() == 1
+    f2 = pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=3),
+                       "s": ["héllo", "مرحبا", "日本語"]})
+    tmp_lib.write("uni", f2)
+    q = QueryBuilder()
+    q = q[q["s"] == "日本語"]
+    assert tmp_lib.read("uni", query_builder=q).toPandas()["s"].tolist() == ["日本語"]
