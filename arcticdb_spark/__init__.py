@@ -23,8 +23,10 @@ Layout:
 
 from arcticdb_spark.session import get_spark
 from arcticdb_spark.query import QueryBuilder, col
-from arcticdb_spark.catalog import Arctic
+from arcticdb_spark.catalog import (Arctic, ReadInfoRequest, ReadRequest,
+                                    WritePayload)
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "QueryBuilder", "col", "Arctic", "__version__"]
+__all__ = ["get_spark", "QueryBuilder", "col", "Arctic", "WritePayload",
+           "ReadRequest", "ReadInfoRequest", "__version__"]

@@ -132,6 +132,106 @@ class VersionManifest:
 from arcticdb_spark.sources.filesystem import LocalFileSystem, S3ObjectFileSystem
 
 
+@dataclass
+class WritePayload:
+    """Batch-write unit mirroring the singular ``write`` API (reference
+    ``library.py:191``)."""
+    symbol: str
+    data: Any
+    metadata: Any = None
+
+
+@dataclass
+class ReadRequest:
+    """Batch-read unit mirroring the singular ``read`` API (reference
+    ``library.py:278``): each symbol may carry its own as_of / ranges /
+    query_builder."""
+    symbol: str
+    as_of: Any = None
+    date_range: tuple | None = None
+    row_range: tuple | None = None
+    columns: list | None = None
+    query_builder: Any = None
+
+
+@dataclass
+class ReadInfoRequest:
+    """(symbol, as_of) pair for metadata/description batches (reference
+    ``library.py:338``)."""
+    symbol: str
+    as_of: Any = None
+
+
+@dataclass
+class Size:
+    """Compressed bytes + object count for one key type (reference
+    ``admin_tools.py``)."""
+    bytes: int
+    count: int
+
+
+class AdminTools:
+    """Administrative utilities on one library (reference
+    ``library.py:3521`` ``admin_tools()`` / ``version_store/admin_tools.py``).
+
+    Key types map to this design's artifacts: VERSION_REF -> per-symbol
+    ``_ref.json``, VERSION -> version manifests, TABLE_DATA -> parquet data
+    files, APPEND_DATA -> staged chunks. TABLE_INDEX has no separate
+    artifact here (the manifest embeds the index) and reports 0.
+    """
+
+    _KEY_TYPES = ("VERSION_REF", "VERSION", "TABLE_INDEX", "TABLE_DATA",
+                  "APPEND_DATA")
+
+    def __init__(self, lib: "Library"):
+        self._lib = lib
+
+    def _sym_sizes(self, symbol: str) -> dict:
+        lib = self._lib
+        out = {k: Size(0, 0) for k in self._KEY_TYPES}
+        ref = lib._ref_path(symbol)
+        if lib._fs.exists(ref):
+            out["VERSION_REF"] = Size(
+                len(json.dumps(lib._fs.read_json(ref))), 1)
+        vdir = lib._fs.join(lib._sym_dir(symbol), "_versions")
+        if lib._fs.isdir(vdir):
+            vb = vn = 0
+            for f in lib._fs.listdir(vdir):
+                vb += len(json.dumps(lib._fs.read_json(lib._fs.join(vdir, f))))
+                vn += 1
+            out["VERSION"] = Size(vb, vn)
+        ddir = os.path.join(lib._data_sym_dir(symbol), "data")
+        if os.path.isdir(ddir):
+            db = dn = 0
+            for root, _dirs, fns in os.walk(ddir):
+                for fn in fns:
+                    if fn.endswith(".parquet"):
+                        db += os.path.getsize(os.path.join(root, fn))
+                        dn += 1
+            out["TABLE_DATA"] = Size(db, dn)
+        sdir = lib._staging_dir(symbol)
+        if os.path.isdir(sdir):
+            sb = sn = 0
+            for root, _dirs, fns in os.walk(sdir):
+                for fn in fns:
+                    if fn.endswith(".parquet"):
+                        sb += os.path.getsize(os.path.join(root, fn))
+                        sn += 1
+            out["APPEND_DATA"] = Size(sb, sn)
+        return out
+
+    def get_sizes_by_symbol(self) -> dict:
+        return {s: self._sym_sizes(s) for s in self._lib.list_symbols()}
+
+    def get_sizes(self) -> dict:
+        total = {k: Size(0, 0) for k in self._KEY_TYPES}
+        for sizes in self.get_sizes_by_symbol().values():
+            for k, sz in sizes.items():
+                total[k] = Size(total[k].bytes + sz.bytes,
+                                total[k].count + sz.count)
+        return total
+
+
 def _schema_from_pandas_dtypes(pdf):
     """Spark schema for a ZERO-ROW pandas frame (inference needs data).
     object dtype maps to string; an all-None column in a 0-row frame is
@@ -1258,19 +1358,46 @@ class Library:
             return list(ex.map(fn, items))
 
     def read_batch(self, symbols: list, **kw) -> list[DataFrame]:
-        return self._pmap(lambda s: self.read(s, **kw), symbols)
+        """Items may be plain symbol names or ``ReadRequest`` objects carrying
+        per-symbol as_of/date_range/row_range/columns/query_builder
+        (reference ``library.py:2161`` accepts Union[str, ReadRequest])."""
+        def one(s):
+            if isinstance(s, ReadRequest):
+                return self.read(s.symbol, as_of=s.as_of,
+                                 date_range=s.date_range, row_range=s.row_range,
+                                 columns=s.columns,
+                                 query_builder=s.query_builder, **kw)
+            return self.read(s, **kw)
+        return self._pmap(one, symbols)
 
-    def write_batch(self, payloads: list[tuple]) -> list[VersionManifest]:
-        return self._pmap(lambda p: self.write(p[0], p[1]), payloads)
+    @staticmethod
+    def _payload(p) -> tuple:
+        if isinstance(p, WritePayload):
+            return p.symbol, p.data, p.metadata
+        return (p[0], p[1], p[2] if len(p) > 2 else None)
 
-    def append_batch(self, payloads: list[tuple]) -> list[VersionManifest]:
-        return self._pmap(lambda p: self.append(p[0], p[1]), payloads)
+    def write_batch(self, payloads: list) -> list[VersionManifest]:
+        return self._pmap(
+            lambda p: self.write(*self._payload(p)[:2],
+                                 metadata=self._payload(p)[2]), payloads)
 
-    def update_batch(self, payloads: list[tuple]) -> list[VersionManifest]:
-        return self._pmap(lambda p: self.update(p[0], p[1]), payloads)
+    def append_batch(self, payloads: list) -> list[VersionManifest]:
+        return self._pmap(
+            lambda p: self.append(*self._payload(p)[:2],
+                                  metadata=self._payload(p)[2]), payloads)
 
-    def read_metadata_batch(self, symbols: list[str]) -> list:
-        return self._pmap(self.read_metadata, symbols)
+    def update_batch(self, payloads: list) -> list[VersionManifest]:
+        return self._pmap(lambda p: self.update(*self._payload(p)[:2]), payloads)
+
+    def read_metadata_batch(self, symbols: list) -> list:
+        return self._pmap(
+            lambda s: (self.read_metadata(s.symbol, as_of=s.as_of)
+                       if isinstance(s, ReadInfoRequest)
+                       else self.read_metadata(s)), symbols)
+
+    def admin_tools(self) -> "AdminTools":
+        """Reference ``library.py:3521``: storage-size breakdowns."""
+        return AdminTools(self)
 
     def write_pickle_batch(self, payloads: list[tuple]) -> list[VersionManifest]:
         """(``library.py:1319``) payloads = [(symbol, data[, metadata]), ...]."""
@@ -1283,9 +1410,12 @@ class Library:
         """(``library.py:2568``) payloads = [(symbol, metadata), ...]."""
         return self._pmap(lambda p: self.write_metadata(p[0], p[1]), payloads)
 
-    def get_description_batch(self, symbols: list[str]) -> list[dict]:
-        """(``library.py:3138``)."""
-        return self._pmap(self.get_description, symbols)
+    def get_description_batch(self, symbols: list) -> list[dict]:
+        """(``library.py:3138``) — items may be ReadInfoRequest objects."""
+        return self._pmap(
+            lambda s: (self.get_description(s.symbol, as_of=s.as_of)
+                       if isinstance(s, ReadInfoRequest)
+                       else self.get_description(s)), symbols)
 
     def reload_symbol_list(self) -> None:
         """(``library.py:3175``) The reference maintains a cached symbol-list

@@ -105,3 +105,59 @@ class TestBatchOps:
             tmp_lib.write(f"d{i}", pd.DataFrame({"ts": ts, "v": range(3)}))
         tmp_lib.delete_batch(["d0", "d2"])
         assert tmp_lib.list_symbols() == ["d1"]
+
+
+# ---------------------------------------------------------------------------
+# Batch request objects + admin tools (reference library.py:191,278,338,3521)
+# ---------------------------------------------------------------------------
+
+def test_read_batch_with_read_requests(tmp_lib):
+    import pandas as pd
+    from arcticdb_spark.catalog import ReadRequest
+    from arcticdb_spark.query import QueryBuilder
+    f = pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=10, freq="1D"),
+                      "v": [float(i) for i in range(10)]})
+    tmp_lib.write("a", f)
+    tmp_lib.write("b", f)
+    tmp_lib.write("b", f.assign(v=f["v"] * 10))  # version 1
+    q = QueryBuilder()
+    q = q[q["v"] >= 5.0]
+    outs = tmp_lib.read_batch([
+        ReadRequest("a", query_builder=q),
+        ReadRequest("b", as_of=0),
+        "b",
+    ])
+    assert outs[0].count() == 5
+    assert outs[1].toPandas()["v"].max() == 9.0
+    assert outs[2].toPandas()["v"].max() == 90.0
+
+
+def test_write_batch_payloads_and_info_requests(tmp_lib):
+    import pandas as pd
+    from arcticdb_spark.catalog import ReadInfoRequest, WritePayload
+    f = pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=4), "v": [1.0, 2, 3, 4]})
+    tmp_lib.write_batch([WritePayload("w1", f, {"m": 1}), ("w2", f)])
+    assert tmp_lib.read_metadata("w1") == {"m": 1}
+    tmp_lib.write("w2", f, metadata={"m": 2})  # version 1
+    metas = tmp_lib.read_metadata_batch([ReadInfoRequest("w2", as_of=0), "w2"])
+    assert metas == [None, {"m": 2}]
+    descs = tmp_lib.get_description_batch([ReadInfoRequest("w1"), "w2"])
+    assert all(d["row_count"] == 4 for d in descs)
+
+
+def test_admin_tools_sizes(tmp_lib):
+    import pandas as pd
+    f = pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=100, freq="1h"),
+                      "v": [float(i) for i in range(100)]})
+    tmp_lib.write("s", f)
+    tmp_lib.append("s", f.assign(ts=f["ts"] + pd.Timedelta(days=30)))
+    tmp_lib.stage("s", f.assign(ts=f["ts"] + pd.Timedelta(days=60)))
+    at = tmp_lib.admin_tools()
+    sizes = at.get_sizes()
+    assert sizes["VERSION_REF"].count == 1 and sizes["VERSION_REF"].bytes > 0
+    assert sizes["VERSION"].count == 2
+    assert sizes["TABLE_DATA"].count >= 2 and sizes["TABLE_DATA"].bytes > 0
+    assert sizes["APPEND_DATA"].count >= 1
+    by_sym = at.get_sizes_by_symbol()
+    assert set(by_sym) == {"s"}
+    assert by_sym["s"]["TABLE_DATA"].bytes == sizes["TABLE_DATA"].bytes
