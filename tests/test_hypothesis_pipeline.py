@@ -1,0 +1,105 @@
+"""Property-based PIPELINE parity vs pandas: random clause chains
+(filter -> project -> groupby-agg / positional tail) applied through
+QueryBuilder and replicated step-by-step in pandas. The reference's
+hypothesis suites cover operators in isolation; the composed chain pins
+clause-boundary semantics (positions after filters, NaN-key drops after
+projections, aggregation over projected columns)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from arcticdb_spark.query import QueryBuilder
+
+N = 48
+
+
+@st.composite
+def frames(draw):
+    n = draw(st.integers(10, N))
+    rng = np.random.default_rng(draw(st.integers(0, 2**16)))
+    ts = pd.date_range("2024-01-01", periods=n, freq="1h")
+    a = rng.integers(-50, 50, n).astype("int64")
+    b = rng.uniform(-10, 10, n)
+    b = np.where(rng.random(n) < 0.2, np.nan, b)
+    k = rng.choice(["x", "y", "z"], n)
+    return pd.DataFrame({"ts": ts, "a": a, "b": b, "k": k})
+
+
+_spark = None
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _init(spark):
+    global _spark
+    _spark = spark
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(pdf=frames(), thresh=st.integers(-30, 30),
+       agg=st.sampled_from(["sum", "mean", "min", "max", "count"]))
+def test_filter_project_groupby_chain(pdf, thresh, agg):
+    df = _spark.createDataFrame(pdf)
+    q = QueryBuilder()
+    q = q[q["a"] > thresh]
+    q = q.apply("c", q["b"] * 2 + q["a"])
+    q = q.groupby("k").agg({"c": agg})
+    out = q.to_df(df).toPandas().sort_values("k").reset_index(drop=True)
+
+    p = pdf[pdf["a"] > thresh].copy()
+    p["c"] = p["b"] * 2 + p["a"]
+    if agg == "count":
+        exp = p.dropna(subset=["c"]).groupby("k")["c"].count()
+    else:
+        exp = getattr(p.groupby("k")["c"], agg)()
+        if agg == "sum":
+            # reference 0-fills all-NaN sum groups, pandas sum already does
+            exp = p.groupby("k")["c"].sum()
+    exp = exp.reset_index().sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == exp["k"].tolist()
+    got = out["c"].astype("float64").values
+    want = exp["c"].astype("float64").values
+    assert np.allclose(got, want, equal_nan=True)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(pdf=frames(), thresh=st.integers(-30, 30), n_head=st.integers(1, 12))
+def test_filter_then_head_positions(pdf, thresh, n_head):
+    """Positional clauses act on the FILTERED frame (pandas iloc model)."""
+    df = _spark.createDataFrame(pdf)
+    q = QueryBuilder()
+    q = q[q["a"] > thresh]
+    q = q.head(n_head)
+    out = q.to_df(df, index_column="ts").toPandas().sort_values("ts")
+    exp = pdf[pdf["a"] > thresh].head(n_head)
+    assert len(out) == len(exp)
+    assert out["a"].tolist() == exp["a"].tolist()
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(pdf=frames(), lo=st.integers(0, 20), width=st.integers(1, 15))
+def test_project_then_row_range(pdf, lo, width):
+    df = _spark.createDataFrame(pdf)
+    q = QueryBuilder()
+    q = q.apply("c", q["a"] + 1)
+    q = q.row_range((lo, lo + width))
+    out = q.to_df(df, index_column="ts").toPandas().sort_values("ts")
+    exp = pdf.assign(c=pdf["a"] + 1).iloc[lo:lo + width]
+    assert out["c"].tolist() == exp["c"].tolist()
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(pdf=frames(), thresh=st.integers(-30, 30))
+def test_filter_then_tail_negative_range(pdf, thresh):
+    df = _spark.createDataFrame(pdf)
+    q = QueryBuilder()
+    q = q[q["a"] > thresh]
+    q = q.tail(5)
+    out = q.to_df(df, index_column="ts").toPandas().sort_values("ts")
+    exp = pdf[pdf["a"] > thresh].tail(5)
+    assert out["a"].tolist() == exp["a"].tolist()

@@ -44,3 +44,37 @@ def test_stream_resample_windowed(spark, tmp_path):
     assert len(out) == 2
     assert out["n"].tolist() == [60, 60]
     assert out["s"].tolist() == [sum(range(60)), sum(range(60, 120))]
+
+
+def test_stream_resample_late_data_dropped(spark, tmp_path):
+    """Append-mode watermark semantics: a row arriving after the watermark
+    has passed its window is dropped (late-data handling the reference
+    addresses bitemporally via update(); the stream path drops per
+    watermark contract)."""
+    src = str(tmp_path / "late_src")
+    import os
+    os.makedirs(src, exist_ok=True)
+    b1 = pd.DataFrame({"ts": pd.date_range("2024-01-01 00:00", periods=120, freq="1min"),
+                       "value": [1.0] * 120})
+    spark.createDataFrame(b1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("ts timestamp, value double").parquet(src)
+    agg = stream_resample(stream, "ts", "1 hour", {"n": ("value", "count")},
+                          watermark="10 minutes")
+    q = (agg.writeStream.outputMode("append").format("memory")
+         .queryName("late_resampled").start())
+    try:
+        q.processAllAvailable()
+        # batch 2: one late row in the already-closed [00:00, 01:00) window
+        # plus a fresh row far ahead that advances the watermark
+        b2 = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 00:30",
+                                                 "2024-01-01 05:00"]),
+                           "value": [99.0, 1.0]})
+        spark.createDataFrame(b2).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM late_resampled ORDER BY ts").toPandas()
+    finally:
+        q.stop()
+    closed = out[out["ts"] == pd.Timestamp("2024-01-01 00:00")]
+    # the late 00:30 row did NOT re-open or inflate the emitted window
+    assert closed["n"].tolist() == [60]
