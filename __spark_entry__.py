@@ -532,6 +532,19 @@ def q_dedup_jaccard(spark, sf):
                                          bands=4, k=3)
 
 
+def q_dedup_cluster(spark, sf):
+    """Deduplicated corpus: connected components over the MinHash-LSH
+    candidate-pair graph, keep the min-id representative per cluster.
+    Pair listing is quadratic in duplicate multiplicity (k copies of a doc
+    = C(k,2) pairs); the cluster view is the pipeline-scale dedup API.
+    Components via iterative min-label propagation (one groupBy per round,
+    bounded by component diameter — near-dup components are near-cliques,
+    so 2-3 rounds); oracle replicates it with a recursive reachability CTE."""
+    d = load_table(spark, sf, "documents")
+    pairs = xdedup.minhash_near_dup_pairs(d, num_hashes=16, bands=4, k=3)
+    return xdedup.dedup_by_pairs(d, pairs).select("doc_id")
+
+
 def q_dedup_simhash(spark, sf):
     """SimHash near-dup pairs — oracle-exact: the 60-bit majority vote, chunk
     banding and Hamming verify are pure integer/md5 math replicated in
@@ -754,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_cluster": q_dedup_cluster,
     }
 
 
@@ -879,6 +893,25 @@ j AS (SELECT c.id_a, c.id_b,
 SELECT id_a, id_b,
        round(CASE WHEN u > 0 THEN i / CAST(u AS DOUBLE) ELSE 0.0 END, 6) AS jaccard
 FROM j WHERE round(CASE WHEN u > 0 THEN i / CAST(u AS DOUBLE) ELSE 0.0 END, 6) >= {threshold}"""
+
+
+def _cluster_sql() -> str:
+    """Connected components over the MinHash candidate pairs as a recursive
+    reachability CTE (cluster = min node reachable from each id), then keep
+    one representative per cluster — same semantics as the iterative
+    min-label propagation in dedup.near_dup_clusters."""
+    return f"""
+WITH RECURSIVE cand AS ({_minhash_sql()}),
+edges AS (SELECT id_a AS a, id_b AS b FROM cand
+          UNION ALL
+          SELECT id_b AS a, id_a AS b FROM cand),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE cluster <> id)"""
 
 
 def _simhash_sql(max_hamming: int = 6, bands: int = 4, bits: int = 60) -> str:
@@ -1310,6 +1343,7 @@ FROM x WHERE k > 50 GROUP BY event_type""",
         "text_langid": _lang_sql(),
         "text_fingerprint": f"SELECT doc_id, {_FPR} AS fingerprint FROM documents",
         "dedup_minhash": _minhash_sql(),
+        "dedup_cluster": _cluster_sql(),
         "dedup_jaccard": _jaccard_sql(),
         "dedup_embedding": """
 WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),

@@ -53,7 +53,7 @@ def main():
                 timings.setdefault(name, -1.0)
                 print(f"# {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             # release per-query cached intermediates (LSH band/signature
-            # tables) so 59 queries don't accumulate executor storage
+            # tables) so 60 queries don't accumulate executor storage
             _dedup.unpersist_all()
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)

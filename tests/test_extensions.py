@@ -198,3 +198,44 @@ def test_range_join(spark):
                             by=["k"], bucket="1 hour").toPandas()
     got = sorted(zip(out.lv, out.rv))
     assert got == [(1, 100), (2, 100), (3, 200)]
+
+
+def test_near_dup_clusters_components(spark):
+    # two components {1,2,3} (chain) and {5,6}; 4 and 7 never appear
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    labels = xdedup.near_dup_clusters(pairs).toPandas()
+    got = labels.set_index("id")["cluster"].to_dict()
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+    xdedup.unpersist_all()
+
+
+def test_dedup_by_pairs_keeps_min_and_unseen(spark):
+    df = spark.createDataFrame([(i, f"doc {i}") for i in range(1, 8)],
+                               "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    kept = sorted(r.doc_id for r in xdedup.dedup_by_pairs(df, pairs).collect())
+    assert kept == [1, 4, 5, 7]        # cluster reps + untouched rows
+    xdedup.unpersist_all()
+
+
+def test_simhash_dedup_matches_pairwise_clustering(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "an entirely different document about spark engines"),
+        (4, "an entirely different document about spark engines"),
+        (5, "short unique text nothing alike whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r.doc_id for r in
+                  xdedup.simhash_dedup(df, max_hamming=3).collect())
+    # must equal clustering the explicit pair list
+    pairs = xdedup.simhash_near_dup_pairs(df, max_hamming=3)
+    expect = sorted(r.doc_id for r in xdedup.dedup_by_pairs(df, pairs).collect())
+    assert kept == expect
+    assert 3 in kept and 4 not in kept   # exact-dup group keeps min id
+    assert 5 in kept
+    xdedup.unpersist_all()

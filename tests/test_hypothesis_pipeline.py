@@ -51,7 +51,10 @@ def test_filter_project_groupby_chain(pdf, thresh, agg):
     p = pdf[pdf["a"] > thresh].copy()
     p["c"] = p["b"] * 2 + p["a"]
     if agg == "count":
-        exp = p.dropna(subset=["c"]).groupby("k")["c"].count()
+        # pandas/reference semantics: count non-NaN values, but the group
+        # itself survives (all-NaN group -> 0), pinned by the reference's
+        # test_aggregate_float_columns_with_nans "only nans" group
+        exp = p.groupby("k")["c"].count()
     else:
         exp = getattr(p.groupby("k")["c"], agg)()
         if agg == "sum":
