@@ -58,3 +58,37 @@ def stream_resample(stream_df: DataFrame, ts_col: str, rule: str,
             .groupBy(F.window(ts_col, rule).alias("window"))
             .agg(*aggs)
             .select(F.col("window.start").alias(ts_col), *[F.col(o) for o, _, _ in specs]))
+
+
+def stream_dedup(stream_df: DataFrame, text_col: str = "text",
+                 keys: list[str] | None = None, ts_col: str | None = None,
+                 watermark: str | None = None) -> DataFrame:
+    """Exact dedup on an ingestion stream — the streaming counterpart of
+    ``extensions.dedup.exact_dedup``: one row per normalized content
+    fingerprint passes (within a micro-batch the surviving copy is
+    arbitrary, per ``dropDuplicates``); once a fingerprint is seen, later
+    micro-batches never re-admit it (state-store backed, so restarts keep
+    their memory via the checkpoint).
+
+    ``keys`` overrides the fingerprint (dedup on explicit columns). With
+    ``ts_col`` + ``watermark`` the state is bounded: duplicates are only
+    tracked inside the watermark horizon (``dropDuplicatesWithinWatermark``)
+    — the 100 TB-ingest configuration, since unbounded dedup state on an
+    infinite stream is itself a scale hazard. Without a watermark, state
+    grows with distinct-document count (fine for bounded backfills).
+    """
+    from arcticdb_spark.extensions.text import fingerprint
+
+    if keys is None:
+        df = stream_df.withColumn("__fp__", fingerprint(F.col(text_col)))
+        keys, drop_fp = ["__fp__"], True
+    else:
+        df, drop_fp = stream_df, False
+    if watermark is not None:
+        if ts_col is None:
+            raise ValueError("watermarked stream_dedup needs ts_col")
+        df = df.withWatermark(ts_col, watermark)
+        out = df.dropDuplicatesWithinWatermark(keys)
+    else:
+        out = df.dropDuplicates(keys)
+    return out.drop("__fp__") if drop_fp else out

@@ -78,3 +78,63 @@ def test_stream_resample_late_data_dropped(spark, tmp_path):
     closed = out[out["ts"] == pd.Timestamp("2024-01-01 00:00")]
     # the late 00:30 row did NOT re-open or inflate the emitted window
     assert closed["n"].tolist() == [60]
+
+
+def test_stream_dedup_across_batches(spark, tmp_path):
+    """One row per normalized fingerprint survives (which copy inside a
+    micro-batch is arbitrary); copies arriving in a LATER micro-batch are
+    always dropped (state-store memory across batches)."""
+    from arcticdb_spark.streaming.ingest import stream_dedup
+    src = str(tmp_path / "docs_src")
+    import os
+    os.makedirs(src, exist_ok=True)
+    b1 = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "text": ["alpha doc", "beta doc", "Alpha  DOC"]})
+    spark.createDataFrame(b1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (stream_dedup(stream).writeStream.outputMode("append")
+         .format("memory").queryName("dedup_stream").start())
+    try:
+        q.processAllAvailable()
+        # batch 2: one cross-batch duplicate of doc 1, one new doc
+        b2 = pd.DataFrame({"doc_id": [3, 4],
+                           "text": ["beta doc", "gamma doc"]})
+        spark.createDataFrame(b2).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM dedup_stream").toPandas()
+    finally:
+        q.stop()
+    kept = sorted(out["doc_id"].tolist())
+    # 2 normalizes to doc 0's fingerprint -> exactly one of {0, 2} survives;
+    # 3 duplicates doc 1 CROSS-batch -> always dropped; 4 is new
+    assert len(kept) == 3
+    assert 1 in kept and 4 in kept and 3 not in kept
+    assert (0 in kept) != (2 in kept)
+    assert "__fp__" not in out.columns
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Watermarked variant: bounded state, duplicates inside the horizon
+    dropped."""
+    from arcticdb_spark.streaming.ingest import stream_dedup
+    src = str(tmp_path / "docs_wm_src")
+    import os
+    os.makedirs(src, exist_ok=True)
+    b1 = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:01",
+                              "2024-01-01 00:02"]),
+        "doc_id": [0, 1, 2],
+        "text": ["alpha doc", "alpha doc", "beta doc"]})
+    spark.createDataFrame(b1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "ts timestamp, doc_id long, text string").parquet(src)
+    q = (stream_dedup(stream, ts_col="ts", watermark="1 hour")
+         .writeStream.outputMode("append")
+         .format("memory").queryName("dedup_wm_stream").start())
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM dedup_wm_stream").toPandas()
+    finally:
+        q.stop()
+    assert sorted(out["doc_id"].tolist()) == [0, 2]
