@@ -418,12 +418,16 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
 # components over the candidate-pair graph, keep the min id per component.
 
 def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
-                      id_b: str = "id_b", max_iter: int = 10) -> DataFrame:
+                      id_b: str = "id_b", max_iter: int = 50) -> DataFrame:
     """(id, cluster) rows: connected components of the pair graph by
     iterative min-label propagation (the standard Spark CC pattern — each
     round is one groupBy over the edge list; near-dup components are
     near-cliques, so convergence takes 2-3 rounds, bounded by graph
-    diameter). Only ids that appear in ``pairs`` are returned."""
+    diameter). Only ids that appear in ``pairs`` are returned.
+
+    Raises ``RuntimeError`` if labels still change after ``max_iter``
+    rounds (a component with diameter > max_iter) rather than silently
+    returning split clusters."""
     edges = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
              .unionByName(pairs.select(F.col(id_b).alias("a"),
                                        F.col(id_a).alias("b"))))
@@ -431,6 +435,7 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
     labels = (edges.groupBy("a").agg(F.min("b").alias("nbr"))
               .select(F.col("a").alias("id"),
                       F.least("a", "nbr").alias("cluster")))
+    changed = 1
     for _ in range(max_iter):
         labels = _persist(labels)
         # propagate: my label = min(my label, labels of my neighbors)
@@ -447,6 +452,10 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
         labels = nxt
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iter} rounds "
+            f"(a component has diameter > {max_iter}); raise max_iter")
     return labels
 
 

@@ -239,3 +239,17 @@ def test_simhash_dedup_matches_pairwise_clustering(spark):
     assert 3 in kept and 4 not in kept   # exact-dup group keeps min id
     assert 5 in kept
     xdedup.unpersist_all()
+
+
+def test_near_dup_clusters_long_chain_converges_or_raises(spark):
+    import pytest as _pytest
+    # a 9-node path graph: diameter 8, needs several propagation rounds
+    chain = spark.createDataFrame([(i, i + 1) for i in range(8)],
+                                  "id_a long, id_b long")
+    labels = xdedup.near_dup_clusters(chain).toPandas()
+    assert set(labels["cluster"]) == {0}
+    xdedup.unpersist_all()
+    # under-provisioned max_iter must refuse, not silently split the chain
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        xdedup.near_dup_clusters(chain, max_iter=2)
+    xdedup.unpersist_all()
