@@ -826,6 +826,11 @@ class Library:
         chain further clauses; ``output_format`` in {"spark", "pandas",
         "arrow"} (reference OutputFormat, options.py:170-196)."""
         import pandas as pd
+        if date_range is not None and row_range is not None:
+            # reference _store.py:2221: "Date range and row range both
+            # specified" is a user error — and the absolute-rowid row_range
+            # would intersect wrongly with the date filter anyway
+            raise ArcticException("Date range and row range both specified")
         if lazy:
             from arcticdb_spark.lazy import LazyDataFrame
             return LazyDataFrame(self, symbol, dict(

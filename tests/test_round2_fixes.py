@@ -237,3 +237,14 @@ class TestMergeUpdateNullKeys:
         assert out[3] == "s3"
         assert out[1] == "t1"
         assert out[9] == "s9"
+
+
+def test_date_range_plus_row_range_params_rejected(tmp_lib):
+    """Reference _store.py:2221: both range params together is a user
+    error (and the absolute-rowid intersection would be wrong anyway)."""
+    from arcticdb_spark.catalog import ArcticException
+    tmp_lib.write("both_ranges", _mk_ts_frame(50))
+    with pytest.raises(ArcticException, match="both specified"):
+        tmp_lib.read("both_ranges",
+                     date_range=(pd.Timestamp("2024-01-01"), None),
+                     row_range=(0, 3))
