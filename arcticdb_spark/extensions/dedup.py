@@ -350,6 +350,29 @@ def simhash(text: Column, bits: int = _SIMHASH_BITS) -> Column:
     return vote(tok_hash)
 
 
+def _simhash_hash_pairs(groups: DataFrame, bands: int,
+                        max_hamming: int) -> DataFrame:
+    """Verified near-dup pairs over DISTINCT SimHash values (``sh_a < sh_b``
+    + ``hamming``): band each hash into ``bands`` chunks, self-join on the
+    chunk key, verify with popcount. Shared by the pair and cluster APIs so
+    the banding math cannot diverge between them."""
+    width = _SIMHASH_BITS // bands
+    hc = groups.select(
+        "sh",
+        F.explode(F.array(*[
+            F.concat(F.lit(f"c{i}:"),
+                     F.shiftright(F.col("sh"), i * width).bitwiseAND(F.lit((1 << width) - 1)))
+            for i in range(bands)])).alias("chunk"))
+    a, b = hc.alias("a"), hc.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.sh") < F.col("b.sh")))
+            .select(F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"),
+                    ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
+
+
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", max_hamming: int = 3,
                            bands: int = 4) -> DataFrame:
@@ -368,24 +391,10 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     ``distinct()`` over the (huge) id-pair stream disappears because the
     hash-level expansion emits each pair exactly once."""
     h = simhash(F.col(text_col))
-    width = _SIMHASH_BITS // bands
     base = _spread(df.select(F.col(id_col).alias("id"), text_col)) \
         .select("id", h.alias("sh"))
     groups = _materialize(base.groupBy("sh").agg(F.collect_list("id").alias("ids")))
-    hc = groups.select(
-        "sh",
-        F.explode(F.array(*[
-            F.concat(F.lit(f"c{i}:"),
-                     F.shiftright(F.col("sh"), i * width).bitwiseAND(F.lit((1 << width) - 1)))
-            for i in range(bands)])).alias("chunk"))
-    a, b = hc.alias("a"), hc.alias("b")
-    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
-    hpairs = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
-                     & (F.col("a.sh") < F.col("b.sh")))
-               .select(F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"),
-                       ham.alias("hamming"))
-               .filter(F.col("hamming") <= max_hamming)
-               .distinct())
+    hpairs = _simhash_hash_pairs(groups, bands, max_hamming)
     # cross-hash expansion: each (sh_a < sh_b) pair appears once, and a doc
     # belongs to exactly one hash group, so no id-level dedup is needed
     cross = (hpairs
@@ -434,24 +443,26 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
     edges = _materialize(edges)
     labels = (edges.groupBy("a").agg(F.min("b").alias("nbr"))
               .select(F.col("a").alias("id"),
-                      F.least("a", "nbr").alias("cluster")))
+                      F.least("a", "nbr").alias("cluster"))).persist()
     changed = 1
     for _ in range(max_iter):
-        labels = _persist(labels)
         # propagate: my label = min(my label, labels of my neighbors)
         prop = (edges.join(labels.withColumnRenamed("id", "b")
                                  .withColumnRenamed("cluster", "nbr_cluster"), "b")
                 .groupBy("a").agg(F.min("nbr_cluster").alias("nbr_min")))
         nxt = (labels.join(prop.withColumnRenamed("a", "id"), "id", "left")
                .select("id", F.least("cluster", F.coalesce("nbr_min", "cluster"))
-                             .alias("cluster")))
-        nxt = _persist(nxt)
+                             .alias("cluster"))).persist()
+        # full (un-limited) count: decides convergence AND fully populates
+        # nxt's cache before the previous round's labels are released
         changed = (labels.withColumnRenamed("cluster", "old")
                    .join(nxt, "id")
-                   .filter(F.col("old") != F.col("cluster")).limit(1).count())
-        labels = nxt
+                   .filter(F.col("old") != F.col("cluster")).count())
+        labels.unpersist()          # superseded — only two label tables
+        labels = nxt                # (current + next) are ever cached
         if changed == 0:
             break
+    _PERSISTED.append(labels)       # released by the caller's unpersist_all()
     if changed != 0:
         raise RuntimeError(
             f"near_dup_clusters did not converge in {max_iter} rounds "
@@ -460,11 +471,13 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
 
 
 def dedup_by_pairs(df: DataFrame, pairs: DataFrame,
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id", id_a: str = "id_a",
+                   id_b: str = "id_b") -> DataFrame:
     """Drop every row that belongs to a near-dup cluster but is not its
     min-id representative. Rows never seen in ``pairs`` pass through —
-    the anti-join touches only clustered ids, so the big side streams."""
-    clusters = near_dup_clusters(pairs)
+    the anti-join touches only clustered ids, so the big side streams.
+    ``id_a``/``id_b`` name the pair columns in ``pairs``."""
+    clusters = near_dup_clusters(pairs, id_a=id_a, id_b=id_b)
     losers = clusters.filter(F.col("id") != F.col("cluster")) \
         .select(F.col("id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
@@ -479,24 +492,13 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
     group keeps ids only if its hash is the cluster representative's hash
     group — inside a group only the min id survives."""
     h = simhash(F.col(text_col))
-    width = _SIMHASH_BITS // bands
     base = _spread(df.select(F.col(id_col).alias("id"), text_col)) \
         .select("id", h.alias("sh"))
     groups = _materialize(base.groupBy("sh").agg(F.min("id").alias("min_id"),
                                                  F.collect_list("id").alias("ids")))
-    hc = groups.select(
-        "sh",
-        F.explode(F.array(*[
-            F.concat(F.lit(f"c{i}:"),
-                     F.shiftright(F.col("sh"), i * width).bitwiseAND(F.lit((1 << width) - 1)))
-            for i in range(bands)])).alias("chunk"))
-    a, b = hc.alias("a"), hc.alias("b")
-    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
-    hpairs = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
-                     & (F.col("a.sh") < F.col("b.sh")))
-               .select(F.col("a.sh").alias("id_a"), F.col("b.sh").alias("id_b"))
-               .filter(ham <= max_hamming).distinct())
-    hclusters = near_dup_clusters(hpairs)  # hash -> cluster-root hash
+    hpairs = _simhash_hash_pairs(groups, bands, max_hamming)
+    # hash -> cluster-root hash
+    hclusters = near_dup_clusters(hpairs, id_a="sh_a", id_b="sh_b")
     # representative id per cluster = min over member hashes' min ids
     member = (groups.join(hclusters.withColumnRenamed("id", "sh"), "sh", "left")
               .withColumn("cluster", F.coalesce("cluster", "sh")))

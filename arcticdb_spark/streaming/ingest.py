@@ -79,14 +79,20 @@ def stream_dedup(stream_df: DataFrame, text_col: str = "text",
     """
     from arcticdb_spark.extensions.text import fingerprint
 
+    if (ts_col is None) != (watermark is None):
+        # asymmetric acceptance would silently produce unbounded state when
+        # the caller passed ts_col but forgot watermark
+        raise ValueError("stream_dedup: pass ts_col AND watermark together "
+                         "(bounded state) or neither (unbounded state)")
     if keys is None:
+        if "__fp__" in stream_df.columns:
+            raise ValueError("stream_dedup: input already has a __fp__ "
+                             "column; pass keys=['__fp__'] to dedup on it")
         df = stream_df.withColumn("__fp__", fingerprint(F.col(text_col)))
         keys, drop_fp = ["__fp__"], True
     else:
         df, drop_fp = stream_df, False
     if watermark is not None:
-        if ts_col is None:
-            raise ValueError("watermarked stream_dedup needs ts_col")
         df = df.withWatermark(ts_col, watermark)
         out = df.dropDuplicatesWithinWatermark(keys)
     else:

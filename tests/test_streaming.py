@@ -137,4 +137,8 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         out = spark.sql("SELECT * FROM dedup_wm_stream").toPandas()
     finally:
         q.stop()
-    assert sorted(out["doc_id"].tolist()) == [0, 2]
+    kept = sorted(out["doc_id"].tolist())
+    # docs 0 and 1 share a fingerprint: exactly one survives (which copy
+    # within a micro-batch is arbitrary, per dropDuplicates); 2 is unique
+    assert len(kept) == 2 and 2 in kept
+    assert (0 in kept) != (1 in kept)
