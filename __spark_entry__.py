@@ -365,13 +365,20 @@ def q_anti_join(spark, sf):
 
 def q_semi_join_date_arith(spark, sf):
     """EXISTS + timestamp interval arithmetic: orders with a line shipped
-    more than 60 days after the order date."""
+    more than 60 days after the order date.
+
+    Plan: an order has a late line iff max(l_shipdate) > o_orderdate + 60d,
+    so lineitem pre-aggregates to one row per orderkey (map-side partial agg
+    shrinks the shuffle ~4x) and ONE join replaces the old
+    join-distinct-then-semi-join shape that scanned orders twice. No
+    broadcast needed — both sides shuffle on the join key, scale-safe."""
     o = load_table(spark, sf, "orders")
     li = load_table(spark, sf, "lineitem")
-    late = li.join(o, li.l_orderkey == o.o_orderkey) \
-             .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")) \
-             .select("o_orderkey").distinct()
-    return (o.join(late, "o_orderkey", "left_semi")
+    max_ship = (li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+                  .agg(F.max("l_shipdate").alias("max_ship")))
+    return (o.select("o_orderkey", "o_orderdate", "o_orderpriority")
+             .join(max_ship, "o_orderkey")
+             .filter(F.col("max_ship") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
              .groupBy("o_orderpriority")
              .agg(F.count(F.lit(1)).alias("n_late_orders")))
 
@@ -693,10 +700,18 @@ def q_multimodal_features(spark, sf):
     document bytes, decoded through the real Arrow-batched mapInPandas
     plumbing (deterministic fake decoder — sha256-seeded features that
     DuckDB reproduces from the same bytes). Swapping in a real codec changes
-    only the decode function, not the Spark contract."""
+    only the decode function, not the Spark contract.
+
+    The feature vector is emitted as scalar feat_0..feat_7 columns (not
+    array<double>) so the driver's pandas canonicalizer can sort/hash the
+    result — arrays are unhashable in its sort_values path."""
     docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 64)
     media = xmm.media_from_documents(docs)
-    return xmm.extract_features(media, fake=True, batch_partitions=4)
+    feats = xmm.extract_features(media, fake=True, batch_partitions=4)
+    dim = 8
+    return feats.select(
+        "media_id", "kind", "n_bytes", "sha256",
+        *[F.col("feat")[i].alias(f"feat_{i}") for i in range(dim)])
 
 
 # ---------------------------------------------------------------------------
@@ -705,10 +720,28 @@ def q_multimodal_features(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Queries the round-1 driver gate never reached (it stopped at 50
-        # entries) run FIRST so a budget cutoff can only drop queries that
-        # already have a green CORRECTNESS_r01 row.
+        # ORDERING POLICY (round 4+): least-recently-driver-verified first.
+        # The driver checks only the first ~50 entries per round, so a static
+        # order starves the tail. Front block = queries with no green row on
+        # CURRENT code: dedup_cluster (never driver-verified), the round-2
+        # rewritten dedup_minhash/dedup_exact, the r01-only tail, the
+        # formerly-red multimodal_features, and the two queries re-planned
+        # this round (dedup_jaccard, semi_join_date_arith). Everything after
+        # was green in CORRECTNESS_r03 on unchanged code.
+        "dedup_cluster": q_dedup_cluster,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_exact": q_dedup_exact,
+        "embedding_label_stats": q_embedding_label_stats,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "rolling_mean": q_rolling_mean,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_features": q_multimodal_features,
         "dedup_jaccard": q_dedup_jaccard,
+        "semi_join_date_arith": q_semi_join_date_arith,
+        # --- green in r03 on current code (re-verified on rotation) ---
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "similarity_bruteforce": q_similarity_bruteforce,
@@ -716,7 +749,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": q_similarity_ivf,
         "json_extract": q_json_extract,
         "approx_sketches": q_approx_sketches,
-        "multimodal_features": q_multimodal_features,
         "filter_numeric": q_filter_numeric,
         "filter_isin_regex": q_filter_isin_regex,
         "filter_ternary": q_filter_ternary,
@@ -745,7 +777,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_range_surgery": q_update_range_surgery,
         "join_revenue": q_join_revenue,
         "anti_join": q_anti_join,
-        "semi_join_date_arith": q_semi_join_date_arith,
         "except_users": q_except_users,
         "topk_per_group": q_topk_per_group,
         "window_lag_lead": q_window_lag_lead,
@@ -758,16 +789,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot": q_unpivot,
         "ngram_top": q_ngram_top,
         "token_frequencies": q_token_frequencies,
-        "embedding_label_stats": q_embedding_label_stats,
-        "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
-        "rolling_mean": q_rolling_mean,
-        "dedup_exact": q_dedup_exact,
-        "text_stats": q_text_stats,
-        "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_cluster": q_dedup_cluster,
     }
 
 
@@ -946,9 +967,11 @@ WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}"""
 
 def _multimodal_sql(dim: int = 8, limit: int = 64) -> str:
     """Replicates the fake decoder from the raw payload bytes: n_bytes,
-    sha256 hex, and dim exact (chunk / 2^32) double features."""
+    sha256 hex, and dim exact (chunk / 2^32) double features, flattened to
+    scalar feat_i columns to stay canonicalizable by the driver."""
     feat = ", ".join(
         f"CAST('0x' || substring(sha, {8 * i + 1}, 8) AS BIGINT) / 4294967296.0"
+        f" AS feat_{i}"
         for i in range(dim))
     return f"""
 WITH m AS (SELECT doc_id AS media_id,
@@ -959,7 +982,7 @@ h AS (SELECT media_id, kind, octet_length(encode(text)) AS n_bytes,
         sha256(text) AS sha
       FROM m)
 SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes, sha AS sha256,
-       [{feat}] AS feat
+       {feat}
 FROM h"""
 
 

@@ -129,7 +129,9 @@ class VersionManifest:
 # object-store layout, LocalFileSystem covers posix/NFS. Data files (parquet)
 # are written by Spark and can live on a different root (data_root) so
 # object-store metadata + locally-mounted data compose.
-from arcticdb_spark.sources.filesystem import LocalFileSystem, S3ObjectFileSystem
+from arcticdb_spark.sources.filesystem import (AzureObjectFileSystem,
+                                               LocalFileSystem,
+                                               S3ObjectFileSystem)
 
 
 @dataclass
@@ -1447,16 +1449,21 @@ class Arctic:
     """Top-level entry point (reference ``arctic.py``): ``Arctic(uri)`` ->
     ``get_library``.
 
-    URI forms (reference supports s3://, lmdb://, mem:// etc.):
+    URI forms (reference supports s3://, lmdb://, azure://, mem:// etc.):
     * local/posix or mounted object-store directory (default);
     * ``s3://bucket/prefix`` — metadata on S3 via conditional-PUT CAS
       (``S3ObjectFileSystem``); pass ``data_root`` (mounted/local path) for
       the Spark-written parquet files, and optionally ``s3_client`` (e.g. a
-      moto/minio client for tests).
+      moto/minio client for tests);
+    * ``azure://container/prefix`` — metadata on Azure Blob Storage
+      (``AzureObjectFileSystem``, reference
+      ``cpp/arcticdb/storage/azure/azure_storage.cpp``); pass
+      ``azure_client`` (a ContainerClient, or a fake in tests).
     """
 
     def __init__(self, uri: str, spark: SparkSession | None = None,
-                 data_root: str | None = None, s3_client=None):
+                 data_root: str | None = None, s3_client=None,
+                 azure_client=None):
         from arcticdb_spark.session import get_spark
         self.spark = spark or get_spark()
         self.data_root = data_root
@@ -1464,6 +1471,12 @@ class Arctic:
             rest = uri[len("s3://"):]
             bucket, _, prefix = rest.partition("/")
             self.fs = S3ObjectFileSystem(bucket, client=s3_client, prefix=prefix)
+            self.uri = ""
+        elif uri.startswith("azure://"):
+            rest = uri[len("azure://"):]
+            container, _, prefix = rest.partition("/")
+            self.fs = AzureObjectFileSystem(container_client=azure_client,
+                                            prefix=prefix, container=container)
             self.uri = ""
         else:
             self.fs = LocalFileSystem()

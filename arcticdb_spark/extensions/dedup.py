@@ -184,30 +184,70 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     return pairs
 
 
+# candidate-id count up to which the shingle sets are collected and shipped
+# to tasks as one broadcast lookup (LSH candidates are a tiny fraction of the
+# corpus — ~200-char docs x 2M ids is the broadcast-join size class)
+_BCAST_SETS_MAX = 2_000_000
+
+
 def jaccard_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", threshold: float = 0.5,
                            num_hashes: int = 16, bands: int = 8,
-                           k: int = 2) -> DataFrame:
+                           k: int = 2,
+                           broadcast_ids_max: int = _BCAST_SETS_MAX) -> DataFrame:
     """LSH candidates verified with exact token-k-gram Jaccard >= threshold.
 
-    The verify join re-attaches the (deduplicated) shingle sets only for
-    candidate ids — at scale this is a semi-join-sized shuffle, not O(n²).
+    Verify plan (the id-pairs + broadcast-set pattern proven by
+    ``embedding_near_dup_pairs``): candidate pairs carry IDS ONLY through
+    the shuffle; shingle sets are computed once, for candidate ids only
+    (left-semi on the id set), and shipped to tasks as a broadcast lookup —
+    the naive form drags two wide array columns through the candidate-pair
+    shuffle. Above ``broadcast_ids_max`` distinct candidate ids the rescore
+    falls back to re-attaching the (candidate-only) sets by equi-join.
     """
-    cand = minhash_near_dup_pairs(df, text_col, id_col, num_hashes, bands, k)
-    # used on BOTH sides of the verify join — materialize so the shingle
-    # arrays compute once
-    sets_df = _materialize(
-        _spread(df.select(F.col(id_col).alias("id"), text_col))
-        .select("id", F.array_distinct(shingles(F.col(text_col), k)).alias("sh")))
-    j = (cand.join(sets_df.withColumnRenamed("id", "id_a")
-                          .withColumnRenamed("sh", "sh_a"), "id_a")
-             .join(sets_df.withColumnRenamed("id", "id_b")
-                          .withColumnRenamed("sh", "sh_b"), "id_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
-    return (j.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-             .filter(F.col("jaccard") >= threshold))
+    cand = _materialize(
+        minhash_near_dup_pairs(df, text_col, id_col, num_hashes, bands, k))
+    cand_ids = (cand.select(F.col("id_a").alias("id"))
+                .unionByName(cand.select(F.col("id_b").alias("id")))
+                .distinct())
+    n_cand_ids = cand_ids.count()    # cand is cached — this is a cheap agg
+    sets_expr = F.array_distinct(shingles(F.col(text_col), k)).alias("sh")
+    if n_cand_ids <= broadcast_ids_max:
+        sub = (df.select(F.col(id_col).alias("id"), text_col)
+                 .join(F.broadcast(cand_ids), "id", "left_semi")
+                 .select("id", sets_expr))
+        lookup = {r["id"]: frozenset(r["sh"]) for r in sub.collect()}
+        bc = df.sparkSession.sparkContext.broadcast(lookup)
+
+        @F.pandas_udf("double")
+        def jac(ia: pd.Series, ib: pd.Series) -> pd.Series:
+            lk = bc.value
+            out = np.zeros(len(ia), dtype="float64")
+            for i, (x, y) in enumerate(zip(ia.to_numpy(), ib.to_numpy())):
+                sa, sb = lk[int(x)], lk[int(y)]
+                inter = len(sa & sb)
+                union = len(sa) + len(sb) - inter
+                out[i] = inter / union if union else 0.0
+            return pd.Series(out)
+
+        scored = cand.select(
+            "id_a", "id_b",
+            F.round(jac(F.col("id_a"), F.col("id_b")), 6).alias("jaccard"))
+    else:
+        sets_df = _materialize(
+            _spread(df.select(F.col(id_col).alias("id"), text_col))
+            .join(cand_ids, "id", "left_semi")
+            .select("id", sets_expr))
+        j = (cand.join(sets_df.withColumnRenamed("id", "id_a")
+                              .withColumnRenamed("sh", "sh_a"), "id_a")
+                 .join(sets_df.withColumnRenamed("id", "id_b")
+                              .withColumnRenamed("sh", "sh_b"), "id_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size(F.array_union("sh_a", "sh_b"))
+        jac_col = F.when(union > 0,
+                         inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+        scored = j.select("id_a", "id_b", F.round(jac_col, 6).alias("jaccard"))
+    return scored.filter(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -17,11 +17,12 @@ physical ``__row_id__`` column and Parquet min/max stats prune on it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 ROW_ID = "__row_id__"
 _PID = "__asdb_pid__"
+_PIDK = "__asdb_pidk__"
 
 
 def with_row_id(df: DataFrame, order_cols: list[str] | None = None,
@@ -41,19 +42,22 @@ def with_row_id(df: DataFrame, order_cols: list[str] | None = None,
     # counts and the final id so no window/sort is ever needed.
     part = df.withColumn(_PID, F.monotonically_increasing_id())
     pid = F.shiftright(F.col(_PID), 33).cast("long")
-    counts = {r["pid"]: r["cnt"] for r in
-              part.select(pid.alias("pid")).groupBy("pid")
-                  .agg(F.count(F.lit(1)).alias("cnt")).collect()}
-    offsets, acc = {}, 0
-    for p in sorted(counts):
-        offsets[p] = acc
-        acc += counts[p]
-    if not offsets:
-        return df.withColumn(ROW_ID, F.lit(0).cast("long"))
-    mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    # per-partition counts -> cumulative offsets, kept DISTRIBUTED: the
+    # counts table is one row per partition, so the running-sum window and
+    # the broadcast join stay tiny, and nothing is collected to the driver
+    # or inlined into the plan (a create_map literal over hundreds of
+    # thousands of partitions at 100 TB would bloat driver memory AND the
+    # serialized plan).
+    counts = (part.select(pid.alias(_PIDK))
+              .groupBy(_PIDK).agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.orderBy(_PIDK).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        _PIDK, F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("__asdb_off__"))
     local = F.col(_PID).bitwiseAND(F.lit((1 << 33) - 1)).cast("long")
-    out = part.withColumn(ROW_ID, (mapping[pid] + local).cast("long"))
-    return out.drop(_PID)
+    out = (part.withColumn(_PIDK, pid)
+           .join(F.broadcast(offsets), _PIDK)
+           .withColumn(ROW_ID, (F.col("__asdb_off__") + local).cast("long")))
+    return out.drop(_PID, _PIDK, "__asdb_off__")
 
 
 def count_rows(df: DataFrame) -> int:

@@ -14,9 +14,13 @@ is an 8-method implementation:
   VERSION_REF compare-and-swap (``version/version_map.hpp``;
   S3 conditional-write usage ``cpp/arcticdb/storage/s3/s3_storage.cpp``).
 
-Two implementations ship: ``LocalFileSystem`` (posix / NFS / FUSE-mounted
-buckets) and ``S3ObjectFileSystem`` (boto3, real or S3-compatible endpoint;
-tested against moto). The catalog takes any implementation of this protocol.
+Three implementations ship: ``LocalFileSystem`` (posix / NFS / FUSE-mounted
+buckets), ``S3ObjectFileSystem`` (boto3, real or S3-compatible endpoint;
+tested against moto) and ``AzureObjectFileSystem`` (azure-storage-blob
+ContainerClient protocol; tested against a fake client — the Azure SDK is
+not in this container). The catalog takes any implementation of this
+protocol. Reference analogue for Azure:
+``cpp/arcticdb/storage/azure/azure_storage.cpp``.
 """
 
 from __future__ import annotations
@@ -185,5 +189,107 @@ class S3ObjectFileSystem:
         except Exception as e:
             code = getattr(e, "response", {}).get("Error", {}).get("Code")
             if code in ("PreconditionFailed", "412", "ConditionalRequestConflict"):
+                return False
+            raise
+
+
+class AzureObjectFileSystem:
+    """Metadata store on Azure Blob Storage via an
+    ``azure.storage.blob.ContainerClient`` (or anything implementing its
+    ``upload_blob / download_blob / delete_blob / list_blobs / walk_blobs``
+    surface — tests inject an in-memory fake since the Azure SDK is not in
+    this container).
+
+    Same virtual-directory model as S3 (prefixes, ``makedirs`` no-op). The
+    version-commit CAS maps to ``upload_blob(..., overwrite=False)``, which
+    the SDK sends as a PUT with ``If-None-Match: *`` — the blob-store
+    conditional write the reference's Azure backend
+    (``cpp/arcticdb/storage/azure/azure_storage.cpp``) relies on for
+    multi-writer safety; it raises ``ResourceExistsError`` (HTTP 409) when
+    another writer won the race. Plain overwriting uploads are atomic per
+    blob, giving ``write_json_atomic``.
+    """
+
+    def __init__(self, container_client=None, prefix: str = "",
+                 account_url: str | None = None, container: str | None = None,
+                 credential=None):
+        if container_client is None:  # pragma: no cover - network path
+            from azure.storage.blob import BlobServiceClient
+            svc = BlobServiceClient(account_url=account_url,
+                                    credential=credential)
+            container_client = svc.get_container_client(container)
+        self.client = container_client
+        self.prefix = prefix.strip("/")
+
+    # -- key helpers (identical layout to S3ObjectFileSystem) --
+    def _key(self, path: str) -> str:
+        path = path.strip("/")
+        if not path:
+            return self.prefix
+        return f"{self.prefix}/{path}" if self.prefix else path
+
+    def _dir_prefix(self, path: str) -> str:
+        k = self._key(path)
+        return k + "/" if k else ""
+
+    def join(self, *parts: str) -> str:
+        return "/".join(p.strip("/") for p in parts if p)
+
+    def exists(self, path: str) -> bool:
+        key = self._key(path)
+        return any(b.name == key
+                   for b in self.client.list_blobs(name_starts_with=key))
+
+    def isdir(self, path: str) -> bool:
+        prefix = self._dir_prefix(path)
+        return any(True for _ in self.client.list_blobs(name_starts_with=prefix))
+
+    def makedirs(self, path: str) -> None:
+        pass  # prefixes are virtual
+
+    def listdir(self, path: str) -> list[str]:
+        """Immediate children via the hierarchical (delimiter) listing."""
+        prefix = self._dir_prefix(path)
+        names: set[str] = set()
+        for item in self.client.walk_blobs(name_starts_with=prefix,
+                                           delimiter="/"):
+            # files are BlobProperties; sub-prefixes are BlobPrefix whose
+            # .name keeps the trailing delimiter
+            names.add(item.name[len(prefix):].rstrip("/"))
+        return sorted(n for n in names if n)
+
+    def remove(self, path: str) -> None:
+        self.client.delete_blob(self._key(path))
+
+    def rmtree(self, path: str) -> None:
+        prefix = self._dir_prefix(path)
+        for b in list(self.client.list_blobs(name_starts_with=prefix)):
+            self.client.delete_blob(b.name)
+
+    def read_json(self, path: str):
+        try:
+            data = self.client.download_blob(self._key(path)).readall()
+        except Exception as e:
+            if (type(e).__name__ == "ResourceNotFoundError"
+                    or getattr(e, "status_code", None) == 404):
+                raise FileNotFoundError(path) from e
+            raise
+        return json.loads(data)
+
+    def write_json_atomic(self, path: str, obj) -> None:
+        self.client.upload_blob(name=self._key(path),
+                                data=json.dumps(obj).encode(), overwrite=True)
+
+    def write_json_if_absent(self, path: str, obj) -> bool:
+        """Conditional upload (If-None-Match: * under the hood) — the
+        VERSION_REF CAS; False when another writer committed first."""
+        try:
+            self.client.upload_blob(name=self._key(path),
+                                    data=json.dumps(obj).encode(),
+                                    overwrite=False)
+            return True
+        except Exception as e:
+            if (type(e).__name__ == "ResourceExistsError"
+                    or getattr(e, "status_code", None) == 409):
                 return False
             raise

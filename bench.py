@@ -57,15 +57,33 @@ def main():
             _dedup.unpersist_all()
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
-    print(json.dumps({
-        "metric": "suite_wall_seconds",
-        "value": total,
-        "unit": "sec",
+    recall = _ann_recall(spark, sf_dir)
+    duck = _duckdb_head_to_head(entry_mod, sf_dir)
+    # full payload (DuckDB head-to-head detail) goes to BENCH_DETAIL.json;
+    # stdout gets ONE compact line (3-decimal, no spaces, ~1.4 kB) because
+    # the driver's stdout capture truncated the fat line in rounds 2-3
+    detail = {
+        "metric": "suite_wall_seconds", "value": total, "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "ann_recall": _ann_recall(spark, sf_dir),
-        "duckdb": _duckdb_head_to_head(entry_mod, sf_dir),
-    }))
+        "ann_recall": recall,
+        "duckdb": duck,
+        "duckdb_total": round(sum(t for t in duck.values() if t >= 0), 4),
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:
+        print(f"# BENCH_DETAIL.json write failed: {e}", file=sys.stderr)
+    compact = {
+        "metric": "suite_wall_seconds", "value": round(total, 3), "unit": "sec",
+        "queries": {n: round(t, 3) for n, t in timings.items()},
+        "sf": detail["sf"],
+        "ann_recall": recall,
+        "duckdb_total": detail["duckdb_total"],
+    }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 def _ann_recall(spark, sf_dir: str) -> dict:
