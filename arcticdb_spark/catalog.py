@@ -67,6 +67,12 @@ class FileEntry:
     ts_min: int | None = None   # ns since epoch
     ts_max: int | None = None
     content_hash: str | None = None   # order-independent row-hash (dedup)
+    # physical schema this file was written under (schema-epoch); None means
+    # "same as the manifest schema". Dynamic-schema appends that widen a type
+    # leave earlier files on their narrower epoch — reads group by epoch and
+    # cast (Spark's parquet reader only widens some combinations itself).
+    # Wire format dedupes these into a manifest-level "schemas" list.
+    schema_json: str | None = None
 
     def to_json(self):
         return {"path": self.path, "rows": self.rows, "row_start": self.row_start,
@@ -108,17 +114,39 @@ class VersionManifest:
         return max(vals) if vals else None
 
     def to_json(self):
-        return {"symbol": self.symbol, "version": self.version,
-                "created_ns": self.created_ns, "index_column": self.index_column,
-                "schema": self.schema_json, "metadata": self.metadata,
-                "sorted": self.sorted, "norm_meta": self.norm_meta,
-                "files": [f.to_json() for f in self.files]}
+        # dedupe per-file schema epochs into one manifest-level list — the
+        # manifest stays O(#epochs) in schema text, not O(#files), which is
+        # what keeps it small at 100 TB file counts
+        epochs: list[str] = []
+        files = []
+        for f in self.files:
+            d = f.to_json()
+            if f.schema_json is not None and f.schema_json != self.schema_json:
+                if f.schema_json not in epochs:
+                    epochs.append(f.schema_json)
+                d["sid"] = epochs.index(f.schema_json)
+            files.append(d)
+        out = {"symbol": self.symbol, "version": self.version,
+               "created_ns": self.created_ns, "index_column": self.index_column,
+               "schema": self.schema_json, "metadata": self.metadata,
+               "sorted": self.sorted, "norm_meta": self.norm_meta,
+               "files": files}
+        if epochs:
+            out["schemas"] = epochs
+        return out
 
     @staticmethod
     def from_json(d):
+        epochs = d.get("schemas", [])
+        files = []
+        for fd in d["files"]:
+            fe = FileEntry.from_json(fd)
+            # no sid = "written under this manifest's schema"; materialize it
+            # so a later widened manifest still knows the file's true epoch
+            fe.schema_json = epochs[fd["sid"]] if "sid" in fd else d["schema"]
+            files.append(fe)
         return VersionManifest(d["symbol"], d["version"], d["created_ns"],
-                               d["index_column"], d["schema"],
-                               [FileEntry.from_json(f) for f in d["files"]],
+                               d["index_column"], d["schema"], files,
                                d.get("metadata"), d.get("sorted", "ASCENDING"),
                                d.get("norm_meta"))
 
@@ -130,6 +158,7 @@ class VersionManifest:
 # are written by Spark and can live on a different root (data_root) so
 # object-store metadata + locally-mounted data compose.
 from arcticdb_spark.sources.filesystem import (AzureObjectFileSystem,
+                                               GCSObjectFileSystem,
                                                LocalFileSystem,
                                                S3ObjectFileSystem)
 
@@ -263,7 +292,7 @@ def _renumber(files: list[FileEntry]) -> list[FileEntry]:
     out = []
     for fe in files:
         out.append(FileEntry(fe.path, fe.rows, acc, fe.ts_min, fe.ts_max,
-                             fe.content_hash))
+                             fe.content_hash, fe.schema_json))
         acc += fe.rows
     return out
 
@@ -445,7 +474,8 @@ class Library:
             rows, ts_min, ts_max = _footer_stats(path, index_column)
             if rows == 0:
                 continue
-            entries.append(FileEntry(path, rows, 0, ts_min, ts_max))
+            entries.append(FileEntry(path, rows, 0, ts_min, ts_max,
+                                     schema_json=df.schema.json()))
         if index_column:
             entries.sort(key=lambda e: (e.ts_min if e.ts_min is not None else 0, e.path))
         return _renumber(entries)
@@ -514,17 +544,68 @@ class Library:
         vc = self._void_cols(sdf.schema)
         return sdf.drop(*vc) if vc else sdf
 
+    def _scan_files(self, m: "VersionManifest", files: list,
+                    phys, need_row_id: bool = False) -> DataFrame:
+        """Scan data files grouped by schema epoch (the schema each file was
+        physically written under — dynamic-schema appends/updates leave
+        earlier files narrower). Each group is scanned with its own schema,
+        cast to the manifest type (absent columns NULL-backfilled), and
+        unioned. Spark's parquet reader widens only some type pairs itself
+        (e.g. int32->double but not int8->float or int64->double), so the
+        explicit per-epoch cast is what makes the full reference promotion
+        matrix readable (type_utils.hpp promotable_type). The union is a
+        narrow op — one scan per epoch, no shuffle; epochs are O(schema
+        changes), not O(files). ROW_ID is attached inside each branch
+        because ``_metadata`` pseudo-columns only exist on the scan itself."""
+        from pyspark.sql import types as T
+        groups: dict[str | None, list[FileEntry]] = {}
+        for fe in files:
+            sj = (fe.schema_json
+                  if fe.schema_json and fe.schema_json != m.schema_json
+                  else None)
+            groups.setdefault(sj, []).append(fe)
+        parts = []
+        for sj, fes in groups.items():
+            if sj is None:
+                fphys = phys
+            else:
+                fschema = T.StructType.fromJson(json.loads(sj))
+                fphys = T.StructType([f for f in fschema.fields
+                                      if f.name not in self._void_cols(fschema)])
+            df = self.spark.read.schema(fphys).parquet(*[fe.path for fe in fes])
+            if need_row_id:
+                offmap = F.create_map(*[
+                    F.lit(x) for fe in fes
+                    for x in ("file:" + fe.path
+                              if not fe.path.startswith("file:") else fe.path,
+                              fe.row_start)])
+                df = df.withColumn(
+                    ROW_ID,
+                    (offmap[F.col("_metadata.file_path")]
+                     + F.col("_metadata.row_index")).cast("long"))
+            if sj is not None:  # homogeneous scan already matches phys
+                have = set(df.columns)
+                df = df.select([
+                    (F.col(f.name).cast(f.dataType) if f.name in have
+                     else F.lit(None).cast(f.dataType)).alias(f.name)
+                    for f in phys.fields] + ([ROW_ID] if need_row_id else []))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def _read_physical(self, m: "VersionManifest",
                        files: list | None = None) -> DataFrame:
         """Scan the given files under the manifest's physical schema (void
-        columns stripped; absent columns NULL-backfilled, numeric types
-        widened by the Parquet reader)."""
+        columns stripped; absent columns NULL-backfilled; schema-epoch
+        grouping via ``_scan_files``)."""
         from pyspark.sql import types as T
         schema = T.StructType.fromJson(json.loads(m.schema_json))
         phys = T.StructType([f for f in schema.fields
                              if f.name not in self._void_cols(schema)])
-        return self.spark.read.schema(phys).parquet(
-            *[fe.path for fe in (files if files is not None else m.files)])
+        return self._scan_files(m, files if files is not None else m.files,
+                                phys)
 
     def _detect_index(self, df: DataFrame, index_column) -> str | None:
         if index_column is not None:
@@ -656,6 +737,41 @@ class Library:
         return T.StructType(
             [T.StructField(n, merged[n], True) for n in order]).json()
 
+    def _validate_static_schema(self, prev_schema_json: str, new_schema,
+                                op: str) -> str:
+        """Static-schema write validation (reference StreamDescriptorMismatch,
+        pinned by ``test_column_type_changes.py::test_changing_numeric_type``):
+        both column *names* and *types* must match the stored descriptor; a
+        changed numeric type is rejected with a pointer at dynamic_schema.
+        Incoming all-None (EMPTY/NullType) columns are exempt — they carry no
+        typed data and are NULL-backfilled under the stored type on read."""
+        from pyspark.sql import types as T
+        old = T.StructType.fromJson(json.loads(prev_schema_json))
+        old_names = {f.name for f in old.fields}
+        new_names = {f.name for f in new_schema.fields}
+        if old_names != new_names:
+            raise ArcticException(
+                f"{op} schema mismatch (enable dynamic_schema): "
+                f"{sorted(old_names ^ new_names)}")
+        old_void = set(self._void_cols(old))
+        typed_into_void = old_void - set(self._void_cols(new_schema))
+        if typed_into_void:
+            raise ArcticException(
+                f"columns {sorted(typed_into_void)} were written all-None "
+                f"(EMPTY type); promoting them on {op} requires dynamic_schema")
+        old_types = {f.name: f.dataType for f in old.fields}
+        changed = sorted(
+            f.name for f in new_schema.fields
+            if not isinstance(f.dataType, T.NullType)
+            and f.name not in old_void and old_types[f.name] != f.dataType)
+        if changed:
+            raise ArcticException(
+                f"{op} column type mismatch (enable dynamic_schema): "
+                + ", ".join(f"{n}: {old_types[n].simpleString()} -> "
+                            f"{dict((f.name, f.dataType) for f in new_schema.fields)[n].simpleString()}"
+                            for n in changed))
+        return prev_schema_json
+
     def append(self, symbol: str, df, metadata: Any = None,
                validate_index: bool = True) -> VersionManifest:
         """Rows strictly after the existing index range (``library.py:1361``).
@@ -671,22 +787,8 @@ class Library:
         if self.dynamic_schema:
             schema_json = self._merge_schema(prev.schema_json, sdf.schema)
         else:
-            from pyspark.sql import types as T
-            old = T.StructType.fromJson(json.loads(prev.schema_json))
-            old_names = {f.name for f in old.fields}
-            new_names = {f.name for f in sdf.schema.fields}
-            if old_names != new_names:
-                raise ArcticException(
-                    f"append schema mismatch (enable dynamic_schema): "
-                    f"{sorted(old_names ^ new_names)}")
-            old_void = set(self._void_cols(old))
-            typed_into_void = old_void - set(self._void_cols(sdf.schema))
-            if typed_into_void:
-                raise ArcticException(
-                    f"columns {sorted(typed_into_void)} were written all-None "
-                    "(EMPTY type); promoting them on append requires "
-                    "dynamic_schema")
-            schema_json = prev.schema_json
+            schema_json = self._validate_static_schema(prev.schema_json,
+                                                       sdf.schema, "append")
         new_files = self._write_data_files(symbol, self._drop_void(sdf), idx)
         if idx and validate_index and new_files and prev.ts_max is not None:
             new_min = min(f.ts_min for f in new_files if f.ts_min is not None)
@@ -712,6 +814,11 @@ class Library:
         if idx is None:
             raise ArcticException("update requires a timestamp-indexed symbol")
         sdf, _ = self._normalize(df)
+        if self.dynamic_schema:
+            schema_json = self._merge_schema(prev.schema_json, sdf.schema)
+        else:
+            schema_json = self._validate_static_schema(prev.schema_json,
+                                                       sdf.schema, "update")
         if date_range is not None:
             # open-ended bounds (reference supports them): normalize to the
             # representable ns extremes so the keep/rewrite split and the
@@ -742,7 +849,7 @@ class Library:
         new_entries += self._write_data_files(symbol, self._drop_void(sdf), idx)
         new_entries.sort(key=lambda e: (e.ts_min if e.ts_min is not None else 0, e.path))
         m = VersionManifest(symbol, prev.version + 1, time.time_ns(), idx,
-                            prev.schema_json, _renumber(new_entries),
+                            schema_json, _renumber(new_entries),
                             metadata if metadata is not None else prev.metadata,
                             norm_meta=prev.norm_meta)
         return self._commit(m)
@@ -946,28 +1053,18 @@ class Library:
             out = query_builder.to_df(empty, idx) if query_builder else empty
             return self._format_output(out, output_format, m.norm_meta)
 
-        # read with the manifest's schema: the Parquet reader widens numeric
-        # types in place and backfills absent columns with NULL — no
-        # mergeSchema footer sweep, no per-file branching (reference
-        # reduce_and_fix_columns, version_core.cpp:2971). EMPTY (void)
-        # columns are never physically stored: strip them from the reader
-        # schema and re-attach as NULL literals below.
+        # scan with the manifest's schema, grouped by schema epoch
+        # (_scan_files): files written before a dynamic-schema widening are
+        # cast per group — no mergeSchema footer sweep, no per-file branching
+        # (reference reduce_and_fix_columns, version_core.cpp:2971). EMPTY
+        # (void) columns are never physically stored: strip them from the
+        # reader schema and re-attach as NULL literals below.
         from pyspark.sql import types as T
         mschema = T.StructType.fromJson(json.loads(m.schema_json))
         void_cols = self._void_cols(mschema)
         phys = T.StructType([f for f in mschema.fields
                              if f.name not in void_cols])
-        df = self.spark.read.schema(phys).parquet(*[fe.path for fe in files])
-
-        if need_row_id:
-            offmap = F.create_map(*[F.lit(x) for fe in files
-                                    for x in ("file:" + fe.path
-                                              if not fe.path.startswith("file:")
-                                              else fe.path, fe.row_start)])
-            df = df.withColumn(
-                ROW_ID,
-                (offmap[F.col("_metadata.file_path")]
-                 + F.col("_metadata.row_index")).cast("long"))
+        df = self._scan_files(m, files, phys, need_row_id=need_row_id)
 
         if void_cols:
             for c in void_cols:
@@ -1458,12 +1555,15 @@ class Arctic:
     * ``azure://container/prefix`` — metadata on Azure Blob Storage
       (``AzureObjectFileSystem``, reference
       ``cpp/arcticdb/storage/azure/azure_storage.cpp``); pass
-      ``azure_client`` (a ContainerClient, or a fake in tests).
+      ``azure_client`` (a ContainerClient, or a fake in tests);
+    * ``gs://bucket/prefix`` — metadata on Google Cloud Storage
+      (``GCSObjectFileSystem``, ``if_generation_match=0`` CAS); pass
+      ``gcs_client`` (a ``google.cloud.storage.Bucket``, or a fake in tests).
     """
 
     def __init__(self, uri: str, spark: SparkSession | None = None,
                  data_root: str | None = None, s3_client=None,
-                 azure_client=None):
+                 azure_client=None, gcs_client=None):
         from arcticdb_spark.session import get_spark
         self.spark = spark or get_spark()
         self.data_root = data_root
@@ -1477,6 +1577,12 @@ class Arctic:
             container, _, prefix = rest.partition("/")
             self.fs = AzureObjectFileSystem(container_client=azure_client,
                                             prefix=prefix, container=container)
+            self.uri = ""
+        elif uri.startswith("gs://"):
+            rest = uri[len("gs://"):]
+            bucket, _, prefix = rest.partition("/")
+            self.fs = GCSObjectFileSystem(bucket_client=gcs_client,
+                                          prefix=prefix, bucket=bucket)
             self.uri = ""
         else:
             self.fs = LocalFileSystem()

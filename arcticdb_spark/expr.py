@@ -84,6 +84,18 @@ def _kind_of_value(v: Any) -> str:
     return OTHER
 
 
+def _is_value_set(v) -> bool:
+    """`col == [a, b]` means isin (reference __eq__ sugar): lists, sets,
+    frozensets, tuples, and 1D ndarrays count; strings/scalars don't."""
+    if isinstance(v, (list, tuple, set, frozenset)):
+        return True
+    try:
+        import numpy as np
+        return isinstance(v, np.ndarray)
+    except ImportError:  # pragma: no cover
+        return False
+
+
 class ExpressionError(TypeError):
     """Raised for pipelines the reference engine would reject (e.g. `<` on strings)."""
 
@@ -112,13 +124,13 @@ class ExpressionNode:
 
     # -- comparisons --
     def __eq__(self, other):   # noqa: D105
-        if isinstance(other, (list, tuple, set, frozenset)):
-            return self.isin(*other)
+        if _is_value_set(other):
+            return self.isin(other)
         return BinaryOp("EQ", self, _wrap(other))
 
     def __ne__(self, other):   # noqa: D105
-        if isinstance(other, (list, tuple, set, frozenset)):
-            return self.isnotin(*other)
+        if _is_value_set(other):
+            return self.isnotin(other)
         return BinaryOp("NE", self, _wrap(other))
 
     def __lt__(self, other): return BinaryOp("LT", self, _wrap(other))
@@ -142,15 +154,20 @@ class ExpressionNode:
             "ExpressionNode has no truth value; use & | ~ instead of and/or/not")
 
     # -- membership / null / regex --
+    @staticmethod
+    def _collect_set(values) -> list:
+        # reference accepts lists, sets, frozensets, 1D ndarrays, or *args
+        # (processing.py isin docstring); any non-string iterable works here
+        if (len(values) == 1 and not isinstance(values[0], (str, bytes))
+                and hasattr(values[0], "__iter__")):
+            return list(values[0])
+        return list(values)
+
     def isin(self, *values):
-        vals = list(values[0]) if len(values) == 1 and isinstance(
-            values[0], (list, tuple, set, frozenset)) else list(values)
-        return IsInOp(self, vals, negate=False)
+        return IsInOp(self, self._collect_set(values), negate=False)
 
     def isnotin(self, *values):
-        vals = list(values[0]) if len(values) == 1 and isinstance(
-            values[0], (list, tuple, set, frozenset)) else list(values)
-        return IsInOp(self, vals, negate=True)
+        return IsInOp(self, self._collect_set(values), negate=True)
 
     def isnull(self):  return UnaryOp("ISNULL", self)
     def isna(self):    return UnaryOp("ISNULL", self)
@@ -326,9 +343,9 @@ def _compile(node: ExpressionNode, schema: dict[str, T.DataType]) -> tuple[Colum
             if op in _ORDERING and (lk == STR or rk == STR):
                 # reference operation_types.hpp:444-449
                 raise ExpressionError("ordering comparisons on strings are not supported")
-            if lk == STR and rk == STR or lk == rk or NULL in (lk, rk):
+            if lk == rk or NULL in (lk, rk):
                 pass
-            elif {lk, rk} <= {INT, FLOAT, BOOL}:
+            elif {lk, rk} <= {INT, FLOAT}:
                 pass
             elif {lk, rk} == {TS, INT}:
                 # timestamps compared as int64 nanos (processing.py:368-377).
@@ -338,7 +355,13 @@ def _compile(node: ExpressionNode, schema: dict[str, T.DataType]) -> tuple[Colum
                     lc = _ts_to_nanos(lc)
                 else:
                     rc = _ts_to_nanos(rc)
-            elif TS in (lk, rk) and {lk, rk} != {TS}:
+            else:
+                # cross-kind comparisons (string vs number, bool vs anything
+                # non-bool, ts vs float/string) are user errors in the
+                # reference (UserInputException — test_filter_string_number_
+                # comparison, test_filter_bool_nonbool_comparison); Spark's
+                # implicit casts would silently "succeed" with different
+                # results, so reject before compiling.
                 raise ExpressionError(f"cannot compare {lk} with {rk}")
             cmp = {"EQ": lambda a, b: a == b, "NE": lambda a, b: a != b,
                    "LT": lambda a, b: a < b, "LE": lambda a, b: a <= b,
@@ -365,17 +388,41 @@ def _compile(node: ExpressionNode, schema: dict[str, T.DataType]) -> tuple[Colum
 
     if isinstance(node, IsInOp):
         c, k = _compile(node.child, schema)
-        import math
-        vals = [v for v in node.values
-                if v is not None and not (isinstance(v, float) and math.isnan(v))]
-        # reference coerces the value set to the column type (processing.py:380-408)
-        res = c.isin(vals) if vals else F.lit(False)
+
+        def _missing(v):
+            if v is None:
+                return True
+            try:
+                return bool(v != v)   # NaN and NaT are both self-unequal
+            except Exception:
+                return False
+
+        vals = [v for v in node.values if not _missing(v)]
+        # the value set must be kind-compatible with the column: a numeric
+        # set on a string column (or vice versa) is a user error in the
+        # reference (UserInputException — test_filter_string_number_set_
+        # membership); Spark's implicit casts would silently mis-answer.
+        if vals and k not in (NULL, OTHER):
+            kinds = {_kind_of_value(v) for v in vals}
+            ok = (kinds <= {INT, FLOAT} and k in (INT, FLOAT)) or kinds == {k}
+            if not ok:
+                raise ExpressionError(
+                    f"isin/isnotin value set of kind {sorted(kinds)} is "
+                    f"incompatible with column kind {k}")
+        # reference coerces the value set to the column type (processing.py:
+        # 380-408) and treats missing (None/NaN/NaT) as a member of NO set:
+        # isin never matches a missing row, isnotin always retains it
+        # (reference test_filter_isin_with_nan_in_set / _nat_in_set — NaN/NaT
+        # stripped from the set, NaN/NaT rows survive isnotin)
         if node.negate:
-            # isnotin keeps nulls out (null != anything stays null -> filtered);
-            # match reference: missing values never match either direction
-            res = ~res
-        if k == FLOAT:
-            res = res & ~F.isnan(c)
+            res = (~c.isin(vals)) if vals else F.lit(True)
+            res = res | c.isNull()
+            if k == FLOAT:
+                res = res | F.isnan(c)
+        else:
+            res = c.isin(vals) if vals else F.lit(False)
+            if k == FLOAT:
+                res = res & ~F.isnan(c)
         return res, BOOL
 
     if isinstance(node, RegexMatchOp):

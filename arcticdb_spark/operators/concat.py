@@ -34,8 +34,15 @@ def promote_types(a: T.DataType, b: T.DataType) -> T.DataType:
         ia, ib = ([type(t) for t in _NUM_ORDER].index(type(a)),
                   [type(t) for t in _NUM_ORDER].index(type(b)))
         hi = _NUM_ORDER[max(ia, ib)]
-        # int64 + float32 -> float64 (avoid precision loss), as the reference does
-        if isinstance(hi, T.FloatType) and (isinstance(a, T.LongType) or isinstance(b, T.LongType)):
+        # int32/int64 + float32 -> float64: float32's 24-bit mantissa cannot
+        # hold every int32, so the reference widens to float64 to avoid
+        # precision loss (type_utils.hpp has_valid_common_type; pinned by
+        # reference test_column_type_changes.py
+        # test_type_promotion_int32_and_float32_up_to_float64). Ints <=16 bit
+        # fit exactly in float32 and stay there.
+        if isinstance(hi, T.FloatType) and (
+                isinstance(a, (T.IntegerType, T.LongType))
+                or isinstance(b, (T.IntegerType, T.LongType))):
             return T.DoubleType()
         return hi
     if {type(a), type(b)} == {T.TimestampType, T.TimestampNTZType}:

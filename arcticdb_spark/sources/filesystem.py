@@ -293,3 +293,104 @@ class AzureObjectFileSystem:
                     or getattr(e, "status_code", None) == 409):
                 return False
             raise
+
+
+class GCSObjectFileSystem:
+    """Metadata store on Google Cloud Storage via a
+    ``google.cloud.storage.Bucket`` (or anything implementing its
+    ``blob / list_blobs / delete_blob`` surface — tests inject an in-memory
+    fake since the GCS SDK is not in this container).
+
+    Same virtual-directory model as S3/Azure (prefixes, ``makedirs`` no-op).
+    The version-commit CAS maps to
+    ``blob.upload_from_string(..., if_generation_match=0)``, which the SDK
+    sends as ``x-goog-if-generation-match: 0`` — the object only uploads if
+    no live generation exists; a lost race surfaces as HTTP 412
+    PreconditionFailed. This is the GCS analogue of the conditional write the
+    reference's object-store backends build VERSION_REF on
+    (``version/version_map.hpp``; S3 flavour in
+    ``cpp/arcticdb/storage/s3/s3_storage.cpp`` — the reference reaches GCS
+    through its S3-compatible XML API, where the same header applies).
+    Plain uploads are atomic per object, giving ``write_json_atomic``.
+    """
+
+    def __init__(self, bucket_client=None, prefix: str = "",
+                 bucket: str | None = None, project: str | None = None):
+        if bucket_client is None:  # pragma: no cover - network path
+            from google.cloud import storage
+            bucket_client = storage.Client(project=project).bucket(bucket)
+        self.client = bucket_client
+        self.prefix = prefix.strip("/")
+
+    # -- key helpers (identical layout to S3ObjectFileSystem) --
+    def _key(self, path: str) -> str:
+        path = path.strip("/")
+        if not path:
+            return self.prefix
+        return f"{self.prefix}/{path}" if self.prefix else path
+
+    def _dir_prefix(self, path: str) -> str:
+        k = self._key(path)
+        return k + "/" if k else ""
+
+    def join(self, *parts: str) -> str:
+        return "/".join(p.strip("/") for p in parts if p)
+
+    def exists(self, path: str) -> bool:
+        return self.client.blob(self._key(path)).exists()
+
+    def isdir(self, path: str) -> bool:
+        prefix = self._dir_prefix(path)
+        return any(True for _ in self.client.list_blobs(prefix=prefix,
+                                                        max_results=1))
+
+    def makedirs(self, path: str) -> None:
+        pass  # prefixes are virtual
+
+    def listdir(self, path: str) -> list[str]:
+        """Immediate children via the delimiter listing (files come from the
+        iterator, sub-'directories' from the iterator's ``prefixes`` set,
+        which GCS populates only after the pages are consumed)."""
+        prefix = self._dir_prefix(path)
+        it = self.client.list_blobs(prefix=prefix, delimiter="/")
+        names = {b.name[len(prefix):] for b in it}
+        names.update(p[len(prefix):].rstrip("/")
+                     for p in getattr(it, "prefixes", ()))
+        return sorted(n for n in names if n)
+
+    def remove(self, path: str) -> None:
+        self.client.delete_blob(self._key(path))
+
+    def rmtree(self, path: str) -> None:
+        prefix = self._dir_prefix(path)
+        for b in list(self.client.list_blobs(prefix=prefix)):
+            self.client.delete_blob(b.name)
+
+    def read_json(self, path: str):
+        blob = self.client.blob(self._key(path))
+        try:
+            data = blob.download_as_bytes()
+        except Exception as e:
+            if (type(e).__name__ == "NotFound"
+                    or getattr(e, "code", None) == 404):
+                raise FileNotFoundError(path) from e
+            raise
+        return json.loads(data)
+
+    def write_json_atomic(self, path: str, obj) -> None:
+        self.client.blob(self._key(path)).upload_from_string(
+            json.dumps(obj).encode())
+
+    def write_json_if_absent(self, path: str, obj) -> bool:
+        """Conditional upload (``if_generation_match=0`` →
+        ``x-goog-if-generation-match: 0``) — the VERSION_REF CAS; False when
+        another writer committed first (HTTP 412)."""
+        try:
+            self.client.blob(self._key(path)).upload_from_string(
+                json.dumps(obj).encode(), if_generation_match=0)
+            return True
+        except Exception as e:
+            if (type(e).__name__ == "PreconditionFailed"
+                    or getattr(e, "code", None) == 412):
+                return False
+            raise

@@ -11,7 +11,13 @@ from pyspark.sql import types as T
 
 def test_promote_types():
     assert promote_types(T.IntegerType(), T.LongType()) == T.LongType()
-    assert promote_types(T.IntegerType(), T.FloatType()) == T.FloatType()
+    # int32 + float32 -> float64: float32 can't hold every int32 (reference
+    # test_type_promotion_int32_and_float32_up_to_float64)
+    assert promote_types(T.IntegerType(), T.FloatType()) == T.DoubleType()
+    # ints <=16 bit fit exactly in float32 and stay there (reference
+    # test_type_promotion_ints_and_floats_up_to_float32)
+    assert promote_types(T.ShortType(), T.FloatType()) == T.FloatType()
+    assert promote_types(T.ByteType(), T.FloatType()) == T.FloatType()
     assert promote_types(T.LongType(), T.FloatType()) == T.DoubleType()
     assert promote_types(T.NullType(), T.StringType()) == T.StringType()
     with pytest.raises(TypeError):

@@ -84,7 +84,9 @@ def test_string_equality_and_isin(nan_df):
     assert sorted(out2["b"]) == [10, 40, 50]
     q3 = QueryBuilder()
     out3 = run(q3[q3["s"].isnotin("x", "z")], df)
-    assert sorted(out3["b"]) == [20]  # nulls never match either way
+    # missing is a member of no set: isnotin retains the null row (reference
+    # test_filter_isin_with_nan_in_set / _nat_in_set semantics)
+    assert sorted(out3["b"]) == [20, 30]
 
 
 def test_eq_list_means_isin(nan_df):

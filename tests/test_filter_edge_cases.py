@@ -1,0 +1,188 @@
+"""Filtering edge cases ported from the reference's ``test_filtering.py``:
+missing-value set membership, cross-kind comparison rejection, string
+escaping, clashing values. Pandas is the oracle where the reference asserts
+values; rejection cases pin the UserInputException analogue
+(ExpressionError)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from arcticdb_spark.expr import ExpressionError
+from arcticdb_spark.query import QueryBuilder
+
+
+def run(q, df):
+    return q.to_df(df).toPandas()
+
+
+@pytest.fixture(scope="module")
+def float_nan_df(spark):
+    # NOTE: use a mid-row NaN so Spark keeps the float column nullable
+    pdf = pd.DataFrame({"a": [1.0, np.nan, 3.0]})
+    return spark.createDataFrame(pdf)
+
+
+class TestMissingInSetMembership:
+    """Reference test_filter_isin_with_nan_in_set / _with_nat_in_set: a
+    missing value (NaN/NaT/None) is a member of NO set — stripped from the
+    set; missing rows never match isin and always survive isnotin."""
+
+    def test_isin_with_nan_in_set(self, float_nan_df):
+        q = QueryBuilder()
+        out = run(q[q["a"].isin([np.nan, 3.0])], float_nan_df)
+        assert out["a"].tolist() == [3.0]
+
+    def test_isnotin_with_nan_in_set(self, float_nan_df):
+        q = QueryBuilder()
+        out = run(q[q["a"].isnotin([np.nan, 3.0])], float_nan_df)
+        got = sorted(out["a"].tolist(), key=lambda v: (v != v, v))
+        assert got[0] == 1.0 and len(got) == 2 and got[1] != got[1]  # NaN kept
+
+    def test_isin_with_nat_in_set(self, spark):
+        pdf = pd.DataFrame({"a": [pd.Timestamp("2024-01-01"), pd.NaT,
+                                  pd.Timestamp("2024-01-03")]})
+        df = spark.createDataFrame(pdf)
+        q = QueryBuilder()
+        out = run(q[q["a"].isin([pd.NaT, pd.Timestamp("2024-01-03")])], df)
+        assert out["a"].tolist() == [pd.Timestamp("2024-01-03")]
+        q2 = QueryBuilder()
+        out2 = run(q2[q2["a"].isnotin([pd.NaT, pd.Timestamp("2024-01-03")])],
+                   df)
+        vals = out2["a"].tolist()
+        assert pd.Timestamp("2024-01-01") in vals and len(vals) == 2
+        assert any(v is pd.NaT for v in vals)  # NaT row kept
+
+    def test_empty_set(self, float_nan_df):
+        q = QueryBuilder()
+        assert len(run(q[q["a"].isin([])], float_nan_df)) == 0
+        q2 = QueryBuilder()
+        assert len(run(q2[q2["a"].isnotin([])], float_nan_df)) == 3
+
+    def test_ndarray_set(self, spark):
+        """Reference accepts 1D ndarrays (and empty typed arrays —
+        test_filter_numeric_isnotin_hashing_overflow)."""
+        df = spark.createDataFrame(pd.DataFrame({"a": [1, 2, 3]}))
+        q = QueryBuilder()
+        out = run(q[q["a"].isin(np.array([2, 3], dtype=np.int64))], df)
+        assert sorted(out["a"]) == [2, 3]
+        q2 = QueryBuilder()
+        out2 = run(q2[q2["a"].isnotin(np.array([], dtype=np.uint8))], df)
+        assert sorted(out2["a"]) == [1, 2, 3]
+
+
+class TestCrossKindRejection:
+    """Reference test_filter_string_number_comparison /
+    _bool_nonbool_comparison / _string_number_set_membership: cross-kind
+    comparisons raise instead of silently casting."""
+
+    @pytest.fixture(scope="class")
+    def df(self, spark):
+        return spark.createDataFrame(pd.DataFrame({
+            "a": [0], "b": ["hello"], "f": [True]}))
+
+    @pytest.mark.parametrize("build", [
+        lambda q: q[q["a"] == "0"],
+        lambda q: q[q["b"] == 0],
+        lambda q: q[q["a"] == q["b"]],
+        lambda q: q["0" == q["a"]],
+        lambda q: q[0 == q["b"]],
+        lambda q: q[q["b"] == q["a"]],
+        lambda q: q[q["f"] == q["b"]],      # bool vs string col
+        lambda q: q[q["f"] == q["a"]],      # bool vs numeric col
+        lambda q: q[q["f"] == "test"],      # bool vs string value
+        lambda q: q[q["f"] == 0],           # bool vs numeric value
+        lambda q: q[q["b"] == True],        # noqa: E712 string vs bool value
+        lambda q: q[q["a"] == True],        # noqa: E712 numeric vs bool value
+    ], ids=["int-strval", "str-intval", "int-strcol", "strval-int",
+            "intval-str", "str-intcol", "bool-strcol", "bool-intcol",
+            "bool-strval", "bool-intval", "str-boolval", "int-boolval"])
+    def test_comparison_raises(self, df, build):
+        q = QueryBuilder()
+        with pytest.raises(ExpressionError):
+            build(q).to_df(df).collect()
+
+    def test_set_membership_raises(self, df):
+        q = QueryBuilder()
+        with pytest.raises(ExpressionError):
+            q[q["a"].isin(["0"])].to_df(df).collect()
+        q2 = QueryBuilder()
+        with pytest.raises(ExpressionError):
+            q2[q2["b"].isin([0])].to_df(df).collect()
+
+    def test_datetime_numeric_membership_raises(self, spark):
+        """Intended reference behaviour (test_filter_datetime_against_
+        numeric_isin and its mirror are xfail-pinned as raising)."""
+        df = spark.createDataFrame(pd.DataFrame(
+            {"t": [pd.Timestamp(0), pd.Timestamp(1)], "n": [0, 1]}))
+        q = QueryBuilder()
+        with pytest.raises(ExpressionError):
+            q[q["t"].isin([pd.Timestamp(1).value])].to_df(df).collect()
+        q2 = QueryBuilder()
+        with pytest.raises(ExpressionError):
+            q2[q2["n"].isin([pd.Timestamp(1)])].to_df(df).collect()
+
+    def test_bool_bool_comparisons_allowed(self, spark):
+        """Reference test_filter_bool_column_comparison: all six comparators
+        work between bools (False < True)."""
+        pdf = pd.DataFrame({"a": [True, False]})
+        df = spark.createDataFrame(pdf)
+        for op in ["__eq__", "__ne__", "__lt__", "__le__", "__gt__",
+                   "__ge__"]:
+            for val in [True, False]:
+                q = QueryBuilder()
+                out = run(q[getattr(q["a"], op)(val)], df)
+                expect = pdf[getattr(pdf["a"], op)(val)]
+                assert sorted(out["a"]) == sorted(expect["a"]), (op, val)
+
+
+class TestStringEscaping:
+    """Reference test_filter_string_backslash / _single_quote."""
+
+    def test_backslash(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({"a": ["", "\\"]}))
+        q = QueryBuilder()
+        out = run(q[q["a"] == "\\"], df)
+        assert out["a"].tolist() == ["\\"]
+
+    def test_single_quote(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({"a": ["", "'"]}))
+        q = QueryBuilder()
+        out = run(q[q["a"] == "'"], df)
+        assert out["a"].tolist() == ["'"]
+
+
+class TestClashingValues:
+    """Reference test_filter_clashing_values: equal-looking values in an int
+    and a string column don't cross-contaminate, and isin on each column
+    matches only its own kind."""
+
+    def test_clashing(self, spark):
+        pdf = pd.DataFrame({"a": [10, 11, 12],
+                            "b": ["10", "11", "12"]})
+        df = spark.createDataFrame(pdf)
+        q = QueryBuilder()
+        out = run(q[q["a"].isin([10, 12])], df)
+        assert sorted(out["b"]) == ["10", "12"]
+        q2 = QueryBuilder()
+        out2 = run(q2[q2["b"].isin(["11"])], df)
+        assert out2["a"].tolist() == [11]
+
+
+class TestNonesAndNansRetainedInStringColumn:
+    """Reference test_filter_nones_and_nans_retained_in_string_column:
+    filtering on another column keeps missing strings intact."""
+
+    def test_retained(self, spark):
+        pdf = pd.DataFrame({
+            "filter_column": [1, 2, 1, 2, 1, 2],
+            "string_column": ["1", "2", np.nan, "4", None, "6"]})
+        df = spark.createDataFrame(pdf)
+        q = QueryBuilder()
+        out = run(q[q["filter_column"] == 1], df).reset_index(drop=True)
+        assert len(out) == 3
+        assert out["string_column"][0] == "1"
+        assert out["string_column"][1] is None or pd.isna(
+            out["string_column"][1])
+        assert out["string_column"][2] is None or pd.isna(
+            out["string_column"][2])

@@ -1,0 +1,240 @@
+"""Dynamic-schema type-promotion matrix + static-schema type rejection,
+ported from the reference's ``test_column_type_changes.py`` and the
+sparse/unicode string cases of ``test_empty_column_type.py`` /
+``test_normalization.py``. Spark mapping notes:
+
+* pandas unsigned dtypes arrive in Spark as the next-wider signed type
+  (uint32 -> int64 via Arrow), so the reference's uint promotion rows
+  collapse onto the signed lattice — same observable results.
+* int32 + float32 promotes to float64 (float32's 24-bit mantissa cannot
+  represent every int32 — reference
+  ``test_type_promotion_int32_and_float32_up_to_float64``); ints <=16 bit
+  promote to float32 (``test_type_promotion_ints_and_floats_up_to_float32``).
+* static schema rejects any column type change with a pointer at
+  dynamic_schema (reference raises StreamDescriptorMismatch —
+  ``test_changing_numeric_type``).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from arcticdb_spark.catalog import Arctic, ArcticException
+
+
+@pytest.fixture()
+def dyn_lib(spark, tmp_path):
+    return Arctic(str(tmp_path), spark).create_library("dyn",
+                                                       dynamic_schema=True)
+
+
+@pytest.fixture()
+def static_lib(spark, tmp_path):
+    return Arctic(str(tmp_path), spark).create_library("static")
+
+
+def _frame(dtype, values, start="2024-01-01", periods=None):
+    periods = periods or len(values)
+    return pd.DataFrame({
+        "ts": pd.date_range(start, periods=periods, freq="D"),
+        "col": np.array(values, dtype=dtype)})
+
+
+# ---------------------------------------------------------------- static
+
+
+class TestStaticSchemaRejectsTypeChange:
+    """Reference test_changing_numeric_type, dynamic_schema=False leg."""
+
+    def test_append_numeric_type_change_raises(self, static_lib):
+        static_lib.write("sym", _frame(np.int32, [0, 1, 2]))
+        with pytest.raises(ArcticException, match="type mismatch"):
+            static_lib.append("sym", _frame(np.float64, [3.0],
+                                            start="2024-01-04"))
+
+    def test_update_numeric_type_change_raises(self, static_lib):
+        static_lib.write("sym", _frame(np.int32, [0, 1, 2]))
+        with pytest.raises(ArcticException, match="type mismatch"):
+            static_lib.update("sym", _frame(np.float64, [9.0],
+                                            start="2024-01-02"))
+
+    def test_same_type_append_still_fine(self, static_lib):
+        static_lib.write("sym", _frame(np.int32, [0, 1, 2]))
+        static_lib.append("sym", _frame(np.int32, [3], start="2024-01-04"))
+        out = static_lib.read("sym", output_format="pandas")
+        assert sorted(out["col"]) == [0, 1, 2, 3]
+
+    def test_all_none_append_into_typed_column_ok(self, static_lib):
+        """An incoming EMPTY (all-None object) column carries no typed data:
+        it must not trip the type check; rows read back NULL-backfilled."""
+        static_lib.write("sym", pd.DataFrame({
+            "ts": pd.date_range("2024-01-01", periods=3, freq="D"),
+            "col": ["a", "b", "c"]}))
+        static_lib.append("sym", pd.DataFrame({
+            "ts": pd.date_range("2024-01-04", periods=2, freq="D"),
+            "col": [None, None]}))
+        out = static_lib.read("sym", output_format="pandas").sort_values("ts")
+        assert out["col"].tolist()[:3] == ["a", "b", "c"]
+        assert out["col"].isna().sum() == 2
+
+    def test_string_content_change_is_not_a_type_change(self, static_lib):
+        """Reference test_changing_string_type / _fixed_string_width: string
+        width/storage flavour is not a logical type; append+update succeed in
+        static mode."""
+        static_lib.write("sym", pd.DataFrame({
+            "ts": pd.date_range("2024-01-01", periods=3, freq="D"),
+            "col": ["a", "bb", "ccc"]}))
+        static_lib.append("sym", pd.DataFrame({
+            "ts": pd.date_range("2024-01-04", periods=1),
+            "col": ["dddd"]}))
+        static_lib.update("sym", pd.DataFrame({
+            "ts": pd.date_range("2024-01-02", periods=1),
+            "col": ["XXXX"]}))
+        out = static_lib.read("sym", output_format="pandas").sort_values("ts")
+        assert out["col"].tolist() == ["a", "XXXX", "ccc", "dddd"]
+
+
+# ---------------------------------------------------------------- dynamic
+
+
+# (write_type, append_type, expected read dtype) — the reference promotion
+# matrix projected onto Spark's signed lattice.
+PROMOTION_MATRIX = [
+    (np.int8, np.int16, "smallint"),
+    (np.int16, np.int32, "int"),
+    (np.int32, np.int64, "bigint"),
+    (np.int8, np.float32, "float"),       # <=16-bit int + f32 -> f32
+    (np.int16, np.float32, "float"),
+    (np.int32, np.float32, "double"),     # 32-bit int + f32 -> f64
+    (np.int64, np.float32, "double"),
+    (np.int32, np.float64, "double"),
+    (np.int64, np.float64, "double"),
+    (np.float32, np.float64, "double"),
+]
+
+
+class TestDynamicPromotionMatrix:
+    @pytest.mark.parametrize("first,second,expected", PROMOTION_MATRIX)
+    @pytest.mark.parametrize("int_first", [True, False])
+    def test_append_promotes(self, dyn_lib, first, second, expected,
+                             int_first):
+        sym = f"m_{np.dtype(first).name}_{np.dtype(second).name}_{int_first}"
+        a, b = (first, second) if int_first else (second, first)
+        dyn_lib.write(sym, _frame(a, [1, 2, 3]))
+        dyn_lib.append(sym, _frame(b, [4, 5, 6], start="2024-01-04"))
+        out = dyn_lib.read(sym)
+        assert dict(out.dtypes)["col"] == expected
+        got = sorted(out.toPandas()["col"].tolist())
+        assert got == [1, 2, 3, 4, 5, 6]
+
+    def test_second_append_widens_again(self, dyn_lib):
+        """write int16 -> append float32 (f32) -> append int32 (f64):
+        reference test_type_promotion_ints_and_floats_up_to_float64 chain."""
+        dyn_lib.write("sym", _frame(np.int16, [1, 2, 3]))
+        dyn_lib.append("sym", _frame(np.float32, [4, 5, 6],
+                                     start="2024-01-04"))
+        assert dict(dyn_lib.read("sym").dtypes)["col"] == "float"
+        dyn_lib.append("sym", _frame(np.int32, [7, 8, 9],
+                                     start="2024-01-07"))
+        out = dyn_lib.read("sym")
+        assert dict(out.dtypes)["col"] == "double"
+        assert sorted(out.toPandas()["col"]) == [1, 2, 3, 4, 5, 6, 7, 8, 9]
+
+    def test_update_promotes(self, dyn_lib):
+        """Reference test_changing_numeric_type, dynamic leg: update with a
+        different numeric type promotes the whole column."""
+        dyn_lib.write("sym", _frame(np.int32, [0, 1, 2]))
+        dyn_lib.update("sym", _frame(np.float64, [7.5], start="2024-01-02"))
+        out = dyn_lib.read("sym")
+        assert dict(out.dtypes)["col"] == "double"
+        pdf = out.toPandas().sort_values("ts")
+        assert pdf["col"].tolist() == [0.0, 7.5, 2.0]
+
+    def test_int32_float32_precision_preserved(self, dyn_lib):
+        """Extremes of both int32 and float32 survive exactly because the
+        common type is float64 (reference
+        test_type_promotion_int32_and_float32_up_to_float64)."""
+        lo, hi = np.iinfo(np.int32).min, np.iinfo(np.int32).max
+        dyn_lib.write("sym", _frame(np.int32, [0, lo, hi]))
+        flo = float(np.finfo(np.float32).min)
+        fhi = float(np.finfo(np.float32).max)
+        dyn_lib.append("sym", _frame(np.float32, [0.0, flo, fhi],
+                                     start="2024-01-04"))
+        pdf = (dyn_lib.read("sym", output_format="pandas")
+               .sort_values("ts").reset_index(drop=True))
+        assert pdf["col"].dtype == np.float64
+        assert pdf["col"][1] == lo and pdf["col"][2] == hi
+        assert pdf["col"][4] == flo and pdf["col"][5] == fhi
+
+    def test_int64_float64_lossy_above_2_53(self, dyn_lib):
+        """int64 + float64 -> float64 loses precision above 2**53; pin the
+        documented behaviour (reference
+        test_type_promotion_int64_and_float64_up_to_float64)."""
+        dyn_lib.write("sym", _frame(np.int64, [2**53 - 1, 2**53, 2**53 + 1]))
+        dyn_lib.append("sym", _frame(np.float64, [1.5], start="2024-01-04"))
+        pdf = (dyn_lib.read("sym", output_format="pandas")
+               .sort_values("ts").reset_index(drop=True))
+        assert pdf["col"].dtype == np.float64
+        assert int(pdf["col"][0]) == 2**53 - 1     # representable
+        assert int(pdf["col"][1]) == 2**53         # representable
+        assert int(pdf["col"][2]) == 2**53         # rounded down — lossy
+
+    def test_unsigned_input_lands_on_signed_lattice(self, dyn_lib):
+        """uint32 data arrives as int64 (Arrow widening) and promotes with a
+        float32 append to float64; values at the uint32 top survive."""
+        top = np.iinfo(np.uint32).max
+        dyn_lib.write("sym", _frame(np.uint32, [0, top]))
+        assert dict(dyn_lib.read("sym").dtypes)["col"] == "bigint"
+        dyn_lib.append("sym", _frame(np.float32, [1.0], start="2024-01-03"))
+        pdf = (dyn_lib.read("sym", output_format="pandas")
+               .sort_values("ts").reset_index(drop=True))
+        assert pdf["col"].dtype == np.float64
+        assert pdf["col"][1] == top
+
+
+# ----------------------------------------------------- sparse / unicode
+
+
+class TestSparseAndUnicodeStrings:
+    def test_sparse_string_column_roundtrip(self, dyn_lib):
+        """None-holed string columns (reference sparse/dynamic strings)."""
+        vals = ["a", None, "ccc", None, "e"]
+        dyn_lib.write("sym", pd.DataFrame({
+            "ts": pd.date_range("2024-01-01", periods=5, freq="D"),
+            "col": vals}))
+        out = (dyn_lib.read("sym", output_format="pandas")
+               .sort_values("ts").reset_index(drop=True))
+        assert out["col"].where(out["col"].notna(), None).tolist() == vals
+
+    def test_unicode_roundtrip_append_update(self, dyn_lib):
+        """Multibyte/unicode strings through write/append/update (reference
+        test_normalization unicode cases)."""
+        vals = ["héllo", "世界", "🚀🚀🚀", "Ωμέγα", "ß"]
+        dyn_lib.write("sym", pd.DataFrame({
+            "ts": pd.date_range("2024-01-01", periods=5, freq="D"),
+            "col": vals}))
+        dyn_lib.append("sym", pd.DataFrame({
+            "ts": pd.date_range("2024-01-06", periods=1),
+            "col": ["ünïcode-appended"]}))
+        dyn_lib.update("sym", pd.DataFrame({
+            "ts": pd.date_range("2024-01-03", periods=1),
+            "col": ["中文替换"]}))
+        out = (dyn_lib.read("sym", output_format="pandas")
+               .sort_values("ts").reset_index(drop=True))
+        assert out["col"].tolist() == [
+            "héllo", "世界", "中文替换", "Ωμέγα", "ß",
+            "ünïcode-appended"]
+
+    def test_empty_then_string_promotion(self, dyn_lib):
+        """All-None (EMPTY) column typed by a later string append (reference
+        test_empty_column_type promotion-on-append)."""
+        dyn_lib.write("sym", pd.DataFrame({
+            "ts": pd.date_range("2024-01-01", periods=2, freq="D"),
+            "col": [None, None]}))
+        dyn_lib.append("sym", pd.DataFrame({
+            "ts": pd.date_range("2024-01-03", periods=2, freq="D"),
+            "col": ["x", "y"]}))
+        out = (dyn_lib.read("sym", output_format="pandas")
+               .sort_values("ts").reset_index(drop=True))
+        assert out["col"].where(out["col"].notna(), None).tolist() == [
+            None, None, "x", "y"]
