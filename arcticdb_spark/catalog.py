@@ -1151,13 +1151,20 @@ class Library:
         idx = self._detect_index(df, index_column)
         if mode == "append":
             prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
+            # same schema rules as append(): dynamic widens, static rejects
+            # name/type drift (staged chunks are arbitrary writer output)
+            if self.dynamic_schema:
+                schema_json = self._merge_schema(prev.schema_json, df.schema)
+            else:
+                schema_json = self._validate_static_schema(
+                    prev.schema_json, df.schema, "finalize_staged_data")
             new_files = self._write_data_files(symbol, df, idx, sort=sort)
             if idx and prev.ts_max is not None and new_files:
                 new_min = min(f.ts_min for f in new_files if f.ts_min is not None)
                 if new_min < prev.ts_max:
                     raise SortingException("staged data overlaps existing index range")
             m = VersionManifest(symbol, prev.version + 1, time.time_ns(), idx,
-                                prev.schema_json,
+                                schema_json,
                                 _renumber(prev.files + new_files),
                                 metadata if metadata is not None else prev.metadata)
         else:

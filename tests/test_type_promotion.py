@@ -77,6 +77,24 @@ class TestStaticSchemaRejectsTypeChange:
         assert out["col"].tolist()[:3] == ["a", "b", "c"]
         assert out["col"].isna().sum() == 2
 
+    def test_staged_finalize_append_type_change_raises(self, static_lib):
+        """Append-mode finalize applies the same static-schema rules as
+        append(): staged chunks with a drifted column type are rejected."""
+        static_lib.write("sym", _frame(np.int32, [0, 1, 2]))
+        static_lib.stage("sym", _frame(np.float64, [9.0],
+                                       start="2024-01-04"))
+        with pytest.raises(ArcticException, match="type mismatch"):
+            static_lib.finalize_staged_data("sym", mode="append")
+        static_lib.delete_staged_data("sym")
+
+    def test_staged_finalize_append_dynamic_promotes(self, dyn_lib):
+        dyn_lib.write("sym", _frame(np.int32, [0, 1, 2]))
+        dyn_lib.stage("sym", _frame(np.float64, [9.5], start="2024-01-04"))
+        dyn_lib.finalize_staged_data("sym", mode="append")
+        out = dyn_lib.read("sym")
+        assert dict(out.dtypes)["col"] == "double"
+        assert sorted(out.toPandas()["col"]) == [0.0, 1.0, 2.0, 9.5]
+
     def test_string_content_change_is_not_a_type_change(self, static_lib):
         """Reference test_changing_string_type / _fixed_string_width: string
         width/storage flavour is not a logical type; append+update succeed in
