@@ -173,6 +173,29 @@ class WritePayload:
 
 
 @dataclass
+class UpdatePayload:
+    """Batch-update unit mirroring the singular ``update`` API (reference
+    ``library.py:389``)."""
+    symbol: str
+    data: Any
+    metadata: Any = None
+    date_range: tuple | None = None
+
+
+@dataclass
+class DataError:
+    """Per-item failure marker returned by batch APIs instead of raising
+    (reference ``arcticdb_ext.version_store.DataError``): one bad symbol
+    doesn't abort the whole batch."""
+    symbol: str
+    error_code: str | None = None
+    exception_string: str = ""
+
+    def __bool__(self):  # truthiness mirrors "is this an error"
+        return True
+
+
+@dataclass
 class ReadRequest:
     """Batch-read unit mirroring the singular ``read`` API (reference
     ``library.py:278``): each symbol may carry its own as_of / ranges /
@@ -802,18 +825,33 @@ class Library:
         return self._commit(m)
 
     def update(self, symbol: str, df, date_range: tuple | None = None,
-               metadata: Any = None) -> VersionManifest:
+               metadata: Any = None, upsert: bool = False,
+               prune_previous_versions: bool = False) -> VersionManifest:
         """Range surgery (``version_core.cpp:587``): delete the index range
         covered by ``df`` (or the given range), splice the new rows in.
-        Only files overlapping the range are rewritten."""
+        Only files overlapping the range are rewritten.
+
+        ``upsert=True`` creates the symbol when it doesn't exist (reference
+        ``library.py:1520``); zero-row input is a no-op (no new version —
+        use delete_data_in_range when deletion is intended)."""
         import pandas as pd
-        prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
+        try:
+            prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
+        except NoSuchVersionException:
+            if not upsert:
+                raise ArcticException(
+                    f"Cannot update: symbol {symbol!r} does not exist; pass "
+                    "upsert=True to create it")
+            return self.write(symbol, df, metadata=metadata,
+                              prune_previous=prune_previous_versions)
         if self._is_pickled(prev):
             raise ArcticException(f"cannot update pickled symbol {symbol!r}")
         idx = prev.index_column
         if idx is None:
             raise ArcticException("update requires a timestamp-indexed symbol")
         sdf, _ = self._normalize(df)
+        if not sdf.head(1):
+            return prev  # zero-row update: nothing done, no new version
         if self.dynamic_schema:
             schema_json = self._merge_schema(prev.schema_json, sdf.schema)
         else:
@@ -852,7 +890,10 @@ class Library:
                             schema_json, _renumber(new_entries),
                             metadata if metadata is not None else prev.metadata,
                             norm_meta=prev.norm_meta)
-        return self._commit(m)
+        out = self._commit(m)
+        if prune_previous_versions:
+            self.prune_previous_versions(symbol)
+        return out
 
     def delete_data_in_range(self, symbol: str, date_range: tuple) -> VersionManifest:
         """(``library.py:2750``) — like update with no new rows."""
@@ -1479,26 +1520,56 @@ class Library:
                                  columns=s.columns,
                                  query_builder=s.query_builder, **kw)
             return self.read(s, **kw)
-        return self._pmap(one, symbols)
+        return self._pmap_errors(
+            one, symbols,
+            lambda s: s.symbol if isinstance(s, ReadRequest) else s)
 
     @staticmethod
     def _payload(p) -> tuple:
-        if isinstance(p, WritePayload):
+        if isinstance(p, (WritePayload, UpdatePayload)):
             return p.symbol, p.data, p.metadata
         return (p[0], p[1], p[2] if len(p) > 2 else None)
 
-    def write_batch(self, payloads: list) -> list[VersionManifest]:
-        return self._pmap(
+    def _pmap_errors(self, fn, items: list, sym_of) -> list:
+        """Batch runner with per-item error capture: a failing symbol yields
+        a DataError entry instead of aborting the batch (reference batch
+        APIs return List[Union[VersionedItem, DataError]])."""
+        def safe(x):
+            try:
+                return fn(x)
+            except Exception as e:
+                return DataError(sym_of(x), error_code=type(e).__name__,
+                                 exception_string=str(e))
+        return self._pmap(safe, items)
+
+    @staticmethod
+    def _sym_of_payload(p) -> str:
+        return p.symbol if isinstance(p, (WritePayload, UpdatePayload)) else p[0]
+
+    def write_batch(self, payloads: list) -> list:
+        return self._pmap_errors(
             lambda p: self.write(*self._payload(p)[:2],
-                                 metadata=self._payload(p)[2]), payloads)
+                                 metadata=self._payload(p)[2]),
+            payloads, self._sym_of_payload)
 
-    def append_batch(self, payloads: list) -> list[VersionManifest]:
-        return self._pmap(
+    def append_batch(self, payloads: list) -> list:
+        return self._pmap_errors(
             lambda p: self.append(*self._payload(p)[:2],
-                                  metadata=self._payload(p)[2]), payloads)
+                                  metadata=self._payload(p)[2]),
+            payloads, self._sym_of_payload)
 
-    def update_batch(self, payloads: list) -> list[VersionManifest]:
-        return self._pmap(lambda p: self.update(*self._payload(p)[:2]), payloads)
+    def update_batch(self, payloads: list, upsert: bool = False,
+                     prune_previous_versions: bool = False) -> list:
+        """Accepts ``UpdatePayload`` objects or (symbol, data[, metadata])
+        tuples; a missing symbol is a DataError unless ``upsert=True``
+        (reference ``library.py`` update_batch)."""
+        def one(p):
+            sym, data, meta = self._payload(p)
+            dr = p.date_range if isinstance(p, UpdatePayload) else None
+            return self.update(sym, data, date_range=dr, metadata=meta,
+                               upsert=upsert,
+                               prune_previous_versions=prune_previous_versions)
+        return self._pmap_errors(one, payloads, self._sym_of_payload)
 
     def read_metadata_batch(self, symbols: list) -> list:
         return self._pmap(

@@ -1,0 +1,121 @@
+"""update(upsert) + batch error capture, ported from the reference's
+``test_update.py`` TestUpdateBatch class (``library.py`` update_batch /
+UpdatePayload / DataError semantics)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from arcticdb_spark.catalog import (Arctic, ArcticException, DataError,
+                                    UpdatePayload)
+
+
+@pytest.fixture()
+def lib(spark, tmp_path):
+    return Arctic(str(tmp_path), spark).create_library("ub")
+
+
+def _frame(vals, start):
+    return pd.DataFrame({
+        "ts": pd.date_range(start, periods=len(vals), freq="D"),
+        "a": np.array(vals, dtype="int64")})
+
+
+class TestUpdateUpsert:
+    def test_update_missing_symbol_raises_without_upsert(self, lib):
+        with pytest.raises(ArcticException, match="upsert"):
+            lib.update("nope", _frame([1], "2024-01-01"))
+
+    def test_update_upsert_creates_symbol(self, lib):
+        m = lib.update("fresh", _frame([1, 2], "2024-01-01"), upsert=True)
+        assert m.version == 0
+        assert lib.read("fresh").count() == 2
+
+    def test_zero_row_update_is_noop(self, lib):
+        """Reference: zero-row data -> nothing done, no new version."""
+        lib.write("sym", _frame([1, 2, 3], "2024-01-01"))
+        empty = pd.DataFrame({"ts": pd.to_datetime([]),
+                              "a": np.array([], dtype="int64")})
+        m = lib.update("sym", empty)
+        assert m.version == 0   # unchanged
+        assert [v["version"] for v in lib.list_versions("sym")] == [0]
+        assert lib.read("sym").count() == 3
+
+    def test_update_prune_previous(self, lib):
+        from arcticdb_spark.catalog import NoSuchVersionException
+        lib.write("sym", _frame([1, 2, 3], "2024-01-01"))
+        lib.update("sym", _frame([9], "2024-01-02"),
+                   prune_previous_versions=True)
+        with pytest.raises(NoSuchVersionException):
+            lib.read("sym", as_of=0)
+        out = (lib.read("sym", output_format="pandas")
+               .sort_values("ts"))
+        assert out["a"].tolist() == [1, 9, 3]
+
+
+class TestUpdateBatch:
+    def test_missing_symbol_is_dataerror_not_abort(self, lib):
+        """Reference test_missing_symbol_is_error: the bad payload yields a
+        DataError; the good one still lands."""
+        lib.write("symbol_1", _frame([1], "2024-01-01"))
+        res = lib.update_batch([
+            UpdatePayload("symbol_3", _frame([1, 2], "2024-01-01")),
+            UpdatePayload("symbol_1", _frame([2, 3], "2024-01-02")),
+        ])
+        assert isinstance(res[0], DataError)
+        assert res[0].symbol == "symbol_3"
+        assert "upsert" in res[0].exception_string
+        assert not isinstance(res[1], DataError)
+        assert res[1].version == 1
+        out = (lib.read("symbol_1", output_format="pandas")
+               .sort_values("ts"))
+        assert out["a"].tolist() == [1, 2, 3]
+        assert lib.list_symbols() == ["symbol_1"]
+
+    def test_upsert_creates_symbols(self, lib):
+        """Reference test_update_batch_upsert_creates_symbol."""
+        lib.write("symbol_1", _frame([1], "2024-01-01"))
+        res = lib.update_batch([
+            UpdatePayload("symbol_2", _frame([10, 11], "2024-01-04")),
+            UpdatePayload("symbol_1", _frame([2, 3], "2024-01-02")),
+        ], upsert=True)
+        assert not any(isinstance(r, DataError) for r in res)
+        assert set(lib.list_symbols()) == {"symbol_1", "symbol_2"}
+        assert lib.read("symbol_1").count() == 3
+        assert res[0].version == 0 and res[1].version == 1
+
+    def test_date_range_payload(self, lib):
+        """Reference TestUpdateBatch test_date_range: the payload's range
+        restricts the splice."""
+        lib.write("sym", _frame([1, 2, 3, 4], "2024-01-01"))
+        res = lib.update_batch([UpdatePayload(
+            "sym", _frame([8, 9], "2024-01-02"),
+            date_range=(pd.Timestamp("2024-01-02"),
+                        pd.Timestamp("2024-01-03")))])
+        assert not isinstance(res[0], DataError)
+        out = (lib.read("sym", output_format="pandas").sort_values("ts"))
+        assert out["a"].tolist() == [1, 8, 9, 4]
+
+    def test_prune_previous(self, lib):
+        from arcticdb_spark.catalog import NoSuchVersionException
+        lib.write("s1", _frame([1], "2024-01-01"))
+        lib.write("s2", _frame([10], "2024-01-01"))
+        lib.update_batch(
+            [UpdatePayload("s1", _frame([1, 2, 3], "2024-01-01")),
+             UpdatePayload("s2", _frame([11], "2024-01-01"))],
+            prune_previous_versions=True)
+        for s in ("s1", "s2"):
+            with pytest.raises(NoSuchVersionException):
+                lib.read(s, as_of=0)
+        assert lib.read("s1").count() == 3
+
+
+class TestReadBatchErrors:
+    def test_read_batch_missing_symbol_is_dataerror(self, lib):
+        """Reference read_batch: missing symbols surface as DataError
+        entries, good symbols still return frames."""
+        lib.write("good", _frame([1, 2], "2024-01-01"))
+        res = lib.read_batch(["good", "missing"])
+        assert res[0].count() == 2
+        assert isinstance(res[1], DataError)
+        assert res[1].symbol == "missing"
