@@ -657,13 +657,23 @@ class Library:
 
     def write(self, symbol: str, df, metadata: Any = None,
               index_column: str | None = None, prune_previous: bool = False,
-              dedup: bool = False) -> VersionManifest:
+              dedup: bool = False, staged: bool = False,
+              prune_previous_versions: bool | None = None) -> VersionManifest:
         """New version from scratch (reference ``library.py:1013``).
 
         ``dedup=True`` reproduces the reference's segment dedup
         (``de_dup_map.hpp``): new files whose content hash matches a file of
         the previous version are discarded and the old file is referenced
-        instead — append-mostly rewrites become metadata-only."""
+        instead — append-mostly rewrites become metadata-only.
+
+        ``staged=True`` stages the chunk for a later finalize instead of
+        committing a version (reference write(staged=True) incompletes);
+        returns None in that case. ``prune_previous_versions`` is the
+        reference's name for ``prune_previous`` (either works)."""
+        if prune_previous_versions is not None:
+            prune_previous = prune_previous_versions
+        if staged:
+            return self.stage(symbol, df)
         sdf, norm_meta = self._normalize(df)
         idx = self._detect_index(sdf, index_column)
         tiebreak = (norm_meta["physical"][1:]
@@ -683,9 +693,12 @@ class Library:
                     if old is not None and old.rows == fe.rows:
                         if os.path.exists(fe.path):
                             os.remove(fe.path)
+                        # the reused entry points at the OLD physical file, so
+                        # it keeps the old schema epoch, not the new write's
                         swapped.append(FileEntry(old.path, fe.rows, fe.row_start,
                                                  fe.ts_min, fe.ts_max,
-                                                 fe.content_hash))
+                                                 fe.content_hash,
+                                                 old.schema_json))
                     else:
                         swapped.append(fe)
                 files = swapped
@@ -796,7 +809,8 @@ class Library:
         return prev_schema_json
 
     def append(self, symbol: str, df, metadata: Any = None,
-               validate_index: bool = True) -> VersionManifest:
+               validate_index: bool = True,
+               prune_previous_versions: bool = False) -> VersionManifest:
         """Rows strictly after the existing index range (``library.py:1361``).
         Previous files are *reused*, not rewritten — O(new data) cost.
 
@@ -822,7 +836,10 @@ class Library:
                             schema_json, _renumber(prev.files + new_files),
                             metadata if metadata is not None else prev.metadata,
                             norm_meta=prev.norm_meta)
-        return self._commit(m)
+        out = self._commit(m)
+        if prune_previous_versions:
+            self.prune_previous_versions(symbol)
+        return out
 
     def update(self, symbol: str, df, date_range: tuple | None = None,
                metadata: Any = None, upsert: bool = False,

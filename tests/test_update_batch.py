@@ -110,6 +110,33 @@ class TestUpdateBatch:
         assert lib.read("s1").count() == 3
 
 
+class TestSignatureParity:
+    def test_write_staged_routes_to_stage(self, lib):
+        """Reference write(staged=True) stages an incomplete chunk."""
+        lib.write("sym", _frame([1, 2], "2024-01-01"), staged=True)
+        assert "sym" in lib.get_staged_symbols()
+        lib.finalize_staged_data("sym", mode="write")
+        assert lib.read("sym").count() == 2
+
+    def test_append_prune_previous_versions(self, lib):
+        from arcticdb_spark.catalog import NoSuchVersionException
+        lib.write("sym", _frame([1], "2024-01-01"))
+        lib.append("sym", _frame([2], "2024-02-01"),
+                   prune_previous_versions=True)
+        with pytest.raises(NoSuchVersionException):
+            lib.read("sym", as_of=0)
+        assert lib.read("sym").count() == 2
+
+    def test_write_prune_previous_versions_alias(self, lib):
+        from arcticdb_spark.catalog import NoSuchVersionException
+        lib.write("sym", _frame([1], "2024-01-01"))
+        lib.write("sym", _frame([5, 6], "2024-01-01"),
+                  prune_previous_versions=True)
+        with pytest.raises(NoSuchVersionException):
+            lib.read("sym", as_of=0)
+        assert lib.read("sym").count() == 2
+
+
 class TestReadBatchErrors:
     def test_read_batch_missing_symbol_is_dataerror(self, lib):
         """Reference read_batch: missing symbols surface as DataError
