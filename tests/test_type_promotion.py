@@ -210,6 +210,25 @@ class TestDynamicPromotionMatrix:
         assert pdf["col"][1] == top
 
 
+class TestEpochCompaction:
+    def test_compact_collapses_schema_epochs(self, dyn_lib):
+        """Compaction rewrites every file under the current (widest) schema,
+        so the per-epoch scan branches disappear and full parquet filter
+        pushdown returns (heterogeneous epochs wrap the column in a cast)."""
+        dyn_lib.write("sym", _frame(np.int16, [1, 2, 3]))
+        dyn_lib.append("sym", _frame(np.float32, [4, 5],
+                                     start="2024-02-01"))
+        dyn_lib.append("sym", _frame(np.int32, [6], start="2024-03-01"))
+        m = dyn_lib._load_manifest("sym", 2)
+        assert len({fe.schema_json for fe in m.files}) == 3
+        dyn_lib.compact_symbol("sym")
+        m2 = dyn_lib._load_manifest("sym", 3)
+        assert len({fe.schema_json for fe in m2.files}) == 1
+        out = dyn_lib.read("sym")
+        assert dict(out.dtypes)["col"] == "double"
+        assert sorted(out.toPandas()["col"]) == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+
+
 # ----------------------------------------------------- sparse / unicode
 
 
