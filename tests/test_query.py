@@ -83,3 +83,42 @@ def test_pending_agg_raises(lineitem):
     q = QueryBuilder().groupby("l_returnflag")
     with pytest.raises(ExpressionError):
         q.to_df(lineitem)
+
+
+def test_querybuilder_pickle_copy_reuse(lineitem):
+    """Reference test_querybuilder_pickle / _shallow_copy / _deepcopy /
+    test_reuse_querybuilder: the builder is a pure-Python AST — picklable,
+    copyable, and re-runnable without state leakage."""
+    import copy
+    import pickle
+    q = QueryBuilder()
+    q = q[q["l_quantity"] > 30].apply("disc2", q["l_discount"] * 2)
+    n1 = q.to_df(lineitem).count()
+    assert q.to_df(lineitem).count() == n1          # reuse
+    assert pickle.loads(pickle.dumps(q)).to_df(lineitem).count() == n1
+    assert copy.deepcopy(q).to_df(lineitem).count() == n1
+    assert copy.copy(q).to_df(lineitem).count() == n1
+
+
+def test_date_range_then_filter_then_resample_managed(spark, tmp_path):
+    """Reference test_querybuilder_date_range_then_filter_then_resample:
+    a read-level date_range composes with filter + resample clauses through
+    the managed-symbol path; pandas is the oracle."""
+    import numpy as np
+    import pandas as pd
+    from arcticdb_spark.catalog import Arctic
+    lib = Arctic(str(tmp_path), spark).create_library("chain")
+    n = 500
+    pdf = pd.DataFrame({
+        "ts": pd.date_range("2024-01-01", periods=n, freq="7min"),
+        "v": np.arange(n, dtype="float64")})
+    lib.write("sym", pdf)
+    q = QueryBuilder()
+    q = q[q["v"] > 40.0].resample("1h").agg({"v": "mean"})
+    lo, hi = pd.Timestamp("2024-01-01 05:00"), pd.Timestamp("2024-01-02 01:00")
+    out = (lib.read("sym", date_range=(lo, hi), query_builder=q,
+                    output_format="pandas").sort_values("ts"))
+    sub = pdf[(pdf.ts >= lo) & (pdf.ts <= hi) & (pdf.v > 40.0)]
+    exp = sub.set_index("ts").resample("1h").mean().dropna()
+    assert len(out) == len(exp)
+    assert np.allclose(out["v"].to_numpy(), exp["v"].to_numpy())
