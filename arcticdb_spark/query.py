@@ -131,6 +131,37 @@ class QueryBuilder:
         self._clauses.insert(0, ("concat", {"join": join}))
         return self
 
+    # -- composition (reference processing.py:927-961) --
+    def then(self, other: "QueryBuilder") -> "QueryBuilder":
+        """Run ``other``'s clauses after this builder's (reference
+        ``QueryBuilder.then``). Both builders must be complete (no pending
+        groupby/resample awaiting agg)."""
+        if (self._pending_groupby is not None
+                or self._pending_resample is not None
+                or other._pending_groupby is not None
+                or other._pending_resample is not None):
+            raise ExpressionError(
+                "then() requires complete builders (agg() after "
+                "groupby()/resample())")
+        out = QueryBuilder(self._index_column)
+        out._clauses = list(self._clauses) + list(other._clauses)
+        return out
+
+    def prepend(self, other: "QueryBuilder") -> "QueryBuilder":
+        """Run ``other``'s clauses before this builder's (reference
+        ``QueryBuilder.prepend``)."""
+        return other.then(self)
+
+    # -- execution hints: Catalyst/Tungsten manage operator strategy and
+    # -- spill behaviour, so the reference's memory/speed toggles
+    # -- (processing.py:1220-1233) are accepted for API compatibility and
+    # -- are no-ops here
+    def optimise_for_speed(self) -> "QueryBuilder":
+        return self
+
+    def optimise_for_memory(self) -> "QueryBuilder":
+        return self
+
     # -- compilation --
     def to_df(self, df: DataFrame, index_column: str | list[str] | None = None
               ) -> DataFrame:

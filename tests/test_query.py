@@ -122,3 +122,22 @@ def test_date_range_then_filter_then_resample_managed(spark, tmp_path):
     exp = sub.set_index("ts").resample("1h").mean().dropna()
     assert len(out) == len(exp)
     assert np.allclose(out["v"].to_numpy(), exp["v"].to_numpy())
+
+
+def test_querybuilder_then_prepend(lineitem):
+    """Reference QueryBuilder.then / .prepend clause composition."""
+    import pytest
+    from arcticdb_spark.expr import ExpressionError
+    base = QueryBuilder()
+    base = base[base["l_quantity"] > 30]
+    top = QueryBuilder().head(7)
+    n_filtered = base.to_df(lineitem).count()
+    assert base.then(top).to_df(lineitem).count() == min(7, n_filtered)
+    assert top.prepend(base).to_df(lineitem).count() == min(7, n_filtered)
+    # originals untouched
+    assert base.to_df(lineitem).count() == n_filtered
+    assert base.optimise_for_speed() is base
+    assert base.optimise_for_memory() is base
+    incomplete = QueryBuilder().groupby("l_returnflag")
+    with pytest.raises(ExpressionError):
+        base.then(incomplete)
