@@ -23,11 +23,12 @@ Layout:
 
 from arcticdb_spark.session import get_spark
 from arcticdb_spark.query import QueryBuilder, col
-from arcticdb_spark.catalog import (Arctic, DataError, ReadInfoRequest,
-                                    ReadRequest, UpdatePayload, WritePayload)
+from arcticdb_spark.catalog import (Arctic, DataError, MergeStrategy,
+                                    ReadInfoRequest, ReadRequest,
+                                    UpdatePayload, WritePayload)
 
 __version__ = "0.1.0"
 
 __all__ = ["get_spark", "QueryBuilder", "col", "Arctic", "WritePayload",
-           "UpdatePayload", "DataError", "ReadRequest", "ReadInfoRequest",
-           "__version__"]
+           "UpdatePayload", "DataError", "MergeStrategy", "ReadRequest",
+           "ReadInfoRequest", "__version__"]

@@ -173,6 +173,16 @@ class WritePayload:
 
 
 @dataclass
+class MergeStrategy:
+    """Row-level merge behaviour (reference ``_store.py:117`` MergeStrategy,
+    used by ``Library.merge_experimental``). Values are case-insensitive
+    strings: matched in {"update", "do_nothing"}, not_matched_by_target in
+    {"insert", "do_nothing"}."""
+    matched: str = "update"
+    not_matched_by_target: str = "insert"
+
+
+@dataclass
 class UpdatePayload:
     """Batch-update unit mirroring the singular ``update`` API (reference
     ``library.py:389``)."""
@@ -912,6 +922,64 @@ class Library:
             self.prune_previous_versions(symbol)
         return out
 
+    def merge_experimental(self, symbol: str, source, strategy=None,
+                           on: list | None = None, metadata: Any = None,
+                           prune_previous_versions: bool = False,
+                           upsert: bool = False) -> VersionManifest:
+        """SQL-MERGE into an existing symbol (reference ``library.py``
+        merge_experimental; kernel ``clause_merge_update.cpp``): rows are
+        matched on the index plus the optional ``on`` columns, matched rows
+        take the source's values, unmatched source rows insert per
+        ``strategy``. ``upsert=True`` creates the symbol when missing.
+
+        The heavy lifting is the clause-level ``operators.merge_update``
+        join (broadcast when the correction batch is small, sort-merge +
+        AQE otherwise); this wrapper versions the result. The rewrite is
+        O(table) — at large scale, restrict first with date_range reads or
+        use ``merge_update`` on raw frames bucketed by time."""
+        from arcticdb_spark.operators.merge_update import merge_update
+        strategy = strategy or MergeStrategy()
+        matched = str(strategy.matched).lower()
+        nmbt = str(strategy.not_matched_by_target).lower()
+        try:
+            prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
+        except NoSuchVersionException:
+            if not upsert:
+                raise ArcticException(
+                    f"Cannot merge: symbol {symbol!r} does not exist; pass "
+                    "upsert=True to create it")
+            return self.write(symbol, source, metadata=metadata,
+                              prune_previous=prune_previous_versions)
+        if self._is_pickled(prev):
+            raise ArcticException(f"cannot merge into pickled symbol {symbol!r}")
+        idx = prev.index_column
+        if idx is None:
+            raise ArcticException(
+                "merge_experimental requires a timestamp-indexed symbol")
+        src, _ = self._normalize(source)
+        target = self._read_physical(prev)
+        keys = [idx] + [c for c in (on or []) if c != idx]
+        if matched == "update":
+            merged = merge_update(target, src, on=keys,
+                                  upsert=(nmbt == "insert"))
+        elif matched == "do_nothing" and nmbt == "insert":
+            inserts = src.join(target.select(keys).distinct(), keys,
+                               "left_anti")
+            merged = target.unionByName(inserts, allowMissingColumns=True)
+        else:
+            raise ArcticException(
+                f"unsupported MergeStrategy(matched={strategy.matched!r}, "
+                f"not_matched_by_target={strategy.not_matched_by_target!r})")
+        files = self._write_data_files(symbol, self._drop_void(merged), idx)
+        m = VersionManifest(symbol, prev.version + 1, time.time_ns(), idx,
+                            merged.schema.json(), files,
+                            metadata if metadata is not None else prev.metadata,
+                            norm_meta=prev.norm_meta)
+        out = self._commit(m)
+        if prune_previous_versions:
+            self.prune_previous_versions(symbol)
+        return out
+
     def delete_data_in_range(self, symbol: str, date_range: tuple) -> VersionManifest:
         """(``library.py:2750``) — like update with no new rows."""
         import pandas as pd
@@ -1597,6 +1665,11 @@ class Library:
     def admin_tools(self) -> "AdminTools":
         """Reference ``library.py:3521``: storage-size breakdowns."""
         return AdminTools(self)
+
+    def options(self) -> dict:
+        """Persisted LibraryOptions (reference ``library.py`` options())."""
+        return {"rows_per_file": self.rows_per_file,
+                "dynamic_schema": self.dynamic_schema}
 
     def write_pickle_batch(self, payloads: list[tuple]) -> list[VersionManifest]:
         """(``library.py:1319``) payloads = [(symbol, data[, metadata]), ...]."""
