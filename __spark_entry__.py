@@ -528,6 +528,32 @@ def q_text_fingerprint(spark, sf):
     return d.select("doc_id", xtext.fingerprint(F.col("text")).alias("fingerprint"))
 
 
+def q_sample_split(spark, sf):
+    """Deterministic content-addressed train/val/test assignment
+    (``extensions/sampling.py``): Lehmer-bucket each doc_id, label by
+    cumulative fraction, count docs + chars per split. Pure narrow column
+    exprs — no shuffle before the 3-group agg; exactly replayable in ANY
+    SQL engine (the oracle replays the integer math verbatim)."""
+    from arcticdb_spark.extensions import sampling as xsamp
+    d = load_table(spark, sf, "documents")
+    out = xsamp.assign_split(d, "doc_id",
+                             {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (out.groupBy("split")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_chars").alias("total_chars")))
+
+
+def q_sample_stratified(spark, sf):
+    """Per-language deterministic downsampling (language rebalancing:
+    keep 20% of 'en', 100% of everything else) + survivor counts."""
+    from arcticdb_spark.extensions import sampling as xsamp
+    d = load_table(spark, sf, "documents")
+    kept = xsamp.stratified_hash_sample(d, "doc_id", "lang", {"en": 0.2},
+                                        default_fraction=1.0)
+    return (kept.groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("n_kept")))
+
+
 def q_dedup_minhash(spark, sf):
     d = load_table(spark, sf, "documents")
     return xdedup.minhash_near_dup_pairs(d, num_hashes=16, bands=4, k=3)
@@ -728,6 +754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # formerly-red multimodal_features, and the two queries re-planned
         # this round (dedup_jaccard, semi_join_date_arith). Everything after
         # was green in CORRECTNESS_r03 on unchanged code.
+        "sample_split": q_sample_split,            # new in r4, never verified
+        "sample_stratified": q_sample_stratified,  # new in r4, never verified
         "dedup_cluster": q_dedup_cluster,
         "dedup_minhash": q_dedup_minhash,
         "dedup_exact": q_dedup_exact,
@@ -1040,6 +1068,34 @@ GROUP BY fp"""
 
 def oracle_sql() -> dict[str, str]:
     sql = {
+        # Lehmer bucket: two rounds of (x*48271) % M over doc_id+1000003,
+        # M = 2^31-1 — the exact
+        # integer math of extensions/sampling.py, replayed verbatim
+        "sample_split": """
+WITH b AS (
+  SELECT n_chars,
+         ((((doc_id + 1000003) % 2147483647) * 48271 % 2147483647)
+          * 48271) % 2147483647 AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < CAST(FLOOR(0.8 * 2147483647) AS BIGINT) THEN 'train'
+            WHEN bucket < CAST(FLOOR(0.9 * 2147483647) AS BIGINT) THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY 1""",
+
+        "sample_stratified": """
+WITH b AS (
+  SELECT lang,
+         ((((doc_id + 1000003) % 2147483647) * 48271 % 2147483647)
+          * 48271) % 2147483647 AS bucket
+  FROM documents)
+SELECT lang, COUNT(*) AS n_kept
+FROM b
+WHERE bucket < CASE WHEN lang = 'en'
+                    THEN CAST(FLOOR(0.2 * 2147483647) AS BIGINT)
+                    ELSE 2147483647 END
+GROUP BY lang""",
+
         "filter_numeric": """
 SELECT * FROM lineitem
 WHERE l_quantity > 30 AND l_discount <= 0.05 AND l_shipdate < TIMESTAMP '1998-01-01'""",

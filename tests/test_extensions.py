@@ -253,3 +253,60 @@ def test_near_dup_clusters_long_chain_converges_or_raises(spark):
     with _pytest.raises(RuntimeError, match="did not converge"):
         xdedup.near_dup_clusters(chain, max_iter=2)
     xdedup.unpersist_all()
+
+
+class TestSampling:
+    """Deterministic content-addressed sampling (extensions/sampling.py)."""
+
+    def _docs(self, spark, n=2000):
+        import pandas as pd
+        import numpy as np
+        return spark.createDataFrame(pd.DataFrame({
+            "doc_id": np.arange(n, dtype="int64"),
+            "lang": np.where(np.arange(n) % 4 == 0, "de", "en")}))
+
+    def test_hash_sample_deterministic_and_proportional(self, spark):
+        from arcticdb_spark.extensions.sampling import hash_sample
+        df = self._docs(spark)
+        a = sorted(r["doc_id"] for r in
+                   hash_sample(df, "doc_id", 0.3).collect())
+        b = sorted(r["doc_id"] for r in
+                   hash_sample(df, "doc_id", 0.3).collect())
+        assert a == b                      # replayable
+        assert 0.2 < len(a) / 2000 < 0.4   # roughly proportional
+        # a larger fraction is a SUPERSET (same permutation, higher cut)
+        big = set(r["doc_id"] for r in
+                  hash_sample(df, "doc_id", 0.6).collect())
+        assert set(a) <= big
+
+    def test_salt_changes_draw(self, spark):
+        from arcticdb_spark.extensions.sampling import hash_sample
+        df = self._docs(spark)
+        a = set(r["doc_id"] for r in hash_sample(df, "doc_id", 0.3).collect())
+        b = set(r["doc_id"] for r in
+                hash_sample(df, "doc_id", 0.3, salt=7).collect())
+        assert a != b
+
+    def test_assign_split_partitions_everything(self, spark):
+        import pytest
+        from arcticdb_spark.extensions.sampling import assign_split
+        df = self._docs(spark)
+        out = assign_split(df, "doc_id",
+                           {"train": 0.8, "val": 0.1, "test": 0.1})
+        counts = {r["split"]: r["n"] for r in
+                  out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert sum(counts.values()) == 2000
+        assert set(counts) == {"train", "val", "test"}
+        assert counts["train"] > counts["val"]
+        with pytest.raises(ValueError):
+            assign_split(df, "doc_id", {"a": 0.9, "b": 0.2})
+
+    def test_stratified_fractions(self, spark):
+        from arcticdb_spark.extensions.sampling import stratified_hash_sample
+        df = self._docs(spark)
+        kept = stratified_hash_sample(df, "doc_id", "lang", {"en": 0.1},
+                                      default_fraction=1.0)
+        by_lang = {r["lang"]: r["n"] for r in
+                   kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert by_lang["de"] == 500          # default 1.0 keeps all
+        assert by_lang["en"] < 1500 * 0.25   # en sampled well below full
