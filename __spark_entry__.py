@@ -554,6 +554,32 @@ def q_sample_stratified(spark, sf):
                 .agg(F.count(F.lit(1)).alias("n_kept")))
 
 
+def q_quality_repetition(spark, sf):
+    """Gopher-style repetition quality filters per language
+    (``extensions/text.py:repetition_stats``): duplicate-token and
+    top-token fractions, docs flagged at dup_frac > 0.2. Explode ->
+    count -> combine, both aggs map-side combinable on doc_id."""
+    d = load_table(spark, sf, "documents")
+    r = xtext.repetition_stats(d, carry_cols=("lang",))
+    return (r.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.count(F.when(F.col("dup_frac") > 0.2, 1)).alias("n_flagged"),
+                  F.round(F.avg("dup_frac"), 4).alias("avg_dup_frac"),
+                  F.round(F.avg("top_frac"), 4).alias("avg_top_frac")))
+
+
+def q_embedding_centroids(spark, sf):
+    """Nearest-centroid assignment over the embedding corpus
+    (``extensions/similarity.py:centroid_assign``) + per-cluster rollup.
+    The k-means E-step / IVF list-build primitive: broadcast k centroids,
+    narrow JVM-side argmax, one tiny k-group agg."""
+    e = load_table(spark, sf, "embeddings")
+    a = xsim.centroid_assign(e, k=8)
+    return (a.groupBy("centroid_id")
+             .agg(F.count(F.lit(1)).alias("n_members"),
+                  F.round(F.avg("cos"), 4).alias("avg_cos")))
+
+
 def q_dedup_minhash(spark, sf):
     d = load_table(spark, sf, "documents")
     return xdedup.minhash_near_dup_pairs(d, num_hashes=16, bands=4, k=3)
@@ -754,6 +780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # formerly-red multimodal_features, and the two queries re-planned
         # this round (dedup_jaccard, semi_join_date_arith). Everything after
         # was green in CORRECTNESS_r03 on unchanged code.
+        "quality_repetition": q_quality_repetition,    # new in r4, never verified
+        "embedding_centroids": q_embedding_centroids,  # new in r4, never verified
         "sample_split": q_sample_split,            # new in r4, never verified
         "sample_stratified": q_sample_stratified,  # new in r4, never verified
         "dedup_cluster": q_dedup_cluster,
@@ -1071,6 +1099,39 @@ def oracle_sql() -> dict[str, str]:
         # Lehmer bucket: two rounds of (x*48271) % M over doc_id+1000003,
         # M = 2^31-1 — the exact
         # integer math of extensions/sampling.py, replayed verbatim
+        "quality_repetition": """
+WITH t AS (
+  SELECT doc_id, lang, lower(unnest(string_split_regex(trim(text), '\\s+'))) AS tok
+  FROM documents WHERE length(trim(text)) > 0),
+c AS (SELECT doc_id, lang, tok, COUNT(*) AS c FROM t GROUP BY 1, 2, 3),
+p AS (SELECT doc_id, lang, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+             MAX(c) AS top_count
+      FROM c GROUP BY 1, 2),
+f AS (SELECT lang,
+             ROUND(1 - n_distinct / CAST(n_tokens AS DOUBLE), 6) AS dup_frac,
+             ROUND(top_count / CAST(n_tokens AS DOUBLE), 6) AS top_frac
+      FROM p)
+SELECT lang, COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE dup_frac > 0.2) AS n_flagged,
+       ROUND(AVG(dup_frac), 4) AS avg_dup_frac,
+       ROUND(AVG(top_frac), 4) AS avg_top_frac
+FROM f GROUP BY lang""",
+
+        "embedding_centroids": """
+WITH cts AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+             FROM embeddings WHERE vec_id < 8),
+s AS (SELECT e.vec_id, cid,
+        round(list_dot_product(CAST(e.embedding AS DOUBLE[]), cv)
+              / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[])))
+                 * sqrt(list_dot_product(cv, cv))), 6) AS cos
+      FROM embeddings e CROSS JOIN cts),
+b AS (SELECT vec_id, cid, cos,
+        row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      FROM s)
+SELECT cid AS centroid_id, COUNT(*) AS n_members, ROUND(AVG(cos), 4) AS avg_cos
+FROM b WHERE rn = 1 GROUP BY cid""",
+
         "sample_split": """
 WITH b AS (
   SELECT n_chars,

@@ -668,7 +668,8 @@ class Library:
     def write(self, symbol: str, df, metadata: Any = None,
               index_column: str | None = None, prune_previous: bool = False,
               dedup: bool = False, staged: bool = False,
-              prune_previous_versions: bool | None = None) -> VersionManifest:
+              prune_previous_versions: bool | None = None,
+              recursive_normalizers: bool = False) -> VersionManifest:
         """New version from scratch (reference ``library.py:1013``).
 
         ``dedup=True`` reproduces the reference's segment dedup
@@ -682,6 +683,8 @@ class Library:
         reference's name for ``prune_previous`` (either works)."""
         if prune_previous_versions is not None:
             prune_previous = prune_previous_versions
+        if recursive_normalizers and isinstance(df, (dict, list, tuple)):
+            return self._write_recursive(symbol, df, metadata, prune_previous)
         if staged:
             return self.stage(symbol, df)
         sdf, norm_meta = self._normalize(df)
@@ -751,6 +754,110 @@ class Library:
         if prune_previous:
             self.prune_previous_versions(symbol)
         return m
+
+    # ---- recursive normalizers (reference _store.py:887
+    # _try_flatten_and_write_composite_object; _normalization.py:1742) ----
+    # Nested dict/list/tuple structures of DataFrames are flattened: each
+    # leaf becomes a hidden sub-symbol ("_rec__{parent}__{path}" — the
+    # leading "_" keeps it out of list_symbols), and the parent version's
+    # norm_meta records the template plus (sub-symbol, version) pins, the
+    # analogue of the reference's MULTI_KEY. Leaves version independently,
+    # so re-writing a 10-leaf structure rewrites only changed leaves' data.
+
+    @staticmethod
+    def _is_df_leaf(obj) -> bool:
+        import pandas as pd
+        return isinstance(obj, (pd.DataFrame, pd.Series, DataFrame))
+
+    def _flatten_struct(self, data, path=()):
+        """Yield (path_tuple, leaf) pairs; raise on non-str dict keys."""
+        if isinstance(data, dict):
+            for k, v in data.items():
+                if not isinstance(k, str):
+                    raise ArcticException(
+                        "recursive_normalizers requires string dict keys, "
+                        f"got {type(k).__name__}")
+                yield from self._flatten_struct(v, path + (k,))
+        elif isinstance(data, (list, tuple)):
+            for i, v in enumerate(data):
+                yield from self._flatten_struct(v, path + (str(i),))
+        else:
+            yield path, data
+
+    @staticmethod
+    def _struct_template(data, counter):
+        """JSON template mirroring the nesting; leaves become indices into
+        the manifest's leaf list. Tuples are tagged to roundtrip exactly."""
+        if isinstance(data, dict):
+            return {k: Library._struct_template(v, counter)
+                    for k, v in data.items()}
+        if isinstance(data, tuple):
+            return {"__tuple__": [Library._struct_template(v, counter)
+                                  for v in data]}
+        if isinstance(data, list):
+            return [Library._struct_template(v, counter) for v in data]
+        i = counter[0]
+        counter[0] += 1
+        return {"__leaf__": i}
+
+    def _rec_subsymbol(self, symbol: str, path: tuple) -> str:
+        return f"_rec__{symbol}__" + ".".join(path)
+
+    def _write_recursive(self, symbol: str, data, metadata,
+                         prune_previous: bool) -> VersionManifest:
+        leaves = list(self._flatten_struct(data))
+        pins = []
+        for path, leaf in leaves:
+            sub = self._rec_subsymbol(symbol, path)
+            if self._is_df_leaf(leaf):
+                lm = self.write(sub, leaf)
+            else:  # non-normalizable leaf -> pickle fallback, like the
+                # reference's msgpack/pickle leaf handling
+                lm = self.write_pickle(sub, leaf)
+            pins.append({"symbol": sub, "version": lm.version})
+        counter = [0]
+        template = self._struct_template(data, counter)
+        m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(),
+                            None, "{}", [], metadata,
+                            norm_meta={"index_type": "recursive",
+                                       "struct": template, "leaves": pins})
+        self._commit(m)
+        if prune_previous:
+            self.prune_previous_versions(symbol)
+        return m
+
+    @staticmethod
+    def _is_recursive(m: "VersionManifest") -> bool:
+        return bool(m.norm_meta) and m.norm_meta.get("index_type") == "recursive"
+
+    def _read_recursive(self, m: "VersionManifest", output_format: str):
+        pins = m.norm_meta["leaves"]
+
+        def build(node):
+            if isinstance(node, dict):
+                if "__leaf__" in node:
+                    p = pins[node["__leaf__"]]
+                    return self.read(p["symbol"], as_of=p["version"],
+                                     output_format=output_format)
+                if "__tuple__" in node:
+                    return tuple(build(v) for v in node["__tuple__"])
+                return {k: build(v) for k, v in node.items()}
+            if isinstance(node, list):
+                return [build(v) for v in node]
+            return node
+
+        return build(m.norm_meta["struct"])
+
+    def will_item_be_pickled(self, item, recursive_normalizers: bool | None
+                             = None) -> bool:
+        """Reference ``_store.py:3546``: True iff ``write`` would fall back
+        to the pickle path for this item."""
+        if self._is_df_leaf(item):
+            return False
+        if recursive_normalizers and isinstance(item, (dict, list, tuple)):
+            return any(not self._is_df_leaf(leaf)
+                       for _, leaf in self._flatten_struct(item))
+        return True
 
     @staticmethod
     def _is_pickled(m: "VersionManifest") -> bool:
@@ -1072,6 +1179,13 @@ class Library:
                 as_of=as_of, date_range=date_range, row_range=row_range,
                 columns=columns, output_format=output_format))
         m = self._resolve_version(symbol, as_of)
+        if self._is_recursive(m):
+            if (query_builder is not None or date_range is not None
+                    or row_range is not None or columns is not None):
+                raise ArcticException(
+                    f"{symbol!r} is a recursively-normalized structure: "
+                    "queries/slicing/column selection are unsupported")
+            return self._read_recursive(m, output_format)
         if self._is_pickled(m):
             if (query_builder is not None or date_range is not None
                     or row_range is not None or columns is not None):
@@ -1440,6 +1554,12 @@ class Library:
         self._fs.rmtree(self._sym_dir(symbol))
         if self.data_root != self.root:
             shutil.rmtree(self._data_sym_dir(symbol), ignore_errors=True)
+        # recursive-normalizer leaves are exclusively owned by the parent —
+        # GC them with it (they're invisible to list_symbols)
+        prefix = f"_rec__{symbol}__"
+        for d in self._fs.listdir(self.root):
+            if d.startswith(prefix):
+                self.delete(d)
 
     def delete_version(self, symbol: str, version: int) -> None:
         ref = self._load_ref(symbol)
@@ -1453,6 +1573,28 @@ class Library:
                 self.delete(symbol)
                 return
         self._fs.write_json_atomic(self._ref_path(symbol), ref)
+
+    def restore_version(self, symbol: str, as_of=None) -> VersionManifest:
+        """Make the latest version equal to the ``as_of`` version (reference
+        ``_store.py:2739``: semantically ``write(sym, read(sym, as_of).data)``
+        but without touching data — the new manifest re-references the old
+        version's immutable files, so restoring a 100 TB symbol is one JSON
+        commit)."""
+        import copy
+        old = self._resolve_version(symbol, as_of)
+        m = copy.deepcopy(old)
+        m.version = self._next_version(symbol)
+        m.created_ns = time.time_ns()
+        return self._commit(m)
+
+    def batch_restore_version(self, symbols: list, as_ofs: list | None = None
+                              ) -> list:
+        """Per-symbol restore with DataError capture (reference
+        ``_store.py:2143`` batch_restore_version)."""
+        as_ofs = as_ofs or [None] * len(symbols)
+        return self._pmap_errors(
+            lambda p: self.restore_version(p[0], p[1]),
+            list(zip(symbols, as_ofs)), lambda p: p[0])
 
     def prune_previous_versions(self, symbol: str) -> None:
         """Tombstone all but the latest version and GC unreferenced files,

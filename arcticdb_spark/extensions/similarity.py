@@ -170,3 +170,35 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                       F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("score"))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def centroid_assign(corpus: DataFrame, k: int = 8,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid assignment (the k-means E-step / IVF coarse
+    quantizer): centroids are the first ``k`` corpus vectors by id
+    (deterministic seed set), each vector is assigned to the centroid with
+    the highest cosine (ties -> lowest centroid id).
+
+    The k x d centroid matrix is driver-collected (k rows, independent of
+    corpus size) and inlined as literal arrays, so assignment is one narrow
+    JVM-side projection — no shuffle, no Python, scan-bound at 100 TB.
+    Cosines are rounded to 6dp before the argmax so the decision is
+    reproducible across engines (same contract as brute_force_topk).
+    """
+    cent = (corpus.orderBy(id_col).limit(k)
+                  .select(F.col(id_col).alias("cid"),
+                          F.col(vec_col).alias("cv"))
+                  .collect())
+    v = F.col(vec_col)
+    scores = []  # ascending cid
+    for r in sorted(cent, key=lambda r: r["cid"]):
+        carr = F.array(*[F.lit(float(x)) for x in r["cv"]])
+        scores.append((int(r["cid"]), F.round(cosine(v, carr), 6)))
+    best = F.greatest(*[s for _, s in scores])
+    cid_expr = F.lit(None).cast("long")
+    for cid, s in reversed(scores):  # earliest (lowest cid) match wins
+        cid_expr = F.when(s == best, F.lit(cid)).otherwise(cid_expr)
+    return corpus.select(F.col(id_col).alias("vec_id"),
+                         cid_expr.alias("centroid_id"),
+                         best.alias("cos"))

@@ -95,3 +95,34 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (out.withColumn("quality", quality_score(c))
                .withColumn("lang_pred", lang_id(c))
                .withColumn("fingerprint", fingerprint(c)))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     carry_cols: tuple = ()) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token
+    fraction (1 - distinct/total) and top-token fraction (most frequent
+    token count / total). High values flag boilerplate / spam for
+    pre-training corpus filtering (Rae et al. 2021 "Scaling Language
+    Models", §A1.1 repetition filters).
+
+    Distributed shape: explode -> per-(doc, token) count -> per-doc combine.
+    Both aggregations are map-side combinable and key on doc_id, so the
+    second groupBy reuses the first's hash partitioning (one effective
+    shuffle of (doc_id, tok, c) triples — never the raw text). Empty docs
+    (no tokens) drop out, matching the SQL ``length(trim(text)) > 0``.
+    """
+    keep = [id_col, *carry_cols]
+    toks = df.select(*keep,
+                     F.explode(F.transform(tokens(F.col(text_col)), F.lower))
+                      .alias("tok"))
+    cnt = toks.groupBy(*keep, "tok").agg(F.count(F.lit(1)).alias("c"))
+    per = (cnt.groupBy(*keep)
+              .agg(F.sum("c").alias("n_tokens"),
+                   F.count(F.lit(1)).alias("n_distinct"),
+                   F.max("c").alias("top_count")))
+    nt = F.col("n_tokens").cast("double")
+    return (per.withColumn("dup_frac",
+                           F.round(1 - F.col("n_distinct") / nt, 6))
+               .withColumn("top_frac",
+                           F.round(F.col("top_count") / nt, 6)))

@@ -310,3 +310,52 @@ class TestSampling:
                    kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
         assert by_lang["de"] == 500          # default 1.0 keeps all
         assert by_lang["en"] < 1500 * 0.25   # en sampled well below full
+
+
+class TestRepetitionStats:
+    def test_known_values(self, spark):
+        from arcticdb_spark.extensions.text import repetition_stats
+        df = spark.createDataFrame(
+            [(1, "a a a a"),          # 4 tokens, 1 distinct
+             (2, "a b c d"),          # all distinct
+             (3, "x x y"),            # top=2/3
+             (4, "   ")],             # empty after trim -> dropped
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+        assert set(out) == {1, 2, 3}
+        assert out[1]["dup_frac"] == 0.75 and out[1]["top_frac"] == 1.0
+        assert out[2]["dup_frac"] == 0.0 and out[2]["top_frac"] == 0.25
+        assert out[3]["n_tokens"] == 3 and out[3]["top_count"] == 2
+
+    def test_case_insensitive_and_carry(self, spark):
+        from arcticdb_spark.extensions.text import repetition_stats
+        df = spark.createDataFrame([(1, "The the THE", "en")],
+                                   "doc_id long, text string, lang string")
+        r = repetition_stats(df, carry_cols=("lang",)).collect()[0]
+        assert r["n_distinct"] == 1 and r["lang"] == "en"
+
+
+class TestCentroidAssign:
+    def test_self_assignment_and_determinism(self, spark):
+        from arcticdb_spark.extensions.similarity import centroid_assign
+        import random
+        rnd = random.Random(7)
+        rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r["vec_id"]: r for r in centroid_assign(df, k=4).collect()}
+        assert len(out) == 40
+        # a centroid is its own nearest centroid with cosine 1
+        for cid in range(4):
+            assert out[cid]["centroid_id"] == cid
+            assert abs(out[cid]["cos"] - 1.0) < 1e-9
+        # every assignment picks the max rounded cosine (brute check)
+        import math
+        cents = {i: rows[i][1] for i in range(4)}
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return round(d / (math.sqrt(sum(x * x for x in a))
+                              * math.sqrt(sum(y * y for y in b))), 6)
+        for i, vec in rows:
+            best = max(cents, key=lambda c: (cos(vec, cents[c]), -c))
+            assert out[i]["centroid_id"] == best

@@ -1,0 +1,140 @@
+"""restore_version / batch_restore_version + recursive normalizers.
+
+Ported semantics: reference ``_store.py:2739`` (restore_version ==
+write(sym, read(sym, as_of).data) without data movement), ``_store.py:2143``
+(batch_restore_version), ``_store.py:887`` + ``test_recursive_normalizers.py``
+(nested dict/list/tuple structures written as multi-key sub-symbols).
+"""
+import pandas as pd
+import pytest
+
+from arcticdb_spark.catalog import ArcticException, DataError
+
+
+def _pdf(vals):
+    return pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=len(vals),
+                                             freq="1h"),
+                         "v": vals})
+
+
+# ---------------------------------------------------------------------------
+# restore_version
+# ---------------------------------------------------------------------------
+
+def test_restore_version_basic(tmp_lib):
+    tmp_lib.write("s", _pdf([1.0, 2.0]))            # v0
+    tmp_lib.write("s", _pdf([3.0, 4.0, 5.0]))       # v1
+    m = tmp_lib.restore_version("s", as_of=0)       # v2 == v0
+    assert m.version == 2
+    got = tmp_lib.read("s", output_format="pandas")
+    assert list(got["v"]) == [1.0, 2.0]
+    # v1 still readable
+    assert list(tmp_lib.read("s", as_of=1,
+                             output_format="pandas")["v"]) == [3.0, 4.0, 5.0]
+
+
+def test_restore_version_is_metadata_only(tmp_lib):
+    tmp_lib.write("s", _pdf([1.0, 2.0]))
+    tmp_lib.write("s", _pdf([9.0]))
+    m0 = tmp_lib._load_manifest("s", 0)
+    m2 = tmp_lib.restore_version("s", as_of=0)
+    # the restored manifest re-references v0's physical files verbatim
+    assert [f.path for f in m2.files] == [f.path for f in m0.files]
+
+
+def test_restore_version_carries_metadata(tmp_lib):
+    tmp_lib.write("s", _pdf([1.0]), metadata={"tag": "old"})
+    tmp_lib.write("s", _pdf([2.0]), metadata={"tag": "new"})
+    tmp_lib.restore_version("s", as_of=0)
+    assert tmp_lib.read_metadata("s") == {"tag": "old"}
+
+
+def test_restore_version_default_latest_noop_copy(tmp_lib):
+    tmp_lib.write("s", _pdf([1.0]))
+    m = tmp_lib.restore_version("s")  # as_of=None -> latest
+    assert m.version == 1
+    assert list(tmp_lib.read("s", output_format="pandas")["v"]) == [1.0]
+
+
+def test_batch_restore_version(tmp_lib):
+    tmp_lib.write("a", _pdf([1.0]))
+    tmp_lib.write("a", _pdf([2.0]))
+    tmp_lib.write("b", _pdf([10.0]))
+    out = tmp_lib.batch_restore_version(["a", "b", "missing"], [0, None, None])
+    assert out[0].version == 2 and out[1].version == 1
+    assert isinstance(out[2], DataError)
+    assert list(tmp_lib.read("a", output_format="pandas")["v"]) == [1.0]
+
+
+# ---------------------------------------------------------------------------
+# recursive normalizers
+# ---------------------------------------------------------------------------
+
+def test_recursive_dict_roundtrip(tmp_lib):
+    data = {"a": _pdf([1.0, 2.0]), "b": _pdf([3.0])}
+    tmp_lib.write("nest", data, recursive_normalizers=True)
+    got = tmp_lib.read("nest", output_format="pandas")
+    assert set(got) == {"a", "b"}
+    assert list(got["a"]["v"]) == [1.0, 2.0]
+    assert list(got["b"]["v"]) == [3.0]
+
+
+def test_recursive_nested_list_tuple(tmp_lib):
+    data = {"pair": (_pdf([1.0]), _pdf([2.0])), "seq": [_pdf([3.0])]}
+    tmp_lib.write("nest", data, recursive_normalizers=True)
+    got = tmp_lib.read("nest", output_format="pandas")
+    assert isinstance(got["pair"], tuple) and len(got["pair"]) == 2
+    assert isinstance(got["seq"], list)
+    assert list(got["pair"][1]["v"]) == [2.0]
+    assert list(got["seq"][0]["v"]) == [3.0]
+
+
+def test_recursive_pickled_leaf_fallback(tmp_lib):
+    data = {"df": _pdf([1.0]), "blob": {"k": [1, 2, 3]}}
+    # "blob" is a dict of non-DataFrames -> its leaves pickle
+    tmp_lib.write("nest", data, recursive_normalizers=True)
+    got = tmp_lib.read("nest", output_format="pandas")
+    assert got["blob"]["k"] == [1, 2, 3]
+
+
+def test_recursive_hidden_from_list_symbols(tmp_lib):
+    tmp_lib.write("nest", {"a": _pdf([1.0])}, recursive_normalizers=True)
+    assert tmp_lib.list_symbols() == ["nest"]
+
+
+def test_recursive_version_pinning(tmp_lib):
+    tmp_lib.write("nest", {"a": _pdf([1.0])}, recursive_normalizers=True)
+    tmp_lib.write("nest", {"a": _pdf([2.0])}, recursive_normalizers=True)
+    old = tmp_lib.read("nest", as_of=0, output_format="pandas")
+    new = tmp_lib.read("nest", output_format="pandas")
+    assert list(old["a"]["v"]) == [1.0]
+    assert list(new["a"]["v"]) == [2.0]
+
+
+def test_recursive_rejects_queries(tmp_lib):
+    tmp_lib.write("nest", {"a": _pdf([1.0])}, recursive_normalizers=True)
+    with pytest.raises(ArcticException):
+        tmp_lib.read("nest", columns=["v"])
+
+
+def test_recursive_delete_gcs_leaves(tmp_lib):
+    tmp_lib.write("nest", {"a": _pdf([1.0])}, recursive_normalizers=True)
+    tmp_lib.delete("nest")
+    assert tmp_lib.list_symbols() == []
+    # leaf sub-symbol dirs are gone too
+    assert not any(d.startswith("_rec__nest__")
+                   for d in tmp_lib._fs.listdir(tmp_lib.root))
+
+
+def test_recursive_non_string_keys_raise(tmp_lib):
+    with pytest.raises(ArcticException):
+        tmp_lib.write("nest", {1: _pdf([1.0])}, recursive_normalizers=True)
+
+
+def test_will_item_be_pickled(tmp_lib):
+    assert not tmp_lib.will_item_be_pickled(_pdf([1.0]))
+    assert tmp_lib.will_item_be_pickled(object())
+    assert not tmp_lib.will_item_be_pickled(
+        {"a": _pdf([1.0])}, recursive_normalizers=True)
+    assert tmp_lib.will_item_be_pickled(
+        {"a": object()}, recursive_normalizers=True)
