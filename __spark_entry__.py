@@ -580,6 +580,18 @@ def q_embedding_centroids(spark, sf):
                   F.round(F.avg("cos"), 4).alias("avg_cos")))
 
 
+def q_embedding_kmeans(spark, sf):
+    """Two Lloyd's iterations of k-means (``similarity.py:kmeans``):
+    deterministic init (first k vectors), rounded-trajectory E/M steps so
+    the DuckDB oracle can replay the exact same two iterations. Final
+    per-cluster sizes + mean distance."""
+    e = load_table(spark, sf, "embeddings")
+    a = xsim.kmeans(e, k=8, iters=2)
+    return (a.groupBy("cluster")
+             .agg(F.count(F.lit(1)).alias("n_members"),
+                  F.round(F.avg("dist"), 4).alias("avg_dist")))
+
+
 def q_dedup_minhash(spark, sf):
     d = load_table(spark, sf, "documents")
     return xdedup.minhash_near_dup_pairs(d, num_hashes=16, bands=4, k=3)
@@ -780,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # formerly-red multimodal_features, and the two queries re-planned
         # this round (dedup_jaccard, semi_join_date_arith). Everything after
         # was green in CORRECTNESS_r03 on unchanged code.
+        "embedding_kmeans": q_embedding_kmeans,        # new in r4, never verified
         "quality_repetition": q_quality_repetition,    # new in r4, never verified
         "embedding_centroids": q_embedding_centroids,  # new in r4, never verified
         "sample_split": q_sample_split,            # new in r4, never verified
@@ -1099,6 +1112,33 @@ def oracle_sql() -> dict[str, str]:
         # Lehmer bucket: two rounds of (x*48271) % M over doc_id+1000003,
         # M = 2^31-1 — the exact
         # integer math of extensions/sampling.py, replayed verbatim
+        # exact replay of kmeans(k=8, iters=2): same init, same 6dp distance
+        # rounding, same 9dp centroid rounding, same lowest-cid tie-break
+        "embedding_kmeans": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+       FROM embeddings WHERE vec_id < 8),
+d1 AS (SELECT e.vec_id, c0.cid, round(list_distance(e.v, c0.cv), 6) AS dist
+       FROM e CROSS JOIN c0),
+a1 AS (SELECT vec_id, cid AS cluster FROM
+         (SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d1) WHERE rn = 1),
+m1 AS (SELECT a1.cluster, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS val
+       FROM a1 JOIN e USING (vec_id)),
+c1 AS (SELECT cluster AS cid, list(cval ORDER BY pos) AS cv
+       FROM (SELECT cluster, pos, ROUND(AVG(val), 9) AS cval
+             FROM m1 GROUP BY cluster, pos)
+       GROUP BY cluster),
+d2 AS (SELECT e.vec_id, c1.cid, round(list_distance(e.v, c1.cv), 6) AS dist
+       FROM e CROSS JOIN c1),
+a2 AS (SELECT vec_id, cid AS cluster, dist FROM
+         (SELECT vec_id, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d2) WHERE rn = 1)
+SELECT cluster, COUNT(*) AS n_members, ROUND(AVG(dist), 4) AS avg_dist
+FROM a2 GROUP BY cluster""",
+
         "quality_repetition": """
 WITH t AS (
   SELECT doc_id, lang, lower(unnest(string_split_regex(trim(text), '\\s+'))) AS tok

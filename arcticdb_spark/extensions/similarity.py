@@ -202,3 +202,59 @@ def centroid_assign(corpus: DataFrame, k: int = 8,
     return corpus.select(F.col(id_col).alias("vec_id"),
                          cid_expr.alias("centroid_id"),
                          best.alias("cos"))
+
+
+def _sq_dist(v: Column, lit_vec: list[float]) -> Column:
+    arr = F.array(*[F.lit(float(x)) for x in lit_vec])
+    return F.aggregate(F.zip_with(v, arr, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, d: acc + d)
+
+
+def _kmeans_estep(base: DataFrame, cents: dict) -> DataFrame:
+    """Assign each vector to the nearest centroid by euclidean distance
+    (rounded 6dp; ties -> lowest cluster id). ``cents`` is {cid: [float]}
+    — inlined as literals, so the E-step is a narrow shuffle-free map."""
+    v = F.col("v")
+    dists = [(cid, F.round(F.sqrt(_sq_dist(v, cv)), 6))
+             for cid, cv in sorted(cents.items())]
+    best = F.least(*[d for _, d in dists])
+    cl = F.lit(None).cast("long")
+    for cid, d in reversed(dists):  # lowest cid wins ties
+        cl = F.when(d == best, F.lit(cid)).otherwise(cl)
+    return base.select("vec_id", "v", cl.alias("cluster"), best.alias("dist"))
+
+
+def kmeans(corpus: DataFrame, k: int = 8, iters: int = 2,
+           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's k-means, Spark-native and deterministic: init = the first
+    ``k`` corpus vectors by id; each iteration is one narrow E-step
+    (broadcast literal centroids, no Python) plus one M-step groupBy whose
+    per-dimension ``avg`` aggregates are map-side combinable — per
+    iteration the driver holds only the k x d centroid matrix and the
+    cluster never shuffles the raw vectors more than once.
+
+    Centroid coordinates are rounded to 9dp and distances to 6dp each
+    round, so the full trajectory is bit-reproducible across engines (the
+    ``embedding_kmeans`` DuckDB oracle replays it exactly). A cluster that
+    loses all members keeps its previous centroid.
+
+    Returns the final assignment: (vec_id, cluster, dist).
+    """
+    rows = (corpus.orderBy(id_col).limit(k)
+                  .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+                  .collect())
+    cents = {int(r["cid"]): [float(x) for x in r["cv"]] for r in rows}
+    dim = len(next(iter(cents.values())))
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+    assigned = _kmeans_estep(base, cents)
+    for _ in range(iters - 1):
+        new_rows = (assigned.groupBy("cluster")
+                    .agg(*[F.round(F.avg(F.col("v")[i]), 9).alias(f"c{i}")
+                           for i in range(dim)])
+                    .collect())
+        cents = {**cents, **{int(r["cluster"]): [r[f"c{i}"] for i in range(dim)]
+                             for r in new_rows}}
+        assigned = _kmeans_estep(base, cents)
+    return assigned.select("vec_id", "cluster", "dist")

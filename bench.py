@@ -78,7 +78,9 @@ def main():
         print(f"# BENCH_DETAIL.json write failed: {e}", file=sys.stderr)
     compact = {
         "metric": "suite_wall_seconds", "value": round(total, 3), "unit": "sec",
-        "queries": {n: round(t, 3) for n, t in timings.items()},
+        # 2dp keeps the line comfortably under the driver's ~2 kB stdout
+        # capture as the registry grows (full 4dp detail is in BENCH_DETAIL)
+        "queries": {n: round(t, 2) for n, t in timings.items()},
         "sf": detail["sf"],
         "ann_recall": recall,
         "duckdb_total": detail["duckdb_total"],

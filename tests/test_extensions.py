@@ -359,3 +359,31 @@ class TestCentroidAssign:
         for i, vec in rows:
             best = max(cents, key=lambda c: (cos(vec, cents[c]), -c))
             assert out[i]["centroid_id"] == best
+
+
+class TestKMeans:
+    def test_clusters_separate_blobs(self, spark):
+        from arcticdb_spark.extensions.similarity import kmeans
+        import random
+        rnd = random.Random(3)
+        rows = []
+        # two tight blobs far apart; ids 0/1 (the init seeds) one in each
+        for i in range(30):
+            center = 10.0 if i % 2 == 0 else -10.0
+            rows.append((i, [center + rnd.uniform(-0.5, 0.5) for _ in range(4)]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r["vec_id"]: r["cluster"] for r in kmeans(df, k=2, iters=3).collect()}
+        evens = {out[i] for i in range(0, 30, 2)}
+        odds = {out[i] for i in range(1, 30, 2)}
+        assert evens == {0} and odds == {1}
+
+    def test_deterministic_across_runs(self, spark):
+        from arcticdb_spark.extensions.similarity import kmeans
+        import random
+        rnd = random.Random(11)
+        rows = [(i, [rnd.uniform(-1, 1) for _ in range(6)]) for i in range(50)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        r1 = sorted((r["vec_id"], r["cluster"]) for r in kmeans(df, k=4, iters=2).collect())
+        r2 = sorted((r["vec_id"], r["cluster"]) for r in kmeans(df, k=4, iters=2).collect())
+        assert r1 == r2
+        assert len({c for _, c in r1}) > 1
