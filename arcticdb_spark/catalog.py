@@ -479,10 +479,21 @@ class Library:
         return manifest
 
     def _next_version(self, symbol) -> int:
+        """Version numbers strictly increase and are NEVER reused — after
+        delete_version(latest) the ref's latest pointer rolls back, but the
+        tombstoned manifest stays on disk, so the next number must clear
+        both the ref and every existing/deleted manifest (reference
+        test_version_chain.py: version chain is monotonic across
+        update/append/restore after a delete)."""
         try:
-            return self._load_ref(symbol)["latest"] + 1
+            ref = self._load_ref(symbol)
         except NoSuchVersionException:
             return 0
+        tops = [ref.get("latest", -1)] + list(ref.get("deleted", []))
+        existing = self._list_version_numbers(symbol)
+        if existing:
+            tops.append(existing[-1])
+        return max(tops) + 1
 
     # ---- write paths ----
     def _write_data_files(self, symbol: str, df: DataFrame,
@@ -949,7 +960,7 @@ class Library:
             if new_min < prev.ts_max:
                 raise SortingException(
                     f"append index range [{new_min}] overlaps existing max {prev.ts_max}")
-        m = VersionManifest(symbol, prev.version + 1, time.time_ns(), idx,
+        m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(), idx,
                             schema_json, _renumber(prev.files + new_files),
                             metadata if metadata is not None else prev.metadata,
                             norm_meta=prev.norm_meta)
@@ -1020,7 +1031,7 @@ class Library:
             new_entries += self._write_data_files(symbol, boundary, idx)
         new_entries += self._write_data_files(symbol, self._drop_void(sdf), idx)
         new_entries.sort(key=lambda e: (e.ts_min if e.ts_min is not None else 0, e.path))
-        m = VersionManifest(symbol, prev.version + 1, time.time_ns(), idx,
+        m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(), idx,
                             schema_json, _renumber(new_entries),
                             metadata if metadata is not None else prev.metadata,
                             norm_meta=prev.norm_meta)
@@ -1078,7 +1089,7 @@ class Library:
                 f"unsupported MergeStrategy(matched={strategy.matched!r}, "
                 f"not_matched_by_target={strategy.not_matched_by_target!r})")
         files = self._write_data_files(symbol, self._drop_void(merged), idx)
-        m = VersionManifest(symbol, prev.version + 1, time.time_ns(), idx,
+        m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(), idx,
                             merged.schema.json(), files,
                             metadata if metadata is not None else prev.metadata,
                             norm_meta=prev.norm_meta)
@@ -1108,7 +1119,7 @@ class Library:
                                     pd.Timestamp(hi, unit="ns")))
             new_entries += self._write_data_files(symbol, boundary, idx)
         new_entries.sort(key=lambda e: (e.ts_min if e.ts_min is not None else 0, e.path))
-        m = VersionManifest(symbol, prev.version + 1, time.time_ns(), idx,
+        m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(), idx,
                             prev.schema_json, _renumber(new_entries), prev.metadata,
                             norm_meta=prev.norm_meta)
         return self._commit(m)
@@ -1403,7 +1414,7 @@ class Library:
                 new_min = min(f.ts_min for f in new_files if f.ts_min is not None)
                 if new_min < prev.ts_max:
                     raise SortingException("staged data overlaps existing index range")
-            m = VersionManifest(symbol, prev.version + 1, time.time_ns(), idx,
+            m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(), idx,
                                 schema_json,
                                 _renumber(prev.files + new_files),
                                 metadata if metadata is not None else prev.metadata)
@@ -1537,7 +1548,7 @@ class Library:
 
     def write_metadata(self, symbol: str, metadata) -> VersionManifest:
         prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
-        m = VersionManifest(symbol, prev.version + 1, time.time_ns(),
+        m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(),
                             prev.index_column, prev.schema_json, prev.files,
                             metadata, prev.sorted, prev.norm_meta)
         return self._commit(m)
@@ -1689,7 +1700,7 @@ class Library:
         else:
             df = df.repartition(n_parts)
         files = self._write_data_files(symbol, df, idx, sort=False)
-        m = VersionManifest(symbol, prev.version + 1, time.time_ns(), idx,
+        m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(), idx,
                             prev.schema_json, files, prev.metadata, prev.sorted,
                             prev.norm_meta)
         return self._commit(m)

@@ -138,3 +138,43 @@ def test_will_item_be_pickled(tmp_lib):
         {"a": _pdf([1.0])}, recursive_normalizers=True)
     assert tmp_lib.will_item_be_pickled(
         {"a": object()}, recursive_normalizers=True)
+
+
+# ---------------------------------------------------------------------------
+# version chain monotonicity (reference test_version_chain.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("operation", ["write", "update", "append",
+                                       "delete_range", "restore_version",
+                                       "batch_restore_version"])
+def test_version_chain_increasing(tmp_lib, operation):
+    """After delete_version(latest), the next operation must mint a NEW
+    version number (2), never reuse the tombstoned one (1)."""
+    df = _pdf([1.0, 2.0, 3.0])
+    tmp_lib.write("sym", df)                      # v0
+    tmp_lib.write("sym", _pdf([1.0, 2.0, 6.0]))   # v1
+    tmp_lib.delete_version("sym", 1)
+    assert tmp_lib._resolve_version("sym", None).version == 0
+
+    if operation == "write":
+        m = tmp_lib.write("sym", df)
+    elif operation == "update":
+        upd = pd.DataFrame({"ts": [pd.Timestamp("2024-01-01 01:00")],
+                            "v": [9.0]})
+        m = tmp_lib.update("sym", upd)
+    elif operation == "append":
+        app = pd.DataFrame({"ts": [pd.Timestamp("2024-01-01 03:00")],
+                            "v": [9.0]})
+        m = tmp_lib.append("sym", app)
+    elif operation == "delete_range":
+        m = tmp_lib.delete_data_in_range(
+            "sym", (pd.Timestamp("2024-01-01 01:00"),
+                    pd.Timestamp("2024-01-01 01:00")))
+    elif operation == "restore_version":
+        m = tmp_lib.restore_version("sym", 0)
+    else:
+        m = tmp_lib.batch_restore_version(["sym"], [0])[0]
+    assert m.version == 2
+    # the tombstoned version stays unreadable
+    with pytest.raises(Exception):
+        tmp_lib.read("sym", as_of=1)
