@@ -23,12 +23,13 @@ Layout:
 
 from arcticdb_spark.session import get_spark
 from arcticdb_spark.query import QueryBuilder, col
-from arcticdb_spark.catalog import (Arctic, DataError, MergeStrategy,
+from arcticdb_spark.catalog import (Arctic, DataError, DeleteRequest,
+                                    MergeStrategy,
                                     ReadInfoRequest, ReadRequest,
                                     UpdatePayload, WritePayload)
 
 __version__ = "0.1.0"
 
 __all__ = ["get_spark", "QueryBuilder", "col", "Arctic", "WritePayload",
-           "UpdatePayload", "DataError", "MergeStrategy", "ReadRequest",
+           "UpdatePayload", "DataError", "DeleteRequest", "MergeStrategy", "ReadRequest",
            "ReadInfoRequest", "__version__"]

@@ -206,6 +206,14 @@ class DataError:
 
 
 @dataclass
+class DeleteRequest:
+    """Reference ``library.py`` DeleteRequest: a symbol plus the specific
+    versions of it to delete."""
+    symbol: str
+    versions: Any = None
+
+
+@dataclass
 class ReadRequest:
     """Batch-read unit mirroring the singular ``read`` API (reference
     ``library.py:278``): each symbol may carry its own as_of / ranges /
@@ -1561,7 +1569,14 @@ class Library:
                 "ts_min": m.ts_min, "ts_max": m.ts_max,
                 "sorted": m.sorted}
 
-    def delete(self, symbol: str) -> None:
+    def delete(self, symbol: str, versions=None) -> None:
+        """Delete the whole symbol, or only specific ``versions`` (int or
+        iterable of ints). Missing symbol + versions=None is a no-op
+        (reference ``library.py:2672``)."""
+        if versions is not None:
+            for v in ((versions,) if isinstance(versions, int) else versions):
+                self.delete_version(symbol, v)
+            return
         self._fs.rmtree(self._sym_dir(symbol))
         if self.data_root != self.root:
             shutil.rmtree(self._data_sym_dir(symbol), ignore_errors=True)
@@ -1852,8 +1867,18 @@ class Library:
         """(``library.py:3184``) See reload_symbol_list: no symbol-list cache
         exists in this design; compaction is a no-op."""
 
-    def delete_batch(self, symbols: list[str]) -> None:
-        self._pmap(self.delete, symbols)
+    def delete_batch(self, delete_requests: list) -> list:
+        """Accepts symbol names or ``DeleteRequest(symbol, versions)``;
+        returns per-item None or DataError (reference ``library.py:2703``)."""
+        def one(r):
+            if isinstance(r, DeleteRequest):
+                self.delete(r.symbol, r.versions)
+            else:
+                self.delete(r)
+            return None
+        return self._pmap_errors(
+            one, delete_requests,
+            lambda r: r.symbol if isinstance(r, DeleteRequest) else r)
 
     def read_batch_and_join(self, symbols: list[str], query_builder,
                             as_of=None) -> DataFrame:

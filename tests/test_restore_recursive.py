@@ -178,3 +178,38 @@ def test_version_chain_increasing(tmp_lib, operation):
     # the tombstoned version stays unreadable
     with pytest.raises(Exception):
         tmp_lib.read("sym", as_of=1)
+
+
+# ---------------------------------------------------------------------------
+# delete(versions=...) / delete_batch with DeleteRequest (reference
+# library.py:2672,2703)
+# ---------------------------------------------------------------------------
+
+def test_delete_specific_versions(tmp_lib):
+    tmp_lib.write("s", _pdf([1.0]))   # v0
+    tmp_lib.write("s", _pdf([2.0]))   # v1
+    tmp_lib.write("s", _pdf([3.0]))   # v2
+    tmp_lib.delete("s", versions=[0, 2])
+    got = tmp_lib.read("s", output_format="pandas")
+    assert list(got["v"]) == [2.0]    # latest live = v1
+    with pytest.raises(Exception):
+        tmp_lib.read("s", as_of=2)
+
+
+def test_delete_missing_symbol_noop(tmp_lib):
+    tmp_lib.delete("never_existed")   # must not raise
+
+
+def test_delete_batch_requests(tmp_lib):
+    from arcticdb_spark import DeleteRequest
+    tmp_lib.write("a", _pdf([1.0]))
+    tmp_lib.write("a", _pdf([2.0]))
+    tmp_lib.write("b", _pdf([3.0]))
+    out = tmp_lib.delete_batch([DeleteRequest("a", 1), "b"])
+    assert out == [None, None]
+    assert list(tmp_lib.read("a", output_format="pandas")["v"]) == [1.0]
+    assert not tmp_lib.has_symbol("b")
+    # missing symbol with explicit versions -> DataError, batch continues
+    from arcticdb_spark import DataError
+    out2 = tmp_lib.delete_batch([DeleteRequest("ghost", 0)])
+    assert isinstance(out2[0], DataError)
