@@ -1965,6 +1965,15 @@ class Arctic:
         """Reference ``arctic.py`` get_uri."""
         return self.uri
 
+    def __getitem__(self, name: str) -> Library:
+        return self.get_library(name)
+
+    def __contains__(self, name: str) -> bool:
+        return self.has_library(name)
+
+    def __repr__(self) -> str:
+        return f"Arctic(config={self.uri or type(self.fs).__name__})"
+
     def modify_library_option(self, library: "Library", option: str, value) -> None:
         """Reference ``arctic.py`` modify_library_option: persist a changed
         LibraryOptions value (rows_per_file / dynamic_schema) so future opens

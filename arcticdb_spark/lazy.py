@@ -23,14 +23,39 @@ class LazyDataFrame(QueryBuilder):
         self._symbol = symbol
         self._read_kwargs = read_kwargs or {}
 
-    def collect(self):
-        kw = dict(self._read_kwargs)
-        kw["query_builder"] = self
-        return self._lib.read(self._symbol, **kw)
-
     def __repr__(self):
         return (f"LazyDataFrame({self._symbol!r}, "
                 f"clauses={[k for k, _ in self._clauses]})")
+
+    # -- pickling (reference test_lazy_dataframe.py::test_lazy_pickling):
+    # the clause chain and read params serialize; the Library handle is
+    # re-opened on unpickle (local-fs libraries only — an object-store fs
+    # holds a live client and must be re-created by the caller)
+    def __getstate__(self):
+        from arcticdb_spark.sources.filesystem import LocalFileSystem
+        if not isinstance(self._lib._fs, LocalFileSystem):
+            raise TypeError("LazyDataFrame over an object-store library "
+                            "cannot be pickled; collect() first")
+        st = dict(self.__dict__)
+        lib = st.pop("_lib")
+        st["_lib_ref"] = (lib.root.rsplit("/", 1)[0], lib.name)
+        return st
+
+    def __setstate__(self, st):
+        ref = st.pop("_lib_ref")
+        self.__dict__.update(st)
+        self.__dict__["_lib"] = None
+        self.__dict__["_lib_pending"] = ref
+
+    def collect(self):
+        if self.__dict__.get("_lib") is None and "_lib_pending" in self.__dict__:
+            from arcticdb_spark.catalog import Library
+            from arcticdb_spark.session import get_spark
+            root, name = self.__dict__.pop("_lib_pending")
+            self.__dict__["_lib"] = Library(get_spark(), root, name)
+        kw = dict(self._read_kwargs)
+        kw["query_builder"] = self
+        return self._lib.read(self._symbol, **kw)
 
 
 class LazyDataFrameCollection:

@@ -51,3 +51,31 @@ def test_batch_variants(tmp_lib):
     assert tmp_lib.read_metadata_batch(["a", "b"]) == [None, None]
     tmp_lib.delete_batch(["a"])
     assert tmp_lib.list_symbols() == ["b"]
+
+
+def test_lazy_pickling_roundtrip(tmp_lib, spark):
+    """Reference test_lazy_dataframe.py::test_lazy_pickling — a lazy read
+    with clauses survives pickle before collect."""
+    import pickle
+    import pandas as pd
+    df = pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=10, freq="1h"),
+                       "v": [float(i) for i in range(10)]})
+    tmp_lib.write("s", df)
+    lz = tmp_lib.read("s", lazy=True)
+    lz = lz[lz["v"] >= 5.0]
+    restored = pickle.loads(pickle.dumps(lz))
+    out = restored.collect().toPandas()
+    assert sorted(out["v"]) == [5.0, 6.0, 7.0, 8.0, 9.0]
+    # the original still collects too
+    assert lz.collect().count() == 5
+
+
+def test_lazy_apply_project_chain(tmp_lib, spark):
+    import pandas as pd
+    df = pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=4, freq="1h"),
+                       "v": [1.0, 2.0, 3.0, 4.0]})
+    tmp_lib.write("s", df)
+    lz = tmp_lib.read("s", lazy=True)
+    lz = lz.apply("dbl", lz["v"] * 2)
+    out = lz.collect().toPandas()
+    assert list(out["dbl"]) == [2.0, 4.0, 6.0, 8.0]
