@@ -287,6 +287,13 @@ def _compile(node: ExpressionNode, schema: dict[str, T.DataType]) -> tuple[Colum
             import math
             if math.isnan(node.value):
                 return F.lit(None).cast("double"), FLOAT
+        if k == TS:
+            # pd.NaT is a datetime subclass; F.lit(NaT) crashes in py4j
+            # conversion — it is a missing value (reference
+            # test_query_builder_nat.py)
+            import pandas as pd
+            if pd.isna(node.value):
+                return F.lit(None).cast("timestamp"), TS
         return _lit(node.value), k
 
     if isinstance(node, UnaryOp):
@@ -382,10 +389,23 @@ def _compile(node: ExpressionNode, schema: dict[str, T.DataType]) -> tuple[Colum
                    "LT": lambda a, b: a < b, "LE": lambda a, b: a <= b,
                    "GT": lambda a, b: a > b, "GE": lambda a, b: a >= b}[op]
             res = cmp(lc, rc)
-            # NaN ≡ missing: Spark orders NaN greater-than-everything and
-            # NaN == NaN true; the reference excludes NaN rows. Guard with
-            # ~isnan as SEPARATE conjuncts so the comparison itself remains
-            # a pushable Parquet filter.
+            # Missing semantics follow pandas (reference
+            # test_query_builder_nat.py, test_filter_string_nans_col_col):
+            # a missing operand (null / NaN / NaT) makes EQ and every
+            # ordering FALSE, but makes NE TRUE — "x != anything" holds
+            # when x is unknown. Spark's native null-propagation already
+            # gives False-after-filter for EQ/orderings; NE needs the
+            # explicit missing-mask OR. NaN is missing too (Spark would
+            # order it greater-than-everything and NaN == NaN true), so
+            # EQ/orderings get ~isnan as SEPARATE conjuncts to keep the
+            # comparison itself a pushable Parquet filter.
+            if op == "NE":
+                miss = lc.isNull() | rc.isNull()
+                if lk == FLOAT:
+                    miss = miss | F.isnan(lc)
+                if rk == FLOAT:
+                    miss = miss | F.isnan(rc)
+                return res | miss, BOOL
             if lk == FLOAT:
                 res = res & ~F.isnan(lc)
             if rk == FLOAT:

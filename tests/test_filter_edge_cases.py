@@ -186,3 +186,60 @@ class TestNonesAndNansRetainedInStringColumn:
             out["string_column"][1])
         assert out["string_column"][2] is None or pd.isna(
             out["string_column"][2])
+
+
+class TestNaTComparisons:
+    """Ported reference test_query_builder_nat.py: NaT/missing in
+    comparisons follows pandas — EQ/orderings FALSE, NE TRUE."""
+
+    def _df(self, spark):
+        import pandas as pd
+        pdf = pd.DataFrame({
+            "col": [pd.Timestamp("2020-01-01"), pd.NaT,
+                    pd.Timestamp("2025-01-01"), pd.Timestamp("2025-06-01")]})
+        return spark.createDataFrame(pdf), pdf
+
+    @pytest.mark.parametrize("expr_fn, pd_fn", [
+        (lambda q: q["col"] == pd.NaT, lambda d: d["col"] == pd.NaT),
+        (lambda q: q["col"] != pd.NaT, lambda d: d["col"] != pd.NaT),
+        (lambda q: q["col"] > pd.Timestamp("2024-01-01"),
+         lambda d: d["col"] > pd.Timestamp("2024-01-01")),
+        (lambda q: q["col"] <= pd.Timestamp("2024-01-01"),
+         lambda d: d["col"] <= pd.Timestamp("2024-01-01")),
+    ], ids=["eq_nat", "ne_nat", "gt_ts", "le_ts"])
+    def test_filter_nat_values(self, spark, expr_fn, pd_fn):
+        df, pdf = self._df(spark)
+        q = QueryBuilder()
+        out = q[expr_fn(q)].to_df(df)
+        assert out.count() == int(pd_fn(pdf).sum())
+
+    def test_filter_nat_col_col(self, spark):
+        import pandas as pd
+        pdf = pd.DataFrame({
+            "a": [pd.Timestamp("2024-01-01"), pd.Timestamp("2024-01-02"),
+                  pd.NaT, pd.NaT, pd.Timestamp("2024-01-05")],
+            "b": [pd.Timestamp("2024-01-01"), pd.NaT,
+                  pd.NaT, pd.Timestamp("2024-01-04"), pd.Timestamp("2024-01-06")]})
+        df = spark.createDataFrame(pdf)
+        for fn in (lambda x: x["a"] == x["b"], lambda x: x["a"] != x["b"]):
+            q = QueryBuilder()
+            assert q[fn(q)].to_df(df).count() == int(fn(pdf).sum())
+
+    def test_ne_string_none_kept(self, spark):
+        """Reference test_filter_stringpool...: df[a != 'row2'] keeps None."""
+        import pandas as pd
+        pdf = pd.DataFrame({"a": ["row1", "row2", None, None, "row5"]})
+        df = spark.createDataFrame(pdf)
+        q = QueryBuilder()
+        out = q[q["a"] != "row2"].to_df(df)
+        assert out.count() == 4  # row1, None, None, row5
+
+    def test_ne_float_nan_kept(self, spark):
+        import numpy as np
+        import pandas as pd
+        pdf = pd.DataFrame({"a": [1.0, np.nan, 2.0]})
+        df = spark.createDataFrame(pdf)
+        q = QueryBuilder()
+        assert q[q["a"] != 2.0].to_df(df).count() == 2   # 1.0 and NaN
+        q2 = QueryBuilder()
+        assert q2[q2["a"] == 2.0].to_df(df).count() == 1
