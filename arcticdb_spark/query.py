@@ -69,6 +69,24 @@ class QueryBuilder:
             return self
         raise TypeError(f"QueryBuilder[{type(item).__name__}] unsupported")
 
+    def __setitem__(self, name: str, expr) -> None:
+        """``q["c"] = q["a"] * 2`` — sugar for ``apply`` (reference
+        processing.py __setitem__)."""
+        if not isinstance(name, str):
+            raise TypeError("projection target must be a column name")
+        self.apply(name, expr)
+
+    def __getattr__(self, name: str):
+        """``q.col_name`` -> ColumnRef, like ``q["col_name"]`` (reference
+        processing.py __getattr__). Only for non-underscore names that are
+        not real attributes."""
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return ColumnRef(name)
+
+    def __str__(self) -> str:
+        return " | ".join(k.upper() for k, _ in self._clauses) or "<empty>"
+
     # keep the reference's `where` available as a method too
     @staticmethod
     def where(cond, a, b):

@@ -141,3 +141,20 @@ def test_querybuilder_then_prepend(lineitem):
     incomplete = QueryBuilder().groupby("l_returnflag")
     with pytest.raises(ExpressionError):
         base.then(incomplete)
+
+
+def test_query_builder_setitem_getattr_sugar(spark, lineitem):
+    """Reference processing.py __setitem__/__getattr__: q.col and
+    q["new"] = expr forms."""
+    q = QueryBuilder(index_column="l_shipdate")
+    q = q[q.l_quantity > 30]            # attribute-style column access
+    q["double_qty"] = q.l_quantity * 2  # setitem projection
+    out = q.to_df(lineitem)
+    assert "double_qty" in out.columns
+    row = out.select("l_quantity", "double_qty").first()
+    assert row["double_qty"] == row["l_quantity"] * 2
+    import pickle, copy
+    q2 = pickle.loads(pickle.dumps(q))   # sugar must not break pickling
+    assert q2.to_df(lineitem).count() == out.count()
+    q3 = copy.deepcopy(q)
+    assert str(q3) == str(q)
