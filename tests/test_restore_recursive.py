@@ -213,3 +213,16 @@ def test_delete_batch_requests(tmp_lib):
     from arcticdb_spark import DataError
     out2 = tmp_lib.delete_batch([DeleteRequest("ghost", 0)])
     assert isinstance(out2[0], DataError)
+
+
+def test_recursive_none_and_ndarray_leaves(tmp_lib):
+    """Reference test_recursively_written_data_with_nones /
+    test_recursive_nested_data: None and ndarray leaves roundtrip; deep
+    nesting preserved."""
+    import numpy as np
+    data = {"a": np.arange(5), "b": {"c": {"d": np.arange(24)}}, "e": None}
+    tmp_lib.write("nest", data, recursive_normalizers=True)
+    got = tmp_lib.read("nest")
+    assert list(got["a"]) == list(range(5))
+    assert list(got["b"]["c"]["d"]) == list(range(24))
+    assert got["e"] is None
