@@ -1569,6 +1569,43 @@ class Library:
                 "ts_min": m.ts_min, "ts_max": m.ts_max,
                 "sorted": m.sorted}
 
+    def get_info(self, symbol: str, version=None) -> dict:
+        """Reference ``_store.py:3882`` get_info: descriptive dict with the
+        reference's field names (col_names/dtype/rows/date_range/...)."""
+        m = self._resolve_version(symbol, version)
+        fields = json.loads(m.schema_json).get("fields", [])
+        typ = ("pickled" if self._is_pickled(m)
+               else "recursive" if self._is_recursive(m) else "dataframe")
+        return {
+            "col_names": {"columns": [f["name"] for f in fields],
+                          "index": [m.index_column] if m.index_column else []},
+            "dtype": [f["type"] for f in fields],
+            "rows": m.total_rows,
+            "last_update": m.created_ns,
+            "input_type": "dataframe",
+            "index_type": m.index_column or "NA",
+            "normalization_metadata": m.norm_meta,
+            "type": typ,
+            "date_range": (m.ts_min, m.ts_max),
+            "sorted": m.sorted,
+        }
+
+    def batch_get_info(self, symbols: list, versions: list | None = None
+                       ) -> list:
+        """Reference ``_store.py:3918`` batch_get_info."""
+        versions = versions or [None] * len(symbols)
+        return self._pmap_errors(
+            lambda p: self.get_info(p[0], p[1]),
+            list(zip(symbols, versions)), lambda p: p[0])
+
+    def list_symbols_with_incomplete_data(self) -> list:
+        """Reference ``_store.py:2773`` alias for staged-chunk discovery."""
+        return self.get_staged_symbols()
+
+    def remove_incomplete(self, symbol: str) -> None:
+        """Reference ``_store.py:2784`` single-symbol incomplete removal."""
+        self.remove_incompletes([symbol])
+
     def delete(self, symbol: str, versions=None) -> None:
         """Delete the whole symbol, or only specific ``versions`` (int or
         iterable of ints). Missing symbol + versions=None is a no-op

@@ -226,3 +226,23 @@ def test_recursive_none_and_ndarray_leaves(tmp_lib):
     assert list(got["a"]) == list(range(5))
     assert list(got["b"]["c"]["d"]) == list(range(24))
     assert got["e"] is None
+
+
+def test_get_info_and_batch(tmp_lib):
+    tmp_lib.write("s", _pdf([1.0, 2.0]))
+    info = tmp_lib.get_info("s")
+    assert info["rows"] == 2 and info["type"] == "dataframe"
+    assert "v" in info["col_names"]["columns"]
+    assert info["index_type"] == "ts" and info["sorted"] == "ASCENDING"
+    tmp_lib.write_pickle("p", {"x": 1})
+    assert tmp_lib.get_info("p")["type"] == "pickled"
+    out = tmp_lib.batch_get_info(["s", "p", "ghost"])
+    assert out[0]["rows"] == 2 and out[1]["type"] == "pickled"
+    assert isinstance(out[2], DataError)
+
+
+def test_incomplete_aliases(tmp_lib):
+    tmp_lib.stage("inc", _pdf([1.0]))
+    assert tmp_lib.list_symbols_with_incomplete_data() == ["inc"]
+    tmp_lib.remove_incomplete("inc")
+    assert tmp_lib.list_symbols_with_incomplete_data() == []
