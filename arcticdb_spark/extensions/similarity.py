@@ -186,22 +186,31 @@ def centroid_assign(corpus: DataFrame, k: int = 8,
     Cosines are rounded to 6dp before the argmax so the decision is
     reproducible across engines (same contract as brute_force_topk).
     """
-    cent = (corpus.orderBy(id_col).limit(k)
-                  .select(F.col(id_col).alias("cid"),
-                          F.col(vec_col).alias("cv"))
-                  .collect())
-    v = F.col(vec_col)
-    scores = []  # ascending cid
-    for r in sorted(cent, key=lambda r: r["cid"]):
-        carr = F.array(*[F.lit(float(x)) for x in r["cv"]])
-        scores.append((int(r["cid"]), F.round(cosine(v, carr), 6)))
-    best = F.greatest(*[s for _, s in scores])
-    cid_expr = F.lit(None).cast("long")
-    for cid, s in reversed(scores):  # earliest (lowest cid) match wins
-        cid_expr = F.when(s == best, F.lit(cid)).otherwise(cid_expr)
-    return corpus.select(F.col(id_col).alias("vec_id"),
-                         cid_expr.alias("centroid_id"),
-                         best.alias("cos"))
+    cent = sorted(corpus.orderBy(id_col).limit(k)
+                        .select(F.col(id_col).alias("cid"),
+                                F.col(vec_col).alias("cv"))
+                        .collect(), key=lambda r: r["cid"])
+    cids = np.array([int(r["cid"]) for r in cent])
+    M = np.stack([np.asarray(r["cv"], dtype="float64") for r in cent])
+    Mn = np.sqrt((M * M).sum(axis=1))
+
+    # vectorized Arrow-batched assignment: one matmul per batch. A literal
+    # per-centroid fold expression is semantically identical but Catalyst
+    # codegen over k*d literals dominates wall time even at tiny k
+    @F.pandas_udf("struct<centroid_id:bigint, cos:double>")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        V = np.stack([np.asarray(x, dtype="float64") for x in vecs])
+        sims = (V @ M.T) / (np.sqrt((V * V).sum(axis=1))[:, None] * Mn[None, :])
+        sims = np.round(sims, 6)
+        best = np.argmin(-sims, axis=1)  # first max -> lowest cid on ties
+        rows = np.arange(len(best))
+        return pd.DataFrame({"centroid_id": cids[best],
+                             "cos": sims[rows, best]})
+
+    out = corpus.select(F.col(id_col).alias("vec_id"),
+                        assign(F.col(vec_col)).alias("a"))
+    return out.select("vec_id", F.col("a.centroid_id").alias("centroid_id"),
+                      F.col("a.cos").alias("cos"))
 
 
 def _sq_dist(v: Column, lit_vec: list[float]) -> Column:
@@ -212,16 +221,26 @@ def _sq_dist(v: Column, lit_vec: list[float]) -> Column:
 
 def _kmeans_estep(base: DataFrame, cents: dict) -> DataFrame:
     """Assign each vector to the nearest centroid by euclidean distance
-    (rounded 6dp; ties -> lowest cluster id). ``cents`` is {cid: [float]}
-    — inlined as literals, so the E-step is a narrow shuffle-free map."""
-    v = F.col("v")
-    dists = [(cid, F.round(F.sqrt(_sq_dist(v, cv)), 6))
-             for cid, cv in sorted(cents.items())]
-    best = F.least(*[d for _, d in dists])
-    cl = F.lit(None).cast("long")
-    for cid, d in reversed(dists):  # lowest cid wins ties
-        cl = F.when(d == best, F.lit(cid)).otherwise(cl)
-    return base.select("vec_id", "v", cl.alias("cluster"), best.alias("dist"))
+    (rounded 6dp; ties -> lowest cluster id). ``cents`` is {cid: [float]},
+    broadcast as a numpy matrix into a vectorized Arrow-batched UDF — a
+    narrow shuffle-free map (the literal-fold equivalent spends seconds in
+    Catalyst codegen at k*d expression nodes)."""
+    items = sorted(cents.items())
+    cids = np.array([cid for cid, _ in items])
+    M = np.stack([np.asarray(cv, dtype="float64") for _, cv in items])
+
+    @F.pandas_udf("struct<cluster:bigint, dist:double>")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        V = np.stack([np.asarray(x, dtype="float64") for x in vecs])
+        d = np.sqrt(((V[:, None, :] - M[None, :, :]) ** 2).sum(axis=2))
+        d = np.round(d, 6)
+        best = np.argmin(d, axis=1)  # first min -> lowest cid on ties
+        rows = np.arange(len(best))
+        return pd.DataFrame({"cluster": cids[best], "dist": d[rows, best]})
+
+    return base.select("vec_id", "v", assign(F.col("v")).alias("a")) \
+               .select("vec_id", "v", F.col("a.cluster").alias("cluster"),
+                       F.col("a.dist").alias("dist"))
 
 
 def kmeans(corpus: DataFrame, k: int = 8, iters: int = 2,
