@@ -580,6 +580,20 @@ def q_embedding_centroids(spark, sf):
                   F.round(F.avg("cos"), 4).alias("avg_cos")))
 
 
+def q_dup_ngram_fraction(spark, sf):
+    """Corpus-wide duplicate 8-gram fraction per language
+    (``dedup.py:duplicate_ngram_fraction``): the Gopher/RefinedWeb quality
+    signal. Explode -> gram-count -> join-back; both shuffles key on the
+    gram / doc id, linear at any corpus size."""
+    d = load_table(spark, sf, "documents")
+    r = xdedup.duplicate_ngram_fraction(d, n=8, carry_cols=("lang",))
+    return (r.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.count(F.when(F.col("dup_ngram_frac") > 0.3, 1))
+                   .alias("n_flagged"),
+                  F.round(F.avg("dup_ngram_frac"), 4).alias("avg_dup_frac")))
+
+
 def q_embedding_kmeans(spark, sf):
     """Two Lloyd's iterations of k-means (``similarity.py:kmeans``):
     deterministic init (first k vectors), rounded-trajectory E/M steps so
@@ -792,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # formerly-red multimodal_features, and the two queries re-planned
         # this round (dedup_jaccard, semi_join_date_arith). Everything after
         # was green in CORRECTNESS_r03 on unchanged code.
+        "dup_ngram_fraction": q_dup_ngram_fraction,    # new in r4, never verified
         "embedding_kmeans": q_embedding_kmeans,        # new in r4, never verified
         "quality_repetition": q_quality_repetition,    # new in r4, never verified
         "embedding_centroids": q_embedding_centroids,  # new in r4, never verified
@@ -1112,6 +1127,23 @@ def oracle_sql() -> dict[str, str]:
         # Lehmer bucket: two rounds of (x*48271) % M over doc_id+1000003,
         # M = 2^31-1 — the exact
         # integer math of extensions/sampling.py, replayed verbatim
+        "dup_ngram_fraction": """
+WITH t AS (
+  SELECT doc_id, lang,
+         list_transform(string_split_regex(trim(text), '\\s+'), x -> lower(x)) AS toks
+  FROM documents WHERE length(trim(text)) > 0),
+g AS (SELECT doc_id, lang, array_to_string(toks[i:i+7], ' ') AS gram
+      FROM t CROSS JOIN unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS u(i)),
+gc AS (SELECT gram, COUNT(DISTINCT doc_id) AS n_docs_with FROM g GROUP BY gram),
+per AS (SELECT g.doc_id, g.lang, COUNT(*) AS n_grams,
+               COUNT(*) FILTER (WHERE gc.n_docs_with > 1) AS n_dup
+        FROM g JOIN gc USING (gram) GROUP BY 1, 2),
+f AS (SELECT lang, ROUND(n_dup / CAST(n_grams AS DOUBLE), 6) AS frac FROM per)
+SELECT lang, COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE frac > 0.3) AS n_flagged,
+       ROUND(AVG(frac), 4) AS avg_dup_frac
+FROM f GROUP BY lang""",
+
         # exact replay of kmeans(k=8, iters=2): same init, same 6dp distance
         # rounding, same 9dp centroid rounding, same lowest-cid tie-break
         "embedding_kmeans": """

@@ -548,3 +548,38 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
             .filter(F.col("id") == F.col("rep_id"))
             .select(F.col("id").alias(id_col)))
     return df.join(keep, id_col, "left_semi")
+
+
+def duplicate_ngram_fraction(df: DataFrame, n: int = 8,
+                             text_col: str = "text", id_col: str = "doc_id",
+                             carry_cols: tuple = ()) -> DataFrame:
+    """Per-document duplicate n-gram fraction (Gopher / RefinedWeb-style
+    corpus quality signal): the share of a doc's token n-grams that also
+    appear in at least one OTHER document. High values flag boilerplate and
+    template spam that survives whole-doc dedup.
+
+    Distributed shape (the CCNet recipe): explode n-grams -> corpus-wide
+    count of distinct source docs per n-gram (map-side combinable groupBy
+    on the gram) -> join back on the gram -> per-doc fraction. Both
+    shuffles key on the n-gram / doc id; no driver-side state, no
+    all-pairs anything — linear in total tokens at any corpus size.
+    """
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+    keep = [id_col, *carry_cols]
+    g = df.select(*keep, F.explode(grams).alias("gram"))
+    # distinct doc count per gram; >1 = duplicated across the corpus
+    gc = (g.groupBy("gram")
+           .agg(F.countDistinct(id_col).alias("n_docs_with")))
+    per = (g.join(gc, "gram")
+            .groupBy(*keep)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.count(F.when(F.col("n_docs_with") > 1, 1))
+                  .alias("n_dup_grams")))
+    return per.withColumn(
+        "dup_ngram_frac",
+        F.round(F.col("n_dup_grams") / F.col("n_grams").cast("double"), 6))

@@ -387,3 +387,28 @@ class TestKMeans:
         r2 = sorted((r["vec_id"], r["cluster"]) for r in kmeans(df, k=4, iters=2).collect())
         assert r1 == r2
         assert len({c for _, c in r1}) > 1
+
+
+class TestDupNgramFraction:
+    def test_known_values(self, spark):
+        from arcticdb_spark.extensions.dedup import duplicate_ngram_fraction
+        shared = "one two three four five six seven eight"
+        df = spark.createDataFrame(
+            [(1, shared + " alpha"),
+             (2, shared + " beta"),        # shares the leading 8-gram with 1
+             (3, "totally different words here that never repeat at all x")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               duplicate_ngram_fraction(df, n=8).collect()}
+        # docs 1/2: 2 grams each, the first ("one..eight") appears in both
+        assert out[1]["n_grams"] == 2 and out[1]["n_dup_grams"] == 1
+        assert out[1]["dup_ngram_frac"] == 0.5
+        assert out[2]["dup_ngram_frac"] == 0.5
+        assert out[3]["n_dup_grams"] == 0
+
+    def test_short_docs_dropped(self, spark):
+        from arcticdb_spark.extensions.dedup import duplicate_ngram_fraction
+        df = spark.createDataFrame([(1, "too short"), (2, "a b c d e f g h")],
+                                   "doc_id long, text string")
+        out = duplicate_ngram_fraction(df, n=8).collect()
+        assert {r["doc_id"] for r in out} == {2}
