@@ -1494,12 +1494,20 @@ class Library:
             raise NoSuchVersionException(f"snapshot {name!r} does not exist")
 
     def snapshot(self, name: str, metadata: Any = None,
+                 skip_symbols: list | None = None,
                  versions: dict[str, int] | None = None) -> None:
-        """Named cross-symbol consistent version set (``library.py:2626``)."""
+        """Named cross-symbol consistent version set (``library.py:2626``).
+        ``skip_symbols`` and ``versions`` are mutually exclusive, as in the
+        reference."""
+        if skip_symbols and versions:
+            raise ArcticException(
+                "Only one of skip_symbols and versions can be set")
         if versions is None:
+            skip = set(skip_symbols or ())
             versions = {}
             for sym in self.list_symbols():
-                versions[sym] = self._load_ref(sym)["latest"]
+                if sym not in skip:
+                    versions[sym] = self._load_ref(sym)["latest"]
         self._fs.write_json_atomic(self._snap_path(name),
                                    {"symbols": versions, "metadata": metadata,
                                     "created_ns": time.time_ns()})

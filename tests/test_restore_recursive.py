@@ -246,3 +246,15 @@ def test_incomplete_aliases(tmp_lib):
     assert tmp_lib.list_symbols_with_incomplete_data() == ["inc"]
     tmp_lib.remove_incomplete("inc")
     assert tmp_lib.list_symbols_with_incomplete_data() == []
+
+
+def test_snapshot_skip_symbols(tmp_lib):
+    tmp_lib.write("a", _pdf([1.0]))
+    tmp_lib.write("b", _pdf([2.0]))
+    tmp_lib.snapshot("snap", skip_symbols=["b"])
+    assert list(tmp_lib.read("a", as_of="snap",
+                             output_format="pandas")["v"]) == [1.0]
+    with pytest.raises(Exception):
+        tmp_lib.read("b", as_of="snap")
+    with pytest.raises(ArcticException):
+        tmp_lib.snapshot("s2", skip_symbols=["a"], versions={"a": 0})
