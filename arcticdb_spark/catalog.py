@@ -241,6 +241,17 @@ class Size:
     bytes: int
     count: int
 
+    def __add__(self, other: "Size") -> "Size":
+        return Size(self.bytes + other.bytes, self.count + other.count)
+
+
+def sum_sizes(sizes) -> Size:
+    """Reference ``admin_tools.py:32``."""
+    out = Size(0, 0)
+    for s in sizes:
+        out = out + s
+    return out
+
 
 class AdminTools:
     """Administrative utilities on one library (reference
@@ -294,6 +305,10 @@ class AdminTools:
 
     def get_sizes_by_symbol(self) -> dict:
         return {s: self._sym_sizes(s) for s in self._lib.list_symbols()}
+
+    def get_sizes_for_symbol(self, symbol: str) -> dict:
+        """Reference ``admin_tools.py:150`` — cheapest per-symbol probe."""
+        return self._sym_sizes(symbol)
 
     def get_sizes(self) -> dict:
         total = {k: Size(0, 0) for k in self._KEY_TYPES}

@@ -258,3 +258,12 @@ def test_snapshot_skip_symbols(tmp_lib):
         tmp_lib.read("b", as_of="snap")
     with pytest.raises(ArcticException):
         tmp_lib.snapshot("s2", skip_symbols=["a"], versions={"a": 0})
+
+
+def test_admin_sizes_for_symbol_and_sum(tmp_lib):
+    from arcticdb_spark.catalog import sum_sizes, Size
+    tmp_lib.write("a", _pdf([1.0, 2.0]))
+    sizes = tmp_lib.admin_tools().get_sizes_for_symbol("a")
+    assert sizes["TABLE_DATA"].count >= 1 and sizes["VERSION"].count == 1
+    total = sum_sizes([Size(1, 2), Size(3, 4)])
+    assert total.bytes == 4 and total.count == 6
