@@ -580,6 +580,23 @@ def q_embedding_centroids(spark, sf):
                   F.round(F.avg("cos"), 4).alias("avg_cos")))
 
 
+def q_range_join(spark, sf):
+    """Interval join (``joins.py:range_join``): each event matched to same-
+    user orders whose 7-day validity window contains the event time.
+    Bucketized to an equi-join on (user, day-bucket) + residual filter —
+    never a broadcast-nested-loop."""
+    ev = load_table(spark, sf, "events").select("event_id", "ts", "user_id")
+    o = (load_table(spark, sf, "orders")
+         .select(F.col("o_orderkey"), F.col("o_custkey").alias("user_id"),
+                 F.col("o_orderdate").alias("lo"),
+                 (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("hi")))
+    j = xjoins.range_join(ev, o, "ts", "lo", "hi", by=["user_id"],
+                          bucket="1 day")
+    return (j.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_matches"),
+                  F.countDistinct("o_orderkey").alias("n_orders")))
+
+
 def q_dup_ngram_fraction(spark, sf):
     """Corpus-wide duplicate 8-gram fraction per language
     (``dedup.py:duplicate_ngram_fraction``): the Gopher/RefinedWeb quality
@@ -806,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # formerly-red multimodal_features, and the two queries re-planned
         # this round (dedup_jaccard, semi_join_date_arith). Everything after
         # was green in CORRECTNESS_r03 on unchanged code.
+        "range_join": q_range_join,                    # new in r4, never verified
         "dup_ngram_fraction": q_dup_ngram_fraction,    # new in r4, never verified
         "embedding_kmeans": q_embedding_kmeans,        # new in r4, never verified
         "quality_repetition": q_quality_repetition,    # new in r4, never verified
@@ -1127,6 +1145,16 @@ def oracle_sql() -> dict[str, str]:
         # Lehmer bucket: two rounds of (x*48271) % M over doc_id+1000003,
         # M = 2^31-1 — the exact
         # integer math of extensions/sampling.py, replayed verbatim
+        "range_join": """
+SELECT e.user_id, COUNT(*) AS n_matches,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders
+FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events) e
+JOIN orders o
+  ON o.o_custkey = e.user_id
+ AND e.ts >= o.o_orderdate
+ AND e.ts <= o.o_orderdate + INTERVAL 7 DAY
+GROUP BY e.user_id""",
+
         "dup_ngram_fraction": """
 WITH t AS (
   SELECT doc_id, lang,
