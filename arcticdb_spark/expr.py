@@ -467,14 +467,30 @@ def _compile(node: ExpressionNode, schema: dict[str, T.DataType]) -> tuple[Colum
         return c.rlike(node.pattern), BOOL
 
     if isinstance(node, TernaryOp):
+        if isinstance(node.cond, Constant):
+            # reference rejects a plain value condition (test_ternary.py
+            # test_filter_ternary_invalid_conditions: where(True, ...) raises)
+            raise ExpressionError(
+                "where() condition must be a column expression, not a value")
         cc, ck = _compile(node.cond, schema)
         ac, ak = _compile(node.a, schema)
         bc, bk = _compile(node.b, schema)
         if ck != BOOL:
             raise ExpressionError("where() condition must be boolean")
-        out_k = ak if ak == bk else (FLOAT if {ak, bk} <= {INT, FLOAT} else ak)
-        if {ak, bk} == {INT, FLOAT}:
+        if ak == bk:
+            out_k = ak
+        elif {ak, bk} <= {INT, FLOAT}:
+            # numeric promotion: mixed int/float branches -> float64
+            # (reference ternary_operation_with_types_to_proceed)
             ac, bc = ac.cast("double"), bc.cast("double")
+            out_k = FLOAT
+        elif NULL in (ak, bk):
+            out_k = bk if ak == NULL else ak
+        else:
+            # reference raises UserInputException for e.g. int vs str,
+            # bool vs numeric branches (test_filter_ternary_invalid_arguments)
+            raise ExpressionError(
+                f"where() branches have incompatible kinds {ak} vs {bk}")
         return F.when(cc, ac).otherwise(bc), out_k
 
     raise ExpressionError(f"cannot compile {type(node).__name__}")
@@ -484,4 +500,19 @@ def compile_expression(node: ExpressionNode, df: DataFrame) -> Column:
     """Public entry: compile an AST against a DataFrame's schema."""
     schema = {f.name: f.dataType for f in df.schema.fields}
     col, _ = _compile(node, schema)
+    return col
+
+
+def compile_predicate(node: ExpressionNode, df: DataFrame) -> Column:
+    """Compile a filter expression, requiring a boolean result.
+
+    The reference's FilterClause only accepts a bitset-producing expression
+    (``q[q["int_col"]]`` raises); Spark would otherwise implicitly cast a
+    numeric column to boolean and silently mis-filter.
+    """
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    col, kind = _compile(node, schema)
+    if kind != BOOL:
+        raise ExpressionError(
+            f"filter expression must be boolean, got kind {kind}")
     return col

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from arcticdb_spark.expr import (ColumnRef, ExpressionError, ExpressionNode,
-                                 compile_expression, where)
+                                 compile_expression, compile_predicate, where)
 from arcticdb_spark.operators.concat import concat as _concat
 from arcticdb_spark.operators.resample import (compile_agg, normalize_agg_spec,
                                                resample as _resample)
@@ -225,7 +225,7 @@ class QueryBuilder:
 
     # -- clause kernels (each returns a still-lazy DataFrame) --
     def _apply_filter(self, df, args, idx):
-        out = df.filter(compile_expression(args["expr"], df))
+        out = df.filter(compile_predicate(args["expr"], df))
         # positional row-ids are invalidated by row-membership changes
         # (iloc/head positions refer to the *current* frame, like pandas)
         return out.drop(ROW_ID) if ROW_ID in out.columns else out
