@@ -55,6 +55,11 @@ class SortingException(ArcticException):
     pass
 
 
+class SchemaException(ArcticException):
+    """Incompatible schemas/indexes for an operation (reference
+    SchemaException, e.g. concat of range-indexed with ts-indexed symbols)."""
+
+
 # ---------------------------------------------------------------------------
 # manifests
 # ---------------------------------------------------------------------------
@@ -1209,9 +1214,14 @@ class Library:
             raise ArcticException("Date range and row range both specified")
         if lazy:
             from arcticdb_spark.lazy import LazyDataFrame
-            return LazyDataFrame(self, symbol, dict(
+            ldf = LazyDataFrame(self, symbol, dict(
                 as_of=as_of, date_range=date_range, row_range=row_range,
                 columns=columns, output_format=output_format))
+            if query_builder is not None:
+                # a query_builder passed alongside lazy=True seeds the chain
+                # (reference: ReadRequest.query_builder with lazy reads)
+                ldf._clauses = list(query_builder._clauses)
+            return ldf
         m = self._resolve_version(symbol, as_of)
         if self._is_recursive(m):
             if (query_builder is not None or date_range is not None
@@ -1833,6 +1843,12 @@ class Library:
                                  columns=s.columns,
                                  query_builder=s.query_builder, **kw)
             return self.read(s, **kw)
+        if kw.get("lazy"):
+            # lazy construction is cheap and never touches storage; return
+            # the reference's LazyDataFrameCollection (errors surface at
+            # collect() time, e.g. NoSuchVersionException)
+            from arcticdb_spark.lazy import LazyDataFrameCollection
+            return LazyDataFrameCollection([one(s) for s in symbols])
         return self._pmap_errors(
             one, symbols,
             lambda s: s.symbol if isinstance(s, ReadRequest) else s)

@@ -68,17 +68,115 @@ class LazyDataFrameCollection:
     def lazy_dataframes(self) -> list[LazyDataFrame]:
         return self._dfs
 
+    def __iter__(self):
+        return iter(self._dfs)
+
+    def __len__(self):
+        return len(self._dfs)
+
+    def __getitem__(self, i):
+        return self._dfs[i]
+
     def collect(self):
         return [df.collect() for df in self._dfs]
 
     def concat(self, join: str = "outer"):
+        return ConcatLazyFrame(self._dfs, join)
+
+
+class ConcatLazyFrame(QueryBuilder):
+    """``concat()`` over lazy reads — reference ``adb.concat`` returning a
+    LazyDataFrame (library.py; pinned by test_symbol_concatenation.py).
+
+    Further QueryBuilder clauses chain onto the concatenated frame; the
+    index/schema validation the reference performs at collect() time runs
+    here too:
+
+    * all symbols must share an index *kind* — range vs timestamp vs
+      multiindex (and level count) — else SchemaException
+      (test_symbol_concat_symbols_with_different_indexes);
+    * pickled / recursively-normalized symbols refuse to concat
+      (test_symbol_concat_pickled_data);
+    * a missing symbol/version raises NoSuchVersionException at collect
+      (test_symbol_concat_non_existent_symbol);
+    * index level names merge positionally — kept when identical across all
+      symbols, demoted to the unnamed convention otherwise
+      (test_symbol_concat_differently_named_timeseries /
+      _multiindexes).
+    """
+
+    def __init__(self, lazy_dfs: list[LazyDataFrame], join: str = "outer"):
+        super().__init__()
+        self._dfs = list(lazy_dfs)
+        self._join = join
+
+    def collect(self, output_format: str | None = None):
+        from arcticdb_spark.catalog import SchemaException
         from arcticdb_spark.operators.concat import concat as _concat
-        frames = [df.collect() for df in self._dfs]
-        return _concat(frames, join=join)
+
+        descs = []
+        for ldf in self._dfs:
+            lib, sym = ldf._lib, ldf._symbol
+            m = lib._resolve_version(sym, ldf._read_kwargs.get("as_of"))
+            if lib._is_pickled(m) or lib._is_recursive(m):
+                raise SchemaException(
+                    f"{sym!r} holds pickled/recursive data and cannot be "
+                    "concatenated")
+            nm = m.norm_meta or {}
+            if nm.get("index_type") == "multiindex":
+                descs.append(("multiindex", list(nm["physical"]),
+                              list(nm["level_names"])))
+            elif m.index_column is None:
+                descs.append(("range", [], []))
+            else:
+                descs.append(("ts", [m.index_column], [m.index_column]))
+        kinds = {d[0] for d in descs}
+        if len(kinds) > 1 or len({len(d[1]) for d in descs}) > 1:
+            raise SchemaException(
+                "cannot concatenate symbols with incompatible index types: "
+                + ", ".join(f"{ldf._symbol}={d[0]}({len(d[1])})"
+                            for ldf, d in zip(self._dfs, descs)))
+
+        kind = descs[0][0]
+        nlev = len(descs[0][1])
+        # merge physical index column names positionally: identical names
+        # survive, mismatches demote to the unnamed convention ("ts" for
+        # level 0, __fkidx__<i> beyond)
+        merged_phys, merged_names = [], []
+        for i in range(nlev):
+            names_i = {d[1][i] for d in descs}
+            if len(names_i) == 1:
+                merged_phys.append(descs[0][1][i])
+                merged_names.append(descs[0][2][i])
+            else:
+                merged_phys.append("ts" if i == 0 else f"__fkidx__{i}")
+                merged_names.append(None)
+
+        frames = []
+        for ldf, d in zip(self._dfs, descs):
+            df = ldf.collect()
+            for old, new in zip(d[1], merged_phys):
+                if old != new:
+                    df = df.withColumnRenamed(old, new)
+            frames.append(df)
+        out = _concat(frames, join=self._join)
+        idx_col = merged_phys[0] if merged_phys else None
+        out = self._run(out, idx_col)
+        fmt = output_format or "spark"
+        if fmt == "spark":
+            return out
+        norm = (None if kind != "multiindex" else
+                {"index_type": "multiindex", "physical": merged_phys,
+                 "level_names": merged_names})
+        from arcticdb_spark.catalog import Library
+        return Library._format_output(out, fmt, norm)
 
 
 def concat(collection_or_dfs, join: str = "outer"):
     if isinstance(collection_or_dfs, LazyDataFrameCollection):
         return collection_or_dfs.concat(join)
+    items = list(collection_or_dfs)
+    if items and isinstance(items[0], LazyDataFrame):
+        return ConcatLazyFrame(items, join)
     from arcticdb_spark.operators.concat import concat as _concat
-    return _concat(list(collection_or_dfs), join=join)
+    return _concat(items, join=join)

@@ -25,8 +25,8 @@ def test_lazy_collection_concat(tmp_lib):
     tmp_lib.write("b", _frame("2024-01-01", 7, off=100))
     coll = LazyDataFrameCollection([tmp_lib.read("a", lazy=True),
                                     tmp_lib.read("b", lazy=True)])
-    u = concat(coll)
-    assert u.count() == 12
+    u = concat(coll)  # reference: returns a lazy frame; collect() runs it
+    assert u.collect().count() == 12
 
 
 def test_output_formats(tmp_lib):
