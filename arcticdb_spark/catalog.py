@@ -726,12 +726,14 @@ class Library:
             return self._write_recursive(symbol, df, metadata, prune_previous)
         if staged:
             return self.stage(symbol, df)
+        sorted_flag = self._input_sortedness(df)
         sdf, norm_meta = self._normalize(df)
         idx = self._detect_index(sdf, index_column)
         tiebreak = (norm_meta["physical"][1:]
                     if norm_meta and norm_meta.get("index_type") == "multiindex"
                     else None)
         files = self._write_data_files(symbol, self._drop_void(sdf), idx,
+                                       sort=(sorted_flag == "ASCENDING"),
                                        tiebreak_cols=tiebreak)
         if dedup:
             self._content_hashes(files)
@@ -758,11 +760,28 @@ class Library:
                 pass
         m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(),
                             idx, sdf.schema.json(), files, metadata,
-                            norm_meta=norm_meta)
+                            sorted=sorted_flag, norm_meta=norm_meta)
         self._commit(m)
         if prune_previous:
             self.prune_previous_versions(symbol)
         return m
+
+    @staticmethod
+    def _input_sortedness(df) -> str:
+        """Sortedness of a to-be-written frame's datetime index (reference
+        SortedValue tracking, pinned by test_date_range.py
+        test_read_unsorted_date_range_dataframe): non-monotonic ts-indexed
+        pandas input is stored as-given and marked UNSORTED instead of being
+        silently re-ordered. Spark-frame inputs are ts-sorted on write (the
+        engine's sorted-on-write invariant), so they report ASCENDING."""
+        import pandas as pd
+        if isinstance(df, pd.DataFrame):
+            lvl0 = (df.index.get_level_values(0)
+                    if isinstance(df.index, pd.MultiIndex) else df.index)
+            if (isinstance(lvl0, pd.DatetimeIndex)
+                    and not lvl0.is_monotonic_increasing):
+                return "UNSORTED"
+        return "ASCENDING"
 
     # 16 MiB pickle chunks: large objects span rows (and so files), keeping
     # any single parquet page/row bounded
@@ -975,6 +994,14 @@ class Library:
         prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
         if self._is_pickled(prev):
             raise ArcticException(f"cannot append to pickled symbol {symbol!r}")
+        chunk_sorted = self._input_sortedness(df)
+        if validate_index and (prev.sorted == "UNSORTED"
+                               or chunk_sorted == "UNSORTED"):
+            # reference UnsortedDataException: appending to/with unsorted
+            # data requires validate_index=False
+            raise SortingException(
+                f"append to {symbol!r}: existing or new data is UNSORTED "
+                "(pass validate_index=False to append anyway)")
         sdf, _ = self._normalize(df)
         idx = prev.index_column
         if self.dynamic_schema:
@@ -982,16 +1009,23 @@ class Library:
         else:
             schema_json = self._validate_static_schema(prev.schema_json,
                                                        sdf.schema, "append")
-        new_files = self._write_data_files(symbol, self._drop_void(sdf), idx)
-        if idx and validate_index and new_files and prev.ts_max is not None:
-            new_min = min(f.ts_min for f in new_files if f.ts_min is not None)
-            if new_min < prev.ts_max:
-                raise SortingException(
-                    f"append index range [{new_min}] overlaps existing max {prev.ts_max}")
+        new_files = self._write_data_files(symbol, self._drop_void(sdf), idx,
+                                           sort=(chunk_sorted == "ASCENDING"))
+        overlap = False
+        if idx and new_files and prev.ts_max is not None:
+            mins = [f.ts_min for f in new_files if f.ts_min is not None]
+            if mins and min(mins) < prev.ts_max:
+                overlap = True
+        if overlap and validate_index:
+            raise SortingException(
+                f"append index range [{min(mins)}] overlaps existing max {prev.ts_max}")
+        out_sorted = ("ASCENDING" if (prev.sorted == "ASCENDING"
+                                      and chunk_sorted == "ASCENDING"
+                                      and not overlap) else "UNSORTED")
         m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(), idx,
                             schema_json, _renumber(prev.files + new_files),
                             metadata if metadata is not None else prev.metadata,
-                            norm_meta=prev.norm_meta)
+                            sorted=out_sorted, norm_meta=prev.norm_meta)
         out = self._commit(m)
         if prune_previous_versions:
             self.prune_previous_versions(symbol)
@@ -1022,6 +1056,11 @@ class Library:
         idx = prev.index_column
         if idx is None:
             raise ArcticException("update requires a timestamp-indexed symbol")
+        if prev.sorted == "UNSORTED":
+            # range surgery needs a sorted symbol (reference
+            # UnsortedDataException on update of unsorted data)
+            raise SortingException(
+                f"update of {symbol!r}: symbol is UNSORTED")
         sdf, _ = self._normalize(df)
         if not sdf.head(1):
             return prev  # zero-row update: nothing done, no new version
@@ -1240,6 +1279,18 @@ class Library:
             return self._read_pickled(m)
         files = list(m.files)
         idx = m.index_column
+        if date_range is not None and idx is None:
+            # reference raises InternalException for a date_range read of a
+            # non-datetime-indexed symbol (test_date_range.py
+            # test_read_date_range_not_date_time_dataframe)
+            raise ArcticException(
+                f"{symbol!r} has no datetime index: date_range is unsupported")
+        if date_range is not None and m.sorted == "UNSORTED":
+            # reference UnsortedDataException (test_date_range.py
+            # test_read_unsorted_date_range_dataframe)
+            raise SortingException(
+                f"{symbol!r} is UNSORTED: date_range reads require a sorted "
+                "symbol (rewrite via sort_and_finalize or write sorted data)")
 
         if query_builder is not None and (date_range is not None
                                           or row_range is not None):

@@ -266,7 +266,14 @@ class QueryBuilder:
 
     def _apply_date_range(self, df, args, idx):
         lo, hi = args["range"]
-        c = F.col(self._ts_col(idx))
+        ts_col = self._ts_col(idx)
+        if ts_col is None:
+            # reference raises for date_range over a non-datetime-indexed
+            # frame (test_date_range.py test_read_date_range_not_date_time)
+            raise ExpressionError(
+                "date_range requires a datetime-indexed frame; this symbol "
+                "has no index column")
+        c = F.col(ts_col)
         if lo is not None and hi is not None:
             out = df.filter(c.between(_to_ts(lo), _to_ts(hi)))
         elif lo is not None:

@@ -1,0 +1,109 @@
+"""Sortedness tracking ported from the reference's
+``python/tests/unit/arcticdb/version_store/test_date_range.py`` (UNSORTED
+writes, date_range rejection) and the append/update sorted-input rules.
+"""
+import numpy as np
+import pandas as pd
+import pytest
+
+from arcticdb_spark.catalog import ArcticException, SortingException
+
+
+def _unsorted_df(n=20):
+    dtidx = pd.date_range("2019-01-01", periods=n)
+    return pd.DataFrame({"c": np.arange(n, dtype=np.int64)},
+                        index=pd.DatetimeIndex(np.roll(dtidx, 3), name="ts"))
+
+
+def test_write_unsorted_marks_unsorted(tmp_lib):
+    # reference test_read_unsorted_date_range_dataframe
+    df = _unsorted_df()
+    assert not df.index.is_monotonic_increasing
+    tmp_lib.write("sym", df)
+    assert tmp_lib.get_info("sym")["sorted"] == "UNSORTED"
+    # values roundtrip (row order is partition order — a documented
+    # deviation; values and count must survive)
+    out = tmp_lib.read("sym", output_format="pandas")
+    assert sorted(out["c"].tolist()) == sorted(df["c"].tolist())
+    with pytest.raises(SortingException):
+        tmp_lib.read("sym", date_range=(pd.Timestamp("2019-01-03"),
+                                        pd.Timestamp("2019-01-06")))
+
+
+def test_write_sorted_marks_ascending(tmp_lib):
+    df = pd.DataFrame({"c": np.arange(5, dtype=np.int64)},
+                      index=pd.date_range("2019-01-01", periods=5, name="ts"))
+    tmp_lib.write("sym", df)
+    assert tmp_lib.get_info("sym")["sorted"] == "ASCENDING"
+    out = tmp_lib.read("sym", date_range=(pd.Timestamp("2019-01-02"),
+                                          pd.Timestamp("2019-01-04")))
+    assert out.count() == 3
+
+
+def test_unsorted_multiindex_write(tmp_lib):
+    # reference test_read_unsorted_date_range_dataframe_multi_index
+    n = 20
+    lvl0 = np.roll(pd.date_range("2019-01-01", periods=n), 3)
+    lvl1 = np.roll(np.arange(n), 3)
+    df = pd.DataFrame({"c": np.arange(n, dtype=np.int64)},
+                      index=pd.MultiIndex.from_arrays(
+                          [lvl0, lvl1], names=["datetime", "level"]))
+    tmp_lib.write("sym", df)
+    assert tmp_lib.get_info("sym")["sorted"] == "UNSORTED"
+    with pytest.raises(SortingException):
+        tmp_lib.read("sym", date_range=(pd.Timestamp("2019-01-03"),
+                                        pd.Timestamp("2019-01-06")))
+
+
+def test_date_range_on_range_indexed_symbol_raises(tmp_lib):
+    # reference test_read_date_range_not_date_time_dataframe
+    tmp_lib.write("r", pd.DataFrame({"c": np.arange(5, dtype=np.int64)}))
+    with pytest.raises(ArcticException):
+        tmp_lib.read("r", date_range=(pd.Timestamp("2019-01-03"),
+                                      pd.Timestamp("2019-01-06")))
+
+
+def test_append_sortedness_rules(tmp_lib):
+    sorted_df = pd.DataFrame(
+        {"c": np.arange(5, dtype=np.int64)},
+        index=pd.date_range("2019-01-01", periods=5, name="ts"))
+    later = pd.DataFrame(
+        {"c": np.arange(5, dtype=np.int64)},
+        index=pd.date_range("2019-02-01", periods=5, name="ts"))
+    # append to an UNSORTED symbol raises unless validate_index=False
+    tmp_lib.write("u", _unsorted_df())
+    with pytest.raises(SortingException):
+        tmp_lib.append("u", later)
+    m = tmp_lib.append("u", later, validate_index=False)
+    assert m.sorted == "UNSORTED"
+    # appending an unsorted chunk to a sorted symbol raises
+    tmp_lib.write("s", sorted_df)
+    unsorted_later = _unsorted_df().copy()
+    unsorted_later.index = pd.DatetimeIndex(
+        np.roll(pd.date_range("2020-01-01", periods=20), 3), name="ts")
+    with pytest.raises(SortingException):
+        tmp_lib.append("s", unsorted_later)
+    m = tmp_lib.append("s", unsorted_later, validate_index=False)
+    assert m.sorted == "UNSORTED"
+    # overlapping append with validate_index=False lands as UNSORTED
+    tmp_lib.write("o", sorted_df)
+    overlap = pd.DataFrame(
+        {"c": [99]}, index=pd.DatetimeIndex([pd.Timestamp("2019-01-02")],
+                                            name="ts"))
+    with pytest.raises(SortingException):
+        tmp_lib.append("o", overlap)
+    m = tmp_lib.append("o", overlap, validate_index=False)
+    assert m.sorted == "UNSORTED"
+    assert tmp_lib.read("o").count() == 6
+    # clean append stays ASCENDING
+    tmp_lib.write("a", sorted_df)
+    assert tmp_lib.append("a", later).sorted == "ASCENDING"
+
+
+def test_update_unsorted_raises(tmp_lib):
+    tmp_lib.write("u", _unsorted_df())
+    upd = pd.DataFrame({"c": [42]},
+                       index=pd.DatetimeIndex([pd.Timestamp("2019-01-05")],
+                                              name="ts"))
+    with pytest.raises(SortingException):
+        tmp_lib.update("u", upd)
