@@ -232,6 +232,26 @@ class ReadRequest:
 
 
 @dataclass
+class StageResult:
+    """Token handle returned by ``Library.stage`` (reference StageResult):
+    names the staged segment keys so a later ``finalize_staged_data``
+    can finalize exactly these segments. Picklable — tokens can travel
+    between writer processes and the finalizing coordinator."""
+    symbol: str
+    staged_segments: list
+
+
+class MissingKeysInStageResultsError(ArcticException):
+    """Finalize-with-tokens found segment keys that no longer exist
+    (reference MissingKeysInStageResultsError). ``stage_results_with_missing_keys``
+    lists dicts of (stage_result_index, missing_key)."""
+
+    def __init__(self, msg: str, records: list):
+        super().__init__(msg)
+        self.stage_results_with_missing_keys = records
+
+
+@dataclass
 class ReadInfoRequest:
     """(symbol, as_of) pair for metadata/description batches (reference
     ``library.py:338``)."""
@@ -1466,57 +1486,142 @@ class Library:
     def _staging_dir(self, symbol):
         return os.path.join(self._data_sym_dir(symbol), "_staging")
 
-    def stage(self, symbol: str, df) -> None:
-        """Parallel unindexed chunk write (APPEND_DATA keys analogue)."""
+    def stage(self, symbol: str, df) -> "StageResult":
+        """Parallel unindexed chunk write (APPEND_DATA keys analogue).
+
+        Returns a picklable ``StageResult`` whose ``staged_segments`` are
+        the written segment keys; pass a list of StageResults as
+        ``finalize_staged_data(staged_data=...)`` to finalize exactly those
+        segments (reference staged-tokens API, test_stage.py)."""
         sdf, _ = self._normalize(df)
         out = os.path.join(self._staging_dir(symbol), uuid.uuid4().hex)
         os.makedirs(os.path.dirname(out), exist_ok=True)
         self._drop_void(sdf).write.mode("overwrite").parquet(out)
+        segs = sorted(os.path.join(out, fn) for fn in os.listdir(out)
+                      if fn.endswith(".parquet"))
+        return StageResult(symbol, segs)
+
+    def _staged_segment_files(self, symbol: str) -> list[str]:
+        stg = self._staging_dir(symbol)
+        if not os.path.isdir(stg):
+            return []
+        out = []
+        for d in sorted(os.listdir(stg)):
+            cd = os.path.join(stg, d)
+            if os.path.isdir(cd):
+                out.extend(os.path.join(cd, fn) for fn in sorted(os.listdir(cd))
+                           if fn.endswith(".parquet"))
+        return out
 
     def finalize_staged_data(self, symbol: str, mode: str = "write",
                              metadata: Any = None, index_column: str | None = None,
-                             sort: bool = True) -> VersionManifest:
+                             sort: bool = True, staged_data=None,
+                             validate_index: bool = True,
+                             prune_previous_versions: bool = False,
+                             delete_staged_data_on_failure: bool = False
+                             ) -> VersionManifest:
         """Compact staged chunks into one new version; ``sort=True`` is
-        sort_and_finalize_staged_data (k-way merge == one Spark range shuffle)."""
-        stg = self._staging_dir(symbol)
-        if not os.path.isdir(stg) or not os.listdir(stg):
-            raise ArcticException(f"no staged data for {symbol!r}")
-        chunks = [os.path.join(stg, d) for d in sorted(os.listdir(stg))]
-        df = self.spark.read.option("mergeSchema", "true").parquet(*chunks)
-        idx = self._detect_index(df, index_column)
-        if mode == "append":
-            prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
-            # same schema rules as append(): dynamic widens, static rejects
-            # name/type drift (staged chunks are arbitrary writer output)
-            if self.dynamic_schema:
-                schema_json = self._merge_schema(prev.schema_json, df.schema)
-            else:
-                schema_json = self._validate_static_schema(
-                    prev.schema_json, df.schema, "finalize_staged_data")
-            new_files = self._write_data_files(symbol, df, idx, sort=sort)
-            if idx and prev.ts_max is not None and new_files:
-                new_min = min(f.ts_min for f in new_files if f.ts_min is not None)
-                if new_min < prev.ts_max:
-                    raise SortingException("staged data overlaps existing index range")
-            m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(), idx,
-                                schema_json,
-                                _renumber(prev.files + new_files),
-                                metadata if metadata is not None else prev.metadata)
+        sort_and_finalize_staged_data (k-way merge == one Spark range shuffle).
+
+        ``staged_data``: optional list of ``StageResult`` tokens — finalize
+        exactly those segments and leave the rest staged (reference
+        test_finalize_with_tokens_*). Tokens for another symbol raise;
+        tokens whose keys are gone raise MissingKeysInStageResultsError
+        listing (stage_result_index, missing_key) pairs, and nothing is
+        finalized (all-or-nothing, test_finalize_noop_if_any_missing_keys)."""
+        if staged_data is not None:
+            wrong = [t for t in staged_data if t.symbol != symbol]
+            if wrong:
+                raise ArcticException(
+                    f"E_STAGE_RESULT_WITH_INCORRECT_SYMBOL: tokens for "
+                    f"{sorted({t.symbol for t in wrong})} submitted to "
+                    f"finalize of {symbol!r}")
+            missing = [{"stage_result_index": i, "missing_key": seg}
+                       for i, t in enumerate(staged_data)
+                       for seg in t.staged_segments if not os.path.exists(seg)]
+            if missing:
+                raise MissingKeysInStageResultsError(
+                    f"{len(missing)} staged segment keys are missing", missing)
+            seg_files = [seg for t in staged_data for seg in t.staged_segments]
         else:
-            files = self._write_data_files(symbol, df, idx, sort=sort)
-            m = VersionManifest(symbol, self._next_version(symbol),
-                                time.time_ns(), idx, df.schema.json(), files,
-                                metadata)
+            seg_files = self._staged_segment_files(symbol)
+        if not seg_files:
+            raise ArcticException(f"no staged data for {symbol!r}")
+        try:
+            df = self.spark.read.option("mergeSchema", "true").parquet(*seg_files)
+            idx = self._detect_index(df, index_column)
+            if mode == "append" and self.has_symbol(symbol):
+                prev = self._load_manifest(symbol,
+                                           self._load_ref(symbol)["latest"])
+                # same schema rules as append(): dynamic widens, static
+                # rejects name/type drift (staged chunks are arbitrary
+                # writer output)
+                if self.dynamic_schema:
+                    schema_json = self._merge_schema(prev.schema_json, df.schema)
+                else:
+                    schema_json = self._validate_static_schema(
+                        prev.schema_json, df.schema, "finalize_staged_data")
+                new_files = self._write_data_files(symbol, df, idx, sort=sort)
+                overlap = False
+                if idx and prev.ts_max is not None and new_files:
+                    mins = [f.ts_min for f in new_files if f.ts_min is not None]
+                    overlap = bool(mins) and min(mins) < prev.ts_max
+                if overlap and validate_index:
+                    raise SortingException(
+                        "staged data overlaps existing index range")
+                m = VersionManifest(
+                    symbol, self._next_version(symbol), time.time_ns(), idx,
+                    schema_json, _renumber(prev.files + new_files),
+                    metadata if metadata is not None else prev.metadata,
+                    sorted=("UNSORTED" if (overlap
+                                           or prev.sorted == "UNSORTED")
+                            else "ASCENDING"))
+            else:
+                # mode="append" on a missing symbol behaves like write
+                # (reference test_sort_merge.py test_append_to_missing_symbol)
+                files = self._write_data_files(symbol, df, idx, sort=sort)
+                m = VersionManifest(symbol, self._next_version(symbol),
+                                    time.time_ns(), idx, df.schema.json(),
+                                    files, metadata)
+        except Exception:
+            if delete_staged_data_on_failure:
+                self._remove_segment_files(symbol, seg_files)
+            raise
         self._commit(m)
-        shutil.rmtree(stg)
+        self._remove_segment_files(symbol, seg_files)
+        if prune_previous_versions:
+            self.prune_previous_versions(symbol)
         return m
 
+    def _remove_segment_files(self, symbol: str, seg_files: list[str]) -> None:
+        """Delete consumed staged segments; drop chunk dirs that emptied."""
+        for f in seg_files:
+            try:
+                os.remove(f)
+            except FileNotFoundError:
+                pass
+        stg = self._staging_dir(symbol)
+        if os.path.isdir(stg):
+            for d in os.listdir(stg):
+                cd = os.path.join(stg, d)
+                if os.path.isdir(cd) and not any(
+                        fn.endswith(".parquet") for fn in os.listdir(cd)):
+                    shutil.rmtree(cd, ignore_errors=True)
+            if not os.listdir(stg):
+                shutil.rmtree(stg, ignore_errors=True)
+
     def sort_and_finalize_staged_data(self, symbol: str, mode: str = "write",
-                                      metadata: Any = None) -> VersionManifest:
+                                      metadata: Any = None, staged_data=None,
+                                      prune_previous_versions: bool = False,
+                                      delete_staged_data_on_failure: bool = False
+                                      ) -> VersionManifest:
         """Reference ``library.py:1873``: k-way merge of unsorted staged
         chunks == one Spark range shuffle + per-partition sort."""
-        return self.finalize_staged_data(symbol, mode=mode, metadata=metadata,
-                                         sort=True)
+        return self.finalize_staged_data(
+            symbol, mode=mode, metadata=metadata, sort=True,
+            staged_data=staged_data,
+            prune_previous_versions=prune_previous_versions,
+            delete_staged_data_on_failure=delete_staged_data_on_failure)
 
     def get_staged_symbols(self) -> list[str]:
         """Symbols with staged, unfinalized data (``library.py:2006``)."""

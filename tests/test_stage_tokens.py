@@ -1,0 +1,114 @@
+"""Staged-tokens API ported from the reference's
+``python/tests/unit/arcticdb/version_store/test_stage.py``.
+"""
+import pickle
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from arcticdb_spark.catalog import (ArcticException,
+                                    MissingKeysInStageResultsError,
+                                    SortingException)
+
+
+def _df(start, vals):
+    return pd.DataFrame(
+        {"col1": np.asarray(vals, dtype=np.float64)},
+        index=pd.date_range(start, periods=len(vals), name="ts"))
+
+
+def test_stage_returns_tokens_and_finalize_all(tmp_lib):
+    # reference test_stage
+    tmp_lib.write("sym", _df("2025-01-01", [1, 2]))
+    toks = [tmp_lib.stage("sym", _df("2025-01-03", [5, 6])),
+            tmp_lib.stage("sym", _df("2025-01-05", [9, 10]))]
+    assert all(len(t.staged_segments) >= 1 for t in toks)
+    # not yet finalized: read returns the original write
+    assert tmp_lib.read("sym").count() == 2
+    tmp_lib.finalize_staged_data("sym", mode="append")
+    assert tmp_lib.read("sym").count() == 6
+
+
+def test_stage_result_pickle(tmp_lib):
+    # reference test_stage_result_pickle
+    tok = tmp_lib.stage("sym", _df("2025-01-01", [1, 2]))
+    tok2 = pickle.loads(pickle.dumps(tok))
+    assert tok2.symbol == "sym"
+    assert tok2.staged_segments == tok.staged_segments
+
+
+def test_tokens_for_wrong_symbol(tmp_lib):
+    # reference test_stage_submit_tokens_for_wrong_symbol
+    t0 = tmp_lib.stage("sym", _df("2025-01-03", [5, 6]))
+    t1 = tmp_lib.stage("other_sym", _df("2025-01-05", [9, 10]))
+    t2 = tmp_lib.stage("sym", _df("2025-01-07", [13, 14]))
+    with pytest.raises(ArcticException, match="INCORRECT_SYMBOL"):
+        tmp_lib.finalize_staged_data("sym", staged_data=[t0, t1, t2])
+    assert not tmp_lib.has_symbol("sym")
+    # nothing consumed: both symbols still staged
+    assert set(tmp_lib.get_staged_symbols()) == {"sym", "other_sym"}
+    tmp_lib.finalize_staged_data("sym", staged_data=[t0, t2])
+    assert tmp_lib.read("sym").count() == 4
+    # other_sym's segments untouched
+    assert tmp_lib.get_staged_symbols() == ["other_sym"]
+
+
+def test_finalize_missing_keys(tmp_lib):
+    # reference test_finalize_missing_keys / test_finalize_noop_if_any_missing_keys
+    t1 = tmp_lib.stage("sym", _df("2025-01-01", [1, 2, 3]))
+    t2 = tmp_lib.stage("sym", _df("2025-01-04", [3, 4]))
+    t3 = tmp_lib.stage("sym", _df("2025-01-06", [7]))
+    tmp_lib.finalize_staged_data("sym", staged_data=[t1, t2], mode="write")
+    with pytest.raises(MissingKeysInStageResultsError) as e:
+        tmp_lib.finalize_staged_data("sym", staged_data=[t3, t2, t1],
+                                     mode="write")
+    recs = e.value.stage_results_with_missing_keys
+    # every consumed segment of t2 (index 1) and t1 (index 2) is reported
+    assert sorted({r["stage_result_index"] for r in recs}) == [1, 2]
+    assert {r["missing_key"] for r in recs} == set(
+        t1.staged_segments + t2.staged_segments)
+    assert recs[0]["missing_key"] == t2.staged_segments[0]
+    # all-or-nothing: version unchanged, t3 still staged
+    assert tmp_lib.read("sym").count() == 5
+    tmp_lib.finalize_staged_data("sym", staged_data=[t3], mode="write")
+    out = tmp_lib.read("sym", output_format="pandas")
+    assert out["col1"].tolist() == [7.0]
+
+
+def test_finalize_tokens_then_without(tmp_lib):
+    # reference test_finalize_with_tokens_then_without: untokened segments
+    # stay staged and a plain finalize picks them up
+    t0 = tmp_lib.stage("sym", _df("2025-01-01", [1, 2]))
+    tmp_lib.stage("sym", _df("2025-01-03", [5, 6]))
+    tmp_lib.finalize_staged_data("sym", staged_data=[t0], mode="write")
+    assert tmp_lib.read("sym").count() == 2
+    tmp_lib.finalize_staged_data("sym", mode="append")
+    assert tmp_lib.read("sym").count() == 4
+
+
+def test_finalize_prune_and_failure_cleanup(tmp_lib):
+    # reference test_finalize_with_tokens_and_prune_previous +
+    # delete_staged_data_on_failure
+    tmp_lib.write("sym", _df("2025-01-01", [1, 2]))
+    t = tmp_lib.stage("sym", _df("2025-01-03", [5, 6]))
+    tmp_lib.finalize_staged_data("sym", staged_data=[t], mode="append",
+                                 prune_previous_versions=True)
+    assert [v["version"] for v in tmp_lib.list_versions("sym")] == [1]
+    # failure path: overlapping append raises; with
+    # delete_staged_data_on_failure the segments are dropped
+    t_bad = tmp_lib.stage("sym", _df("2025-01-02", [0]))
+    with pytest.raises(SortingException):
+        tmp_lib.finalize_staged_data("sym", staged_data=[t_bad], mode="append",
+                                     delete_staged_data_on_failure=True)
+    assert tmp_lib.get_staged_symbols() == []
+
+
+def test_finalize_append_validate_index_off(tmp_lib):
+    # out-of-order staged append lands UNSORTED with validate_index=False
+    tmp_lib.write("sym", _df("2025-01-05", [1, 2]))
+    tmp_lib.stage("sym", _df("2025-01-01", [9]))
+    m = tmp_lib.finalize_staged_data("sym", mode="append",
+                                     validate_index=False)
+    assert m.sorted == "UNSORTED"
+    assert tmp_lib.read("sym").count() == 3
