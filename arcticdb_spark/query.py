@@ -219,6 +219,18 @@ class QueryBuilder:
                         "concat() requires multiple frames: use to_df_multi / read_batch_and_join")
                 continue
             df = getattr(self, f"_apply_{kind}")(df, args, index_column)
+            # the frame's logical index evolves through the chain: a groupby
+            # re-indexes by the group keys, a resample by the bucketed ts
+            # column (reference: clause output index; positional clauses
+            # downstream order by it — e.g. groupby().agg().head(2) returns
+            # the first 2 groups in key order, test_query_builder.py
+            # test_querybuilder_groupby_then_* / _resample_then_*)
+            if kind == "groupby_agg":
+                keys = args["keys"]
+                index_column = ([keys] if isinstance(keys, str)
+                                else list(keys))
+            elif kind == "resample_agg":
+                index_column = self._ts_col(index_column)
         if self._pending_groupby is not None or self._pending_resample is not None:
             raise ExpressionError("groupby()/resample() without agg()")
         return df
@@ -273,6 +285,13 @@ class QueryBuilder:
             raise ExpressionError(
                 "date_range requires a datetime-indexed frame; this symbol "
                 "has no index column")
+        dt = dict(df.dtypes).get(ts_col, "")
+        if not (dt.startswith("timestamp") or dt == "date" or dt == "long"):
+            # e.g. date_range after a groupby re-indexed the frame by a
+            # non-datetime group key
+            raise ExpressionError(
+                f"date_range requires a datetime index; current index "
+                f"{ts_col!r} has type {dt}")
         c = F.col(ts_col)
         if lo is not None and hi is not None:
             out = df.filter(c.between(_to_ts(lo), _to_ts(hi)))
