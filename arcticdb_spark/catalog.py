@@ -1368,9 +1368,15 @@ class Library:
                 kind0, args0 = clauses[0]
                 total = m.total_rows
                 if kind0 == "head":
-                    lo_r, hi_r = 0, args0["n"]
+                    n0 = args0["n"]
+                    # pandas negatives: head(-n) == iloc[:-n]
+                    lo_r, hi_r = 0, (max(0, total + n0) if n0 < 0 else n0)
                 elif kind0 == "tail":
-                    lo_r, hi_r = max(0, total - args0["n"]), total
+                    n0 = args0["n"]
+                    # pandas negatives: tail(-n) == iloc[n:]
+                    lo_r = (min(total, -n0) if n0 < 0
+                            else max(0, total - n0))
+                    hi_r = total
                 else:
                     s0, e0 = args0["range"]
                     s0 = 0 if s0 is None else (s0 + total if s0 < 0 else s0)
@@ -1480,6 +1486,10 @@ class Library:
 
     def tail(self, symbol: str, n: int = 5, as_of=None,
              columns: list[str] | None = None) -> DataFrame:
+        if n == 0:
+            # pandas tail(0) is empty; (-0, None) would mean "everything"
+            return self.read(symbol, as_of=as_of, row_range=(0, 0),
+                             columns=columns)
         return self.read(symbol, as_of=as_of, row_range=(-n, None), columns=columns)
 
     # ---- staged ingestion (reference stage/finalize, library.py:952,1739) ----

@@ -310,6 +310,10 @@ class QueryBuilder:
 
     def _apply_head(self, df, args, idx):
         n = args["n"]
+        if n < 0:
+            # pandas semantics: head(-n) == everything but the last n rows
+            # (reference test_head.py test_head_negative_num_rows)
+            return self._apply_row_range(df, {"range": (0, n)}, idx)
         if ROW_ID in df.columns:
             # prefix keeps positions aligned — no rebase needed
             return df.filter(F.col(ROW_ID) < n)
@@ -321,6 +325,13 @@ class QueryBuilder:
 
     def _apply_tail(self, df, args, idx):
         n = args["n"]
+        if n == 0:
+            # pandas tail(0) is empty, not the whole frame (the naive
+            # row_range(-0, None) mapping would return everything)
+            return df.limit(0)
+        if n < 0:
+            # pandas tail(-n) == everything but the first n rows
+            return self._apply_row_range(df, {"range": (-n, None)}, idx)
         if ROW_ID in df.columns:
             total = df.agg(F.max(ROW_ID)).first()[0]
             total = (total + 1) if total is not None else 0
