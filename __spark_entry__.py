@@ -809,6 +809,69 @@ def q_multimodal_features(spark, sf):
         *[F.col("feat")[i].alias(f"feat_{i}") for i in range(dim)])
 
 
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination (``dedup.py:decontaminate``): docs from
+    source 'src0' act as the held-out eval set; training docs sharing any
+    word 8-gram with it are flagged. The benchmark's distinct grams are
+    broadcast (eval sets are tiny next to a 100 TB corpus), so the corpus
+    sees one narrow pass + a map-side join."""
+    d = load_table(spark, sf, "documents")
+    bench = d.filter(F.col("source") == "src0")
+    train = d.filter(F.col("source") != "src0")
+    r = xdedup.decontaminate(train, bench, n=8, carry_cols=("lang",))
+    return (r.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.count(F.when(F.col("contaminated"), 1))
+                   .alias("n_contaminated_docs"),
+                  F.sum("n_contaminated").alias("n_hit_grams")))
+
+
+def q_pack_chunks(spark, sf):
+    """Concat-and-chunk sequence packing (``text.py:pack_chunks``) into
+    512-token blocks: per-source doc counts, split-doc counts, chunk span.
+    The global token-position scan is plans.rowid.prefix_sum — two-phase,
+    one row of cross-partition state per partition."""
+    d = load_table(spark, sf, "documents")
+    r = xtext.pack_chunks(d.select("doc_id", "text", "source"), 512,
+                          carry_cols=("source",))
+    return (r.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_tokens").alias("n_tokens"),
+                  F.count(F.when(F.col("split"), 1)).alias("n_split_docs"),
+                  F.min("first_chunk").alias("min_chunk"),
+                  F.max("last_chunk").alias("max_chunk")))
+
+
+def q_pii_scan(spark, sf):
+    """PII scan/redaction accounting (``text.py:pii_scan``): the synthetic
+    corpus is PII-free, so the query plants deterministic emails/IPv4s on a
+    doc_id schedule (replicated verbatim in the oracle SQL), then counts
+    matches per source with JVM-side regexp_count — no Python in the path."""
+    d = load_table(spark, sf, "documents")
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com now")))
+             .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.concat(F.lit(" from 10.0."),
+                            (F.col("doc_id") % 256).cast("string"),
+                            F.lit(".1")))
+             .otherwise(F.lit(""))))
+    r = xtext.pii_scan(planted)
+    return (r.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("email_count").alias("n_emails"),
+                  F.sum("ipv4_count").alias("n_ipv4"),
+                  F.count(F.when((F.col("email_count") > 0)
+                                 | (F.col("ipv4_count") > 0), 1))
+                   .alias("n_docs_with_pii")))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -823,6 +886,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # formerly-red multimodal_features, and the two queries re-planned
         # this round (dedup_jaccard, semi_join_date_arith). Everything after
         # was green in CORRECTNESS_r03 on unchanged code.
+        "decontaminate": q_decontaminate,              # new in r4, never verified
+        "pack_chunks": q_pack_chunks,                  # new in r4, never verified
+        "pii_scan": q_pii_scan,                        # new in r4, never verified
         "range_join": q_range_join,                    # new in r4, never verified
         "dup_ngram_fraction": q_dup_ngram_fraction,    # new in r4, never verified
         "embedding_kmeans": q_embedding_kmeans,        # new in r4, never verified
@@ -1154,6 +1220,74 @@ JOIN orders o
  AND e.ts >= o.o_orderdate
  AND e.ts <= o.o_orderdate + INTERVAL 7 DAY
 GROUP BY e.user_id""",
+
+        "decontaminate": """
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         list_transform(string_split_regex(trim(text), '\\s+'), x -> lower(x)) AS toks
+  FROM documents WHERE length(trim(text)) > 0),
+g AS (SELECT doc_id, lang, source, array_to_string(toks[i:i+7], ' ') AS gram
+      FROM toks CROSS JOIN unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS u(i)),
+bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+train_docs AS (SELECT doc_id, lang FROM documents WHERE source <> 'src0'),
+hits AS (SELECT g.doc_id,
+                COUNT(*) AS n_grams,
+                COUNT(*) FILTER (WHERE bench.gram IS NOT NULL) AS n_contaminated
+         FROM g LEFT JOIN bench USING (gram)
+         WHERE g.source <> 'src0' GROUP BY g.doc_id)
+SELECT t.lang, COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE COALESCE(h.n_contaminated, 0) > 0)
+         AS n_contaminated_docs,
+       CAST(SUM(COALESCE(h.n_contaminated, 0)) AS BIGINT) AS n_hit_grams
+FROM train_docs t LEFT JOIN hits h USING (doc_id)
+GROUP BY t.lang""",
+
+        "pack_chunks": """
+WITH base AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents),
+ps AS (SELECT doc_id, source, n_tokens,
+              SUM(n_tokens) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+       FROM base),
+spans AS (SELECT source, n_tokens,
+                 CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS first_chunk,
+                 CAST(FLOOR((CASE WHEN n_tokens > 0 THEN cum - 1
+                                  ELSE cum - n_tokens END) / 512.0) AS BIGINT)
+                   AS last_chunk
+          FROM ps)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       COUNT(*) FILTER (WHERE first_chunk <> last_chunk) AS n_split_docs,
+       MIN(first_chunk) AS min_chunk, MAX(last_chunk) AS max_chunk
+FROM spans GROUP BY source""",
+
+        "pii_scan": """
+WITH planted AS (
+  SELECT source,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                 ELSE '' END AS text
+  FROM documents),
+scanned AS (
+  SELECT source,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS email_count,
+         len(regexp_extract_all(text,
+             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS ipv4_count
+  FROM planted)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(email_count) AS BIGINT) AS n_emails,
+       CAST(SUM(ipv4_count) AS BIGINT) AS n_ipv4,
+       COUNT(*) FILTER (WHERE email_count > 0 OR ipv4_count > 0)
+         AS n_docs_with_pii
+FROM scanned GROUP BY source""",
 
         "dup_ngram_fraction": """
 WITH t AS (

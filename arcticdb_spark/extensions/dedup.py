@@ -550,6 +550,49 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
     return df.join(keep, id_col, "left_semi")
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """Lower-cased word n-grams as space-joined strings; documents shorter
+    than n tokens yield an empty array (no short-doc fallback — matches the
+    Gopher/decontamination recipes, which ignore sub-n docs)."""
+    toks = F.transform(tokens(text), F.lower)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  carry_cols: tuple = ()) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Llama training-data recipe):
+    flag training documents sharing any word ``n``-gram with a held-out
+    benchmark/eval set, so they can be dropped before training.
+
+    Distributed shape: the benchmark's distinct n-grams are a SMALL table
+    (eval sets are tiny next to a 100 TB corpus) -> broadcast; training
+    docs explode their n-grams once and probe the broadcast set — one
+    narrow pass over the corpus, one map-side join, no shuffle keyed on
+    corpus size (only the per-doc re-aggregation, keyed on doc id).
+
+    Returns one row per training doc: ``n_grams``, ``n_contaminated``
+    (grams hitting the benchmark), ``contaminated`` flag.
+    """
+    bg = (benchmark
+          .select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+          .distinct())
+    keep = [id_col, *carry_cols]
+    dg = docs.select(*keep,
+                     F.explode_outer(word_ngrams(F.col(text_col), n))
+                      .alias("gram"))
+    j = dg.join(F.broadcast(bg.withColumn("__hit__", F.lit(1))),
+                "gram", "left")
+    return (j.groupBy(*keep)
+             .agg(F.count(F.col("gram")).alias("n_grams"),
+                  F.count(F.col("__hit__")).alias("n_contaminated"))
+             .withColumn("contaminated", F.col("n_contaminated") > 0))
+
+
 def duplicate_ngram_fraction(df: DataFrame, n: int = 8,
                              text_col: str = "text", id_col: str = "doc_id",
                              carry_cols: tuple = ()) -> DataFrame:
@@ -564,22 +607,30 @@ def duplicate_ngram_fraction(df: DataFrame, n: int = 8,
     shuffles key on the n-gram / doc id; no driver-side state, no
     all-pairs anything — linear in total tokens at any corpus size.
     """
-    toks = F.transform(tokens(F.col(text_col)), F.lower)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    ).otherwise(F.array().cast("array<string>"))
+    grams = word_ngrams(F.col(text_col), n)
     keep = [id_col, *carry_cols]
-    g = df.select(*keep, F.explode(grams).alias("gram"))
-    # distinct doc count per gram; >1 = duplicated across the corpus
-    gc = (g.groupBy("gram")
-           .agg(F.countDistinct(id_col).alias("n_docs_with")))
-    per = (g.join(gc, "gram")
-            .groupBy(*keep)
-            .agg(F.count(F.lit(1)).alias("n_grams"),
-                 F.count(F.when(F.col("n_docs_with") > 1, 1))
-                  .alias("n_dup_grams")))
+    # pre-combine per (doc, gram): the join and both downstream aggregates
+    # then see one row per distinct gram per doc (carrying its in-doc
+    # multiplicity) instead of every gram instance — and the per-gram doc
+    # count becomes a plain count(*) rather than an expensive exact
+    # countDistinct expansion. Spark's exchange reuse computes g2's shuffle
+    # once for both consumers.
+    g2 = (df.select(*keep, F.explode(grams).alias("gram"))
+            .groupBy(*keep, "gram").agg(F.count(F.lit(1)).alias("c")))
+    # two consumers (per-gram doc counts + the join-back); without a persist
+    # Spark re-runs the scan+explode+combine for each — the explode is the
+    # dominant cost, so pay it once (same pattern as minhash_band_table)
+    g2 = _persist(g2)
+    # grams seen in >1 distinct docs; only the duplicated ones join back
+    dup = (g2.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs_with"))
+             .filter(F.col("n_docs_with") > 1)
+             .select("gram", F.lit(1).alias("__dup__")))
+    per = (g2.join(dup, "gram", "left")
+             .groupBy(*keep)
+             .agg(F.sum("c").alias("n_grams"),
+                  F.coalesce(F.sum(F.when(F.col("__dup__").isNotNull(),
+                                          F.col("c"))),
+                             F.lit(0)).alias("n_dup_grams")))
     return per.withColumn(
         "dup_ngram_frac",
         F.round(F.col("n_dup_grams") / F.col("n_grams").cast("double"), 6))

@@ -126,3 +126,68 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
                            F.round(1 - F.col("n_distinct") / nt, 6))
                .withColumn("top_frac",
                            F.round(F.col("top_count") / nt, 6)))
+
+
+def pack_chunks(df: DataFrame, chunk_tokens: int, text_col: str = "text",
+                id_col: str = "doc_id", carry_cols: tuple = ()) -> DataFrame:
+    """Concat-and-chunk sequence packing (the standard LLM pre-training
+    layout): conceptually concatenate every document's tokens in ``id_col``
+    order into one stream and cut it into fixed ``chunk_tokens`` blocks.
+    Returns one row per doc with its span in chunk space:
+
+    * ``n_tokens`` — the doc's token count;
+    * ``first_chunk`` / ``last_chunk`` — chunks containing its first/last
+      token (empty docs: the chunk at their stream position);
+    * ``split`` — True when the doc straddles a chunk boundary.
+
+    Distributed shape: the global token-position assignment is
+    :func:`arcticdb_spark.plans.rowid.prefix_sum` — a two-phase scan whose
+    cross-partition state is one row per partition, so it holds at any
+    corpus size; everything after is per-row arithmetic.
+    """
+    from arcticdb_spark.plans.rowid import prefix_sum
+    keep = [id_col, *carry_cols]
+    base = df.select(*keep, token_count(F.col(text_col)).alias("n_tokens"))
+    ps = prefix_sum(base, "n_tokens", [id_col], out_col="__cum__")
+    start = (F.col("__cum__") - F.col("n_tokens")).cast("long")
+    last_tok = F.when(F.col("n_tokens") > 0, F.col("__cum__") - 1) \
+                .otherwise(start).cast("long")
+    return (ps.withColumn("first_chunk",
+                          F.floor(start / F.lit(chunk_tokens)).cast("long"))
+              .withColumn("last_chunk",
+                          F.floor(last_tok / F.lit(chunk_tokens)).cast("long"))
+              .withColumn("split", F.col("first_chunk") != F.col("last_chunk"))
+              .drop("__cum__"))
+
+
+# conservative, RE2-compatible patterns (work identically in Spark's Java
+# regex and DuckDB's RE2 — no lookarounds, no \b ambiguity)
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_scan(df: DataFrame, text_col: str = "text",
+             patterns: dict | None = None) -> DataFrame:
+    """Per-row PII occurrence counts (``<kind>_count`` columns), one
+    JVM-side regexp_count per pattern — no Python in the hot path. Feed the
+    aggregate to a redaction pass (``pii_redact``) or a drop filter."""
+    pats = patterns or PII_PATTERNS
+    out = df
+    for kind, pat in pats.items():
+        out = out.withColumn(f"{kind}_count",
+                             F.regexp_count(F.col(text_col), F.lit(pat)))
+    return out
+
+
+def pii_redact(df: DataFrame, text_col: str = "text",
+               patterns: dict | None = None,
+               out_col: str | None = None) -> DataFrame:
+    """Replace each PII match with ``<KIND>`` placeholders (Spark-side
+    regexp_replace chain, still whole-stage-codegen)."""
+    pats = patterns or PII_PATTERNS
+    c = F.col(text_col)
+    for kind, pat in pats.items():
+        c = F.regexp_replace(c, pat, f"<{kind.upper()}>")
+    return df.withColumn(out_col or text_col, c)

@@ -60,5 +60,41 @@ def with_row_id(df: DataFrame, order_cols: list[str] | None = None,
     return out.drop(_PID, _PIDK, "__asdb_off__")
 
 
+def prefix_sum(df: DataFrame, value_col: str, order_cols: list[str],
+               out_col: str = "__prefix_sum__",
+               already_sorted: bool = False) -> DataFrame:
+    """Distributed inclusive running sum of ``value_col`` over the global
+    ``order_cols`` order — the same two-phase scan as :func:`with_row_id`
+    generalized from counts to sums:
+
+    1. range-partition + sort by ``order_cols`` (skippable if already true);
+    2. per-partition totals (one row per partition) -> cumulative offsets,
+       computed with a window over the TINY partition-count table and
+       broadcast back;
+    3. within-partition running sum (window partitioned by the physical
+       partition id — never a single-partition global window).
+
+    Scales to any executor count; the only driver-independent state is one
+    row per partition.
+    """
+    if order_cols and not already_sorted:
+        df = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    part = df.withColumn(_PID, F.monotonically_increasing_id())
+    pid = F.shiftright(F.col(_PID), 33).cast("long")
+    sums = (part.select(pid.alias(_PIDK), F.col(value_col))
+            .groupBy(_PIDK).agg(F.sum(value_col).alias("psum")))
+    w = Window.orderBy(_PIDK).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.select(
+        _PIDK, F.coalesce(F.sum("psum").over(w), F.lit(0)).alias("__asdb_off__"))
+    local = F.col(_PID).bitwiseAND(F.lit((1 << 33) - 1)).cast("long")
+    inner = (Window.partitionBy(pid).orderBy(local)
+             .rowsBetween(Window.unboundedPreceding, 0))
+    out = (part.withColumn(_PIDK, pid)
+           .join(F.broadcast(offsets), _PIDK)
+           .withColumn(out_col,
+                       F.col("__asdb_off__") + F.sum(value_col).over(inner)))
+    return out.drop(_PID, _PIDK, "__asdb_off__")
+
+
 def count_rows(df: DataFrame) -> int:
     return df.count()

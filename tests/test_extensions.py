@@ -412,3 +412,75 @@ class TestDupNgramFraction:
                                    "doc_id long, text string")
         out = duplicate_ngram_fraction(df, n=8).collect()
         assert {r["doc_id"] for r in out} == {2}
+
+
+class TestDecontaminate:
+    def test_flags_overlapping_docs(self, spark):
+        from arcticdb_spark.extensions.dedup import decontaminate
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog today")],
+            "doc_id long, text string")
+        docs = spark.createDataFrame(
+            [(1, "prefix the quick brown fox jumps over the lazy dog"),
+             (2, "completely clean text with no overlap whatsoever in it"),
+             (3, "short doc")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               decontaminate(docs, bench, n=8).collect()}
+        assert out[1]["contaminated"] and out[1]["n_contaminated"] >= 1
+        assert not out[2]["contaminated"] and out[2]["n_contaminated"] == 0
+        # sub-n docs produce zero grams but still appear, uncontaminated
+        assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
+
+
+class TestPackChunks:
+    def test_spans_match_pandas(self, spark):
+        import numpy as np
+        from arcticdb_spark.extensions.text import pack_chunks
+        rng = np.random.default_rng(7)
+        rows = [(i, " ".join(["w"] * int(rng.integers(0, 40))))
+                for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in pack_chunks(df, 64).collect()}
+        cum = 0
+        for i, text in rows:
+            n = len(text.split()) if text.strip() else 0
+            start, cum = cum, cum + n
+            first = start // 64
+            last = (cum - 1) // 64 if n > 0 else first
+            assert out[i]["n_tokens"] == n, i
+            assert out[i]["first_chunk"] == first, i
+            assert out[i]["last_chunk"] == last, i
+            assert out[i]["split"] == (first != last), i
+
+
+class TestPii:
+    def test_scan_and_redact(self, spark):
+        from arcticdb_spark.extensions.text import pii_redact, pii_scan
+        df = spark.createDataFrame(
+            [(1, "mail me at a.b-c@example.co.uk or 10.1.2.3 thanks"),
+             (2, "no pii here at all")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in pii_scan(df).collect()}
+        assert out[1]["email_count"] == 1 and out[1]["ipv4_count"] == 1
+        assert out[2]["email_count"] == 0 and out[2]["ipv4_count"] == 0
+        red = {r["doc_id"]: r["text"] for r in pii_redact(df).collect()}
+        assert "<EMAIL>" in red[1] and "<IPV4>" in red[1]
+        assert "@" not in red[1]
+        assert red[2] == "no pii here at all"
+
+
+class TestPrefixSum:
+    def test_matches_pandas_cumsum(self, spark):
+        import numpy as np
+        from arcticdb_spark.plans.rowid import prefix_sum
+        rng = np.random.default_rng(3)
+        vals = rng.integers(0, 100, 500).tolist()
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "k long, v long")
+        out = {r["k"]: r["__prefix_sum__"]
+               for r in prefix_sum(df.repartition(8), "v", ["k"]).collect()}
+        cum = 0
+        for i, v in enumerate(vals):
+            cum += v
+            assert out[i] == cum, i
