@@ -1653,6 +1653,38 @@ class Library:
         for s in symbols:
             self.delete_staged_data(s)
 
+    def sort_index(self, symbol: str, dynamic_schema: bool | None = None,
+                   prune_previous_versions: bool = False) -> VersionManifest:
+        """Rewrite the symbol with its index sorted ascending (reference
+        ``version_store.sort_index``, pinned by test_append.py
+        test_append_out_of_order_and_sort / test_sort_index): the repair
+        path for symbols built from out-of-order ``validate_index=False``
+        appends. Idempotent; one Spark range shuffle of the data.
+
+        ``dynamic_schema`` is accepted for signature parity (schema already
+        lives in the manifest here)."""
+        prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
+        if self._is_pickled(prev) or self._is_recursive(prev):
+            raise ArcticException(
+                f"cannot sort_index on pickled/recursive symbol {symbol!r}")
+        idx = prev.index_column
+        if idx is None:
+            raise ArcticException(
+                f"{symbol!r} has no datetime index to sort by")
+        df = self.read(symbol)
+        nm = prev.norm_meta or {}
+        tiebreak = (nm["physical"][1:]
+                    if nm.get("index_type") == "multiindex" else None)
+        files = self._write_data_files(symbol, df, idx, sort=True,
+                                       tiebreak_cols=tiebreak)
+        m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(),
+                            idx, prev.schema_json, files, prev.metadata,
+                            sorted="ASCENDING", norm_meta=prev.norm_meta)
+        out = self._commit(m)
+        if prune_previous_versions:
+            self.prune_previous_versions(symbol)
+        return out
+
     def defragment_symbol_data(self, symbol: str,
                                segment_size: int | None = None) -> VersionManifest:
         """Reference API name for compaction."""

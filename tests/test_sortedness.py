@@ -107,3 +107,44 @@ def test_update_unsorted_raises(tmp_lib):
                                               name="ts"))
     with pytest.raises(SortingException):
         tmp_lib.update("u", upd)
+
+
+def test_sort_index_repairs_out_of_order_appends(tmp_lib):
+    # reference test_append_out_of_order_and_sort / test_sort_index
+    rng = np.random.default_rng(5)
+    n = 200
+    full = pd.DataFrame(
+        {"c": np.arange(n, dtype=np.int64)},
+        index=pd.date_range("2020-01-01", periods=n, name="ts"))
+    chunks = [full.iloc[i:i + 25] for i in range(0, n, 25)]
+    order = rng.permutation(len(chunks))
+    tmp_lib.write("sym", chunks[order[0]])
+    for i in order[1:]:
+        tmp_lib.append("sym", chunks[i], validate_index=False)
+    assert tmp_lib.get_info("sym")["sorted"] == "UNSORTED"
+    n_chunks = len(chunks)
+    tmp_lib.sort_index("sym")
+    out = tmp_lib.read("sym", output_format="pandas").sort_values("ts")
+    assert out["c"].tolist() == full["c"].tolist()
+    assert tmp_lib.get_info("sym")["sorted"] == "ASCENDING"
+    # sorted symbol supports date_range again
+    got = tmp_lib.read("sym", date_range=(full.index[10], full.index[19]))
+    assert got.count() == 10
+    # idempotent
+    tmp_lib.sort_index("sym")
+    out2 = tmp_lib.read("sym", output_format="pandas").sort_values("ts")
+    assert out2["c"].tolist() == full["c"].tolist()
+    # versions: n_chunks writes + 2 sorts
+    assert len(tmp_lib.list_versions("sym")) == n_chunks + 2
+    tmp_lib.sort_index("sym", prune_previous_versions=True)
+    assert len(tmp_lib.list_versions("sym")) == 1
+
+
+def test_sort_index_rejects_rangeindex_and_pickled(tmp_lib):
+    from arcticdb_spark.catalog import ArcticException
+    tmp_lib.write("r", pd.DataFrame({"c": [1, 2]}))
+    with pytest.raises(ArcticException):
+        tmp_lib.sort_index("r")
+    tmp_lib.write_pickle("p", {"x": 1})
+    with pytest.raises(ArcticException):
+        tmp_lib.sort_index("p")
