@@ -582,7 +582,35 @@ class Library:
         RangeIndex is positional and dropped."""
         if isinstance(df, DataFrame):
             return df, None
+        import numpy as np
         import pandas as pd
+        if isinstance(df, pd.Series):
+            # reference SeriesNormalizer (_normalization.py:982-1022):
+            # normalize as a one-column frame, record the original name so
+            # denormalization restores a Series (unnamed stays unnamed)
+            name = df.name
+            col = str(name) if name is not None else "__series__"
+            sdf, meta = self._normalize(df.rename(col).to_frame())
+            meta = dict(meta or {})
+            meta["series"] = {"name": None if name is None else str(name),
+                              "col": col}
+            return sdf, meta
+        if isinstance(df, np.ndarray):
+            # reference NdArrayNormalizer (_normalization.py:1025-1051):
+            # any-dimensional array flattens row-major into one column; the
+            # shape lives in norm_meta. An explicit __pos__ column keeps the
+            # flat order reconstructible from an unordered multi-file scan.
+            flat = df.reshape(-1)
+            pdf = pd.DataFrame({"__pos__": np.arange(flat.size, dtype=np.int64),
+                                "ndarray": flat})
+            if flat.size == 0:
+                sdf = self.spark.createDataFrame(
+                    pdf, schema=_schema_from_pandas_dtypes(pdf))
+            else:
+                sdf = self.spark.createDataFrame(pdf)
+            return sdf, {"index_type": "ndarray",
+                         "shape": [int(s) for s in df.shape],
+                         "dtype": str(df.dtype)}
         if isinstance(df, pd.DataFrame):
             pdf = df
             if isinstance(pdf.index, pd.MultiIndex):
@@ -795,7 +823,7 @@ class Library:
         silently re-ordered. Spark-frame inputs are ts-sorted on write (the
         engine's sorted-on-write invariant), so they report ASCENDING."""
         import pandas as pd
-        if isinstance(df, pd.DataFrame):
+        if isinstance(df, (pd.DataFrame, pd.Series)):
             lvl0 = (df.index.get_level_values(0)
                     if isinstance(df.index, pd.MultiIndex) else df.index)
             if (isinstance(lvl0, pd.DatetimeIndex)
@@ -844,8 +872,10 @@ class Library:
 
     @staticmethod
     def _is_df_leaf(obj) -> bool:
+        import numpy as np
         import pandas as pd
-        return isinstance(obj, (pd.DataFrame, pd.Series, DataFrame))
+        return isinstance(obj, (pd.DataFrame, pd.Series, DataFrame,
+                                np.ndarray))
 
     def _flatten_struct(self, data, path=()):
         """Yield (path_tuple, leaf) pairs; raise on non-str dict keys."""
@@ -1014,6 +1044,8 @@ class Library:
         prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
         if self._is_pickled(prev):
             raise ArcticException(f"cannot append to pickled symbol {symbol!r}")
+        if (prev.norm_meta or {}).get("index_type") == "ndarray":
+            return self._append_ndarray(symbol, prev, df, metadata)
         chunk_sorted = self._input_sortedness(df)
         if validate_index and (prev.sorted == "UNSORTED"
                                or chunk_sorted == "UNSORTED"):
@@ -1050,6 +1082,42 @@ class Library:
         if prune_previous_versions:
             self.prune_previous_versions(symbol)
         return out
+
+    def _append_ndarray(self, symbol: str, prev: "VersionManifest", arr,
+                        metadata) -> "VersionManifest":
+        """Append along axis 0 of a stored ndarray (reference
+        test_append.py test_append_numpy_array): trailing dimensions must
+        match; the flat row-major layout makes axis-0 concat a plain file
+        append with continued ``__pos__``."""
+        import numpy as np
+        import pandas as pd
+        if not isinstance(arr, np.ndarray):
+            raise ArcticException(
+                f"{symbol!r} holds an ndarray: append takes an ndarray")
+        nm = dict(prev.norm_meta)
+        old_shape = list(nm["shape"])
+        if list(arr.shape[1:]) != old_shape[1:]:
+            raise ArcticException(
+                f"ndarray append shape mismatch: {old_shape} vs "
+                f"{list(arr.shape)} (trailing dimensions must match)")
+        if str(arr.dtype) != nm["dtype"]:
+            raise ArcticException(
+                f"ndarray append dtype mismatch: {nm['dtype']} vs {arr.dtype}")
+        offset = int(np.prod(old_shape)) if old_shape else 0
+        flat = arr.reshape(-1)
+        pdf = pd.DataFrame({"__pos__": np.arange(offset, offset + flat.size,
+                                                 dtype=np.int64),
+                            "ndarray": flat})
+        sdf = self.spark.createDataFrame(pdf)
+        new_files = self._write_data_files(symbol, sdf, None, sort=False)
+        nm["shape"] = [old_shape[0] + int(arr.shape[0])] + old_shape[1:] \
+            if old_shape else [int(arr.shape[0])]
+        m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(),
+                            None, prev.schema_json,
+                            _renumber(prev.files + new_files),
+                            metadata if metadata is not None else prev.metadata,
+                            norm_meta=nm)
+        return self._commit(m)
 
     def update(self, symbol: str, df, date_range: tuple | None = None,
                metadata: Any = None, upsert: bool = False,
@@ -1297,6 +1365,12 @@ class Library:
                     "selection are unsupported (reference: pickled symbols "
                     "are opaque)")
             return self._read_pickled(m)
+        if (m.norm_meta or {}).get("index_type") == "ndarray":
+            if (query_builder is not None or date_range is not None
+                    or row_range is not None or columns is not None):
+                raise ArcticException(
+                    f"{symbol!r} is an ndarray symbol: queries/slicing/"
+                    "column selection are unsupported")
         files = list(m.files)
         idx = m.index_column
         if date_range is not None and idx is None:
@@ -1457,9 +1531,20 @@ class Library:
 
     @staticmethod
     def _format_output(df: DataFrame, output_format: str, norm_meta=None):
+        if norm_meta and norm_meta.get("index_type") == "ndarray":
+            # reference NdArrayNormalizer.denormalize: reshape the flat
+            # column back to the stored shape — for every output format
+            # (like pickled symbols, an ndarray symbol reads back as the
+            # original object, never a frame)
+            import numpy as np
+            pdf = df.toPandas().sort_values("__pos__")
+            arr = pdf["ndarray"].to_numpy()
+            return np.asarray(arr, dtype=norm_meta["dtype"]).reshape(
+                tuple(norm_meta["shape"]))
         if output_format in (None, "spark"):
             return df
         if output_format == "pandas":
+            import pandas as pd
             pdf = df.toPandas()   # Arrow-accelerated collection
             # restore a demoted MultiIndex (reference _denormalize,
             # _normalization.py:931-950) when all physical level columns
@@ -1468,6 +1553,17 @@ class Library:
                     and all(c in pdf.columns for c in norm_meta["physical"])):
                 pdf = pdf.set_index(norm_meta["physical"])
                 pdf.index = pdf.index.set_names(norm_meta["level_names"])
+            s = (norm_meta or {}).get("series")
+            if s and s["col"] in pdf.columns:
+                # reference SeriesNormalizer.denormalize: back to a Series
+                out = pdf[s["col"]]
+                # non-index companion columns (e.g. a demoted ts index)
+                # become the index when exactly one exists
+                other = [c for c in pdf.columns if c != s["col"]]
+                if len(other) == 1 and not isinstance(pdf.index, pd.MultiIndex):
+                    out = out.set_axis(pd.Index(pdf[other[0]],
+                                                name=other[0]))
+                return out.rename(s["name"])
             return pdf
         if output_format == "arrow":
             return df.toArrow()

@@ -1,0 +1,101 @@
+"""Series and ndarray normalization ported from the reference's
+``_normalization.py`` SeriesNormalizer / NdArrayNormalizer behavior
+(pinned by test_write.py test_write_numpy_array, test_append.py
+test_append_numpy_array, and the Series round-trip tests).
+"""
+import numpy as np
+import pandas as pd
+import pytest
+
+from arcticdb_spark.catalog import ArcticException
+
+
+def test_series_roundtrip_named(tmp_lib):
+    s = pd.Series([1.0, 2.0, 3.0], name="prices",
+                  index=pd.date_range("2024-01-01", periods=3, name="ts"))
+    tmp_lib.write("s", s)
+    out = tmp_lib.read("s", output_format="pandas")
+    assert isinstance(out, pd.Series)
+    assert out.name == "prices"
+    assert out.sort_index().tolist() == [1.0, 2.0, 3.0]
+    assert out.index.name == "ts"
+    # not pickled — it's a real columnar symbol
+    assert not tmp_lib.is_symbol_pickled("s")
+    assert not tmp_lib.will_item_be_pickled(s)
+
+
+def test_series_roundtrip_unnamed(tmp_lib):
+    s = pd.Series(["a", "b", "c"])
+    tmp_lib.write("s", s)
+    out = tmp_lib.read("s", output_format="pandas")
+    assert isinstance(out, pd.Series)
+    assert out.name is None
+    assert sorted(out.tolist()) == ["a", "b", "c"]
+
+
+def test_series_append(tmp_lib):
+    s1 = pd.Series([1.0, 2.0], name="v",
+                   index=pd.date_range("2024-01-01", periods=2, name="ts"))
+    s2 = pd.Series([3.0, 4.0], name="v",
+                   index=pd.date_range("2024-02-01", periods=2, name="ts"))
+    tmp_lib.write("s", s1)
+    tmp_lib.append("s", s2)
+    out = tmp_lib.read("s", output_format="pandas")
+    assert isinstance(out, pd.Series)
+    assert out.sort_index().tolist() == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_ndarray_roundtrip_1d(tmp_lib):
+    arr = np.arange(1000, dtype=np.int64)
+    tmp_lib.write("a", arr)
+    out = tmp_lib.read("a", output_format="pandas")
+    assert isinstance(out, np.ndarray)
+    assert out.dtype == np.int64
+    assert np.array_equal(out, arr)
+    assert not tmp_lib.will_item_be_pickled(arr)
+
+
+def test_ndarray_roundtrip_2d(tmp_lib):
+    arr = np.arange(60, dtype=np.float64).reshape(12, 5)
+    tmp_lib.write("a", arr)
+    out = tmp_lib.read("a", output_format="pandas")
+    assert out.shape == (12, 5)
+    assert np.array_equal(out, arr)
+
+
+def test_ndarray_append(tmp_lib):
+    # reference test_append_numpy_array
+    tmp_lib.write("a", np.arange(10, dtype=np.float64))
+    tmp_lib.append("a", np.arange(10, 24, dtype=np.float64))
+    out = tmp_lib.read("a", output_format="pandas")
+    assert np.array_equal(out, np.arange(24, dtype=np.float64))
+    # 2d: trailing dims must match
+    tmp_lib.write("b", np.zeros((3, 4)))
+    tmp_lib.append("b", np.ones((2, 4)))
+    out = tmp_lib.read("b", output_format="pandas")
+    assert out.shape == (5, 4) and out[3:].sum() == 8
+    with pytest.raises(ArcticException):
+        tmp_lib.append("b", np.ones((2, 3)))
+    with pytest.raises(ArcticException):
+        tmp_lib.append("b", np.ones((2, 4), dtype=np.int64))
+
+
+def test_ndarray_rejects_queries(tmp_lib):
+    from arcticdb_spark.query import QueryBuilder
+    tmp_lib.write("a", np.arange(10))
+    with pytest.raises(ArcticException):
+        tmp_lib.read("a", row_range=(0, 3))
+    q = QueryBuilder()
+    with pytest.raises(ArcticException):
+        tmp_lib.read("a", query_builder=q[q["ndarray"] > 3])
+
+
+def test_series_in_recursive_structure(tmp_lib):
+    payload = {"frame": pd.DataFrame({"x": [1, 2]}),
+               "series": pd.Series([5.0], name="s"),
+               "arr": np.arange(4)}
+    tmp_lib.write("rec", payload, recursive_normalizers=True)
+    out = tmp_lib.read("rec", output_format="pandas")
+    assert isinstance(out["series"], pd.Series)
+    assert np.array_equal(out["arr"], np.arange(4))
+    assert out["frame"]["x"].tolist() == [1, 2]
