@@ -584,6 +584,18 @@ class Library:
             return df, None
         import numpy as np
         import pandas as pd
+        try:
+            import pyarrow as pa
+        except ImportError:  # pragma: no cover
+            pa = None
+        if pa is not None and isinstance(df, (pa.Table, pa.RecordBatch)):
+            # Arrow input (reference test_arrow_writes.py): tables and
+            # record batches normalize through the pandas path; a
+            # timestamp column named by ``write(index_column=...)`` becomes
+            # the index downstream exactly as for a Spark frame
+            tbl = (pa.Table.from_batches([df])
+                   if isinstance(df, pa.RecordBatch) else df)
+            return self._normalize(tbl.to_pandas())
         if isinstance(df, pd.Series):
             # reference SeriesNormalizer (_normalization.py:982-1022):
             # normalize as a one-column frame, record the original name so

@@ -99,3 +99,36 @@ def test_series_in_recursive_structure(tmp_lib):
     assert isinstance(out["series"], pd.Series)
     assert np.array_equal(out["arr"], np.arange(4))
     assert out["frame"]["x"].tolist() == [1, 2]
+
+
+def test_arrow_table_write_roundtrip(tmp_lib):
+    # reference test_arrow_writes.py test_basic_write / _strings / _with_index
+    import pyarrow as pa
+    tbl = pa.table({
+        "ts": pa.array(pd.date_range("2024-01-01", periods=4)),
+        "v": pa.array([1.5, 2.5, 3.5, 4.5]),
+        "s": pa.array(["a", "b", None, "d"])})
+    tmp_lib.write("t", tbl, index_column="ts")
+    out = tmp_lib.read("t", output_format="arrow")
+    assert out.num_rows == 4
+    assert set(out.column_names) == {"ts", "v", "s"}
+    pdf = tmp_lib.read("t", output_format="pandas").sort_values("ts")
+    assert pdf["v"].tolist() == [1.5, 2.5, 3.5, 4.5]
+    # date_range works because ts was declared as the index column
+    got = tmp_lib.read("t", date_range=(pd.Timestamp("2024-01-02"),
+                                        pd.Timestamp("2024-01-03")))
+    assert got.count() == 2
+
+
+def test_arrow_record_batch_and_zero_rows(tmp_lib):
+    import pyarrow as pa
+    rb = pa.record_batch({"x": pa.array([1, 2, 3], type=pa.int64())})
+    tmp_lib.write("rb", rb)
+    assert tmp_lib.read("rb").count() == 3
+    # zero-row table keeps its schema (reference test_write_zero_row_table)
+    empty = pa.table({"x": pa.array([], type=pa.int64()),
+                      "y": pa.array([], type=pa.string())})
+    tmp_lib.write("z", empty)
+    out = tmp_lib.read("z")
+    assert out.count() == 0
+    assert set(out.columns) == {"x", "y"}
