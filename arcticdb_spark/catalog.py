@@ -1398,6 +1398,18 @@ class Library:
                 f"{symbol!r} is UNSORTED: date_range reads require a sorted "
                 "symbol (rewrite via sort_and_finalize or write sorted data)")
 
+        if query_builder is not None and date_range is not None:
+            # a data-relative resample origin (start/end/..._day) is
+            # ambiguous under a read-level date_range — the reference raises
+            # UserInputException (test_non_epoch_origin_throws_with_daterange);
+            # explicit "epoch" or a concrete timestamp origin is fine
+            for kind_, args_ in getattr(query_builder, "_clauses", []):
+                if (kind_ == "resample_agg"
+                        and args_.get("origin") in ("start", "start_day",
+                                                    "end", "end_day")):
+                    raise ArcticException(
+                        f"resample origin {args_['origin']!r} cannot be "
+                        "combined with a date_range read")
         if query_builder is not None and (date_range is not None
                                           or row_range is not None):
             # Reference semantics (library.py:2022): the read-level

@@ -108,6 +108,20 @@ class QueryBuilder:
     def resample(self, rule: str, closed: str | None = None,
                  label: str | None = None, offset: str | None = None,
                  origin: Any = "epoch") -> "QueryBuilder":
+        # calendar-anchored frequencies (ME, QS, YE, BMS, ...) have
+        # data-dependent bucket widths; the reference rejects them at
+        # builder time (ArcticDbNotYetImplemented,
+        # test_resample_rejects_unsupported_frequency_strings) and so do we
+        from pandas.tseries.frequencies import to_offset
+        from pandas.tseries.offsets import Tick, Week
+        try:
+            off = to_offset(rule)
+        except ValueError:
+            off = None
+        if off is None or not isinstance(off, (Tick, Week)):
+            raise ExpressionError(
+                f"resample rule {rule!r} is not a fixed-width frequency "
+                "(calendar-anchored rules are unsupported)")
         self._pending_resample = dict(rule=rule, closed=closed, label=label,
                                       offset=offset, origin=origin)
         return self

@@ -80,3 +80,42 @@ def test_resample_nan_skipped(spark):
 def test_resample_non_fixed_rule_rejected(events):
     with pytest.raises(ValueError):
         resample(events, "ts", "1M", {"n": ("value", "count")})
+
+
+def test_resample_rejects_calendar_anchored_frequencies():
+    # reference test_resample_rejects_unsupported_frequency_strings
+    import pytest
+    from arcticdb_spark.expr import ExpressionError
+    from arcticdb_spark.query import QueryBuilder
+    for freq in ["ME", "MS", "QS", "QE", "YS", "YE", "BMS", "C"]:
+        with pytest.raises(ExpressionError):
+            QueryBuilder().resample(freq)
+        with pytest.raises(ExpressionError):
+            QueryBuilder().resample("2" + freq)
+    # fixed-width rules still build
+    for freq in ["1h", "15min", "D", "7D", "W", "30s"]:
+        QueryBuilder().resample(freq)
+
+
+def test_resample_non_epoch_origin_rejects_date_range(spark, tmp_path):
+    # reference test_non_epoch_origin_throws_with_daterange /
+    # test_epoch_and_ts_origin_works_with_date_range
+    import pandas as pd
+    import pytest
+    from arcticdb_spark.catalog import Arctic, ArcticException
+    from arcticdb_spark.query import QueryBuilder
+    lib = Arctic(str(tmp_path), spark).create_library("o")
+    pdf = pd.DataFrame({"col": [1.0, 2.0, 3.0]},
+                       index=pd.DatetimeIndex(
+                           pd.date_range("2024-01-01", periods=3),
+                           name="ts"))
+    lib.write("sym", pdf)
+    dr = (pd.Timestamp("2024-01-02"), pd.Timestamp("2024-01-03"))
+    for origin in ["start", "start_day", "end", "end_day"]:
+        q = QueryBuilder().resample("1min", origin=origin).agg({"col": "min"})
+        with pytest.raises(ArcticException):
+            lib.read("sym", query_builder=q, date_range=dr)
+    # epoch and concrete-timestamp origins are fine
+    for origin in ["epoch", pd.Timestamp("2025-01-03 12:00:00")]:
+        q = QueryBuilder().resample("1D", origin=origin).agg({"col": "min"})
+        assert lib.read("sym", query_builder=q, date_range=dr).count() == 2
