@@ -550,16 +550,27 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
     return df.join(keep, id_col, "left_semi")
 
 
-def word_ngrams(text: Column, n: int) -> Column:
-    """Lower-cased word n-grams as space-joined strings; documents shorter
-    than n tokens yield an empty array (no short-doc fallback — matches the
-    Gopher/decontamination recipes, which ignore sub-n docs)."""
-    toks = F.transform(tokens(text), F.lower)
+def ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """Word n-grams from an ALREADY-MATERIALIZED token-array column.
+    Feed this a projected column, not the tokenize expression itself:
+    Catalyst inlines a raw expression into every per-position lambda call,
+    re-running the regex split O(tokens) times per document (measured 2x
+    wall on the gram explode)."""
     return F.when(
         F.size(toks) >= n,
         F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
                     lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Lower-cased word n-grams as space-joined strings; documents shorter
+    than n tokens yield an empty array (no short-doc fallback — matches the
+    Gopher/decontamination recipes, which ignore sub-n docs).
+
+    Prefer projecting ``F.transform(tokens(c), F.lower)`` to a column and
+    calling :func:`ngrams_from_tokens` in hot paths (see its docstring)."""
+    return ngrams_from_tokens(F.transform(tokens(text), F.lower), n)
 
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
@@ -578,13 +589,18 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
     Returns one row per training doc: ``n_grams``, ``n_contaminated``
     (grams hitting the benchmark), ``contaminated`` flag.
     """
-    bg = (benchmark
-          .select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+    lower_toks = F.transform(tokens(F.col(text_col)), F.lower)
+    bg = (_spread(benchmark.select(text_col))
+          .select(lower_toks.alias("__toks__"))
+          .select(F.explode(ngrams_from_tokens(F.col("__toks__"), n))
+                   .alias("gram"))
           .distinct())
     keep = [id_col, *carry_cols]
-    dg = docs.select(*keep,
-                     F.explode_outer(word_ngrams(F.col(text_col), n))
-                      .alias("gram"))
+    dg = (_spread(docs.select(*keep, text_col))
+          .select(*keep, lower_toks.alias("__toks__"))
+          .select(*keep,
+                  F.explode_outer(ngrams_from_tokens(F.col("__toks__"), n))
+                   .alias("gram")))
     j = dg.join(F.broadcast(bg.withColumn("__hit__", F.lit(1))),
                 "gram", "left")
     return (j.groupBy(*keep)
@@ -607,7 +623,6 @@ def duplicate_ngram_fraction(df: DataFrame, n: int = 8,
     shuffles key on the n-gram / doc id; no driver-side state, no
     all-pairs anything — linear in total tokens at any corpus size.
     """
-    grams = word_ngrams(F.col(text_col), n)
     keep = [id_col, *carry_cols]
     # pre-combine per (doc, gram): the join and both downstream aggregates
     # then see one row per distinct gram per doc (carrying its in-doc
@@ -615,7 +630,11 @@ def duplicate_ngram_fraction(df: DataFrame, n: int = 8,
     # count becomes a plain count(*) rather than an expensive exact
     # countDistinct expansion. Spark's exchange reuse computes g2's shuffle
     # once for both consumers.
-    g2 = (df.select(*keep, F.explode(grams).alias("gram"))
+    g2 = (_spread(df.select(*keep, text_col))
+            .select(*keep, F.transform(tokens(F.col(text_col)), F.lower)
+                            .alias("__toks__"))
+            .select(*keep, F.explode(ngrams_from_tokens(F.col("__toks__"), n))
+                            .alias("gram"))
             .groupBy(*keep, "gram").agg(F.count(F.lit(1)).alias("c")))
     # two consumers (per-gram doc counts + the join-back); without a persist
     # Spark re-runs the scan+explode+combine for each — the explode is the
