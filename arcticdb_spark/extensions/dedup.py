@@ -80,15 +80,23 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """k-token shingles as strings; documents shorter than k tokens get a
-    single shingle of all tokens."""
-    toks = tokens(F.lower(text))
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """k-token shingles from an ALREADY-MATERIALIZED token-array column;
+    documents shorter than k tokens get a single shingle of all tokens.
+    Like :func:`ngrams_from_tokens`, the positional transform references the
+    token array inside its lambda, so a raw tokenize expression here would
+    be re-evaluated O(tokens) times per document."""
     n = F.size(toks)
     full = F.array_join(toks, " ")
     sh = F.transform(F.sequence(F.lit(1), n - (k - 1)),
                      lambda i: F.array_join(F.slice(toks, i, k), " "))
     return F.when(n >= k, sh).otherwise(F.array(full))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-token shingles as strings; prefer projecting the token array to a
+    column and calling :func:`shingles_from_tokens` in hot paths."""
+    return shingles_from_tokens(tokens(F.lower(text)), k)
 
 
 def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
@@ -144,10 +152,11 @@ def minhash_band_table(df: DataFrame, text_col: str = "text",
     # concatenated to one hex string); separate per-position lambdas would
     # re-run md5 per signature position (no CSE across HOF lambdas).
     digests = F.transform(
-        shingles(F.col(text_col), k),
+        shingles_from_tokens(F.col("__toks__"), k),
         lambda s: F.concat(*[F.md5(F.concat(F.lit(f"h{j}:"), s))
                              for j in range(n_seeds)]))
     hs_df = (_spread(df.select(F.col(id_col).alias("id"), text_col))
+             .select("id", tokens(F.lower(F.col(text_col))).alias("__toks__"))
              .select("id", digests.alias("hs")))
     # signature position i = 8-hex-char chunk at offset i*8 of the concat
     # (== substring(md5(h{i//4}:s), (i%4)*8+1, 8) — same family as
@@ -211,10 +220,13 @@ def jaccard_near_dup_pairs(df: DataFrame, text_col: str = "text",
                 .unionByName(cand.select(F.col("id_b").alias("id")))
                 .distinct())
     n_cand_ids = cand_ids.count()    # cand is cached — this is a cheap agg
-    sets_expr = F.array_distinct(shingles(F.col(text_col), k)).alias("sh")
+    sets_expr = F.array_distinct(
+        shingles_from_tokens(F.col("__toks__"), k)).alias("sh")
     if n_cand_ids <= broadcast_ids_max:
         sub = (df.select(F.col(id_col).alias("id"), text_col)
                  .join(F.broadcast(cand_ids), "id", "left_semi")
+                 .select("id", tokens(F.lower(F.col(text_col)))
+                          .alias("__toks__"))
                  .select("id", sets_expr))
         lookup = {r["id"]: frozenset(r["sh"]) for r in sub.collect()}
         bc = df.sparkSession.sparkContext.broadcast(lookup)
@@ -237,6 +249,7 @@ def jaccard_near_dup_pairs(df: DataFrame, text_col: str = "text",
         sets_df = _materialize(
             _spread(df.select(F.col(id_col).alias("id"), text_col))
             .join(cand_ids, "id", "left_semi")
+            .select("id", tokens(F.lower(F.col(text_col))).alias("__toks__"))
             .select("id", sets_expr))
         j = (cand.join(sets_df.withColumnRenamed("id", "id_a")
                               .withColumnRenamed("sh", "sh_a"), "id_a")
