@@ -701,11 +701,15 @@ def q_ngram_top(spark, sf):
     from arcticdb_spark.extensions.text import tokens
     from arcticdb_spark.extensions.dedup import _spread
     d = _spread(load_table(spark, sf, "documents"))
-    toks = tokens(F.lower(F.col("text")))
-    bigrams = F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
-                          lambda i: F.concat_ws(" ", F.element_at(toks, i),
-                                                F.element_at(toks, i + 1)))
-    exploded = (d.filter(F.size(toks) >= 2)
+    # materialize the token array before the positional transform — an
+    # inline tokenize expression would re-run the regex split per position
+    # (see dedup.ngrams_from_tokens)
+    tc = F.col("__toks__")
+    bigrams = F.transform(F.sequence(F.lit(1), F.size(tc) - 1),
+                          lambda i: F.concat_ws(" ", F.element_at(tc, i),
+                                                F.element_at(tc, i + 1)))
+    exploded = (d.select(tokens(F.lower(F.col("text"))).alias("__toks__"))
+                 .filter(F.size(tc) >= 2)
                  .select(F.explode(bigrams).alias("bigram")))
     counted = exploded.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
     # top-k via TakeOrderedAndProject (no global single-task window over the
