@@ -1889,17 +1889,46 @@ class Library:
     def has_symbol(self, symbol: str) -> bool:
         return self._fs.exists(self._ref_path(symbol))
 
-    def list_versions(self, symbol: str | None = None) -> list[dict]:
+    def list_versions(self, symbol: str | None = None,
+                      snapshot: str | None = None,
+                      latest_only: bool = False,
+                      skip_snapshots: bool = False) -> list[dict]:
+        """Reference ``library.py:2875`` list_versions: each row carries the
+        snapshots containing that exact version and a ``deleted`` flag
+        (deleted versions appear only while a snapshot still pins them).
+        ``snapshot`` restricts to the versions that snapshot pins;
+        ``latest_only`` keeps the newest live version per symbol;
+        ``skip_snapshots`` skips the snapshot annotation (faster)."""
+        if snapshot is not None:
+            snap = self._load_snapshot(snapshot)["symbols"]
+            return [{"symbol": s, "version": v, "snapshots": [snapshot],
+                     "deleted": v in set(self._load_ref(s).get("deleted", ()))}
+                    for s, v in sorted(snap.items())
+                    if symbol is None or s == symbol]
+        by_ver: dict[tuple, list] = {}
+        if not skip_snapshots:
+            for name in self.list_snapshots():
+                for s, v in self._load_snapshot(name)["symbols"].items():
+                    by_ver.setdefault((s, v), []).append(name)
         syms = [symbol] if symbol else self.list_symbols()
         out = []
         for s in syms:
             deleted = set(self._load_ref(s).get("deleted", []))
-            for v in self._list_version_numbers(s):
-                if v in deleted:
+            vers = self._list_version_numbers(s)
+            if latest_only:
+                live = [v for v in vers if v not in deleted]
+                vers = live[-1:] if live else []
+            for v in vers:
+                snaps = sorted(by_ver.get((s, v), []))
+                if v in deleted and not snaps:
                     continue
-                m = self._load_manifest(s, v)
+                try:
+                    m = self._load_manifest(s, v)
+                except NoSuchVersionException:
+                    continue  # tombstoned and already garbage-collected
                 out.append({"symbol": s, "version": v,
-                            "date": m.created_ns, "rows": m.total_rows})
+                            "date": m.created_ns, "rows": m.total_rows,
+                            "snapshots": snaps, "deleted": v in deleted})
         return out
 
     def read_metadata(self, symbol: str, as_of=None):

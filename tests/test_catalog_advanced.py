@@ -407,3 +407,33 @@ def test_nat_index_and_unicode_filter(tmp_lib):
     q = QueryBuilder()
     q = q[q["s"] == "日本語"]
     assert tmp_lib.read("uni", query_builder=q).toPandas()["s"].tolist() == ["日本語"]
+
+
+def test_list_versions_snapshot_annotations(tmp_lib):
+    # reference library.py list_versions: snapshots column, deleted flag,
+    # snapshot= and latest_only= filters
+    import pandas as pd
+    tmp_lib.write("a", pd.DataFrame({"x": [1]}))
+    tmp_lib.write("a", pd.DataFrame({"x": [1, 2]}))
+    tmp_lib.write("b", pd.DataFrame({"y": [3]}))
+    tmp_lib.snapshot("snap1")          # pins a@1, b@0
+    tmp_lib.write("a", pd.DataFrame({"x": [1, 2, 3]}))
+    rows = tmp_lib.list_versions("a")
+    by_v = {r["version"]: r for r in rows}
+    assert by_v[1]["snapshots"] == ["snap1"] and not by_v[1]["deleted"]
+    assert by_v[2]["snapshots"] == [] and by_v[0]["snapshots"] == []
+    # latest_only
+    latest = tmp_lib.list_versions("a", latest_only=True)
+    assert [r["version"] for r in latest] == [2]
+    # snapshot= restriction
+    snap_rows = tmp_lib.list_versions(snapshot="snap1")
+    assert {(r["symbol"], r["version"]) for r in snap_rows} == {("a", 1), ("b", 0)}
+    # a deleted version pinned by a snapshot surfaces with deleted=True
+    tmp_lib.delete_version("a", 1)
+    rows = tmp_lib.list_versions("a")
+    by_v = {r["version"]: r for r in rows}
+    assert by_v[1]["deleted"] and by_v[1]["snapshots"] == ["snap1"]
+    # skip_snapshots drops the annotation work; deleted+unsnapshotted hides
+    tmp_lib.delete_snapshot("snap1")
+    vs = [r["version"] for r in tmp_lib.list_versions("a")]
+    assert 1 not in vs
