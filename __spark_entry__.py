@@ -813,6 +813,23 @@ def q_multimodal_features(spark, sf):
         *[F.col("feat")[i].alias(f"feat_{i}") for i in range(dim)])
 
 
+def q_media_frame_sample(spark, sf):
+    """Video/audio frame sampling (``multimodal.py:sample_frames``): pure
+    JVM fan-out — explode(sequence) per media row + binary substring per
+    frame, no Python. The oracle replays the frame count/offset/length
+    arithmetic from octet lengths (DuckDB has no BLOB substring, so the
+    frame *hashes* are pinned by pytest instead)."""
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 256)
+    media = xmm.media_from_documents(d)
+    fr = xmm.sample_frames(media, every_ms=100, frame_bytes=32)
+    return (fr.groupBy("kind")
+              .agg(F.countDistinct("media_id").alias("n_media"),
+                   F.count(F.lit(1)).alias("n_frames"),
+                   F.min("byte_offset").alias("min_off"),
+                   F.max("byte_offset").alias("max_off"),
+                   F.sum(F.length("frame")).alias("sum_frame_bytes")))
+
+
 def q_decontaminate(spark, sf):
     """Benchmark decontamination (``dedup.py:decontaminate``): docs from
     source 'src0' act as the held-out eval set; training docs sharing any
@@ -890,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # formerly-red multimodal_features, and the two queries re-planned
         # this round (dedup_jaccard, semi_join_date_arith). Everything after
         # was green in CORRECTNESS_r03 on unchanged code.
+        "media_frame_sample": q_media_frame_sample,    # new in r4, never verified
         "decontaminate": q_decontaminate,              # new in r4, never verified
         "pack_chunks": q_pack_chunks,                  # new in r4, never verified
         "pii_scan": q_pii_scan,                        # new in r4, never verified
@@ -1224,6 +1242,31 @@ JOIN orders o
  AND e.ts >= o.o_orderdate
  AND e.ts <= o.o_orderdate + INTERVAL 7 DAY
 GROUP BY e.user_id""",
+
+        "media_frame_sample": """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                         ELSE 'video' END AS kind,
+         octet_length(encode(text)) AS n_bytes,
+         CASE WHEN doc_id % 3 <> 0 THEN n_chars END AS duration_ms
+  FROM documents WHERE doc_id < 256),
+fr AS (
+  SELECT media_id, kind, n_bytes, u.frame_idx
+  FROM (SELECT *, GREATEST(1, CAST(FLOOR(duration_ms / 100.0) AS BIGINT)) AS n_frames
+        FROM media
+        WHERE kind IN ('audio', 'video') AND n_bytes > 0)
+  CROSS JOIN unnest(range(0, n_frames)) AS u(frame_idx)),
+calc AS (
+  SELECT media_id, kind,
+         (frame_idx * 32) % n_bytes + 1 AS byte_offset,
+         LEAST(32, n_bytes - ((frame_idx * 32) % n_bytes)) AS frame_len
+  FROM fr)
+SELECT kind, COUNT(DISTINCT media_id) AS n_media, COUNT(*) AS n_frames,
+       CAST(MIN(byte_offset) AS BIGINT) AS min_off,
+       CAST(MAX(byte_offset) AS BIGINT) AS max_off,
+       CAST(SUM(frame_len) AS BIGINT) AS sum_frame_bytes
+FROM calc GROUP BY kind""",
 
         "decontaminate": """
 WITH toks AS (

@@ -97,7 +97,10 @@ def media_from_documents(docs: DataFrame, limit: int | None = None) -> DataFrame
         F.concat(F.lit("application/x-doc")).alias("mime"),
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
-        F.lit(None).cast("long").alias("duration_ms"))
+        # time-based media get a deterministic duration (1 ms per source
+        # char) so frame sampling is a pure function of table data
+        F.when(F.col("doc_id") % 3 != 0, F.col("n_chars"))
+         .cast("long").alias("duration_ms"))
     return out.limit(limit) if limit else out
 
 
@@ -112,3 +115,47 @@ def make_demo_media(spark, n: int = 64) -> DataFrame:
                      64 + i % 64 if kind == "image" else None,
                      1000 * (i % 30) if kind != "image" else None))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def media_stats(df: DataFrame) -> DataFrame:
+    """Per-kind payload statistics — pure column expressions, no Python."""
+    return (df.groupBy("kind")
+              .agg(F.count(F.lit(1)).alias("n_media"),
+                   F.sum(F.length("content")).alias("total_bytes"),
+                   F.max(F.length("content")).alias("max_bytes"),
+                   F.countDistinct(F.sha2(F.col("content"), 256))
+                    .alias("n_distinct_payloads")))
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000,
+                  frame_bytes: int = 64) -> DataFrame:
+    """Frame sampling for time-based media (audio/video): one output row per
+    sampled frame, ``frame = content[i*frame_bytes : (i+1)*frame_bytes]``
+    with byte offsets wrapped modulo the payload size (the deterministic
+    stand-in for a real ffmpeg seek+decode — swap the frame expression for a
+    decoder UDF in an environment that has one; the fan-out plumbing,
+    schema, and partitioning do not change).
+
+    Entirely JVM-side: ``explode(sequence(...))`` for the fan-out and
+    ``substring`` on the binary payload — no Python in the path, so the
+    same arithmetic replays exactly in the DuckDB oracle.
+    """
+    n_frames = F.greatest(
+        F.lit(1),
+        (F.coalesce(F.col("duration_ms"), F.lit(0)) / F.lit(every_ms))
+        .cast("long"))
+    size = F.length("content")
+    frames = (df.filter(F.col("kind").isin("audio", "video"))
+                .filter(size > 0)
+                .select("media_id", "kind", "content", size.alias("n_bytes"),
+                        F.explode(F.sequence(F.lit(0), n_frames - 1))
+                         .alias("frame_idx")))
+    off = (F.col("frame_idx") * frame_bytes) % F.col("n_bytes") + 1
+    frame = F.expr(f"substring(content, "
+                   f"(frame_idx * {frame_bytes}) % n_bytes + 1, "
+                   f"{frame_bytes})")
+    return (frames.select("media_id", "kind", "frame_idx",
+                          off.alias("byte_offset"),
+                          frame.alias("frame"))
+                  .withColumn("frame_sha",
+                              F.sha2(F.col("frame"), 256)))

@@ -484,3 +484,32 @@ class TestPrefixSum:
         for i, v in enumerate(vals):
             cum += v
             assert out[i] == cum, i
+
+
+class TestMediaFrames:
+    def test_frame_hashes_deterministic_and_sliced(self, spark):
+        import hashlib
+        from arcticdb_spark.extensions.multimodal import (make_demo_media,
+                                                          sample_frames)
+        media = make_demo_media(spark, 30)
+        fr = sample_frames(media, every_ms=1000, frame_bytes=16)
+        rows = fr.collect()
+        assert rows, "audio/video rows must produce frames"
+        payloads = {r["media_id"]: bytes(r["content"])
+                    for r in media.collect()}
+        for r in rows:
+            payload = payloads[r["media_id"]]
+            off = (r["frame_idx"] * 16) % len(payload)
+            expected = payload[off:off + 16]
+            assert bytes(r["frame"]) == expected
+            assert r["frame_sha"] == hashlib.sha256(expected).hexdigest()
+        # images never produce frames
+        kinds = {r["kind"] for r in rows}
+        assert kinds <= {"audio", "video"}
+
+    def test_media_stats(self, spark):
+        from arcticdb_spark.extensions.multimodal import (make_demo_media,
+                                                          media_stats)
+        out = {r["kind"]: r for r in media_stats(make_demo_media(spark, 30)).collect()}
+        assert set(out) == {"image", "audio", "video"}
+        assert all(r["total_bytes"] > 0 for r in out.values())
