@@ -96,3 +96,25 @@ def test_sort_and_finalize_alias(tmp_lib):
     assert m.sorted == "ASCENDING"
     out = tmp_lib.read("s").toPandas()
     assert out["ts"].is_monotonic_increasing
+
+
+def test_salted_join_matches_plain(spark):
+    import numpy as np
+    from arcticdb_spark.plans.skew import salted_join
+    rng = np.random.default_rng(11)
+    # pathological skew: 60% of rows share one key
+    keys = np.where(rng.random(5000) < 0.6, 7, rng.integers(0, 50, 5000))
+    big = spark.createDataFrame(
+        [(int(k), float(i)) for i, k in enumerate(keys)], "k int, v double")
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(50)], "k int, name string")
+    plain = big.join(small, "k").groupBy("k").count()
+    salted = salted_join(big, small, "k").groupBy("k").count()
+    a = {r["k"]: r["count"] for r in plain.collect()}
+    b = {r["k"]: r["count"] for r in salted.collect()}
+    assert a == b
+    # left join keeps unmatched big rows
+    big2 = big.withColumn("k", F.col("k") + 40)   # some keys miss the dim
+    l_plain = big2.join(small, "k", "left").count()
+    l_salted = salted_join(big2, small, "k", how="left").count()
+    assert l_plain == l_salted
