@@ -23,13 +23,24 @@ Layout:
 
 from arcticdb_spark.session import get_spark
 from arcticdb_spark.query import QueryBuilder, col
-from arcticdb_spark.catalog import (Arctic, DataError, DeleteRequest,
-                                    MergeStrategy,
+from arcticdb_spark.expr import where
+from arcticdb_spark.catalog import (Arctic, ArcticException, DataError,
+                                    DeleteRequest, MergeStrategy,
+                                    MissingKeysInStageResultsError,
+                                    NoSuchVersionException,
                                     ReadInfoRequest, ReadRequest,
+                                    SchemaException, SortingException,
+                                    StageResult,
                                     UpdatePayload, WritePayload)
+from arcticdb_spark.lazy import (LazyDataFrame, LazyDataFrameCollection,
+                                 concat)
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "QueryBuilder", "col", "Arctic", "WritePayload",
-           "UpdatePayload", "DataError", "DeleteRequest", "MergeStrategy", "ReadRequest",
-           "ReadInfoRequest", "__version__"]
+__all__ = ["get_spark", "QueryBuilder", "col", "where", "Arctic",
+           "WritePayload", "UpdatePayload", "DataError", "DeleteRequest",
+           "MergeStrategy", "ReadRequest", "ReadInfoRequest", "StageResult",
+           "ArcticException", "NoSuchVersionException", "SortingException",
+           "SchemaException", "MissingKeysInStageResultsError",
+           "LazyDataFrame", "LazyDataFrameCollection", "concat",
+           "__version__"]
