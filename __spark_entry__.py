@@ -813,6 +813,27 @@ def q_multimodal_features(spark, sf):
         *[F.col("feat")[i].alias(f"feat_{i}") for i in range(dim)])
 
 
+def q_skew_salted_agg(spark, sf):
+    """Salted two-phase aggregation (``plans.skew.salted_groupby``) over the
+    hottest possible key distribution (a handful of event types): phase-1
+    partials on (key, salt) bound any single reducer, phase-2 merges the
+    <=16 partials per key. Exact for algebraic aggs, so the oracle is the
+    plain GROUP BY."""
+    from arcticdb_spark.plans.skew import salted_groupby
+    ev = load_table(spark, sf, "events")
+    out = salted_groupby(ev, "event_type",
+                         {"total": ("value", "sum"),
+                          "n": ("value", "count"),
+                          "lo": ("value", "min"),
+                          "hi": ("value", "max"),
+                          "avg": ("value", "mean")})
+    return out.select("event_type",
+                      F.round("total", 4).alias("total"), "n",
+                      F.round("lo", 4).alias("lo"),
+                      F.round("hi", 4).alias("hi"),
+                      F.round("avg", 4).alias("avg"))
+
+
 def q_media_frame_sample(spark, sf):
     """Video/audio frame sampling (``multimodal.py:sample_frames``): pure
     JVM fan-out — explode(sequence) per media row + binary substring per
@@ -907,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # formerly-red multimodal_features, and the two queries re-planned
         # this round (dedup_jaccard, semi_join_date_arith). Everything after
         # was green in CORRECTNESS_r03 on unchanged code.
+        "skew_salted_agg": q_skew_salted_agg,          # new in r4, never verified
         "media_frame_sample": q_media_frame_sample,    # new in r4, never verified
         "decontaminate": q_decontaminate,              # new in r4, never verified
         "pack_chunks": q_pack_chunks,                  # new in r4, never verified
@@ -1242,6 +1264,15 @@ JOIN orders o
  AND e.ts >= o.o_orderdate
  AND e.ts <= o.o_orderdate + INTERVAL 7 DAY
 GROUP BY e.user_id""",
+
+        "skew_salted_agg": """
+SELECT event_type,
+       ROUND(SUM(value), 4) AS total,
+       COUNT(value) AS n,
+       ROUND(MIN(value), 4) AS lo,
+       ROUND(MAX(value), 4) AS hi,
+       ROUND(AVG(value), 4) AS avg
+FROM events GROUP BY event_type""",
 
         "media_frame_sample": """
 WITH media AS (
