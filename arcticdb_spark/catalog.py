@@ -1334,7 +1334,8 @@ class Library:
     def read(self, symbol: str, as_of=None, date_range: tuple | None = None,
              row_range: tuple | None = None, columns: list[str] | None = None,
              query_builder=None, with_row_ids: bool = False,
-             lazy: bool = False, output_format: str = "spark"):
+             lazy: bool = False, output_format: str = "spark",
+             incomplete: bool = False):
         """Versioned scan with manifest-side pruning (``library.py:2022``).
 
         Pruning happens before Spark sees a path: date_range drops files by
@@ -1351,6 +1352,10 @@ class Library:
             # specified" is a user error — and the absolute-rowid row_range
             # would intersect wrongly with the date filter anyway
             raise ArcticException("Date range and row range both specified")
+        if incomplete:
+            return self._read_with_incompletes(
+                symbol, as_of=as_of, date_range=date_range, columns=columns,
+                query_builder=query_builder, output_format=output_format)
         if lazy:
             from arcticdb_spark.lazy import LazyDataFrame
             ldf = LazyDataFrame(self, symbol, dict(
@@ -1552,6 +1557,61 @@ class Library:
         if ROW_ID in df.columns and not with_row_ids:
             df = df.drop(ROW_ID)
         return self._format_output(df, output_format, m.norm_meta)
+
+    def _read_with_incompletes(self, symbol: str, as_of=None,
+                               date_range: tuple | None = None,
+                               columns: list[str] | None = None,
+                               query_builder=None,
+                               output_format: str = "spark"):
+        """Committed data unioned with staged (incomplete) chunks —
+        reference ``read(..., incomplete=True)`` (test_incompletes.py): the
+        live tail of a symbol whose collectors stage continuously. Works
+        with no committed version at all (staged-only read); raises when
+        neither committed nor staged data exists."""
+        import pandas as pd
+        seg_files = self._staged_segment_files(symbol)
+        has_base = self.has_symbol(symbol)
+        if not has_base and not seg_files:
+            raise NoSuchVersionException(
+                f"{symbol!r} has neither committed nor staged data")
+        idx = None
+        norm_meta = None
+        base = None
+        if has_base:
+            m = self._resolve_version(symbol, as_of)
+            idx = m.index_column
+            norm_meta = m.norm_meta
+            base = self.read(symbol, as_of=as_of)
+        if seg_files:
+            inc = self.spark.read.option("mergeSchema", "true") \
+                .parquet(*seg_files)
+            if idx is None:
+                idx = self._detect_index(inc, None)
+            if base is not None:
+                df = base.unionByName(inc, allowMissingColumns=True)
+            else:
+                df = inc
+        else:
+            df = base
+        if date_range is not None:
+            if idx is None:
+                raise ArcticException(
+                    f"{symbol!r}: date_range over incompletes needs a "
+                    "datetime index")
+            lo, hi = date_range
+            c = F.col(idx)
+            if lo is not None:
+                df = df.filter(c >= pd.Timestamp(lo))
+            if hi is not None:
+                df = df.filter(c <= pd.Timestamp(hi))
+        if columns:
+            keep = list(columns)
+            if idx and idx not in keep:
+                keep = [idx] + keep
+            df = df.select([c for c in keep if c in df.columns])
+        if query_builder is not None:
+            df = query_builder.to_df(df, idx)
+        return self._format_output(df, output_format, norm_meta)
 
     @staticmethod
     def _format_output(df: DataFrame, output_format: str, norm_meta=None):

@@ -1,0 +1,72 @@
+"""read(incomplete=True) ported from the reference's
+``python/tests/unit/arcticdb/version_store/test_incompletes.py``: the live
+tail — committed data unioned with staged chunks.
+"""
+import numpy as np
+import pandas as pd
+import pytest
+
+from arcticdb_spark.catalog import NoSuchVersionException
+
+
+def _df(n=10):
+    return pd.DataFrame({"col": np.arange(n, dtype=np.int64)},
+                        index=pd.date_range("2024-01-01", periods=n,
+                                            name="ts"))
+
+
+def test_read_incompletes_with_indexed_data(tmp_lib):
+    df = _df()
+    tmp_lib.write("sym", df.iloc[:5])
+    for i in range(5, 10):
+        tmp_lib.stage("sym", df.iloc[i:i + 1])
+    # plain read sees only the committed half
+    assert tmp_lib.read("sym").count() == 5
+    out = tmp_lib.read("sym", date_range=(df.index[1], df.index[-2]),
+                       incomplete=True, output_format="pandas")
+    assert sorted(out["col"].tolist()) == list(range(1, 9))
+
+
+def test_read_incompletes_no_indexed_data(tmp_lib):
+    df = _df()
+    for i in range(10):
+        tmp_lib.stage("sym", df.iloc[i:i + 1])
+    assert not tmp_lib.has_symbol("sym")
+    out = tmp_lib.read("sym", date_range=(df.index[1], df.index[-2]),
+                       incomplete=True, output_format="pandas")
+    assert sorted(out["col"].tolist()) == list(range(1, 9))
+
+
+def test_read_incompletes_non_existent_symbol(tmp_lib):
+    with pytest.raises(NoSuchVersionException):
+        tmp_lib.read("nope", date_range=(pd.Timestamp(0), pd.Timestamp(1)),
+                     incomplete=True)
+
+
+def test_read_incompletes_columns_and_query(tmp_lib):
+    df = _df()
+    df["extra"] = df["col"] * 2.0
+    tmp_lib.write("sym", df.iloc[:5])
+    tmp_lib.stage("sym", df.iloc[5:])
+    out = tmp_lib.read("sym", columns=["col"], incomplete=True)
+    assert set(out.columns) == {"ts", "col"}
+    from arcticdb_spark.query import QueryBuilder
+    q = QueryBuilder()
+    q = q[q["col"] >= 7]
+    out = tmp_lib.read("sym", query_builder=q, incomplete=True)
+    assert out.count() == 3
+
+
+def test_read_incompletes_dynamic_columns(tmp_lib):
+    # staged chunks may carry new columns (reference
+    # test_read_incompletes_dynamic)
+    df = _df(4)
+    tmp_lib.write("sym", df)
+    extra = pd.DataFrame(
+        {"col": [99], "newcol": [1.5]},
+        index=pd.DatetimeIndex([pd.Timestamp("2024-02-01")], name="ts"))
+    tmp_lib.stage("sym", extra)
+    out = tmp_lib.read("sym", incomplete=True, output_format="pandas")
+    assert "newcol" in out.columns
+    assert out["newcol"].notna().sum() == 1
+    assert len(out) == 5
