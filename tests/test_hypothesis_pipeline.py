@@ -106,3 +106,45 @@ def test_filter_then_tail_negative_range(pdf, thresh):
     out = q.to_df(df, index_column="ts").toPandas().sort_values("ts")
     exp = pdf[pdf["a"] > thresh].tail(5)
     assert out["a"].tolist() == exp["a"].tolist()
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(pdf=frames(),
+       chain=st.lists(st.sampled_from(
+           ["filter", "project", "date_range", "row_range", "head", "tail"]),
+           min_size=1, max_size=3),
+       thresh=st.integers(-30, 30),
+       lo_i=st.integers(0, 20), width=st.integers(1, 15),
+       n_pos=st.integers(0, 12))
+def test_random_clause_chains(pdf, chain, thresh, lo_i, width, n_pos):
+    """Random 1-3 clause chains vs a step-by-step pandas replica — pins
+    composition semantics beyond the enumerated pairwise matrix (positions
+    rebased after filters, index threading, inclusive date_range)."""
+    df = _spark.createDataFrame(pdf)
+    q = QueryBuilder(index_column="ts")
+    p = pdf.copy()
+    for kind in chain:
+        if kind == "filter":
+            q = q[q["a"] > thresh]
+            p = p[p["a"] > thresh]
+        elif kind == "project":
+            q = q.apply("c", q["a"] * 2)
+            p = p.assign(c=p["a"] * 2)
+        elif kind == "date_range":
+            lo = pdf["ts"].iloc[0] + pd.Timedelta(hours=lo_i)
+            hi = lo + pd.Timedelta(hours=width)
+            q = q.date_range((lo, hi))
+            p = p[(p["ts"] >= lo) & (p["ts"] <= hi)]
+        elif kind == "row_range":
+            q = q.row_range((lo_i, lo_i + width))
+            p = p.iloc[lo_i:lo_i + width]
+        elif kind == "head":
+            q = q.head(n_pos)
+            p = p.head(n_pos)
+        elif kind == "tail":
+            q = q.tail(n_pos)
+            p = p.tail(n_pos)
+    out = q.to_df(df).toPandas()
+    assert len(out) == len(p), (chain, len(out), len(p))
+    assert sorted(out["a"].tolist()) == sorted(p["a"].tolist()), chain
