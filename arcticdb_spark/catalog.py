@@ -625,6 +625,33 @@ class Library:
                          "dtype": str(df.dtype)}
         if isinstance(df, pd.DataFrame):
             pdf = df
+            # non-string column names (bool/int/float — reference
+            # _column_name_to_strings, test_write.py
+            # test_write_bool_named_columns): stringify for the physical
+            # schema, record the original kind for pandas-output restore.
+            renamed = None
+            if any(not isinstance(c, str) for c in pdf.columns):
+                renamed = []
+                phys_cols = []
+                for c in pdf.columns:
+                    phys_cols.append(str(c))
+                    kind = ("bool" if isinstance(c, bool) else
+                            "int" if isinstance(c, (int, np.integer)) else
+                            "float" if isinstance(c, (float, np.floating))
+                            else "str")
+                    renamed.append([str(c), kind])
+                pdf = pdf.copy(deep=False)
+                pdf.columns = phys_cols
+            if len(set(pdf.columns)) != len(pdf.columns):
+                dupes = sorted({c for c in pdf.columns
+                                if list(pdf.columns).count(c) > 1})
+                raise ArcticException(
+                    f"duplicate column names are unsupported: {dupes}")
+            if renamed is not None:
+                sdf, meta = self._normalize(pdf)
+                meta = dict(meta or {})
+                meta["renamed_cols"] = renamed
+                return sdf, meta
             if isinstance(pdf.index, pd.MultiIndex):
                 names = list(pdf.index.names)
                 phys = []
@@ -1637,6 +1664,15 @@ class Library:
                     and all(c in pdf.columns for c in norm_meta["physical"])):
                 pdf = pdf.set_index(norm_meta["physical"])
                 pdf.index = pdf.index.set_names(norm_meta["level_names"])
+            ren = (norm_meta or {}).get("renamed_cols")
+            if ren:
+                back = {}
+                for phys, kind in ren:
+                    back[phys] = (phys == "True" if kind == "bool"
+                                  else int(phys) if kind == "int"
+                                  else float(phys) if kind == "float"
+                                  else phys)
+                pdf = pdf.rename(columns=back)
             s = (norm_meta or {}).get("series")
             if s and s["col"] in pdf.columns:
                 # reference SeriesNormalizer.denormalize: back to a Series

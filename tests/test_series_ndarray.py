@@ -132,3 +132,19 @@ def test_arrow_record_batch_and_zero_rows(tmp_lib):
     out = tmp_lib.read("z")
     assert out.count() == 0
     assert set(out.columns) == {"x", "y"}
+
+
+def test_non_string_column_names(tmp_lib):
+    # reference test_write_bool_named_columns / _column_name_to_strings
+    from arcticdb_spark.catalog import ArcticException
+    df = pd.DataFrame({True: [1, 2], False: [3, 4], 7: [5.0, 6.0]})
+    tmp_lib.write("b", df)
+    out = tmp_lib.read("b", output_format="pandas")
+    assert list(out.columns) == [True, False, 7]
+    assert out[True].tolist() == [1, 2]
+    # spark output keeps the stringified physical names
+    assert set(tmp_lib.read("b").columns) == {"True", "False", "7"}
+    # duplicate names raise cleanly
+    dup = pd.DataFrame([[1, 2]], columns=["x", "x"])
+    with pytest.raises(ArcticException, match="duplicate column"):
+        tmp_lib.write("d", dup)
