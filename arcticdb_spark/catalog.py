@@ -2030,6 +2030,22 @@ class Library:
     def read_metadata(self, symbol: str, as_of=None):
         return self._resolve_version(symbol, as_of).metadata
 
+    def column_names(self, symbol: str, as_of=None) -> list[str]:
+        """Reference ``_store.py:3441``: column names of a version straight
+        from the manifest — no data scan."""
+        m = self._resolve_version(symbol, as_of)
+        from pyspark.sql import types as T
+        schema = T.StructType.fromJson(json.loads(m.schema_json))
+        return [f.name for f in schema.fields if f.name != m.index_column]
+
+    def get_num_rows(self, symbol: str, as_of=None) -> int | None:
+        """Reference ``_store.py:3758``: row count from the manifest;
+        None for pickled symbols (their physical rows are chunk rows)."""
+        m = self._resolve_version(symbol, as_of)
+        if self._is_pickled(m) or self._is_recursive(m):
+            return None
+        return m.total_rows
+
     def write_metadata(self, symbol: str, metadata) -> VersionManifest:
         prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
         m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(),

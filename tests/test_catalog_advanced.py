@@ -437,3 +437,22 @@ def test_list_versions_snapshot_annotations(tmp_lib):
     tmp_lib.delete_snapshot("snap1")
     vs = [r["version"] for r in tmp_lib.list_versions("a")]
     assert 1 not in vs
+
+
+def test_column_names_and_num_rows(tmp_lib):
+    # reference test_api.py test_column_names_by_version/_snapshot,
+    # test_get_num_rows, test_get_num_rows_pickled
+    import pandas as pd
+    df1 = pd.DataFrame({"x": [1.0]},
+                       index=pd.date_range("2024-01-01", periods=1, name="ts"))
+    df2 = pd.DataFrame({"x": [1.0], "y": [2.0]},
+                       index=pd.date_range("2024-01-02", periods=1, name="ts"))
+    tmp_lib.write("sym", df1)
+    tmp_lib.snapshot("snap")
+    tmp_lib.write("sym", df2)
+    assert tmp_lib.column_names("sym") == ["x", "y"]
+    assert tmp_lib.column_names("sym", as_of=0) == ["x"]
+    assert tmp_lib.column_names("sym", as_of="snap") == ["x"]
+    assert tmp_lib.get_num_rows("sym") == 1
+    tmp_lib.write_pickle("pkl", list(range(100)))
+    assert tmp_lib.get_num_rows("pkl") is None
