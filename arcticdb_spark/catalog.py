@@ -647,6 +647,17 @@ class Library:
                                 if list(pdf.columns).count(c) > 1})
                 raise ArcticException(
                     f"duplicate column names are unsupported: {dupes}")
+            # object columns mixing strings with numbers would silently
+            # stringify through Arrow fallback — the reference raises a
+            # normalization error (test_string.py test_mixed_types_errors)
+            from pandas.api.types import infer_dtype
+            for c in pdf.columns:
+                if pdf[c].dtype == object:
+                    k = infer_dtype(pdf[c], skipna=True)
+                    if k in ("mixed", "mixed-integer"):
+                        raise ArcticException(
+                            f"column {c!r} mixes strings with other types "
+                            f"(pandas inferred {k!r}); normalize it first")
             if renamed is not None:
                 sdf, meta = self._normalize(pdf)
                 meta = dict(meta or {})

@@ -148,3 +148,18 @@ def test_non_string_column_names(tmp_lib):
     dup = pd.DataFrame([[1, 2]], columns=["x", "x"])
     with pytest.raises(ArcticException, match="duplicate column"):
         tmp_lib.write("d", dup)
+
+
+def test_mixed_type_object_column_rejected(tmp_lib):
+    # reference test_string.py test_mixed_types_errors: str+int object
+    # columns raise instead of silently stringifying
+    from arcticdb_spark.catalog import ArcticException
+    with pytest.raises(ArcticException, match="mixes strings"):
+        tmp_lib.write("m", pd.DataFrame({"col": ["a", 1, 2.5]}))
+    # pure-string object columns (with missing) still work
+    tmp_lib.write("s", pd.DataFrame({"col": ["a", None, "c"]}))
+    assert tmp_lib.read("s").count() == 3
+    # numeric object columns coerce numerically, not to strings
+    tmp_lib.write("n", pd.DataFrame({"col": pd.Series([1, 2.5], dtype=object)}))
+    out = tmp_lib.read("n", output_format="pandas")
+    assert out["col"].tolist() == [1.0, 2.5]
