@@ -653,6 +653,11 @@ class Library:
             from pandas.api.types import infer_dtype
             for c in pdf.columns:
                 if pdf[c].dtype == object:
+                    vals = pdf[c].dropna()
+                    if len(vals) and isinstance(
+                            vals.iloc[0], (list, tuple, np.ndarray, dict,
+                                           bytes, bytearray)):
+                        continue  # ragged arrays / binary payloads are fine
                     k = infer_dtype(pdf[c], skipna=True)
                     if k in ("mixed", "mixed-integer"):
                         raise ArcticException(
