@@ -1100,7 +1100,10 @@ class Library:
         if self._is_pickled(prev):
             raise ArcticException(f"cannot append to pickled symbol {symbol!r}")
         if (prev.norm_meta or {}).get("index_type") == "ndarray":
-            return self._append_ndarray(symbol, prev, df, metadata)
+            out = self._append_ndarray(symbol, prev, df, metadata)
+            if prune_previous_versions:
+                self.prune_previous_versions(symbol)
+            return out
         chunk_sorted = self._input_sortedness(df)
         if validate_index and (prev.sorted == "UNSORTED"
                                or chunk_sorted == "UNSORTED"):
@@ -1163,7 +1166,12 @@ class Library:
         pdf = pd.DataFrame({"__pos__": np.arange(offset, offset + flat.size,
                                                  dtype=np.int64),
                             "ndarray": flat})
-        sdf = self.spark.createDataFrame(pdf)
+        if flat.size == 0:
+            # inference needs data — same zero-row path as write()
+            sdf = self.spark.createDataFrame(
+                pdf, schema=_schema_from_pandas_dtypes(pdf))
+        else:
+            sdf = self.spark.createDataFrame(pdf)
         new_files = self._write_data_files(symbol, sdf, None, sort=False)
         nm["shape"] = [old_shape[0] + int(arr.shape[0])] + old_shape[1:] \
             if old_shape else [int(arr.shape[0])]
@@ -1396,6 +1404,13 @@ class Library:
             # would intersect wrongly with the date filter anyway
             raise ArcticException("Date range and row range both specified")
         if incomplete:
+            # the incomplete path forwards only as_of/date_range/columns/
+            # query_builder — raise on anything it would silently drop
+            if row_range is not None or with_row_ids or lazy:
+                raise ArcticException(
+                    "read(incomplete=True) supports as_of/date_range/"
+                    "columns/query_builder only (row_range, with_row_ids "
+                    "and lazy are unsupported with incompletes)")
             return self._read_with_incompletes(
                 symbol, as_of=as_of, date_range=date_range, columns=columns,
                 query_builder=query_builder, output_format=output_format)
@@ -2013,10 +2028,16 @@ class Library:
         ``skip_snapshots`` skips the snapshot annotation (faster)."""
         if snapshot is not None:
             snap = self._load_snapshot(snapshot)["symbols"]
-            return [{"symbol": s, "version": v, "snapshots": [snapshot],
-                     "deleted": v in set(self._load_ref(s).get("deleted", ()))}
-                    for s, v in sorted(snap.items())
-                    if symbol is None or s == symbol]
+            out = []
+            for s, v in sorted(snap.items()):
+                if symbol is not None and s != symbol:
+                    continue
+                m = self._load_manifest(s, v)  # snapshot pins it -> exists
+                out.append({"symbol": s, "version": v,
+                            "date": m.created_ns, "rows": m.total_rows,
+                            "snapshots": [snapshot],
+                            "deleted": v in set(self._load_ref(s).get("deleted", ()))})
+            return out
         by_ver: dict[tuple, list] = {}
         if not skip_snapshots:
             for name in self.list_snapshots():

@@ -267,13 +267,28 @@ def kmeans(corpus: DataFrame, k: int = 8, iters: int = 2,
     base = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
-    assigned = _kmeans_estep(base, cents)
-    for _ in range(iters - 1):
-        new_rows = (assigned.groupBy("cluster")
-                    .agg(*[F.round(F.avg(F.col("v")[i]), 9).alias(f"c{i}")
-                           for i in range(dim)])
-                    .collect())
-        cents = {**cents, **{int(r["cluster"]): [r[f"c{i}"] for i in range(dim)]
-                             for r in new_rows}}
+    # One input scan total: every E-step re-reads (vec_id, v), so cache it
+    # once before the loop. Without this each Lloyd iteration re-scans the
+    # full table — a 100 TB scan per iteration. (Lazy persist: the first
+    # E-step's M-step materializes it.)
+    if iters > 1:
+        base = base.persist()
+    try:
         assigned = _kmeans_estep(base, cents)
-    return assigned.select("vec_id", "cluster", "dist")
+        for _ in range(iters - 1):
+            new_rows = (assigned.groupBy("cluster")
+                        .agg(*[F.round(F.avg(F.col("v")[i]), 9).alias(f"c{i}")
+                               for i in range(dim)])
+                        .collect())
+            cents = {**cents, **{int(r["cluster"]): [r[f"c{i}"] for i in range(dim)]
+                                 for r in new_rows}}
+            assigned = _kmeans_estep(base, cents)
+        # materialize the final assignment before releasing the cached base
+        out = assigned.select("vec_id", "cluster", "dist")
+        if iters > 1:
+            out = out.persist()
+            out.count()
+        return out
+    finally:
+        if iters > 1:
+            base.unpersist()

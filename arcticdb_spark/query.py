@@ -108,17 +108,19 @@ class QueryBuilder:
     def resample(self, rule: str, closed: str | None = None,
                  label: str | None = None, offset: str | None = None,
                  origin: Any = "epoch") -> "QueryBuilder":
-        # calendar-anchored frequencies (ME, QS, YE, BMS, ...) have
-        # data-dependent bucket widths; the reference rejects them at
-        # builder time (ArcticDbNotYetImplemented,
-        # test_resample_rejects_unsupported_frequency_strings) and so do we
+        # calendar-anchored frequencies (ME, QS, YE, BMS, ...) — and Week,
+        # which pd.Timestamp.floor() also refuses — have data-dependent or
+        # anchored bucket edges; the reference rejects them at builder time
+        # (ArcticDbNotYetImplemented,
+        # test_resample_rejects_unsupported_frequency_strings). Only Tick
+        # (fixed-nanosecond) rules build; use '7D' for week-width buckets.
         from pandas.tseries.frequencies import to_offset
-        from pandas.tseries.offsets import Tick, Week
+        from pandas.tseries.offsets import Tick
         try:
             off = to_offset(rule)
         except ValueError:
             off = None
-        if off is None or not isinstance(off, (Tick, Week)):
+        if off is None or not isinstance(off, Tick):
             raise ExpressionError(
                 f"resample rule {rule!r} is not a fixed-width frequency "
                 "(calendar-anchored rules are unsupported)")

@@ -92,8 +92,13 @@ def test_resample_rejects_calendar_anchored_frequencies():
             QueryBuilder().resample(freq)
         with pytest.raises(ExpressionError):
             QueryBuilder().resample("2" + freq)
-    # fixed-width rules still build
-    for freq in ["1h", "15min", "D", "7D", "W", "30s"]:
+    # Week is anchored (pd.Timestamp.floor('W') raises) -> builder rejects,
+    # matching the reference; '7D' is the fixed-width spelling
+    for freq in ["W", "W-MON", "2W"]:
+        with pytest.raises(ExpressionError):
+            QueryBuilder().resample(freq)
+    # fixed-width (Tick) rules still build
+    for freq in ["1h", "15min", "D", "7D", "30s"]:
         QueryBuilder().resample(freq)
 
 

@@ -163,3 +163,49 @@ def test_mixed_type_object_column_rejected(tmp_lib):
     tmp_lib.write("n", pd.DataFrame({"col": pd.Series([1, 2.5], dtype=object)}))
     out = tmp_lib.read("n", output_format="pandas")
     assert out["col"].tolist() == [1.0, 2.5]
+
+
+def test_ndarray_append_prunes_and_empty(tmp_lib):
+    # advisor round-4: prune_previous_versions was silently ignored on the
+    # ndarray append path, and an empty-array append crashed on zero-row
+    # schema inference
+    arr = np.arange(6, dtype=np.int64)
+    tmp_lib.write("a", arr)
+    tmp_lib.append("a", np.arange(6, 10, dtype=np.int64),
+                   prune_previous_versions=True)
+    vers = [v["version"] for v in tmp_lib.list_versions("a")]
+    assert vers == [1]
+    out = tmp_lib.read("a", output_format="pandas")
+    assert out.tolist() == list(range(10))
+    # empty append: no-op rows, still a new version, shape unchanged on axis0
+    tmp_lib.append("a", np.array([], dtype=np.int64))
+    out2 = tmp_lib.read("a", output_format="pandas")
+    assert out2.tolist() == list(range(10))
+
+
+def test_read_incomplete_rejects_unsupported_params(tmp_lib):
+    # advisor round-4: read(incomplete=True) silently dropped row_range /
+    # with_row_ids / lazy — now an explicit error
+    df = pd.DataFrame({"v": [1.0, 2.0]},
+                      index=pd.date_range("2024-01-01", periods=2, name="ts"))
+    tmp_lib.write("s", df)
+    with pytest.raises(ArcticException, match="incomplete"):
+        tmp_lib.read("s", row_range=(0, 1), incomplete=True)
+    with pytest.raises(ArcticException, match="incomplete"):
+        tmp_lib.read("s", with_row_ids=True, incomplete=True)
+    with pytest.raises(ArcticException, match="incomplete"):
+        tmp_lib.read("s", lazy=True, incomplete=True)
+
+
+def test_list_versions_snapshot_row_schema(tmp_lib):
+    # advisor round-4: the snapshot branch omitted 'date'/'rows' keys
+    df = pd.DataFrame({"v": [1.0, 2.0, 3.0]},
+                      index=pd.date_range("2024-01-01", periods=3, name="ts"))
+    tmp_lib.write("s", df)
+    tmp_lib.snapshot("snap1")
+    rows = tmp_lib.list_versions(snapshot="snap1")
+    assert len(rows) == 1
+    r = rows[0]
+    assert set(r) == {"symbol", "version", "date", "rows", "snapshots",
+                      "deleted"}
+    assert r["rows"] == 3 and r["snapshots"] == ["snap1"]
