@@ -884,13 +884,11 @@ def q_pack_chunks(spark, sf):
                   F.max("last_chunk").alias("max_chunk")))
 
 
-def q_pii_scan(spark, sf):
-    """PII scan/redaction accounting (``text.py:pii_scan``): the synthetic
-    corpus is PII-free, so the query plants deterministic emails/IPv4s on a
-    doc_id schedule (replicated verbatim in the oracle SQL), then counts
-    matches per source with JVM-side regexp_count — no Python in the path."""
-    d = load_table(spark, sf, "documents")
-    planted = d.withColumn(
+def _plant_pii(d):
+    """Deterministic PII planting on a doc_id schedule — the synthetic
+    corpus is PII-free; the same schedule is replicated verbatim in the
+    pii_scan / pii_redact oracle SQL."""
+    return d.withColumn(
         "text",
         F.concat(
             F.col("text"),
@@ -904,6 +902,13 @@ def q_pii_scan(spark, sf):
                             (F.col("doc_id") % 256).cast("string"),
                             F.lit(".1")))
              .otherwise(F.lit(""))))
+
+
+def q_pii_scan(spark, sf):
+    """PII scan/redaction accounting (``text.py:pii_scan``): plants
+    deterministic emails/IPv4s, then counts matches per source with
+    JVM-side regexp_count — no Python in the path."""
+    planted = _plant_pii(load_table(spark, sf, "documents"))
     r = xtext.pii_scan(planted)
     return (r.groupBy("source")
              .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -914,6 +919,70 @@ def q_pii_scan(spark, sf):
                    .alias("n_docs_with_pii")))
 
 
+def q_pii_redact(spark, sf):
+    """PII redaction (``text.py:pii_redact``): a JVM-side regexp_replace
+    chain (email then ipv4, the pii_scan pattern order) — whole-stage
+    codegen, no Python. The oracle replays it with DuckDB
+    regexp_replace(..., 'g') in the same order on the same planted text."""
+    planted = _plant_pii(load_table(spark, sf, "documents"))
+    r = xtext.pii_redact(planted)
+    return (r.filter((F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 11 == 0))
+             .select("doc_id", F.col("text").alias("redacted")))
+
+
+def q_salted_join(spark, sf):
+    """Skew-proof equi-join (``plans.skew.salted_join``): the big side's
+    key is salted, each small row replicated once per salt value, joined on
+    (key, salt) — per-reducer work for a hot key drops by the salt factor.
+    Output is exactly the plain join, so the oracle is the unsalted JOIN +
+    GROUP BY (cents-quantized sum for order-independent float math)."""
+    from arcticdb_spark.plans.skew import salted_join
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice")
+    c = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment")
+    j = salted_join(o, c, "custkey", salt=8)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (j.groupBy("c_mktsegment")
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  (F.sum(cents).cast("double") / 100).alias("total_price")))
+
+
+def q_simhash_dedup(spark, sf):
+    """Cluster-form SimHash dedup (``dedup.py:simhash_dedup``): connected
+    components run on the distinct-hash graph (thousands of nodes no matter
+    the doc count), each component keeps its min doc_id. The oracle is a
+    recursive reachability CTE over the exact doc-level SimHash pair set
+    (same 60-bit majority-vote + banding integer math as dedup_simhash)."""
+    d = load_table(spark, sf, "documents")
+    return xdedup.simhash_dedup(d, max_hamming=6, bands=4).select("doc_id")
+
+
+def q_categorical_roundtrip(spark, sf):
+    """Categorical normalization end-to-end through the versioned library
+    (reference test_categorical.py): write a frame whose ``source`` column
+    is pandas Categorical, read back as pandas (CategoricalDtype must
+    restore — asserted here, so a regression fails the driver row), then
+    aggregate the Spark-format read, which exposes decoded values."""
+    import pandas as pd
+    import tempfile
+    from arcticdb_spark.catalog import Arctic
+    docs = (load_table(spark, sf, "documents")
+            .select("doc_id", "source", "lang"))
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    cats = sorted(pdf["source"].dropna().unique())
+    pdf["source"] = pd.Categorical(pdf["source"], categories=cats)
+    lib = Arctic(tempfile.mkdtemp(), spark).create_library("catlib")
+    lib.write("docs", pdf)
+    back = lib.read("docs", output_format="pandas")
+    assert isinstance(back["source"].dtype, pd.CategoricalDtype)
+    assert list(back["source"].dtype.categories) == cats
+    out = lib.read("docs")
+    return (out.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.countDistinct("lang").alias("n_langs")))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -922,24 +991,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDERING POLICY (round 4+): least-recently-driver-verified first.
         # The driver checks only the first ~50 entries per round, so a static
-        # order starves the tail. Front block = queries with no green row on
-        # CURRENT code: dedup_cluster (never driver-verified), the round-2
-        # rewritten dedup_minhash/dedup_exact, the r01-only tail, the
-        # formerly-red multimodal_features, and the two queries re-planned
-        # this round (dedup_jaccard, semi_join_date_arith). Everything after
-        # was green in CORRECTNESS_r03 on unchanged code.
-        "skew_salted_agg": q_skew_salted_agg,          # new in r4, never verified
-        "media_frame_sample": q_media_frame_sample,    # new in r4, never verified
-        "decontaminate": q_decontaminate,              # new in r4, never verified
-        "pack_chunks": q_pack_chunks,                  # new in r4, never verified
-        "pii_scan": q_pii_scan,                        # new in r4, never verified
-        "range_join": q_range_join,                    # new in r4, never verified
-        "dup_ngram_fraction": q_dup_ngram_fraction,    # new in r4, never verified
-        "embedding_kmeans": q_embedding_kmeans,        # new in r4, never verified
-        "quality_repetition": q_quality_repetition,    # new in r4, never verified
-        "embedding_centroids": q_embedding_centroids,  # new in r4, never verified
-        "sample_split": q_sample_split,            # new in r4, never verified
-        "sample_stratified": q_sample_stratified,  # new in r4, never verified
+        # order starves the tail. Round-5 sort: new-this-round queries (never
+        # driver-verified) lead, then the 22 queries whose last green row is
+        # CORRECTNESS_r03 (the r04 rotation's tail), then the 50 r04-green
+        # queries. Union r04∪r05 covers the whole registry on current code.
+        # --- new in r5, never driver-verified ---
+        "salted_join": q_salted_join,
+        "simhash_dedup": q_simhash_dedup,
+        "pii_redact": q_pii_redact,
+        "categorical_roundtrip": q_categorical_roundtrip,
+        # --- last green row is r03 (stale two rounds if skipped) ---
+        "date_range": q_date_range,
+        "head": q_head,
+        "tail": q_tail,
+        "row_range": q_row_range,
+        "concat_outer": q_concat_outer,
+        "concat_inner": q_concat_inner,
+        "merge_update_upsert": q_merge_update_upsert,
+        "update_range_surgery": q_update_range_surgery,
+        "join_revenue": q_join_revenue,
+        "anti_join": q_anti_join,
+        "except_users": q_except_users,
+        "topk_per_group": q_topk_per_group,
+        "window_lag_lead": q_window_lag_lead,
+        "cumulative_sum": q_cumulative_sum,
+        "distinct_agg": q_distinct_agg,
+        "pivot": q_pivot,
+        "percentiles": q_percentiles,
+        "set_ops": q_set_ops,
+        "rollup": q_rollup,
+        "unpivot": q_unpivot,
+        "ngram_top": q_ngram_top,
+        "token_frequencies": q_token_frequencies,
+        # --- green in CORRECTNESS_r04 on current code ---
+        "skew_salted_agg": q_skew_salted_agg,
+        "media_frame_sample": q_media_frame_sample,
+        "decontaminate": q_decontaminate,
+        "pack_chunks": q_pack_chunks,
+        "pii_scan": q_pii_scan,
+        "range_join": q_range_join,
+        "dup_ngram_fraction": q_dup_ngram_fraction,
+        "embedding_kmeans": q_embedding_kmeans,
+        "quality_repetition": q_quality_repetition,
+        "embedding_centroids": q_embedding_centroids,
+        "sample_split": q_sample_split,
+        "sample_stratified": q_sample_stratified,
         "dedup_cluster": q_dedup_cluster,
         "dedup_minhash": q_dedup_minhash,
         "dedup_exact": q_dedup_exact,
@@ -953,7 +1049,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "dedup_jaccard": q_dedup_jaccard,
         "semi_join_date_arith": q_semi_join_date_arith,
-        # --- green in r03 on current code (re-verified on rotation) ---
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "similarity_bruteforce": q_similarity_bruteforce,
@@ -979,28 +1074,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "project_then_groupby": q_project_then_groupby,
         "pipeline_filter_head": q_pipeline_filter_head,
-        "date_range": q_date_range,
-        "head": q_head,
-        "tail": q_tail,
-        "row_range": q_row_range,
-        "concat_outer": q_concat_outer,
-        "concat_inner": q_concat_inner,
-        "merge_update_upsert": q_merge_update_upsert,
-        "update_range_surgery": q_update_range_surgery,
-        "join_revenue": q_join_revenue,
-        "anti_join": q_anti_join,
-        "except_users": q_except_users,
-        "topk_per_group": q_topk_per_group,
-        "window_lag_lead": q_window_lag_lead,
-        "cumulative_sum": q_cumulative_sum,
-        "distinct_agg": q_distinct_agg,
-        "pivot": q_pivot,
-        "percentiles": q_percentiles,
-        "set_ops": q_set_ops,
-        "rollup": q_rollup,
-        "unpivot": q_unpivot,
-        "ngram_top": q_ngram_top,
-        "token_frequencies": q_token_frequencies,
     }
 
 
@@ -1177,6 +1250,26 @@ FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}"""
 
 
+def _simhash_dedup_sql(max_hamming: int = 6, bands: int = 4) -> str:
+    """Cluster-form SimHash dedup oracle: connected components over the
+    exact doc-level SimHash pair set (``_simhash_sql`` — same-hash docs
+    share every band chunk at Hamming 0, so identical-hash grouping falls
+    out of the same edge set), keep the min doc_id per component. Mirrors
+    dedup.simhash_dedup's hash-graph clustering semantics."""
+    return f"""
+WITH RECURSIVE cand AS ({_simhash_sql(max_hamming, bands)}),
+edges AS (SELECT id_a AS a, id_b AS b FROM cand
+          UNION ALL
+          SELECT id_b AS a, id_a AS b FROM cand),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE cluster <> id)"""
+
+
 def _multimodal_sql(dim: int = 8, limit: int = 64) -> str:
     """Replicates the fake decoder from the raw payload bytes: n_bytes,
     sha256 hex, and dim exact (chunk / 2^32) double features, flattened to
@@ -1273,6 +1366,43 @@ SELECT event_type,
        ROUND(MAX(value), 4) AS hi,
        ROUND(AVG(value), 4) AS avg
 FROM events GROUP BY event_type""",
+
+        # salting is plan-shape only: the salted join's output IS the plain
+        # join, so the oracle is the unsalted equivalent
+        "salted_join": """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment""",
+
+        "pii_redact": """
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                 ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+         '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}',
+         '<IPV4>', 'g') AS redacted
+FROM planted
+WHERE doc_id % 7 = 0 OR doc_id % 11 = 0""",
+
+        "simhash_dedup": _simhash_dedup_sql(),
+
+        "categorical_roundtrip": """
+SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs
+FROM documents GROUP BY source""",
 
         "media_frame_sample": """
 WITH media AS (

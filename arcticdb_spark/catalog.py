@@ -55,6 +55,11 @@ class SortingException(ArcticException):
     pass
 
 
+class ArcticDbNotYetImplemented(ArcticException):
+    """Reference ArcticDbNotYetImplemented: valid input the engine does not
+    support yet (e.g. append/update on categorical symbols)."""
+
+
 class SchemaException(ArcticException):
     """Incompatible schemas/indexes for an operation (reference
     SchemaException, e.g. concat of range-indexed with ts-indexed symbols)."""
@@ -625,6 +630,49 @@ class Library:
                          "dtype": str(df.dtype)}
         if isinstance(df, pd.DataFrame):
             pdf = df
+            # pandas Categorical columns (reference _to_primitive,
+            # _normalization.py:230-236 + restore at :1203-1217): the
+            # reference stores codes + a categories list in norm meta and
+            # rebuilds the CategoricalDtype on read. Spark-first variant:
+            # store the decoded VALUES physically (parquet dictionary
+            # encoding gives the same storage win and filters/queries see
+            # real values), record the ordered category list in norm_meta,
+            # and re-categorize on pandas output — round-trips dtype,
+            # category order and unobserved categories exactly.
+            # detect via dtypes.items(), not pdf[c]: a bool column NAME
+            # (pdf[True]) trips pandas' indexing ambiguity
+            cat_cols = [c for c, dt in pdf.dtypes.items()
+                        if isinstance(dt, pd.CategoricalDtype)]
+            if cat_cols:
+                from pandas.api.types import is_integer_dtype
+                pdf = pdf.copy(deep=False)
+                cat_meta = {}
+                for c in cat_cols:
+                    pos = list(pdf.columns).index(c)
+                    col = pdf.iloc[:, pos]
+                    cats = col.cat.categories
+                    if is_integer_dtype(cats.dtype):
+                        kind, vals = "int", [int(x) for x in cats]
+                    elif len(cats) == 0 or all(isinstance(x, str) for x in cats):
+                        kind, vals = "str", [str(x) for x in cats]
+                    else:
+                        raise ArcticDbNotYetImplemented(
+                            f"categorical column {c!r}: only string and "
+                            f"integer categories are supported "
+                            f"(got {cats.dtype})")
+                    if kind == "int":
+                        # nullable ints have no exact physical int type:
+                        # degrade to float64 only when NaN present
+                        dec = col.astype(
+                            "float64" if col.isna().any() else "int64")
+                    else:
+                        dec = col.astype(object)
+                    pdf.isetitem(pos, dec)
+                    cat_meta[str(c)] = {"kind": kind, "categories": vals}
+                sdf, meta = self._normalize(pdf)
+                meta = dict(meta or {})
+                meta["categoricals"] = cat_meta
+                return sdf, meta
             # non-string column names (bool/int/float — reference
             # _column_name_to_strings, test_write.py
             # test_write_bool_named_columns): stringify for the physical
@@ -668,6 +716,7 @@ class Library:
                 meta = dict(meta or {})
                 meta["renamed_cols"] = renamed
                 return sdf, meta
+            meta: dict | None = None
             if isinstance(pdf.index, pd.MultiIndex):
                 names = list(pdf.index.names)
                 phys = []
@@ -684,22 +733,40 @@ class Library:
                 meta = {"index_type": "multiindex",
                         "level_names": [nm for nm in names],
                         "physical": phys}
-                return self.spark.createDataFrame(pdf), meta
-            if isinstance(pdf.index, pd.DatetimeIndex):
+            elif isinstance(pdf.index, pd.DatetimeIndex):
                 # reference index demotion (SURVEY §1.2): the DatetimeIndex
-                # becomes the physical ts column
+                # becomes the physical ts column; pandas output re-promotes
+                # it (reference _denormalize restores the index,
+                # _normalization.py:450-463)
                 name = pdf.index.name or "ts"
                 pdf = pdf.rename_axis(name).reset_index()
+                meta = {"index_type": "datetime", "physical": str(name),
+                        "fake_name": pdf.columns[0] == "ts"
+                                     and df.index.name is None}
             elif pdf.index.name is not None:
                 pdf = pdf.reset_index()
+                meta = {"index_type": "named",
+                        "physical": str(pdf.columns[0])}
             else:
                 pdf = pdf.reset_index(drop=True)  # positional index: dropped
+            # tz-aware datetime columns (including demoted index levels):
+            # store naive UTC (Spark/parquet timestamps are UTC instants),
+            # record the original zone for pandas-output restore (reference
+            # index_norm.tz, _normalization.py:399-409, restore :461-462)
+            tzs = {}
+            for c in pdf.columns:
+                if isinstance(pdf[c].dtype, pd.DatetimeTZDtype):
+                    tzs[str(c)] = str(pdf[c].dt.tz)
+                    pdf[c] = pdf[c].dt.tz_convert("UTC").dt.tz_localize(None)
+            if tzs:
+                meta = dict(meta or {})
+                meta["tzs"] = tzs
             if len(pdf) == 0:
                 # schema inference needs rows; map pandas dtypes explicitly
                 # (reference supports empty writes: test_empty_writes)
                 return self.spark.createDataFrame(
-                    pdf, schema=_schema_from_pandas_dtypes(pdf)), None
-            return self.spark.createDataFrame(pdf), None
+                    pdf, schema=_schema_from_pandas_dtypes(pdf)), meta
+            return self.spark.createDataFrame(pdf), meta
         raise ArcticException(
             f"cannot normalize {type(df).__name__}: write() takes a Spark or "
             "pandas DataFrame; use write_pickle() for arbitrary objects")
@@ -749,15 +816,36 @@ class Library:
                                       if f.name not in self._void_cols(fschema)])
             df = self.spark.read.schema(fphys).parquet(*[fe.path for fe in fes])
             if need_row_id:
-                offmap = F.create_map(*[
-                    F.lit(x) for fe in fes
-                    for x in ("file:" + fe.path
-                              if not fe.path.startswith("file:") else fe.path,
-                              fe.row_start)])
-                df = df.withColumn(
-                    ROW_ID,
-                    (offmap[F.col("_metadata.file_path")]
-                     + F.col("_metadata.row_index")).cast("long"))
+                keyed = [("file:" + fe.path
+                          if not fe.path.startswith("file:") else fe.path,
+                          fe.row_start) for fe in fes]
+                if len(keyed) <= 64:
+                    # few files: a map literal beats a join stage
+                    offmap = F.create_map(*[F.lit(x) for kv in keyed
+                                            for x in kv])
+                    df = df.withColumn(
+                        ROW_ID,
+                        (offmap[F.col("_metadata.file_path")]
+                         + F.col("_metadata.row_index")).cast("long"))
+                else:
+                    # many files: broadcast-join a tiny offsets table keyed
+                    # on the scan's file_path pseudo-column — O(files) rows
+                    # ship once to executors instead of bloating the
+                    # serialized plan (10^5-10^6 files at 100 TB). The
+                    # _metadata pseudo-columns must be materialized on the
+                    # scan relation before the join hides them.
+                    off = self.spark.createDataFrame(
+                        keyed, schema="__asdb_fp__ string, __asdb_off__ long")
+                    df = (df.withColumn("__asdb_fp__",
+                                        F.col("_metadata.file_path"))
+                            .withColumn("__asdb_ri__",
+                                        F.col("_metadata.row_index"))
+                            .join(F.broadcast(off), "__asdb_fp__")
+                            .withColumn(ROW_ID,
+                                        (F.col("__asdb_off__")
+                                         + F.col("__asdb_ri__")).cast("long"))
+                            .drop("__asdb_fp__", "__asdb_off__",
+                                  "__asdb_ri__"))
             if sj is not None:  # homogeneous scan already matches phys
                 have = set(df.columns)
                 df = df.select([
@@ -1026,6 +1114,24 @@ class Library:
     def _is_pickled(m: "VersionManifest") -> bool:
         return bool(m.norm_meta) and m.norm_meta.get("index_type") == "pickled"
 
+    @staticmethod
+    def _reject_categorical(prev: "VersionManifest", df, op: str) -> None:
+        """Reference rejects append/update on categorical data either side
+        (test_categorical.py test_categorical_append/_update/_series raise
+        ArcticDbNotYetImplemented): merging category sets across versions is
+        unimplemented there, and here an unchecked append could introduce
+        values outside the stored category list."""
+        import pandas as pd
+        if (prev.norm_meta or {}).get("categoricals"):
+            raise ArcticDbNotYetImplemented(
+                f"{op} to a symbol with categorical columns is not supported")
+        cols = (df.dtypes.items() if isinstance(df, pd.DataFrame)
+                else [(df.name, df.dtype)] if isinstance(df, pd.Series)
+                else [])
+        if any(isinstance(dt, pd.CategoricalDtype) for _, dt in cols):
+            raise ArcticDbNotYetImplemented(
+                f"{op} with categorical columns is not supported")
+
     def is_symbol_pickled(self, symbol: str, as_of=None) -> bool:
         """Reference ``library.py:2484`` is_symbol_pickled."""
         return self._is_pickled(self._resolve_version(symbol, as_of))
@@ -1099,6 +1205,7 @@ class Library:
         prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
         if self._is_pickled(prev):
             raise ArcticException(f"cannot append to pickled symbol {symbol!r}")
+        self._reject_categorical(prev, df, "append")
         if (prev.norm_meta or {}).get("index_type") == "ndarray":
             out = self._append_ndarray(symbol, prev, df, metadata)
             if prune_previous_versions:
@@ -1204,6 +1311,7 @@ class Library:
                               prune_previous=prune_previous_versions)
         if self._is_pickled(prev):
             raise ArcticException(f"cannot update pickled symbol {symbol!r}")
+        self._reject_categorical(prev, df, "update")
         idx = prev.index_column
         if idx is None:
             raise ArcticException("update requires a timestamp-indexed symbol")
@@ -1554,7 +1662,14 @@ class Library:
                 query_builder._clauses = ([("row_range", {"range": (lo_r, hi_r)})]
                                           + clauses[1:])
 
-        need_row_id = with_row_ids or row_range is not None or (
+        # pandas/arrow/polars outputs restore the reference's row order
+        # (rows come back in WRITE order — the physical row id): a parquet
+        # scan's row order is file-listing order, which scrambles
+        # multi-file positional frames. Spark-format output stays unordered
+        # (distributed consumers order explicitly when they care).
+        order_out = (output_format in ("pandas", "arrow", "polars")
+                     and query_builder is None)
+        need_row_id = with_row_ids or order_out or row_range is not None or (
             query_builder is not None and any(
                 k in ("head", "tail", "row_range")
                 for k, _ in getattr(query_builder, "_clauses", [])))
@@ -1612,8 +1727,11 @@ class Library:
             df = df.select(keep)
         if query_builder is not None:
             df = query_builder.to_df(df, idx)
-        if ROW_ID in df.columns and not with_row_ids:
-            df = df.drop(ROW_ID)
+        if ROW_ID in df.columns:
+            if order_out:
+                df = df.orderBy(ROW_ID)
+            if not with_row_ids:
+                df = df.drop(ROW_ID)
         return self._format_output(df, output_format, m.norm_meta)
 
     def _read_with_incompletes(self, symbol: str, as_of=None,
@@ -1688,6 +1806,14 @@ class Library:
         if output_format == "pandas":
             import pandas as pd
             pdf = df.toPandas()   # Arrow-accelerated collection
+            # re-localize tz-aware datetime columns/index levels (reference
+            # get_timezone_from_metadata + tz_localize("UTC").tz_convert,
+            # _normalization.py:461-462) — before any set_index so demoted
+            # levels are still plain columns here
+            for cname, tz in ((norm_meta or {}).get("tzs") or {}).items():
+                if cname in pdf.columns:
+                    pdf[cname] = (pdf[cname].dt.tz_localize("UTC")
+                                  .dt.tz_convert(tz))
             # restore a demoted MultiIndex (reference _denormalize,
             # _normalization.py:931-950) when all physical level columns
             # survived the query pipeline
@@ -1695,6 +1821,22 @@ class Library:
                     and all(c in pdf.columns for c in norm_meta["physical"])):
                 pdf = pdf.set_index(norm_meta["physical"])
                 pdf.index = pdf.index.set_names(norm_meta["level_names"])
+            # re-promote a demoted DatetimeIndex / named index (reference
+            # _index_from_records, _normalization.py:450-463)
+            elif (norm_meta and norm_meta.get("index_type") in ("datetime",
+                                                                "named")
+                    and norm_meta.get("physical") in pdf.columns):
+                pdf = pdf.set_index(norm_meta["physical"])
+                if norm_meta.get("fake_name"):
+                    pdf.index.name = None
+            # re-categorize (reference _denormalize restore,
+            # _normalization.py:1203-1217): keys are physical column names,
+            # so this runs before renamed_cols maps names back
+            for cname, info in ((norm_meta or {}).get("categoricals")
+                                or {}).items():
+                if cname in pdf.columns:
+                    pdf[cname] = pd.Categorical(
+                        pdf[cname], categories=info["categories"])
             ren = (norm_meta or {}).get("renamed_cols")
             if ren:
                 back = {}

@@ -193,17 +193,70 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     return pairs
 
 
-# candidate-id count up to which the shingle sets are collected and shipped
-# to tasks as one broadcast lookup (LSH candidates are a tiny fraction of the
-# corpus — ~200-char docs x 2M ids is the broadcast-join size class)
-_BCAST_SETS_MAX = 2_000_000
+# driver/executor broadcast budget for the collected-lookup rescore paths
+# (shingle sets / vector matrices). Above this estimated size the rescore
+# re-attaches state by equi-join instead — a row-count gate alone undercounts
+# long documents (2M ids x a few hundred shingles each is multiple GB).
+_BCAST_BYTES_MAX = 512 << 20
+
+
+def _jaccard_rescore_broadcast(df, cand, cand_ids, text_col, id_col, k):
+    """Rescore candidate id pairs against a driver-collected shingle-set
+    lookup shipped to tasks as one broadcast — Arrow moves 2 longs per
+    pair, never the sets."""
+    sets_expr = F.array_distinct(
+        shingles_from_tokens(F.col("__toks__"), k)).alias("sh")
+    sub = (df.select(F.col(id_col).alias("id"), text_col)
+             .join(F.broadcast(cand_ids), "id", "left_semi")
+             .select("id", tokens(F.lower(F.col(text_col)))
+                      .alias("__toks__"))
+             .select("id", sets_expr))
+    lookup = {r["id"]: frozenset(r["sh"]) for r in sub.collect()}
+    bc = df.sparkSession.sparkContext.broadcast(lookup)
+
+    @F.pandas_udf("double")
+    def jac(ia: pd.Series, ib: pd.Series) -> pd.Series:
+        lk = bc.value
+        out = np.zeros(len(ia), dtype="float64")
+        for i, (x, y) in enumerate(zip(ia.to_numpy(), ib.to_numpy())):
+            sa, sb = lk[int(x)], lk[int(y)]
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            out[i] = inter / union if union else 0.0
+        return pd.Series(out)
+
+    return cand.select(
+        "id_a", "id_b",
+        F.round(jac(F.col("id_a"), F.col("id_b")), 6).alias("jaccard"))
+
+
+def _jaccard_rescore_join(df, cand, cand_ids, text_col, id_col, k):
+    """Rescore by re-attaching the (candidate-only) shingle sets with two
+    equi-joins — the scale path when the lookup exceeds the broadcast
+    budget."""
+    sets_expr = F.array_distinct(
+        shingles_from_tokens(F.col("__toks__"), k)).alias("sh")
+    sets_df = _materialize(
+        _spread(df.select(F.col(id_col).alias("id"), text_col))
+        .join(cand_ids, "id", "left_semi")
+        .select("id", tokens(F.lower(F.col(text_col))).alias("__toks__"))
+        .select("id", sets_expr))
+    j = (cand.join(sets_df.withColumnRenamed("id", "id_a")
+                          .withColumnRenamed("sh", "sh_a"), "id_a")
+             .join(sets_df.withColumnRenamed("id", "id_b")
+                          .withColumnRenamed("sh", "sh_b"), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac_col = F.when(union > 0,
+                     inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    return j.select("id_a", "id_b", F.round(jac_col, 6).alias("jaccard"))
 
 
 def jaccard_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", threshold: float = 0.5,
                            num_hashes: int = 16, bands: int = 8,
                            k: int = 2,
-                           broadcast_ids_max: int = _BCAST_SETS_MAX) -> DataFrame:
+                           broadcast_bytes_max: int = _BCAST_BYTES_MAX) -> DataFrame:
     """LSH candidates verified with exact token-k-gram Jaccard >= threshold.
 
     Verify plan (the id-pairs + broadcast-set pattern proven by
@@ -211,55 +264,30 @@ def jaccard_near_dup_pairs(df: DataFrame, text_col: str = "text",
     the shuffle; shingle sets are computed once, for candidate ids only
     (left-semi on the id set), and shipped to tasks as a broadcast lookup —
     the naive form drags two wide array columns through the candidate-pair
-    shuffle. Above ``broadcast_ids_max`` distinct candidate ids the rescore
-    falls back to re-attaching the (candidate-only) sets by equi-join.
+    shuffle. The gate is BYTE-aware: estimated lookup size (candidate text
+    volume x shingle expansion) above ``broadcast_bytes_max`` routes the
+    rescore to the equi-join path instead.
     """
     cand = _materialize(
         minhash_near_dup_pairs(df, text_col, id_col, num_hashes, bands, k))
     cand_ids = (cand.select(F.col("id_a").alias("id"))
                 .unionByName(cand.select(F.col("id_b").alias("id")))
                 .distinct())
-    n_cand_ids = cand_ids.count()    # cand is cached — this is a cheap agg
-    sets_expr = F.array_distinct(
-        shingles_from_tokens(F.col("__toks__"), k)).alias("sh")
-    if n_cand_ids <= broadcast_ids_max:
-        sub = (df.select(F.col(id_col).alias("id"), text_col)
-                 .join(F.broadcast(cand_ids), "id", "left_semi")
-                 .select("id", tokens(F.lower(F.col(text_col)))
-                          .alias("__toks__"))
-                 .select("id", sets_expr))
-        lookup = {r["id"]: frozenset(r["sh"]) for r in sub.collect()}
-        bc = df.sparkSession.sparkContext.broadcast(lookup)
-
-        @F.pandas_udf("double")
-        def jac(ia: pd.Series, ib: pd.Series) -> pd.Series:
-            lk = bc.value
-            out = np.zeros(len(ia), dtype="float64")
-            for i, (x, y) in enumerate(zip(ia.to_numpy(), ib.to_numpy())):
-                sa, sb = lk[int(x)], lk[int(y)]
-                inter = len(sa & sb)
-                union = len(sa) + len(sb) - inter
-                out[i] = inter / union if union else 0.0
-            return pd.Series(out)
-
-        scored = cand.select(
-            "id_a", "id_b",
-            F.round(jac(F.col("id_a"), F.col("id_b")), 6).alias("jaccard"))
+    # one tiny agg over (id, length) estimates the broadcast footprint:
+    # each char lands in ~k shingles, plus per-element set/dict overhead
+    stats = (df.select(F.col(id_col).alias("id"),
+                       F.length(text_col).alias("__len__"))
+               .join(cand_ids, "id", "left_semi")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.sum("__len__"), F.lit(0)).alias("chars"))
+               .first())
+    est_bytes = int(stats["chars"]) * (k + 1) + int(stats["n"]) * 64
+    if est_bytes <= broadcast_bytes_max:
+        scored = _jaccard_rescore_broadcast(df, cand, cand_ids,
+                                            text_col, id_col, k)
     else:
-        sets_df = _materialize(
-            _spread(df.select(F.col(id_col).alias("id"), text_col))
-            .join(cand_ids, "id", "left_semi")
-            .select("id", tokens(F.lower(F.col(text_col))).alias("__toks__"))
-            .select("id", sets_expr))
-        j = (cand.join(sets_df.withColumnRenamed("id", "id_a")
-                              .withColumnRenamed("sh", "sh_a"), "id_a")
-                 .join(sets_df.withColumnRenamed("id", "id_b")
-                              .withColumnRenamed("sh", "sh_b"), "id_b"))
-        inter = F.size(F.array_intersect("sh_a", "sh_b"))
-        union = F.size(F.array_union("sh_a", "sh_b"))
-        jac_col = F.when(union > 0,
-                         inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
-        scored = j.select("id_a", "id_b", F.round(jac_col, 6).alias("jaccard"))
+        scored = _jaccard_rescore_join(df, cand, cand_ids,
+                                       text_col, id_col, k)
     return scored.filter(F.col("jaccard") >= threshold)
 
 
@@ -267,8 +295,8 @@ def jaccard_near_dup_pairs(df: DataFrame, text_col: str = "text",
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
-# vectors collected into a task-side lookup matrix up to this many rows
-# (64-dim float64 @ 2M rows = ~1 GB — the broadcast-join size class)
+# legacy row-count alias kept for callers that sized against it; the actual
+# gate in embedding_near_dup_pairs is byte-based (_BCAST_BYTES_MAX)
 _BCAST_VECS_MAX = 2_000_000
 
 
@@ -347,10 +375,11 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                         & (F.col("a.id") < F.col("b.id")))
                   .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
                   .dropDuplicates(["id_a", "id_b"]))
-        if n_rows is not None and n_rows <= _BCAST_VECS_MAX:
+        if n_rows is not None and n_rows * dim * 8 <= _BCAST_BYTES_MAX:
             # vectors fit an executor-side broadcast (the dimension-table
-            # pattern): rescore candidate id pairs against a normalized
-            # numpy matrix — Arrow moves 2 longs per pair, not 2 vectors
+            # pattern; byte gate: n_rows x dim x 8B float64 matrix):
+            # rescore candidate id pairs against a normalized numpy
+            # matrix — Arrow moves 2 longs per pair, not 2 vectors
             scored = _score_pairs_broadcast(base, pairs)
         else:
             # at larger scale re-attach vectors by joining the (small
@@ -479,21 +508,62 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
 # 10x duplication). The pipeline-scale API is the cluster view: connected
 # components over the candidate-pair graph, keep the min id per component.
 
+# edges collected for the driver union-find fast path: 2 longs/row ≈ 16 B,
+# so 5M edges ≈ 80 MB driver-side — far under the broadcast budget. The
+# candidate-pair graphs this runs on are distinct-hash- or near-dup-sized
+# (tiny fractions of the corpus), so the gate almost always takes this path.
+_UF_EDGES_MAX = 5_000_000
+
+
+def _clusters_union_find(spark, rows) -> DataFrame:
+    """Min-root union-find over collected (a, b) edge rows — identical
+    components and labels (cluster = min member) to the propagation loop,
+    zero shuffle rounds."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:        # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    labels = [(i, find(i)) for i in list(parent)]
+    return spark.createDataFrame(labels, "id long, cluster long")
+
+
 def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
-                      id_b: str = "id_b", max_iter: int = 50) -> DataFrame:
-    """(id, cluster) rows: connected components of the pair graph by
-    iterative min-label propagation (the standard Spark CC pattern — each
-    round is one groupBy over the edge list; near-dup components are
-    near-cliques, so convergence takes 2-3 rounds, bounded by graph
-    diameter). Only ids that appear in ``pairs`` are returned.
+                      id_b: str = "id_b", max_iter: int = 50,
+                      driver_edges_max: int = _UF_EDGES_MAX) -> DataFrame:
+    """(id, cluster) rows: connected components of the pair graph; cluster
+    is the min id in the component. Only ids appearing in ``pairs`` are
+    returned.
+
+    Physical strategy: up to ``driver_edges_max`` edges the graph is
+    collected and solved with union-find on the driver (near-constant time;
+    candidate graphs are small by construction — distinct hashes or LSH
+    survivors, not the corpus). Above the gate it falls back to iterative
+    min-label propagation (one groupBy per round, bounded by component
+    diameter) — a hamming-chained hash graph can have diameter in the tens,
+    and each propagation round is a full shuffle, so the driver path is
+    also the fast path whenever it fits.
 
     Raises ``RuntimeError`` if labels still change after ``max_iter``
-    rounds (a component with diameter > max_iter) rather than silently
-    returning split clusters."""
-    edges = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-             .unionByName(pairs.select(F.col(id_b).alias("a"),
-                                       F.col(id_a).alias("b"))))
-    edges = _materialize(edges)
+    propagation rounds (a component with diameter > max_iter) rather than
+    silently returning split clusters."""
+    p2 = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    p2 = _materialize(p2)
+    if p2.count() <= driver_edges_max:
+        return _clusters_union_find(pairs.sparkSession,
+                                    [(r["a"], r["b"]) for r in p2.collect()])
+    edges = p2.unionByName(p2.select(F.col("b").alias("a"),
+                                     F.col("a").alias("b")))
     labels = (edges.groupBy("a").agg(F.min("b").alias("nbr"))
               .select(F.col("a").alias("id"),
                       F.least("a", "nbr").alias("cluster"))).persist()

@@ -58,6 +58,7 @@ def main():
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     recall = _ann_recall(spark, sf_dir)
+    writes = _write_bench(spark, sf_dir)
     duck = _duckdb_head_to_head(entry_mod, sf_dir)
     # full payload (DuckDB head-to-head detail) goes to BENCH_DETAIL.json;
     # stdout gets ONE compact line (3-decimal, no spaces, ~1.4 kB) because
@@ -67,6 +68,7 @@ def main():
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "ann_recall": recall,
+        "write": writes,
         "duckdb": duck,
         "duckdb_total": round(sum(t for t in duck.values() if t >= 0), 4),
     }
@@ -83,9 +85,54 @@ def main():
         "queries": {n: round(t, 2) for n, t in timings.items()},
         "sf": detail["sf"],
         "ann_recall": recall,
+        "write": {n: round(t, 2) for n, t in writes.items()},
         "duckdb_total": detail["duckdb_total"],
     }
     print(json.dumps(compact, separators=(",", ":")))
+
+
+def _write_bench(spark, sf_dir: str) -> dict:
+    """Write-path timings (the reference tracks these in its ASV suites
+    basic_functions.py / finalize_staged_data.py): full lineitem write,
+    strictly-after append of the last events day, and a 10-chunk staged
+    write + sort_and_finalize. Temp-library backed; never fails the bench.
+    """
+    import shutil
+    import tempfile
+    from pyspark.sql import functions as F
+    from arcticdb_spark.catalog import Arctic
+    from arcticdb_spark.sources import tables as _tables
+    out: dict[str, float] = {}
+    root = tempfile.mkdtemp(prefix="arctic_bench_")
+    try:
+        lib = Arctic(root, spark).create_library("bench")
+        li = _tables.load_table(spark, sf_dir, "lineitem")
+        t0 = time.perf_counter()
+        lib.write("li", li, index_column="l_shipdate")
+        out["write_lineitem"] = round(time.perf_counter() - t0, 4)
+
+        ev = _tables.load_table(spark, sf_dir, "events")
+        cut = ev.agg(F.expr("percentile(cast(ts as double), 0.8)")).first()[0]
+        import pandas as pd
+        cut_ts = pd.Timestamp(cut, unit="s")
+        lib.write("ev", ev.filter(F.col("ts") < cut_ts), index_column="ts")
+        tail = ev.filter(F.col("ts") >= cut_ts)
+        t0 = time.perf_counter()
+        lib.append("ev", tail)
+        out["append_events"] = round(time.perf_counter() - t0, 4)
+
+        chunks = ev.withColumn("__c", F.pmod(F.col("event_id"), F.lit(10)))
+        t0 = time.perf_counter()
+        for i in range(10):
+            lib.stage("staged", chunks.filter(F.col("__c") == i).drop("__c"))
+        lib.sort_and_finalize_staged_data("staged", index_column="ts")
+        out["finalize_staged_10"] = round(time.perf_counter() - t0, 4)
+    except Exception as e:
+        print(f"# write bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 def _ann_recall(spark, sf_dir: str) -> dict:

@@ -456,3 +456,23 @@ def test_column_names_and_num_rows(tmp_lib):
     assert tmp_lib.get_num_rows("sym") == 1
     tmp_lib.write_pickle("pkl", list(range(100)))
     assert tmp_lib.get_num_rows("pkl") is None
+
+
+def test_row_id_broadcast_join_many_files(tmp_lib):
+    # >64 files routes the row-id offsets through the broadcast-join path
+    # (no O(files) create_map literal in the plan); row_range must still be
+    # exact across the file boundaries
+    import pandas as pd
+    idx = pd.date_range("2024-01-01", periods=10, freq="1h", name="ts")
+    for i in range(70):
+        df = pd.DataFrame({"v": [float(i)] * 10},
+                          index=idx + pd.Timedelta(days=i))
+        if i == 0:
+            tmp_lib.write("many", df)
+        else:
+            tmp_lib.append("many", df)
+    m = tmp_lib._resolve_version("many", None)
+    assert len(m.files) > 64
+    out = tmp_lib.read("many", row_range=(345, 355),
+                       output_format="pandas")
+    assert list(out["v"]) == [34.0] * 5 + [35.0] * 5

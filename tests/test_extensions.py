@@ -513,3 +513,36 @@ class TestMediaFrames:
         out = {r["kind"]: r for r in media_stats(make_demo_media(spark, 30)).collect()}
         assert set(out) == {"image", "audio", "video"}
         assert all(r["total_bytes"] > 0 for r in out.values())
+
+
+def test_jaccard_byte_gate_routes_to_join(spark, monkeypatch):
+    # the broadcast gate is byte-aware: an estimated lookup above the
+    # budget must take the equi-join rescore, never the collected lookup
+    def boom(*a, **k):
+        raise AssertionError("broadcast rescore used despite byte gate")
+    monkeypatch.setattr(xdedup, "_jaccard_rescore_broadcast", boom)
+    out = xdedup.jaccard_near_dup_pairs(_docs(spark), threshold=0.5,
+                                        num_hashes=16, bands=16, k=2,
+                                        broadcast_bytes_max=0).toPandas()
+    pairs = {(a, b): j for a, b, j in zip(out.id_a, out.id_b, out.jaccard)}
+    assert pairs[(0, 1)] == 1.0          # same answers through the join path
+    assert (0, 3) in pairs and pairs[(0, 3)] > 0.5
+
+
+def test_embedding_byte_gate_routes_to_join(spark, monkeypatch):
+    import numpy as np
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(6, 8))
+    base[1] = base[0] + 0.001           # planted near-dup
+    rows = [(i, [float(x) for x in base[i]]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def boom(*a, **k):
+        raise AssertionError("broadcast rescore used despite byte gate")
+    monkeypatch.setattr(xdedup, "_score_pairs_broadcast", boom)
+    # tiny byte budget: n_rows*dim*8 must exceed it -> join rescore
+    monkeypatch.setattr(xdedup, "_BCAST_BYTES_MAX", 1)
+    out = xdedup.embedding_near_dup_pairs(df, threshold=0.99, dim=8,
+                                          exact_below=0, n_rows=6).toPandas()
+    got = {(a, b) for a, b in zip(out.id_a, out.id_b)}
+    assert (0, 1) in got

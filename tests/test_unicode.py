@@ -22,7 +22,9 @@ def test_write_read_unicode_columns_and_values(tmp_lib):
     pdf = _df()
     tmp_lib.write("sym", pdf, metadata={CR: TM})
     out = tmp_lib.read("sym", output_format="pandas")
-    assert list(out.columns) == ["ts", "a", TM, CR]
+    # the demoted DatetimeIndex is re-promoted on pandas output
+    assert out.index.name == "ts"
+    assert list(out.columns) == ["a", TM, CR]
     assert out[CR].tolist() == [UNI] * 5
     assert tmp_lib.read_metadata("sym") == {CR: TM}
 
