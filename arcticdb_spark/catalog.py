@@ -559,6 +559,14 @@ class Library:
         deterministic under equal timestamps."""
         out_dir = os.path.join(self._data_sym_dir(symbol), "data", uuid.uuid4().hex)
         os.makedirs(os.path.dirname(out_dir), exist_ok=True)
+        if not df.columns:
+            # every column was EMPTY/void (reference supports writing an
+            # all-None frame, test_empty_column_type.py): parquet cannot
+            # store a zero-column schema, so a 1-byte fill column carries
+            # the row count; reads drop it (the per-file schema epoch
+            # differs from the manifest schema, so _scan_files projects it
+            # away and the void columns NULL-backfill as usual)
+            df = df.select(F.lit(0).cast("tinyint").alias("__void_fill__"))
         if index_column and sort:
             df = (df.repartitionByRange(F.col(index_column))
                     .sortWithinPartitions(index_column, *(tiebreak_cols or [])))

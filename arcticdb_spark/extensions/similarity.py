@@ -22,6 +22,19 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# DataFrames persisted across an operator call (the kmeans base scan); call
+# unpersist_all() after consuming results (bench.py does, like dedup's).
+_PERSISTED: list = []
+
+
+def unpersist_all() -> None:
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
                        F.lit(0.0), lambda acc, v: acc + v)
@@ -268,27 +281,21 @@ def kmeans(corpus: DataFrame, k: int = 8, iters: int = 2,
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
     # One input scan total: every E-step re-reads (vec_id, v), so cache it
-    # once before the loop. Without this each Lloyd iteration re-scans the
-    # full table — a 100 TB scan per iteration. (Lazy persist: the first
-    # E-step's M-step materializes it.)
+    # once before the loop — without this each Lloyd iteration re-scans the
+    # full table, a 100 TB scan per iteration. The first M-step's collect
+    # populates the cache; the cache is released by unpersist_all() (a
+    # post-release recompute of the returned frame replays the SAME final
+    # centroids, so results stay deterministic either way).
     if iters > 1:
         base = base.persist()
-    try:
+        _PERSISTED.append(base)
+    assigned = _kmeans_estep(base, cents)
+    for _ in range(iters - 1):
+        new_rows = (assigned.groupBy("cluster")
+                    .agg(*[F.round(F.avg(F.col("v")[i]), 9).alias(f"c{i}")
+                           for i in range(dim)])
+                    .collect())
+        cents = {**cents, **{int(r["cluster"]): [r[f"c{i}"] for i in range(dim)]
+                             for r in new_rows}}
         assigned = _kmeans_estep(base, cents)
-        for _ in range(iters - 1):
-            new_rows = (assigned.groupBy("cluster")
-                        .agg(*[F.round(F.avg(F.col("v")[i]), 9).alias(f"c{i}")
-                               for i in range(dim)])
-                        .collect())
-            cents = {**cents, **{int(r["cluster"]): [r[f"c{i}"] for i in range(dim)]
-                                 for r in new_rows}}
-            assigned = _kmeans_estep(base, cents)
-        # materialize the final assignment before releasing the cached base
-        out = assigned.select("vec_id", "cluster", "dist")
-        if iters > 1:
-            out = out.persist()
-            out.count()
-        return out
-    finally:
-        if iters > 1:
-            base.unpersist()
+    return assigned.select("vec_id", "cluster", "dist")

@@ -35,6 +35,7 @@ def main():
         _tables.load_table(spark, sf_dir, t)
 
     from arcticdb_spark.extensions import dedup as _dedup
+    from arcticdb_spark.extensions import similarity as _sim
     qs = entry_mod.queries()
     # two passes, report min (ASV practice): a single cold pass conflates a
     # query's cost with Python-worker spawn / codegen / GC position effects;
@@ -53,8 +54,9 @@ def main():
                 timings.setdefault(name, -1.0)
                 print(f"# {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             # release per-query cached intermediates (LSH band/signature
-            # tables) so 60 queries don't accumulate executor storage
+            # tables, kmeans base) so the suite doesn't accumulate storage
             _dedup.unpersist_all()
+            _sim.unpersist_all()
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     recall = _ann_recall(spark, sf_dir)

@@ -275,3 +275,51 @@ class TestSparseAndUnicodeStrings:
                .sort_values("ts").reset_index(drop=True))
         assert out["col"].where(out["col"].notna(), None).tolist() == [
             None, None, "x", "y"]
+
+
+class TestAllVoidWrites:
+    """Reference test_empty_column_type.py: an all-None frame writes as
+    EMPTY type and typed data appends onto it. Spark-first deviation
+    (documented): missing values backfill as NULL, so a full read of an
+    int-promoted column lands on pandas float64/NaN where the reference's
+    non-nullable layout backfills 0; row_range reads that touch only typed
+    files keep the exact dtype."""
+
+    def test_all_void_write_roundtrip(self, tmp_lib):
+        import pandas as pd
+        tmp_lib.write("sym", pd.DataFrame({"col": 2 * [None]}))
+        out = tmp_lib.read("sym", output_format="pandas")
+        assert out["col"].tolist() == [None, None]
+
+    def test_void_then_int_append_dynamic(self, dyn_lib):
+        import numpy as np
+        import pandas as pd
+        dyn_lib.write("sym", pd.DataFrame({"col": 2 * [None]}))
+        dyn_lib.append("sym", pd.DataFrame(
+            {"col": np.array([1, 2, 3], dtype="int16")}))
+        out = dyn_lib.read("sym", output_format="pandas")
+        assert out["col"].isna().tolist() == [True, True, False, False, False]
+        assert out["col"].dropna().tolist() == [1.0, 2.0, 3.0]
+        # typed-files-only row_range keeps the exact dtype (reference
+        # read(sym, row_range=[2,5]) equivalence)
+        rr = dyn_lib.read("sym", row_range=(2, 5), output_format="pandas")
+        assert rr["col"].dtype == "int16"
+        assert rr["col"].tolist() == [1, 2, 3]
+
+    def test_void_then_string_append_dynamic(self, dyn_lib):
+        import numpy as np
+        import pandas as pd
+        dyn_lib.write("sym", pd.DataFrame({"col": 2 * [None]}))
+        dyn_lib.append("sym", pd.DataFrame({"col": np.array(["x", "y"])}))
+        out = dyn_lib.read("sym", output_format="pandas")
+        assert out["col"].tolist() == [None, None, "x", "y"]
+
+    def test_void_append_static_rejected(self, tmp_lib):
+        import numpy as np
+        import pandas as pd
+        import pytest
+        from arcticdb_spark.catalog import ArcticException
+        tmp_lib.write("sym", pd.DataFrame({"col": 2 * [None]}))
+        with pytest.raises(ArcticException, match="dynamic_schema"):
+            tmp_lib.append("sym", pd.DataFrame(
+                {"col": np.array([1, 2], dtype="int16")}))
