@@ -602,13 +602,19 @@ class Library:
         except ImportError:  # pragma: no cover
             pa = None
         if pa is not None and isinstance(df, (pa.Table, pa.RecordBatch)):
-            # Arrow input (reference test_arrow_writes.py): tables and
-            # record batches normalize through the pandas path; a
-            # timestamp column named by ``write(index_column=...)`` becomes
-            # the index downstream exactly as for a Spark frame
+            # Arrow input (reference test_arrow_writes.py / sparse tests):
+            # convert DIRECTLY (Spark 4 createDataFrame takes an Arrow
+            # table) — the pandas hop degraded nullable int64/bool to
+            # float64/object. A timestamp column named by
+            # ``write(index_column=...)`` becomes the index downstream
+            # exactly as for a Spark frame.
             tbl = (pa.Table.from_batches([df])
                    if isinstance(df, pa.RecordBatch) else df)
-            return self._normalize(tbl.to_pandas())
+            try:
+                return self.spark.createDataFrame(tbl), None
+            except Exception:
+                # exotic arrow types (dictionary etc.): pandas fallback
+                return self._normalize(tbl.to_pandas())
         if isinstance(df, pd.Series):
             # reference SeriesNormalizer (_normalization.py:982-1022):
             # normalize as a one-column frame, record the original name so

@@ -1,0 +1,136 @@
+"""Sparse (nullable) columns through Arrow input/output, ported from the
+reference's ``test_arrow_sparse.py`` core cases: null patterns must survive
+write -> row_range/date_range/filter -> arrow read for int64 / float64 /
+bool / string columns, plus sparse append/update round-trips.
+
+Spark-first: nullability is native (parquet definition levels); arrow
+tables convert directly both ways, so int64-with-null stays int64 — no
+dense/zero backfill anywhere.
+"""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from arcticdb_spark.query import QueryBuilder
+
+INT = [1, None, 2, None, 3, 4, None, None, None, None, None, 5, 6, 7, 8]
+FLT = [None, 1.0, None, 2.0, None, None, None, 3.0, None, None, 4.0, None,
+       None, 5.0, None]
+BOO = [True, None, False, None, True, None, None, None, True, False, None,
+       True, False, True, None]
+STR = [None, "a", None, "b", None, "c", None, None, None, None, None, None,
+       "d", "e", "f"]
+N = 15
+
+
+def _table():
+    return pa.table({
+        "ts": pa.array(pd.date_range("2024-01-01", periods=N), pa.timestamp("us")),
+        "int_col": pa.array(INT, pa.int64()),
+        "float_col": pa.array(FLT, pa.float64()),
+        "bool_col": pa.array(BOO, pa.bool_()),
+        "str_col": pa.array(STR, pa.string()),
+    })
+
+
+@pytest.fixture()
+def sparse_lib(tmp_lib):
+    tmp_lib.write("sym", _table(), index_column="ts")
+    return tmp_lib
+
+
+def test_sparse_arrow_roundtrip(sparse_lib):
+    out = sparse_lib.read("sym", output_format="arrow")
+    out = out.sort_by("ts")
+    assert out.schema.field("int_col").type == pa.int64()
+    assert out.column("int_col").to_pylist() == INT
+    assert out.column("float_col").to_pylist() == FLT
+    assert out.column("bool_col").to_pylist() == BOO
+    assert out.column("str_col").to_pylist() == STR
+
+
+@pytest.mark.parametrize("start,width", [(0, 5), (3, 7), (10, 5), (14, 1),
+                                         (5, 0)])
+def test_sparse_arrow_row_range(sparse_lib, start, width):
+    out = sparse_lib.read("sym", row_range=(start, start + width),
+                          output_format="arrow").sort_by("ts")
+    assert out.column("int_col").to_pylist() == INT[start:start + width]
+    assert out.column("str_col").to_pylist() == STR[start:start + width]
+
+
+def test_sparse_arrow_date_range(sparse_lib):
+    out = sparse_lib.read(
+        "sym",
+        date_range=(pd.Timestamp("2024-01-03"), pd.Timestamp("2024-01-08")),
+        output_format="arrow").sort_by("ts")
+    assert out.column("int_col").to_pylist() == INT[2:8]
+    assert out.column("bool_col").to_pylist() == BOO[2:8]
+
+
+def test_filter_isnull_notnull(sparse_lib):
+    q = QueryBuilder()
+    q = q[q["int_col"].isnull()]
+    out = sparse_lib.read("sym", query_builder=q, output_format="pandas")
+    assert len(out) == INT.count(None)
+    q = QueryBuilder()
+    q = q[q["str_col"].notnull()]
+    out = sparse_lib.read("sym", query_builder=q, output_format="pandas")
+    assert sorted(out["str_col"]) == sorted(s for s in STR if s is not None)
+
+
+def test_filter_on_sparse_values(sparse_lib):
+    q = QueryBuilder()
+    q = q[q["int_col"] > 4]
+    out = sparse_lib.read("sym", query_builder=q, output_format="pandas")
+    assert sorted(out["int_col"]) == [5, 6, 7, 8]
+    q = QueryBuilder()
+    q = q[q["str_col"].isin(["a", "f", "zzz"])]
+    out = sparse_lib.read("sym", query_builder=q, output_format="pandas")
+    assert sorted(out["str_col"]) == ["a", "f"]
+
+
+def test_filter_combined_sparse_columns(sparse_lib):
+    # rows where BOTH sparse columns are present
+    q = QueryBuilder()
+    q = q[q["int_col"].notnull() & q["float_col"].notnull()]
+    out = sparse_lib.read("sym", query_builder=q, output_format="pandas")
+    exp = [i for i in range(N) if INT[i] is not None and FLT[i] is not None]
+    assert len(out) == len(exp)
+
+
+def test_sparse_append_roundtrip(tmp_lib):
+    tmp_lib.write("sym", _table(), index_column="ts")
+    app = pa.table({
+        "ts": pa.array(pd.date_range("2024-02-01", periods=3),
+                       pa.timestamp("us")),
+        "int_col": pa.array([None, 9, None], pa.int64()),
+        "float_col": pa.array([6.0, None, None], pa.float64()),
+        "bool_col": pa.array([None, None, True], pa.bool_()),
+        "str_col": pa.array(["g", None, None], pa.string()),
+    })
+    tmp_lib.append("sym", app)
+    out = tmp_lib.read("sym", output_format="arrow").sort_by("ts")
+    assert out.num_rows == N + 3
+    assert out.column("int_col").to_pylist() == INT + [None, 9, None]
+    assert out.column("str_col").to_pylist() == STR + ["g", None, None]
+
+
+def test_sparse_update_roundtrip(tmp_lib):
+    tmp_lib.write("sym", _table(), index_column="ts")
+    upd = pa.table({
+        "ts": pa.array(pd.date_range("2024-01-05", periods=2),
+                       pa.timestamp("us")),
+        "int_col": pa.array([None, 100], pa.int64()),
+        "float_col": pa.array([50.0, None], pa.float64()),
+        "bool_col": pa.array([None, False], pa.bool_()),
+        "str_col": pa.array([None, "upd"], pa.string()),
+    })
+    tmp_lib.update("sym", upd)
+    out = tmp_lib.read("sym", output_format="arrow").sort_by("ts")
+    ints = out.column("int_col").to_pylist()
+    assert out.num_rows == N
+    assert ints[:4] == INT[:4]
+    assert ints[4:6] == [None, 100]
+    assert ints[6:] == INT[6:]
+    assert out.column("str_col").to_pylist()[5] == "upd"
