@@ -951,11 +951,17 @@ def q_salted_join(spark, sf):
 def q_simhash_dedup(spark, sf):
     """Cluster-form SimHash dedup (``dedup.py:simhash_dedup``): connected
     components run on the distinct-hash graph (thousands of nodes no matter
-    the doc count), each component keeps its min doc_id. The oracle is a
-    recursive reachability CTE over the exact doc-level SimHash pair set
-    (same 60-bit majority-vote + banding integer math as dedup_simhash)."""
+    the doc count), each component keeps its min doc_id. Hamming<=1 — the
+    tight-dup setting (the loose pair listing is dedup_simhash at 6); the
+    template corpus chains into near-cliques at looser thresholds, whose
+    transitive closure no SQL oracle can replay. The oracle mirrors the
+    hash-level clustering exactly: distinct-hash pair set (same 60-bit
+    majority-vote + banding math), reachability CTE over the HASH graph,
+    min-doc representative per component. bands=2 (width-30 chunks):
+    pigeonhole still guarantees hamming<=1 capture, and wide chunks cut
+    band-bucket collisions ~2x in the oracle's self-join."""
     d = load_table(spark, sf, "documents")
-    return xdedup.simhash_dedup(d, max_hamming=6, bands=4).select("doc_id")
+    return xdedup.simhash_dedup(d, max_hamming=1, bands=2).select("doc_id")
 
 
 def q_categorical_roundtrip(spark, sf):
@@ -1250,24 +1256,53 @@ FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}"""
 
 
-def _simhash_dedup_sql(max_hamming: int = 6, bands: int = 4) -> str:
-    """Cluster-form SimHash dedup oracle: connected components over the
-    exact doc-level SimHash pair set (``_simhash_sql`` — same-hash docs
-    share every band chunk at Hamming 0, so identical-hash grouping falls
-    out of the same edge set), keep the min doc_id per component. Mirrors
-    dedup.simhash_dedup's hash-graph clustering semantics."""
+def _simhash_dedup_sql(max_hamming: int = 1, bands: int = 2,
+                       bits: int = 60) -> str:
+    """Cluster-form SimHash dedup oracle, replayed at the DISTINCT-HASH
+    level exactly like ``dedup.simhash_dedup``: identical-hash docs
+    collapse to one graph node BEFORE the reachability CTE, so the closure
+    runs over thousands of hash nodes with hamming<=1 chains — a doc-level
+    closure over the same corpus is a near-clique graph whose transitive
+    closure is cubically large (measured: minutes at sf0.1 even at
+    hamming<=2). Survivor = the min doc_id of each hash component."""
+    width = bits // bands
+    mask = (1 << width) - 1
     return f"""
-WITH RECURSIVE cand AS ({_simhash_sql(max_hamming, bands)}),
-edges AS (SELECT id_a AS a, id_b AS b FROM cand
+WITH RECURSIVE t AS (SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKS} END AS toks
+           FROM documents),
+hs AS (SELECT doc_id,
+         [CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)
+          FOR t IN list_distinct(toks)] AS hs
+       FROM t),
+sig AS (SELECT doc_id, CAST(coalesce(list_sum(
+          [CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+                THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END
+           FOR b IN generate_series(0, {bits - 1})]), 0) AS BIGINT) AS sh
+        FROM hs),
+dsh AS (SELECT sh, min(doc_id) AS min_doc FROM sig GROUP BY sh),
+chunks AS (SELECT sh,
+             unnest(['c' || CAST(i AS VARCHAR) || ':' ||
+                     CAST((sh >> (i * {width})) & {mask} AS VARCHAR)
+                     FOR i IN generate_series(0, {bands - 1})]) AS chunk
+           FROM dsh),
+cand AS (SELECT DISTINCT a.sh AS sh_a, b.sh AS sh_b
+         FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.sh < b.sh
+         WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}),
+edges AS (SELECT sh_a AS a, sh_b AS b FROM cand
           UNION ALL
-          SELECT id_b AS a, id_a AS b FROM cand),
-reach(id, r) AS (
+          SELECT sh_b AS a, sh_a AS b FROM cand),
+reach(sh, r) AS (
   SELECT a, a FROM edges
   UNION
-  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
-cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
-SELECT d.doc_id FROM documents d
-WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE cluster <> id)"""
+  SELECT reach.sh, e.b FROM reach JOIN edges e ON e.a = reach.r),
+cc AS (SELECT sh, min(r) AS root FROM reach GROUP BY sh),
+comp AS (SELECT d.sh, d.min_doc, coalesce(cc.root, d.sh) AS root
+         FROM dsh d LEFT JOIN cc ON cc.sh = d.sh),
+rep AS (SELECT root, min(min_doc) AS rep_doc FROM comp GROUP BY root)
+SELECT s.doc_id
+FROM sig s JOIN comp c ON s.sh = c.sh JOIN rep r ON c.root = r.root
+WHERE s.doc_id = r.rep_doc"""
 
 
 def _multimodal_sql(dim: int = 8, limit: int = 64) -> str:

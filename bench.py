@@ -114,9 +114,9 @@ def _write_bench(spark, sf_dir: str) -> dict:
         out["write_lineitem"] = round(time.perf_counter() - t0, 4)
 
         ev = _tables.load_table(spark, sf_dir, "events")
-        cut = ev.agg(F.expr("percentile(cast(ts as double), 0.8)")).first()[0]
         import pandas as pd
-        cut_ts = pd.Timestamp(cut, unit="s")
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        cut_ts = pd.Timestamp(lo) + (pd.Timestamp(hi) - pd.Timestamp(lo)) * 0.8
         lib.write("ev", ev.filter(F.col("ts") < cut_ts), index_column="ts")
         tail = ev.filter(F.col("ts") >= cut_ts)
         t0 = time.perf_counter()
@@ -164,6 +164,8 @@ def _duckdb_head_to_head(entry_mod, sf_dir: str) -> dict:
     parquet — the single-node reference-class denominator for the 2x gate."""
     out: dict[str, float] = {}
     try:
+        import threading
+
         import duckdb
         from arcticdb_spark.sources import tables as _tables
         con = duckdb.connect()
@@ -171,6 +173,11 @@ def _duckdb_head_to_head(entry_mod, sf_dir: str) -> dict:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         for name, sql in entry_mod.oracle_sql().items():
+            # watchdog: a pathological oracle (e.g. a transitive closure
+            # over a near-clique graph) must never hang the whole bench —
+            # interrupt() aborts the statement, recorded as -1
+            dog = threading.Timer(120.0, con.interrupt)
+            dog.start()
             t0 = time.perf_counter()
             try:
                 con.execute(sql).fetchall()
@@ -179,6 +186,8 @@ def _duckdb_head_to_head(entry_mod, sf_dir: str) -> dict:
                 out[name] = -1.0
                 print(f"# duckdb {name} failed: {type(e).__name__}: {e}",
                       file=sys.stderr)
+            finally:
+                dog.cancel()
     except Exception as e:
         print(f"# duckdb head-to-head failed: {type(e).__name__}: {e}",
               file=sys.stderr)
