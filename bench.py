@@ -127,7 +127,7 @@ def _write_bench(spark, sf_dir: str) -> dict:
         t0 = time.perf_counter()
         for i in range(10):
             lib.stage("staged", chunks.filter(F.col("__c") == i).drop("__c"))
-        lib.sort_and_finalize_staged_data("staged", index_column="ts")
+        lib.sort_and_finalize_staged_data("staged")
         out["finalize_staged_10"] = round(time.perf_counter() - t0, 4)
     except Exception as e:
         print(f"# write bench failed: {type(e).__name__}: {e}",
