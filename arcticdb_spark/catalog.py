@@ -1365,10 +1365,17 @@ class Library:
                 rewrite.append(fe)
         new_entries = list(keep)
         if rewrite:
-            boundary = self._read_physical(prev, rewrite).filter(
-                ~F.col(idx).between(pd.Timestamp(lo, unit="ns"),
-                                    pd.Timestamp(hi, unit="ns")))
-            new_entries += self._write_data_files(symbol, boundary, idx)
+            # write the surviving boundary rows in two groups (below /
+            # above the spliced range) so no file straddles the hole:
+            # a straddling file's ts range overlaps the spliced rows,
+            # breaking ts-ordered row ids and blunting date_range pruning
+            phys = self._read_physical(prev, rewrite)
+            new_entries += self._write_data_files(
+                symbol, phys.filter(F.col(idx) < pd.Timestamp(lo, unit="ns")),
+                idx)
+            new_entries += self._write_data_files(
+                symbol, phys.filter(F.col(idx) > pd.Timestamp(hi, unit="ns")),
+                idx)
         new_entries += self._write_data_files(symbol, self._drop_void(sdf), idx)
         new_entries.sort(key=lambda e: (e.ts_min if e.ts_min is not None else 0, e.path))
         m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(), idx,
@@ -1454,10 +1461,15 @@ class Library:
                 rewrite.append(fe)
         new_entries = list(keep)
         if rewrite:
-            boundary = self._read_physical(prev, rewrite).filter(
-                ~F.col(idx).between(pd.Timestamp(lo, unit="ns"),
-                                    pd.Timestamp(hi, unit="ns")))
-            new_entries += self._write_data_files(symbol, boundary, idx)
+            # below/above split, same reason as update(): a boundary file
+            # straddling the deleted range keeps an overlapping ts range
+            phys = self._read_physical(prev, rewrite)
+            new_entries += self._write_data_files(
+                symbol, phys.filter(F.col(idx) < pd.Timestamp(lo, unit="ns")),
+                idx)
+            new_entries += self._write_data_files(
+                symbol, phys.filter(F.col(idx) > pd.Timestamp(hi, unit="ns")),
+                idx)
         new_entries.sort(key=lambda e: (e.ts_min if e.ts_min is not None else 0, e.path))
         m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(), idx,
                             prev.schema_json, _renumber(new_entries), prev.metadata,
@@ -2484,10 +2496,12 @@ class Library:
                 max_workers=min(self._BATCH_WORKERS, len(items))) as ex:
             return list(ex.map(fn, items))
 
-    def read_batch(self, symbols: list, **kw) -> list[DataFrame]:
+    def read_batch(self, symbols: list, **kw):
         """Items may be plain symbol names or ``ReadRequest`` objects carrying
         per-symbol as_of/date_range/row_range/columns/query_builder
-        (reference ``library.py:2161`` accepts Union[str, ReadRequest])."""
+        (reference ``library.py:2161`` accepts Union[str, ReadRequest]).
+        With ``lazy=True`` returns a ``LazyDataFrameCollection`` (reference
+        read_batch lazy form; split()/collect()/concat() chain from it)."""
         def one(s):
             if isinstance(s, ReadRequest):
                 return self.read(s.symbol, as_of=s.as_of,

@@ -68,6 +68,12 @@ class LazyDataFrameCollection:
     def lazy_dataframes(self) -> list[LazyDataFrame]:
         return self._dfs
 
+    def split(self) -> list[LazyDataFrame]:
+        """Reference ``LazyDataFrameCollection.split`` (library.py:616):
+        separate into per-symbol LazyDataFrames, keeping each frame's
+        already-applied clause chain."""
+        return list(self._dfs)
+
     def __iter__(self):
         return iter(self._dfs)
 

@@ -249,9 +249,15 @@ def test_near_dup_clusters_long_chain_converges_or_raises(spark):
     labels = xdedup.near_dup_clusters(chain).toPandas()
     assert set(labels["cluster"]) == {0}
     xdedup.unpersist_all()
-    # under-provisioned max_iter must refuse, not silently split the chain
+    # the distributed fallback (forced via driver_edges_max=0) with an
+    # under-provisioned max_iter must refuse, not silently split the chain;
+    # the default driver union-find path has no iteration limit
     with _pytest.raises(RuntimeError, match="did not converge"):
-        xdedup.near_dup_clusters(chain, max_iter=2)
+        xdedup.near_dup_clusters(chain, max_iter=2, driver_edges_max=0)
+    xdedup.unpersist_all()
+    # and the fallback converges when provisioned
+    labels2 = xdedup.near_dup_clusters(chain, driver_edges_max=0).toPandas()
+    assert set(labels2["cluster"]) == {0}
     xdedup.unpersist_all()
 
 

@@ -79,3 +79,20 @@ def test_lazy_apply_project_chain(tmp_lib, spark):
     lz = lz.apply("dbl", lz["v"] * 2)
     out = lz.collect().toPandas()
     assert list(out["dbl"]) == [2.0, 4.0, 6.0, 8.0]
+
+
+def test_collection_split(tmp_lib):
+    # reference LazyDataFrameCollection.split (library.py:616): back to
+    # per-symbol LazyDataFrames with their clause chains intact
+    import pandas as pd
+    from arcticdb_spark.lazy import LazyDataFrame
+    for s in ("a", "b"):
+        tmp_lib.write(s, pd.DataFrame(
+            {"v": [1.0, 2.0, 3.0]},
+            index=pd.date_range("2024-01-01", periods=3, name="ts")))
+    coll = tmp_lib.read_batch(["a", "b"], lazy=True)
+    parts = coll.split()
+    assert len(parts) == 2
+    assert all(isinstance(p, LazyDataFrame) for p in parts)
+    outs = [p.collect() for p in parts]
+    assert all(o.count() == 3 for o in outs)
