@@ -57,6 +57,18 @@ class LazyDataFrame(QueryBuilder):
         kw["query_builder"] = self
         return self._lib.read(self._symbol, **kw)
 
+    def collect_schema(self):
+        """Result schema WITHOUT executing (reference LazyDataFrame
+        ``_collect_schema``, test_collect_schema.py): Spark plans are lazy,
+        so building the read plan and taking its analyzed schema runs
+        catalog/metadata work only — no data job. Returns the Spark
+        ``StructType`` (engine-native schema form); honors as_of /
+        date_range / columns and the pending clause chain."""
+        kw = dict(self._read_kwargs)
+        kw["query_builder"] = self
+        kw["output_format"] = "spark"  # schema only — never materialize
+        return self._lib.read(self._symbol, **kw).schema
+
 
 class LazyDataFrameCollection:
     """Reference ``LazyDataFrameCollection``: N lazy reads sharing an

@@ -96,3 +96,34 @@ def test_collection_split(tmp_lib):
     assert all(isinstance(p, LazyDataFrame) for p in parts)
     outs = [p.collect() for p in parts]
     assert all(o.count() == 3 for o in outs)
+
+
+def test_collect_schema(tmp_lib):
+    # reference test_collect_schema.py: schema without executing — honors
+    # as_of, snapshots, column selection and the clause chain
+    import pandas as pd
+    from pyspark.sql import types as T
+    df0 = pd.DataFrame({"a": [1], "b": [1.5]},
+                       index=pd.date_range("2024-01-01", periods=1, name="ts"))
+    tmp_lib.write("sym", df0)
+    tmp_lib.snapshot("snap")
+    df1 = pd.DataFrame({"c": ["x"]},
+                       index=pd.date_range("2024-01-02", periods=1, name="ts"))
+    tmp_lib.write("sym", df1)
+
+    s_latest = tmp_lib.read("sym", lazy=True).collect_schema()
+    assert [f.name for f in s_latest.fields] == ["ts", "c"]
+    s_v0 = tmp_lib.read("sym", as_of=0, lazy=True).collect_schema()
+    assert [f.name for f in s_v0.fields] == ["ts", "a", "b"]
+    assert isinstance(s_v0["a"].dataType, T.LongType)
+    assert isinstance(s_v0["b"].dataType, T.DoubleType)
+    s_snap = tmp_lib.read("sym", as_of="snap", lazy=True).collect_schema()
+    assert [f.name for f in s_snap.fields] == ["ts", "a", "b"]
+    # column selection narrows it (index force-included)
+    s_cols = tmp_lib.read("sym", as_of=0, columns=["b"],
+                          lazy=True).collect_schema()
+    assert [f.name for f in s_cols.fields] == ["ts", "b"]
+    # clause chain: a projection shows up in the schema
+    ldf = tmp_lib.read("sym", as_of=0, lazy=True)
+    ldf = ldf.apply("double_a", ldf["a"] * 2)
+    assert "double_a" in [f.name for f in ldf.collect_schema().fields]
