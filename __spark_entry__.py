@@ -964,6 +964,23 @@ def q_simhash_dedup(spark, sf):
     return xdedup.simhash_dedup(d, max_hamming=1, bands=2).select("doc_id")
 
 
+def q_shuffle_shards(spark, sf):
+    """Deterministic global shuffle for training order
+    (``sampling.shuffle_deterministic``): content-addressed permutation key
+    + shard id per doc — identical on every run/cluster/engine. Narrow
+    projection; the only shuffle is the per-shard agg. Per-shard stats pin
+    balance AND the exact key range (a permutation regression moves
+    min/max keys)."""
+    from arcticdb_spark.extensions import sampling as xsamp
+    d = load_table(spark, sf, "documents")
+    out = xsamp.shuffle_deterministic(d, "doc_id", n_shards=8)
+    return (out.groupBy("shard")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.min("shuffle_key").alias("min_key"),
+                    F.max("shuffle_key").alias("max_key"),
+                    F.sum("n_chars").alias("total_chars")))
+
+
 def q_categorical_roundtrip(spark, sf):
     """Categorical normalization end-to-end through the versioned library
     (reference test_categorical.py): write a frame whose ``source`` column
@@ -1002,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r03 (the r04 rotation's tail), then the 50 r04-green
         # queries. Union r04∪r05 covers the whole registry on current code.
         # --- new in r5, never driver-verified ---
+        "shuffle_shards": q_shuffle_shards,
         "salted_join": q_salted_join,
         "simhash_dedup": q_simhash_dedup,
         "pii_redact": q_pii_redact,
@@ -1608,6 +1626,18 @@ b AS (SELECT vec_id, cid, cos,
       FROM s)
 SELECT cid AS centroid_id, COUNT(*) AS n_members, ROUND(AVG(cos), 4) AS avg_cos
 FROM b WHERE rn = 1 GROUP BY cid""",
+
+        "shuffle_shards": """
+WITH b AS (
+  SELECT n_chars,
+         ((((doc_id + 1000003) % 2147483647) * 48271 % 2147483647)
+          * 48271) % 2147483647 AS bucket
+  FROM documents)
+SELECT CAST(bucket % 8 AS INTEGER) AS shard,
+       COUNT(*) AS n_docs,
+       MIN(bucket) AS min_key, MAX(bucket) AS max_key,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY 1""",
 
         "sample_split": """
 WITH b AS (

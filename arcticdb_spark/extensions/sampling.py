@@ -103,3 +103,27 @@ def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str,
         thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
     thresh = thresh.otherwise(F.lit(int(default_fraction * _M)))
     return df.filter(b < thresh)
+
+
+def shuffle_deterministic(df: DataFrame, key_col: str, n_shards: int,
+                          salt: int = 0,
+                          shard_col: str = "shard",
+                          order_col: str = "shuffle_key") -> DataFrame:
+    """Deterministic global shuffle for training-order assignment: every
+    row gets a content-addressed permutation key and a shard id — the same
+    corpus shuffles identically on every run, any cluster size, any engine
+    (the Lehmer bucket is exact int64 math, replayable in SQL).
+
+    ``shard = bucket % n_shards`` balances shards to within the hash's
+    uniformity; ``order_col`` orders rows WITHIN a shard (sort each shard
+    by it when writing training files). At 100 TB this is a narrow
+    projection; the only shuffle is the writer's own
+    ``repartition(n_shards, shard)`` — one exchange, no global sort (a
+    total order across 100 TB is never materialized; shard-local order is
+    what data loaders consume).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    b = _bucket(F.col(key_col), salt)
+    return (df.withColumn(order_col, b)
+              .withColumn(shard_col, (b % F.lit(int(n_shards))).cast("int")))

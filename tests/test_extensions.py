@@ -552,3 +552,23 @@ def test_embedding_byte_gate_routes_to_join(spark, monkeypatch):
                                           exact_below=0, n_rows=6).toPandas()
     got = {(a, b) for a, b in zip(out.id_a, out.id_b)}
     assert (0, 1) in got
+
+
+def test_shuffle_deterministic(spark):
+    from arcticdb_spark.extensions import sampling as xsamp
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    out = xsamp.shuffle_deterministic(df, "doc_id", n_shards=4).toPandas()
+    # deterministic: same keys on a re-run
+    out2 = xsamp.shuffle_deterministic(df, "doc_id", n_shards=4).toPandas()
+    assert out.sort_values("doc_id")["shuffle_key"].tolist() == \
+        out2.sort_values("doc_id")["shuffle_key"].tolist()
+    # permutation keys are distinct and shards roughly balanced
+    assert out["shuffle_key"].nunique() == 1000
+    counts = out["shard"].value_counts()
+    assert set(counts.index) == {0, 1, 2, 3}
+    assert counts.min() > 150
+    # salting re-draws a different permutation
+    out3 = xsamp.shuffle_deterministic(df, "doc_id", n_shards=4,
+                                       salt=7).toPandas()
+    assert out3.sort_values("doc_id")["shuffle_key"].tolist() != \
+        out.sort_values("doc_id")["shuffle_key"].tolist()
