@@ -964,6 +964,67 @@ def q_simhash_dedup(spark, sf):
     return xdedup.simhash_dedup(d, max_hamming=1, bands=2).select("doc_id")
 
 
+def _events_stream(spark, sf):
+    """The events table as a bounded stream (file source over the parquet;
+    one availableNow batch). Declaring ``ts timestamp`` makes the reader
+    coerce TIMESTAMP(NANOS) to µs directly — the same truncation as
+    load_table / DuckDB's CAST, verified value-equal to the batch scan
+    (declaring ``ts long`` under nanosAsLong yields µs-longs here, unlike
+    the batch reader's ns-longs)."""
+    from arcticdb_spark.sources.tables import ensure_session_conf
+    ensure_session_conf(spark)
+    return (spark.readStream
+            .schema("event_id long, ts timestamp, user_id long, "
+                    "event_type string, value double, props string")
+            .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+            .parquet(sf))
+
+
+def _run_memory_stream(agg, mode: str) -> "DataFrame":
+    import uuid as _uuid
+    name = "mem_" + _uuid.uuid4().hex[:12]
+    q = (agg.writeStream.outputMode(mode).format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return agg.sparkSession.table(name)
+
+
+def q_stream_resample(spark, sf):
+    """Structured-Streaming windowed resample (``streaming.ingest.
+    stream_resample``) over the bounded events stream: 1h tumbling windows,
+    complete-mode memory sink. On a bounded one-batch stream this equals
+    the batch resample, so the oracle is plain date_trunc GROUP BY —
+    a FULL value check on a streaming operator."""
+    from arcticdb_spark.streaming.ingest import stream_resample
+    ev = _events_stream(spark, sf)
+    agg = stream_resample(ev, "ts", "1 hour",
+                          {"n": ("value", "count"), "s": ("value", "sum")})
+    out = _run_memory_stream(agg, "complete")
+    return out.select(F.col("ts").alias("bucket"), "n",
+                      F.round("s", 4).alias("s"))
+
+
+def q_stream_sessionize(spark, sf):
+    """Custom stateful streaming operator (``applyInPandasWithState``,
+    ``streaming.stateful.stream_sessionize``): per-user sessions split on a
+    30-minute inactivity gap. A bounded stream emits every CLOSED session —
+    each user's final (still-open) session stays in state — so the oracle
+    is the batch gap-sessionization minus each user's last session,
+    expressible in SQL (lag + cumulative sum)."""
+    from arcticdb_spark.streaming.stateful import stream_sessionize
+    ev = _events_stream(spark, sf).filter(F.col("user_id") < 40)
+    sess = stream_sessionize(ev.select("user_id", "ts"), gap="30 minutes")
+    out = _run_memory_stream(sess, "append")
+    return (out.groupBy("user_id")
+               .agg(F.count(F.lit(1)).alias("n_sessions"),
+                    F.sum("n_events").alias("n_events"),
+                    F.min("session_start").alias("first_start"),
+                    F.max("session_end").alias("last_end")))
+
+
 def q_shuffle_shards(spark, sf):
     """Deterministic global shuffle for training order
     (``sampling.shuffle_deterministic``): content-addressed permutation key
@@ -1019,6 +1080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r03 (the r04 rotation's tail), then the 50 r04-green
         # queries. Union r04∪r05 covers the whole registry on current code.
         # --- new in r5, never driver-verified ---
+        "stream_resample": q_stream_resample,
+        "stream_sessionize": q_stream_sessionize,
         "shuffle_shards": q_shuffle_shards,
         "salted_join": q_salted_join,
         "simhash_dedup": q_simhash_dedup,
@@ -1626,6 +1689,38 @@ b AS (SELECT vec_id, cid, cos,
       FROM s)
 SELECT cid AS centroid_id, COUNT(*) AS n_members, ROUND(AVG(cos), 4) AS avg_cos
 FROM b WHERE rn = 1 GROUP BY cid""",
+
+        # streaming ops on a bounded one-batch stream equal their batch
+        # forms, so even the Structured Streaming operators get FULL value
+        # oracles (window agg == date_trunc; stateful sessionize == gap
+        # sessions minus each user's still-open final session)
+        "stream_resample": """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+       COUNT(value) AS n, ROUND(SUM(value), 4) AS s
+FROM events GROUP BY 1""",
+
+        "stream_sessionize": """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+           WHERE user_id < 40),
+o AS (SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+             THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, ts,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+g AS (SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        COUNT(*) AS n_events
+      FROM s GROUP BY user_id, sid),
+closed AS (SELECT * FROM g
+           WHERE sid < (SELECT MAX(sid) FROM g g2
+                        WHERE g2.user_id = g.user_id))
+SELECT user_id, COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       MIN(session_start) AS first_start, MAX(session_end) AS last_end
+FROM closed GROUP BY user_id""",
 
         "shuffle_shards": """
 WITH b AS (
