@@ -24,7 +24,8 @@ Layout:
 from arcticdb_spark.session import get_spark
 from arcticdb_spark.query import QueryBuilder, col
 from arcticdb_spark.expr import where
-from arcticdb_spark.catalog import (Arctic, ArcticException, DataError,
+from arcticdb_spark.catalog import (Arctic, ArcticDbNotYetImplemented,
+                                    ArcticException, DataError,
                                     DeleteRequest, MergeStrategy,
                                     MissingKeysInStageResultsError,
                                     NoSuchVersionException,
@@ -40,7 +41,8 @@ __version__ = "0.1.0"
 __all__ = ["get_spark", "QueryBuilder", "col", "where", "Arctic",
            "WritePayload", "UpdatePayload", "DataError", "DeleteRequest",
            "MergeStrategy", "ReadRequest", "ReadInfoRequest", "StageResult",
-           "ArcticException", "NoSuchVersionException", "SortingException",
+           "ArcticException", "ArcticDbNotYetImplemented",
+           "NoSuchVersionException", "SortingException",
            "SchemaException", "MissingKeysInStageResultsError",
            "LazyDataFrame", "LazyDataFrameCollection", "concat",
            "__version__"]
