@@ -1449,7 +1449,18 @@ class Library:
         """(``library.py:2750``) — like update with no new rows."""
         import pandas as pd
         prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
+        if self._is_pickled(prev) or self._is_recursive(prev):
+            # reference InternalException (test_deletion.py
+            # test_delete_date_range_pickled_symbol): pickled data has no
+            # index to range-delete by
+            raise ArcticException(
+                f"cannot delete a date range of pickled/recursive symbol "
+                f"{symbol!r}")
         idx = prev.index_column
+        if idx is None:
+            raise ArcticException(
+                f"{symbol!r} has no datetime index: delete_data_in_range "
+                "requires a timestamp-indexed symbol")
         lo, hi = _norm_range_ns(date_range)
         keep, rewrite = [], []
         for fe in prev.files:

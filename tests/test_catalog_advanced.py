@@ -476,3 +476,20 @@ def test_row_id_broadcast_join_many_files(tmp_lib):
     out = tmp_lib.read("many", row_range=(345, 355),
                        output_format="pandas")
     assert list(out["v"]) == [34.0] * 5 + [35.0] * 5
+
+
+def test_delete_data_in_range_pickled_rejected(tmp_lib):
+    # reference test_delete_date_range_pickled_symbol: range-deleting
+    # pickled data raises instead of corrupting it
+    import pandas as pd
+    import pytest
+    from arcticdb_spark.catalog import ArcticException
+    tmp_lib.write_pickle("p", {"a": 1})
+    with pytest.raises(ArcticException, match="pickled"):
+        tmp_lib.delete_data_in_range(
+            "p", (pd.Timestamp("2000-01-01"), pd.Timestamp("2000-01-02")))
+    # and a positional (no-index) frame is rejected too
+    tmp_lib.write("flat", pd.DataFrame({"v": [1, 2, 3]}))
+    with pytest.raises(ArcticException, match="datetime index"):
+        tmp_lib.delete_data_in_range(
+            "flat", (pd.Timestamp("2000-01-01"), pd.Timestamp("2000-01-02")))
