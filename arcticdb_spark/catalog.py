@@ -757,6 +757,19 @@ class Library:
                 meta = {"index_type": "datetime", "physical": str(name),
                         "fake_name": pdf.columns[0] == "ts"
                                      and df.index.name is None}
+            elif isinstance(pdf.index, pd.RangeIndex):
+                # reference RangeIndex normalization
+                # (_normalization.py:371-379): start/step are recorded in
+                # norm meta, values never materialize; restore rebuilds
+                # start + step*i (append continuity validated in append()).
+                # The default unnamed 0..n/1 index records nothing — the
+                # write-order restore reproduces it for free.
+                ri = pdf.index
+                if ri.start != 0 or ri.step != 1 or ri.name is not None:
+                    meta = {"index_type": "range", "start": int(ri.start),
+                            "step": int(ri.step),
+                            "name": None if ri.name is None else str(ri.name)}
+                pdf = pdf.reset_index(drop=True)
             elif pdf.index.name is not None:
                 pdf = pdf.reset_index()
                 meta = {"index_type": "named",
@@ -1225,6 +1238,22 @@ class Library:
             if prune_previous_versions:
                 self.prune_previous_versions(symbol)
             return out
+        rmeta = (prev.norm_meta or {}) if isinstance(prev.norm_meta, dict) else {}
+        if rmeta.get("index_type") == "range":
+            # reference test_append.py test_append_range_index: a stored
+            # non-default RangeIndex only accepts the exact continuation
+            # (same step, start == stored start + step * rows)
+            import pandas as pd
+            if isinstance(df, (pd.DataFrame, pd.Series)) and isinstance(
+                    df.index, pd.RangeIndex):
+                exp_start = rmeta["start"] + rmeta["step"] * prev.total_rows
+                if (df.index.step != rmeta["step"]
+                        or df.index.start != exp_start):
+                    raise ArcticException(
+                        f"append to {symbol!r}: RangeIndex must continue the "
+                        f"stored index (expected start={exp_start}, "
+                        f"step={rmeta['step']}; got start={df.index.start}, "
+                        f"step={df.index.step})")
         chunk_sorted = self._input_sortedness(df)
         if validate_index and (prev.sorted == "UNSORTED"
                                or chunk_sorted == "UNSORTED"):
@@ -1866,6 +1895,14 @@ class Library:
                 pdf = pdf.set_index(norm_meta["physical"])
                 if norm_meta.get("fake_name"):
                     pdf.index.name = None
+            # rebuild a non-default RangeIndex from recorded start/step —
+            # rows arrive in write order (ROW_ID restore), so position i is
+            # original row i
+            elif norm_meta and norm_meta.get("index_type") == "range":
+                pdf.index = pd.RangeIndex(
+                    norm_meta["start"],
+                    norm_meta["start"] + norm_meta["step"] * len(pdf),
+                    norm_meta["step"], name=norm_meta.get("name"))
             # re-categorize (reference _denormalize restore,
             # _normalization.py:1203-1217): keys are physical column names,
             # so this runs before renamed_cols maps names back

@@ -493,3 +493,43 @@ def test_delete_data_in_range_pickled_rejected(tmp_lib):
     with pytest.raises(ArcticException, match="datetime index"):
         tmp_lib.delete_data_in_range(
             "flat", (pd.Timestamp("2000-01-01"), pd.Timestamp("2000-01-02")))
+
+
+def test_append_range_index_continuity(tmp_lib):
+    # reference test_append.py test_append_range_index: non-default
+    # RangeIndex round-trips start/step and only accepts the exact
+    # continuation on append
+    df0 = pd.DataFrame({"col": [0, 1]}, index=pd.RangeIndex(0, 4, 2))
+    tmp_lib.write("sym", df0)
+    out0 = tmp_lib.read("sym", output_format="pandas")
+    pd.testing.assert_frame_equal(df0, out0)
+    df1 = pd.DataFrame({"col": [2, 3]}, index=pd.RangeIndex(4, 8, 2))
+    tmp_lib.append("sym", df1)
+    out = tmp_lib.read("sym", output_format="pandas")
+    pd.testing.assert_frame_equal(pd.concat([df0, df1]), out)
+    for idx in [pd.RangeIndex(6, 10, 2), pd.RangeIndex(10, 14, 2),
+                pd.RangeIndex(8, 14, 3)]:
+        with pytest.raises(ArcticException, match="RangeIndex"):
+            tmp_lib.append("sym", pd.DataFrame({"col": [4, 5]}, index=idx))
+    # negative-start variant (test_append_range_index_from_zero)
+    tmp_lib.write("neg", pd.DataFrame({"col": [0, 1]},
+                                      index=pd.RangeIndex(-6, -2, 2)))
+    with pytest.raises(ArcticException, match="RangeIndex"):
+        tmp_lib.append("neg", pd.DataFrame({"col": [2, 3]},
+                                           index=pd.RangeIndex(0, 4, 2)))
+    outn = tmp_lib.read("neg", output_format="pandas")
+    assert list(outn.index) == [-6, -4]
+
+
+def test_append_at_equal_boundary_allowed(tmp_lib):
+    # reference test_append_same_index_value: a chunk starting AT the
+    # existing max timestamp is not an overlap; sortedness stays ASCENDING
+    df0 = pd.DataFrame({"col": [1, 2]},
+                       index=pd.date_range("2024-01-01", periods=2, name="ts"))
+    tmp_lib.write("sym", df0)
+    df1 = pd.DataFrame({"col": [3, 4]},
+                       index=pd.date_range(df0.index[-1], periods=2, name="ts"))
+    tmp_lib.append("sym", df1)
+    out = tmp_lib.read("sym", output_format="pandas")
+    assert out["col"].tolist() == [1, 2, 3, 4]
+    assert tmp_lib.get_description("sym")["sorted"] == "ASCENDING"
