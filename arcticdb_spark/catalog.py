@@ -1239,6 +1239,19 @@ class Library:
                 self.prune_previous_versions(symbol)
             return out
         rmeta = (prev.norm_meta or {}) if isinstance(prev.norm_meta, dict) else {}
+        smeta = rmeta.get("series")
+        if smeta is not None:
+            # reference test_append_series_with_different_column_name_throws:
+            # a renamed Series would need a new column + norm-meta rewrite —
+            # the reference throws SchemaException, and so do we (under
+            # dynamic schema it would otherwise silently widen)
+            import pandas as pd
+            if isinstance(df, pd.Series):
+                new_name = None if df.name is None else str(df.name)
+                if new_name != smeta["name"]:
+                    raise SchemaException(
+                        f"append to series symbol {symbol!r}: name "
+                        f"{smeta['name']!r} != appended name {new_name!r}")
         if rmeta.get("index_type") == "range":
             # reference test_append.py test_append_range_index: a stored
             # non-default RangeIndex only accepts the exact continuation

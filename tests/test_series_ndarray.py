@@ -209,3 +209,20 @@ def test_list_versions_snapshot_row_schema(tmp_lib):
     assert set(r) == {"symbol", "version", "date", "rows", "snapshots",
                       "deleted"}
     assert r["rows"] == 3 and r["snapshots"] == ["snap1"]
+
+
+def test_series_append_different_name_throws(tmp_lib):
+    # reference test_append.py
+    # test_append_series_with_different_column_name_throws
+    from arcticdb_spark.catalog import SchemaException
+    s1 = pd.Series([1.0, 2.0], name="name_1",
+                   index=pd.date_range("2024-01-01", periods=2, name="ts"))
+    s2 = pd.Series([3.0, 4.0], name="name_2",
+                   index=pd.date_range("2024-02-01", periods=2, name="ts"))
+    tmp_lib.write("s", s1)
+    with pytest.raises(SchemaException, match="name_1"):
+        tmp_lib.append("s", s2)
+    # same-name append still fine
+    tmp_lib.append("s", s2.rename("name_1"))
+    out = tmp_lib.read("s", output_format="pandas")
+    assert out.tolist() == [1.0, 2.0, 3.0, 4.0]
