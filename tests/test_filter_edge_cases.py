@@ -243,3 +243,41 @@ class TestNaTComparisons:
         assert q[q["a"] != 2.0].to_df(df).count() == 2   # 1.0 and NaN
         q2 = QueryBuilder()
         assert q2[q2["a"] == 2.0].to_df(df).count() == 1
+
+
+def test_filter_categorical_column_works(tmp_lib):
+    # reference test_filter_categorical raises UserInputException (its
+    # engine stores integer codes); we store decoded values, so the same
+    # query just WORKS — documented improvement over the reference
+    df = pd.DataFrame({"a": pd.Categorical(["hello", "hi", "hello"])})
+    tmp_lib.write("sym", df)
+    q = QueryBuilder()
+    q = q[q["a"] == "hi"]
+    out = tmp_lib.read("sym", query_builder=q, output_format="pandas")
+    assert out["a"].tolist() == ["hi"]
+
+
+def test_filter_datetime_timezone_aware_literal(tmp_lib):
+    # reference test_filter_datetime_timezone_aware: a tz-aware literal
+    # compares as its UTC instant against tz-aware stored data
+    df = pd.DataFrame(
+        {"a": pd.date_range("2000-01-01", periods=10,
+                            tz="Europe/Amsterdam")})
+    tmp_lib.write("sym", df)
+    ts = pd.Timestamp("2000-01-05", tz="GMT")
+    q = QueryBuilder()
+    q = q[q["a"] < ts]
+    out = tmp_lib.read("sym", query_builder=q, output_format="pandas")
+    exp = df[df["a"] < ts]
+    assert len(out) == len(exp)
+
+
+def test_filter_clashing_values_across_types(tmp_lib):
+    # reference test_filter_clashing_values: int 11 and string "11" in
+    # different columns never cross-match
+    df = pd.DataFrame({"a": [10, 11, 12], "b": ["11", "12", "13"]})
+    tmp_lib.write("sym", df)
+    q = QueryBuilder()
+    q = q[(q["a"] == 11) | (q["b"] == "11")]
+    out = tmp_lib.read("sym", query_builder=q, output_format="pandas")
+    assert sorted(out["a"].tolist()) == [10, 11]
