@@ -196,3 +196,28 @@ class TestNamedAggs:
         out = run(q, spark.createDataFrame(pdf)).sort_values("g")
         assert out["v_max"].tolist() == [5.0, 4.0]
         assert out["v_mean"].tolist() == [3.0, 4.0]
+
+
+def test_group_empty_symbol_keeps_schema(tmp_lib):
+    # reference test_group_empty_dataframe: grouping an empty symbol
+    # returns an empty result that still carries the agg column
+    import pandas as pd
+    from arcticdb_spark.query import QueryBuilder
+    tmp_lib.write("sym", pd.DataFrame({"grouping_column": pd.Series([], dtype=str),
+                                       "to_count": pd.Series([], dtype="float64")}))
+    q = QueryBuilder().groupby("grouping_column").agg({"to_count": "count"})
+    out = tmp_lib.read("sym", query_builder=q)
+    assert out.count() == 0
+    assert "to_count" in out.columns
+
+
+def test_group_pickled_symbol_raises(tmp_lib):
+    # reference test_group_pickled_symbol: pickled symbols reject queries
+    import pytest
+    from arcticdb_spark.catalog import ArcticException
+    from arcticdb_spark.query import QueryBuilder
+    tmp_lib.write_pickle("sym", list(range(100)))
+    assert tmp_lib.is_symbol_pickled("sym")
+    q = QueryBuilder().groupby("grouping_column").agg({"to_mean": "mean"})
+    with pytest.raises(ArcticException):
+        tmp_lib.read("sym", query_builder=q)
