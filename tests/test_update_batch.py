@@ -146,3 +146,57 @@ class TestReadBatchErrors:
         assert res[0].count() == 2
         assert isinstance(res[1], DataError)
         assert res[1].symbol == "missing"
+
+
+class TestUpdateReferenceCases:
+    """Ported from the reference test_update.py top-level cases."""
+
+    def test_update_single_dates_out_of_order(self, lib):
+        # test_update_single_dates: three single-row upsert updates landing
+        # out of order assemble a sorted frame
+        df1 = pd.DataFrame(index=pd.DatetimeIndex([pd.Timestamp(2022, 1, 3)],
+                                                  name="ts"),
+                           data={"a": [2220103.0]})
+        df2 = pd.DataFrame(index=pd.DatetimeIndex([pd.Timestamp(2021, 12, 22)],
+                                                  name="ts"),
+                           data={"a": [211222.0]})
+        df3 = pd.DataFrame(index=pd.DatetimeIndex([pd.Timestamp(2021, 12, 29)],
+                                                  name="ts"),
+                           data={"a": [2211229.0]})
+        lib.update("d6", df1, upsert=True)
+        lib.update("d6", df2, upsert=True)
+        lib.update("d6", df3, upsert=True)
+        out = lib.read("d6", output_format="pandas")
+        expected = pd.concat((df2, df3, df1))
+        pd.testing.assert_frame_equal(out, expected, check_freq=False)
+
+    def test_update_middle_span_matches_pandas(self, lib):
+        # test_update: pandas df.update as the oracle for a mid-range splice
+        idx = pd.date_range("1970-01-01", periods=100, freq="D", name="ts")
+        df = pd.DataFrame({"a": np.arange(100, dtype="float")}, index=idx)
+        lib.write("u", df)
+        idx2 = pd.date_range("1970-01-12", periods=10, freq="D", name="ts")
+        df2 = pd.DataFrame({"a": np.arange(1000, 1010, dtype="float")},
+                           index=idx2)
+        lib.update("u", df2)
+        out = lib.read("u", output_format="pandas")
+        exp = df.copy()
+        exp.update(df2)
+        pd.testing.assert_frame_equal(out, exp, check_freq=False)
+
+    def test_update_with_wider_daterange_replaces_range(self, lib):
+        # test_update_with_daterange: an explicit date_range WIDER than the
+        # patch deletes the whole range, so the result is exactly the patch
+        def frame(start, end):
+            idx = pd.date_range(start, end, freq="D", name="ts")
+            return pd.DataFrame({"value": idx.day.astype("int64")}, index=idx)
+        df1 = frame("2020-01-01", "2021-01-01")
+        lib.write("t", df1)
+        df2 = frame("2020-06-01", "2021-06-01")
+        lib.update("t", df2,
+                   date_range=(pd.Timestamp("2020-01-01"),
+                               pd.Timestamp("2022-01-01")))
+        out = lib.read("t", output_format="pandas")
+        assert out.index.min() == df2.index.min()
+        assert out.index.max() == df2.index.max()
+        assert len(out) == len(df2)
