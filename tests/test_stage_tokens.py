@@ -112,3 +112,35 @@ def test_finalize_append_validate_index_off(tmp_lib):
                                      validate_index=False)
     assert m.sorted == "UNSORTED"
     assert tmp_lib.read("sym").count() == 3
+
+
+def test_append_finalize_interleave_rejected(tmp_lib):
+    # reference test_sort_merge.py test_appended_df_interleaves_with_storage:
+    # staged rows INSIDE the existing index range cannot append-finalize
+    import pandas as pd
+    import pytest
+    from arcticdb_spark.catalog import SortingException
+    tmp_lib.write("sym", pd.DataFrame(
+        {"col": [1, 3]},
+        index=pd.DatetimeIndex(["2023-01-01", "2023-01-03"], name="ts")))
+    tmp_lib.stage("sym", pd.DataFrame(
+        {"col": [2]}, index=pd.DatetimeIndex(["2023-01-02"], name="ts")))
+    with pytest.raises(SortingException, match="overlap"):
+        tmp_lib.sort_and_finalize_staged_data("sym", mode="append")
+
+
+def test_append_finalize_equal_boundary_allowed(tmp_lib):
+    # reference test_appended_df_start_same_as_df_end: starting AT the
+    # existing max is a legal append
+    import pandas as pd
+    tmp_lib.write("sym", pd.DataFrame(
+        {"col": [1, 2, 3]},
+        index=pd.DatetimeIndex(["2023-01-01", "2023-01-02", "2023-01-03"],
+                               name="ts")))
+    tmp_lib.stage("sym", pd.DataFrame(
+        {"col": [4, 5, 6]},
+        index=pd.DatetimeIndex(["2023-01-03", "2023-01-04", "2023-01-05"],
+                               name="ts")))
+    tmp_lib.sort_and_finalize_staged_data("sym", mode="append")
+    out = tmp_lib.read("sym", output_format="pandas")
+    assert out["col"].tolist() == [1, 2, 3, 4, 5, 6]
