@@ -134,3 +134,38 @@ def test_sparse_update_roundtrip(tmp_lib):
     assert ints[4:6] == [None, 100]
     assert ints[6:] == INT[6:]
     assert out.column("str_col").to_pylist()[5] == "upd"
+
+
+def test_arrow_read_empty_symbol(tmp_lib):
+    # reference test_arrow_read.py test_read_empty / _with_columns: an
+    # empty symbol reads as a 0-row arrow table with the full schema
+    df = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                       "b": pd.Series([], dtype="float64")})
+    tmp_lib.write("sym", df)
+    t = tmp_lib.read("sym", output_format="arrow")
+    assert t.num_rows == 0
+    assert set(t.schema.names) >= {"a", "b"}
+    t2 = tmp_lib.read("sym", columns=["b"], output_format="arrow")
+    assert t2.num_rows == 0 and "b" in t2.schema.names
+
+
+def test_arrow_read_column_filtering(tmp_lib):
+    # reference test_column_filtering: arrow output honors the column
+    # subset (plus force-included index)
+    idx = pd.date_range("2024-01-01", periods=4, name="ts")
+    df = pd.DataFrame({"a": [1, 2, 3, 4], "b": [1.5, 2.5, 3.5, 4.5],
+                       "c": list("wxyz")}, index=idx)
+    tmp_lib.write("sym", df)
+    t = tmp_lib.read("sym", columns=["c"], output_format="arrow")
+    assert set(t.schema.names) == {"ts", "c"}
+    assert t.sort_by("ts").column("c").to_pylist() == list("wxyz")
+
+
+def test_arrow_read_strings_with_missing(tmp_lib):
+    # reference test_strings_with_nones_and_nans (NaN ≡ missing here)
+    df = pd.DataFrame({"s": ["a", None, "c", None]})
+    tmp_lib.write("sym", df)
+    t = tmp_lib.read("sym", output_format="arrow")
+    vals = t.column("s").to_pylist()
+    assert sorted(v for v in vals if v is not None) == ["a", "c"]
+    assert vals.count(None) == 2
