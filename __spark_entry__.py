@@ -1075,63 +1075,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDERING POLICY (round 4+): least-recently-driver-verified first.
         # The driver checks only the first ~50 entries per round, so a static
-        # order starves the tail. Round-5 sort: new-this-round queries (never
-        # driver-verified) lead, then the 22 queries whose last green row is
-        # CORRECTNESS_r03 (the r04 rotation's tail), then the 50 r04-green
-        # queries. Union r04∪r05 covers the whole registry on current code.
-        # --- new in r5, never driver-verified ---
-        "stream_resample": q_stream_resample,
-        "stream_sessionize": q_stream_sessionize,
-        "shuffle_shards": q_shuffle_shards,
-        "salted_join": q_salted_join,
-        "simhash_dedup": q_simhash_dedup,
-        "pii_redact": q_pii_redact,
-        "categorical_roundtrip": q_categorical_roundtrip,
-        # --- last green row is r03 (stale two rounds if skipped) ---
-        "date_range": q_date_range,
-        "head": q_head,
-        "tail": q_tail,
-        "row_range": q_row_range,
-        "concat_outer": q_concat_outer,
-        "concat_inner": q_concat_inner,
-        "merge_update_upsert": q_merge_update_upsert,
-        "update_range_surgery": q_update_range_surgery,
-        "join_revenue": q_join_revenue,
-        "anti_join": q_anti_join,
-        "except_users": q_except_users,
-        "topk_per_group": q_topk_per_group,
-        "window_lag_lead": q_window_lag_lead,
-        "cumulative_sum": q_cumulative_sum,
-        "distinct_agg": q_distinct_agg,
-        "pivot": q_pivot,
-        "percentiles": q_percentiles,
-        "set_ops": q_set_ops,
-        "rollup": q_rollup,
-        "unpivot": q_unpivot,
-        "ngram_top": q_ngram_top,
-        "token_frequencies": q_token_frequencies,
-        # --- green in CORRECTNESS_r04 on current code ---
-        "skew_salted_agg": q_skew_salted_agg,
-        "media_frame_sample": q_media_frame_sample,
-        "decontaminate": q_decontaminate,
-        "pack_chunks": q_pack_chunks,
-        "pii_scan": q_pii_scan,
-        "range_join": q_range_join,
-        "dup_ngram_fraction": q_dup_ngram_fraction,
-        "embedding_kmeans": q_embedding_kmeans,
-        "quality_repetition": q_quality_repetition,
-        "embedding_centroids": q_embedding_centroids,
-        "sample_split": q_sample_split,
-        "sample_stratified": q_sample_stratified,
-        "dedup_cluster": q_dedup_cluster,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_exact": q_dedup_exact,
-        "embedding_label_stats": q_embedding_label_stats,
-        "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
-        "rolling_mean": q_rolling_mean,
-        "text_stats": q_text_stats,
-        "text_langid": q_text_langid,
+        # order starves the tail. Round-6 sort: new-this-round queries (never
+        # driver-verified) lead, then the 29 queries whose last driver row is
+        # CORRECTNESS_r04 (the r05 rotation's tail), then the 50 r05-green
+        # queries. Union r05∪r06 covers the whole registry on current code.
+        # --- new in r6, never driver-verified ---
+        # (added as round-6 work lands)
+        # --- last driver row is r04 (stale two rounds if skipped) ---
         "text_fingerprint": q_text_fingerprint,
         "multimodal_features": q_multimodal_features,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1161,6 +1111,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "project_then_groupby": q_project_then_groupby,
         "pipeline_filter_head": q_pipeline_filter_head,
+        # --- green in CORRECTNESS_r05 on current code ---
+        "stream_resample": q_stream_resample,
+        "stream_sessionize": q_stream_sessionize,
+        "shuffle_shards": q_shuffle_shards,
+        "salted_join": q_salted_join,
+        "simhash_dedup": q_simhash_dedup,
+        "pii_redact": q_pii_redact,
+        "categorical_roundtrip": q_categorical_roundtrip,
+        "date_range": q_date_range,
+        "head": q_head,
+        "tail": q_tail,
+        "row_range": q_row_range,
+        "concat_outer": q_concat_outer,
+        "concat_inner": q_concat_inner,
+        "merge_update_upsert": q_merge_update_upsert,
+        "update_range_surgery": q_update_range_surgery,
+        "join_revenue": q_join_revenue,
+        "anti_join": q_anti_join,
+        "except_users": q_except_users,
+        "topk_per_group": q_topk_per_group,
+        "window_lag_lead": q_window_lag_lead,
+        "cumulative_sum": q_cumulative_sum,
+        "distinct_agg": q_distinct_agg,
+        "pivot": q_pivot,
+        "percentiles": q_percentiles,
+        "set_ops": q_set_ops,
+        "rollup": q_rollup,
+        "unpivot": q_unpivot,
+        "ngram_top": q_ngram_top,
+        "token_frequencies": q_token_frequencies,
+        "skew_salted_agg": q_skew_salted_agg,
+        "media_frame_sample": q_media_frame_sample,
+        "decontaminate": q_decontaminate,
+        "pack_chunks": q_pack_chunks,
+        "pii_scan": q_pii_scan,
+        "range_join": q_range_join,
+        "dup_ngram_fraction": q_dup_ngram_fraction,
+        "embedding_kmeans": q_embedding_kmeans,
+        "quality_repetition": q_quality_repetition,
+        "embedding_centroids": q_embedding_centroids,
+        "sample_split": q_sample_split,
+        "sample_stratified": q_sample_stratified,
+        "dedup_cluster": q_dedup_cluster,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_exact": q_dedup_exact,
+        "embedding_label_stats": q_embedding_label_stats,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "rolling_mean": q_rolling_mean,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
     }
 
 
