@@ -1067,6 +1067,38 @@ def q_categorical_roundtrip(spark, sf):
                     F.countDistinct("lang").alias("n_langs")))
 
 
+def q_ns_precision(spark, sf):
+    """Nanosecond-exact index end-to-end through the versioned library
+    (SURVEY §7(d); reference entity/types.hpp:73 — the index is int64 ns
+    since epoch): synthesize deterministic sub-µs timestamps from event_id,
+    write through the Library with a LONG-ns index (fully distributed — a
+    Spark frame with an explicit long index column, no driver collect),
+    date_range-slice at bounds with sub-µs components, and aggregate exact
+    ns epochs. A µs-truncating index would zero sum_subus and shift
+    min_ns/max_ns — the oracle catches both."""
+    import pandas as pd
+    import tempfile
+    from arcticdb_spark.catalog import Arctic
+    ev = load_table(spark, sf, "events")
+    # cast: the parquet column is TIMESTAMP_NTZ; session tz is UTC so the
+    # cast is value-preserving
+    ns = (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+          + F.pmod(F.col("event_id"), F.lit(1000)))
+    src = ev.select(ns.alias("ts"), "event_id", "event_type", "value")
+    lib = Arctic(tempfile.mkdtemp(), spark).create_library("nslib")
+    lib.write("evns", src, index_column="ts")
+    lo = pd.Timestamp("2024-01-03").value + 500   # sub-µs boundary
+    hi = pd.Timestamp("2024-01-20").value + 500
+    out = lib.read("evns", date_range=(pd.Timestamp(lo), pd.Timestamp(hi)),
+                   output_format="spark-ns")
+    return (out.groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.min("ts").alias("min_ns"),
+                    F.max("ts").alias("max_ns"),
+                    F.sum(F.pmod(F.col("ts"), F.lit(1000)))
+                     .alias("sum_subus")))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1080,7 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r04 (the r05 rotation's tail), then the 50 r05-green
         # queries. Union r05∪r06 covers the whole registry on current code.
         # --- new in r6, never driver-verified ---
-        # (added as round-6 work lands)
+        "ns_precision": q_ns_precision,
         # --- last driver row is r04 (stale two rounds if skipped) ---
         "text_fingerprint": q_text_fingerprint,
         "multimodal_features": q_multimodal_features,
@@ -1462,6 +1494,23 @@ GROUP BY fp"""
 
 def oracle_sql() -> dict[str, str]:
     sql = {
+        # exact int64-ns replay of the library's ns-physical index: same
+        # jitter synthesis, same sub-µs date_range bounds, aggregates on
+        # raw ns epochs (SUM cast back to BIGINT — DuckDB sums to HUGEINT)
+        "ns_precision": """
+WITH src AS (
+  SELECT epoch_us(ts) * 1000 + event_id % 1000 AS ts_ns, event_type
+  FROM events)
+SELECT event_type,
+       COUNT(*) AS n,
+       MIN(ts_ns) AS min_ns,
+       MAX(ts_ns) AS max_ns,
+       CAST(SUM(ts_ns % 1000) AS BIGINT) AS sum_subus
+FROM src
+WHERE ts_ns BETWEEN epoch_us(TIMESTAMP '2024-01-03') * 1000 + 500
+                AND epoch_us(TIMESTAMP '2024-01-20') * 1000 + 500
+GROUP BY event_type""",
+
         # Lehmer bucket: two rounds of (x*48271) % M over doc_id+1000003,
         # M = 2^31-1 — the exact
         # integer math of extensions/sampling.py, replayed verbatim

@@ -441,6 +441,90 @@ def _to_ns(v) -> int:
 
 
 # ---------------------------------------------------------------------------
+# nanosecond index physical representation (SURVEY §7(d); reference
+# entity/types.hpp:73 NANOSECONDS_UTC64: the index is int64 ns since epoch)
+# ---------------------------------------------------------------------------
+# Spark's TimestampType is µs, so a datetime index is stored physically as a
+# LONG ns column (exact; footer stats are exact ns; sort order is exact ns).
+# Reads attach a µs TIMESTAMP *view* under the index's name (floor-truncated,
+# matching DuckDB CAST(ts_ns AS TIMESTAMP)) plus a LONG shadow column
+# ``__ns__<name>`` carrying the exact value; pandas/arrow output rebuilds
+# datetime64[ns]/timestamp[ns] from the shadow. NaT is NULL physically and a
+# NAT_SENTINEL (int64 min == numpy's NaT bit pattern) in the shadow so the
+# shadow survives Arrow collection as exact int64 (a nullable long would
+# come back float64 and round ~1.7e18 ns epochs).
+
+NS_SHADOW_PREFIX = "__ns__"
+NAT_SENTINEL = -9223372036854775808
+
+
+def ns_shadow_col(index_column: str) -> str:
+    return NS_SHADOW_PREFIX + index_column
+
+
+def _attach_ns_view(df: DataFrame, idx: str) -> DataFrame:
+    """LONG-ns physical index -> (µs TIMESTAMP view named ``idx``, exact
+    LONG shadow). Floor division via ``div`` keeps the math in int64 —
+    float division at 1e18 magnitudes rounds by ~hundreds of ns."""
+    shadow = ns_shadow_col(idx)
+    view = F.timestamp_micros(
+        F.expr(f"(`{idx}` - pmod(`{idx}`, 1000)) div 1000"))
+    return (df.withColumn(shadow,
+                          F.coalesce(F.col(idx), F.lit(NAT_SENTINEL)))
+              .withColumn(idx, view))
+
+
+def _is_long_type(df: DataFrame, colname: str) -> bool:
+    from pyspark.sql import types as T
+    try:
+        return isinstance(df.schema[colname].dataType, T.LongType)
+    except KeyError:
+        return False
+
+
+def _is_ts_type(df: DataFrame, colname: str) -> bool:
+    try:
+        return df.schema[colname].dataType.typeName().startswith("timestamp")
+    except KeyError:
+        return False
+
+
+def _demote_ns(pdf, colname, tzs: dict) -> bool:
+    """Replace a demoted datetime index column with exact Int64 ns in place
+    (NaT -> NA so Spark stores NULL); records the zone in ``tzs`` when
+    tz-aware. Returns False (no change) for a non-datetime level."""
+    import pandas as pd
+    col = pdf[colname]
+    if not pd.api.types.is_datetime64_any_dtype(col):
+        return False
+    if isinstance(col.dtype, pd.DatetimeTZDtype):
+        tzs[str(colname)] = str(col.dtype.tz)
+    di = pd.DatetimeIndex(col)
+    ints = pd.array(di.asi8, dtype="Int64")
+    mask = di.isna()
+    if mask.any():
+        ints[mask] = pd.NA
+    pdf[colname] = ints
+    return True
+
+
+def _idx_bound(df: DataFrame, idx: str, ns_value: int):
+    """A comparison literal for the index column matching its PHYSICAL type:
+    exact ns long for an ns-physical index, µs timestamp otherwise."""
+    import pandas as pd
+    if _is_long_type(df, idx):
+        return F.lit(int(ns_value))
+    return F.lit(pd.Timestamp(int(ns_value), unit="ns"))
+
+
+def _is_ts_type_json(schema_json: str, colname: str) -> bool:
+    for f in json.loads(schema_json).get("fields", []):
+        if f.get("name") == colname:
+            return str(f.get("type", "")).startswith("timestamp")
+    return False
+
+
+# ---------------------------------------------------------------------------
 # Library
 # ---------------------------------------------------------------------------
 
@@ -731,6 +815,7 @@ class Library:
                 meta["renamed_cols"] = renamed
                 return sdf, meta
             meta: dict | None = None
+            tzs: dict[str, str] = {}
             if isinstance(pdf.index, pd.MultiIndex):
                 names = list(pdf.index.names)
                 phys = []
@@ -747,16 +832,23 @@ class Library:
                 meta = {"index_type": "multiindex",
                         "level_names": [nm for nm in names],
                         "physical": phys}
+                # level 0 datetime -> exact LONG ns physical (SURVEY §7(d))
+                if _demote_ns(pdf, phys[0], tzs):
+                    meta["index_ns"] = True
             elif isinstance(pdf.index, pd.DatetimeIndex):
                 # reference index demotion (SURVEY §1.2): the DatetimeIndex
                 # becomes the physical ts column; pandas output re-promotes
                 # it (reference _denormalize restores the index,
-                # _normalization.py:450-463)
+                # _normalization.py:450-463). Stored as exact LONG ns —
+                # the reference index is int64 ns (types.hpp:73), and a µs
+                # TIMESTAMP physical would truncate sub-µs tick data.
                 name = pdf.index.name or "ts"
                 pdf = pdf.rename_axis(name).reset_index()
                 meta = {"index_type": "datetime", "physical": str(name),
                         "fake_name": pdf.columns[0] == "ts"
                                      and df.index.name is None}
+                if _demote_ns(pdf, str(name), tzs):
+                    meta["index_ns"] = True
             elif isinstance(pdf.index, pd.RangeIndex):
                 # reference RangeIndex normalization
                 # (_normalization.py:371-379): start/step are recorded in
@@ -779,8 +871,8 @@ class Library:
             # tz-aware datetime columns (including demoted index levels):
             # store naive UTC (Spark/parquet timestamps are UTC instants),
             # record the original zone for pandas-output restore (reference
-            # index_norm.tz, _normalization.py:399-409, restore :461-462)
-            tzs = {}
+            # index_norm.tz, _normalization.py:399-409, restore :461-462).
+            # (tzs may already hold the demoted ns index's zone)
             for c in pdf.columns:
                 if isinstance(pdf[c].dtype, pd.DatetimeTZDtype):
                     tzs[str(c)] = str(pdf[c].dt.tz)
@@ -905,6 +997,33 @@ class Library:
                 return f0.name
         return None
 
+    @staticmethod
+    def _index_to_ns_long(sdf: DataFrame, idx: str) -> DataFrame:
+        """Convert a timestamp-typed index column to exact LONG ns (µs
+        Spark timestamps multiply exactly); a LONG column is already ns."""
+        if _is_ts_type(sdf, idx):
+            return sdf.withColumn(
+                idx, F.unix_micros(F.col(idx).cast("timestamp")) * F.lit(1000))
+        return sdf
+
+    def _align_index_phys(self, sdf: DataFrame, idx: str | None,
+                          prev: "VersionManifest") -> DataFrame:
+        """Make an incoming frame's index column match the stored symbol's
+        PHYSICAL index representation (LONG ns vs µs timestamp) before
+        schema validation / overlap math on append/update/merge."""
+        if idx is None or idx not in sdf.columns:
+            return sdf
+        want_ns = bool((prev.norm_meta or {}).get("index_ns"))
+        if want_ns and _is_ts_type(sdf, idx):
+            return self._index_to_ns_long(sdf, idx)
+        if not want_ns and _is_long_type(sdf, idx) \
+                and _is_ts_type_json(prev.schema_json, idx):
+            # legacy µs-physical symbol: truncate the incoming ns index
+            return sdf.withColumn(
+                idx, F.timestamp_micros(
+                    F.expr(f"(`{idx}` - pmod(`{idx}`, 1000)) div 1000")))
+        return sdf
+
     def _content_hashes(self, entries: list[FileEntry]) -> None:
         """Fill order-independent content hashes per file: sum + xor of
         per-row xxhash64 over all columns, read via one footer-light scan
@@ -946,7 +1065,20 @@ class Library:
             return self.stage(symbol, df)
         sorted_flag = self._input_sortedness(df)
         sdf, norm_meta = self._normalize(df)
-        idx = self._detect_index(sdf, index_column)
+        nm = norm_meta or {}
+        if nm.get("index_ns"):
+            p = nm["physical"]
+            idx = p[0] if isinstance(p, list) else p
+        else:
+            idx = self._detect_index(sdf, index_column)
+            if idx is not None and (_is_ts_type(sdf, idx)
+                                    or _is_long_type(sdf, idx)):
+                # Spark/Arrow-frame input: the index is stored as exact
+                # LONG ns like the pandas path (an explicitly-designated
+                # LONG index column is already ns — the reference's index
+                # type IS int64 ns, types.hpp:73)
+                sdf = self._index_to_ns_long(sdf, idx)
+                norm_meta = {**nm, "index_ns": True}
         tiebreak = (norm_meta["physical"][1:]
                     if norm_meta and norm_meta.get("index_type") == "multiindex"
                     else None)
@@ -1277,6 +1409,7 @@ class Library:
                 "(pass validate_index=False to append anyway)")
         sdf, _ = self._normalize(df)
         idx = prev.index_column
+        sdf = self._align_index_phys(sdf, idx, prev)
         if self.dynamic_schema:
             schema_json = self._merge_schema(prev.schema_json, sdf.schema)
         else:
@@ -1379,6 +1512,7 @@ class Library:
         sdf, _ = self._normalize(df)
         if not sdf.head(1):
             return prev  # zero-row update: nothing done, no new version
+        sdf = self._align_index_phys(sdf, idx, prev)
         if self.dynamic_schema:
             schema_json = self._merge_schema(prev.schema_json, sdf.schema)
         else:
@@ -1390,7 +1524,7 @@ class Library:
             # boundary filter below stay plain int/timestamp comparisons
             lo, hi = _norm_range_ns(date_range)
             sdf = sdf.filter(F.col(idx).between(
-                pd.Timestamp(lo, unit="ns"), pd.Timestamp(hi, unit="ns")))
+                _idx_bound(sdf, idx, lo), _idx_bound(sdf, idx, hi)))
         else:
             mm = sdf.agg(F.min(idx), F.max(idx)).first()
             if mm[0] is None:
@@ -1413,10 +1547,10 @@ class Library:
             # breaking ts-ordered row ids and blunting date_range pruning
             phys = self._read_physical(prev, rewrite)
             new_entries += self._write_data_files(
-                symbol, phys.filter(F.col(idx) < pd.Timestamp(lo, unit="ns")),
+                symbol, phys.filter(F.col(idx) < _idx_bound(phys, idx, lo)),
                 idx)
             new_entries += self._write_data_files(
-                symbol, phys.filter(F.col(idx) > pd.Timestamp(hi, unit="ns")),
+                symbol, phys.filter(F.col(idx) > _idx_bound(phys, idx, hi)),
                 idx)
         new_entries += self._write_data_files(symbol, self._drop_void(sdf), idx)
         new_entries.sort(key=lambda e: (e.ts_min if e.ts_min is not None else 0, e.path))
@@ -1464,6 +1598,7 @@ class Library:
             raise ArcticException(
                 "merge_experimental requires a timestamp-indexed symbol")
         src, _ = self._normalize(source)
+        src = self._align_index_phys(src, idx, prev)
         target = self._read_physical(prev)
         keys = [idx] + [c for c in (on or []) if c != idx]
         if matched == "update":
@@ -1518,10 +1653,10 @@ class Library:
             # straddling the deleted range keeps an overlapping ts range
             phys = self._read_physical(prev, rewrite)
             new_entries += self._write_data_files(
-                symbol, phys.filter(F.col(idx) < pd.Timestamp(lo, unit="ns")),
+                symbol, phys.filter(F.col(idx) < _idx_bound(phys, idx, lo)),
                 idx)
             new_entries += self._write_data_files(
-                symbol, phys.filter(F.col(idx) > pd.Timestamp(hi, unit="ns")),
+                symbol, phys.filter(F.col(idx) > _idx_bound(phys, idx, hi)),
                 idx)
         new_entries.sort(key=lambda e: (e.ts_min if e.ts_min is not None else 0, e.path))
         m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(), idx,
@@ -1764,6 +1899,8 @@ class Library:
             from pyspark.sql import types as T
             schema = T.StructType.fromJson(json.loads(m.schema_json))
             empty = self.spark.createDataFrame([], schema)
+            if idx and (m.norm_meta or {}).get("index_ns"):
+                empty = _attach_ns_view(empty, idx)
             if columns:
                 empty = empty.select(columns)
             out = query_builder.to_df(empty, idx) if query_builder else empty
@@ -1789,18 +1926,26 @@ class Library:
             df = df.select([f.name for f in mschema.fields]
                            + ([ROW_ID] if need_row_id else []))
 
+        index_ns = bool(idx) and bool((m.norm_meta or {}).get("index_ns"))
         if date_range is not None:
+            # applied on the PHYSICAL index (exact ns longs for an
+            # ns-physical symbol — and the filter pushes down to the
+            # parquet scan, which a filter on the derived µs view wouldn't)
             c = F.col(idx)
             if lo_ns is not None:
-                df = df.filter(c >= pd.Timestamp(lo_ns, unit="ns"))
+                df = df.filter(c >= _idx_bound(df, idx, lo_ns))
             if hi_ns is not None:
-                df = df.filter(c <= pd.Timestamp(hi_ns, unit="ns"))
+                df = df.filter(c <= _idx_bound(df, idx, hi_ns))
+        if index_ns:
+            df = _attach_ns_view(df, idx)
         if row_range is not None:
             df = df.filter((F.col(ROW_ID) >= start) & (F.col(ROW_ID) < end))
         if columns is not None:
             keep = list(columns)
             if idx and idx not in keep:
                 keep = [idx] + keep  # index force-included (version_core.cpp:1285)
+            if index_ns:
+                keep.append(ns_shadow_col(idx))
             if need_row_id:
                 keep.append(ROW_ID)
             df = df.select(keep)
@@ -1840,8 +1985,18 @@ class Library:
         if seg_files:
             inc = self.spark.read.option("mergeSchema", "true") \
                 .parquet(*seg_files)
+            sinfo = self._staged_index_info(seg_files) or {}
             if idx is None:
-                idx = self._detect_index(inc, None)
+                idx = self._detect_index(inc, sinfo.get("index_column"))
+            if idx is not None and _is_long_type(inc, idx) \
+                    and (sinfo.get("index_ns") or (base is not None
+                                                   and _is_ts_type(base, idx))):
+                # staged ns chunks -> the µs view the committed side shows
+                # (incomplete reads are µs-precision; the exact ns lands in
+                # the timeline at finalize)
+                inc = inc.withColumn(
+                    idx, F.timestamp_micros(
+                        F.expr(f"(`{idx}` - pmod(`{idx}`, 1000)) div 1000")))
             if base is not None:
                 df = base.unionByName(inc, allowMissingColumns=True)
             else:
@@ -1880,11 +2035,33 @@ class Library:
             arr = pdf["ndarray"].to_numpy()
             return np.asarray(arr, dtype=norm_meta["dtype"]).reshape(
                 tuple(norm_meta["shape"]))
+        shadows = [c for c in df.columns if c.startswith(NS_SHADOW_PREFIX)]
         if output_format in (None, "spark"):
+            # Spark's type system is µs — distributed consumers get the µs
+            # view; use "spark-ns" for the exact LONG-ns index
+            return df.drop(*shadows) if shadows else df
+        if output_format == "spark-ns":
+            # exact representation for distributed consumers: the index
+            # column AS its physical int64 ns (NaT -> NULL), no µs view
+            for s in shadows:
+                tgt = s[len(NS_SHADOW_PREFIX):]
+                df = (df.withColumn(tgt, F.nullif(F.col(s),
+                                                  F.lit(NAT_SENTINEL)))
+                        .drop(s))
             return df
         if output_format == "pandas":
             import pandas as pd
             pdf = df.toPandas()   # Arrow-accelerated collection
+            # rebuild exact datetime64[ns] from the LONG shadows (bit-level
+            # view: int64 min IS numpy's NaT) — before tz re-localization
+            # and index restore, which operate on the rebuilt column
+            for s in shadows:
+                tgt = s[len(NS_SHADOW_PREFIX):]
+                if tgt in pdf.columns and s in pdf.columns:
+                    pdf[tgt] = (pdf[s].to_numpy(dtype="int64")
+                                .view("datetime64[ns]"))
+                if s in pdf.columns:
+                    pdf = pdf.drop(columns=[s])
             # re-localize tz-aware datetime columns/index levels (reference
             # get_timezone_from_metadata + tz_localize("UTC").tz_convert,
             # _normalization.py:461-462) — before any set_index so demoted
@@ -1946,15 +2123,37 @@ class Library:
                 return out.rename(s["name"])
             return pdf
         if output_format == "arrow":
-            return df.toArrow()
+            return Library._arrow_with_ns(df, shadows)
         if output_format == "polars":
             try:
                 import polars as pl
             except ImportError as e:
                 raise ArcticException(
                     "output_format='polars' requires the polars package") from e
-            return pl.from_arrow(df.toArrow())
+            return pl.from_arrow(Library._arrow_with_ns(df, shadows))
         raise ArcticException(f"unknown output_format {output_format!r}")
+
+    @staticmethod
+    def _arrow_with_ns(df: DataFrame, shadows: list[str]):
+        """Collect to Arrow, rebuilding exact timestamp[ns] index columns
+        from their LONG shadows (the reference's Arrow output is ns)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        tbl = df.toArrow()
+        for s in shadows:
+            tgt = s[len(NS_SHADOW_PREFIX):]
+            if s not in tbl.column_names:
+                continue
+            if tgt in tbl.column_names:
+                ints = tbl.column(s)
+                arr = pc.if_else(pc.equal(ints, pa.scalar(NAT_SENTINEL)),
+                                 pa.scalar(None, pa.int64()),
+                                 ints).cast(pa.timestamp("ns"))
+                i = tbl.column_names.index(tgt)
+                tbl = tbl.set_column(i, pa.field(tgt, pa.timestamp("ns")),
+                                     arr)
+            tbl = tbl.remove_column(tbl.column_names.index(s))
+        return tbl
 
     def head(self, symbol: str, n: int = 5, as_of=None,
              columns: list[str] | None = None) -> DataFrame:
@@ -1979,10 +2178,20 @@ class Library:
         the written segment keys; pass a list of StageResults as
         ``finalize_staged_data(staged_data=...)`` to finalize exactly those
         segments (reference staged-tokens API, test_stage.py)."""
-        sdf, _ = self._normalize(df)
+        sdf, nmeta = self._normalize(df)
         out = os.path.join(self._staging_dir(symbol), uuid.uuid4().hex)
         os.makedirs(os.path.dirname(out), exist_ok=True)
         self._drop_void(sdf).write.mode("overwrite").parquet(out)
+        nm = nmeta or {}
+        if nm.get("index_ns"):
+            # sidecar: the demoted index is a LONG ns column, which type
+            # inspection alone can't distinguish from plain int data —
+            # finalize/incomplete reads consult this (removed with the
+            # chunk dir once its segments are consumed)
+            p = nm["physical"]
+            with open(os.path.join(out, "_asdb_staged_meta.json"), "w") as fh:
+                json.dump({"index_column": p[0] if isinstance(p, list) else p,
+                           "index_ns": True}, fh)
         segs = sorted(os.path.join(out, fn) for fn in os.listdir(out)
                       if fn.endswith(".parquet"))
         return StageResult(symbol, segs)
@@ -1998,6 +2207,18 @@ class Library:
                 out.extend(os.path.join(cd, fn) for fn in sorted(os.listdir(cd))
                            if fn.endswith(".parquet"))
         return out
+
+    @staticmethod
+    def _staged_index_info(seg_files: list[str]) -> dict | None:
+        """Union of the chunk sidecars written by ``stage()`` (index column
+        name + ns flag for a demoted datetime index)."""
+        out: dict = {}
+        for d in sorted({os.path.dirname(f) for f in seg_files}):
+            p = os.path.join(d, "_asdb_staged_meta.json")
+            if os.path.exists(p):
+                with open(p) as fh:
+                    out.update(json.load(fh))
+        return out or None
 
     def finalize_staged_data(self, symbol: str, mode: str = "write",
                              metadata: Any = None, index_column: str | None = None,
@@ -2035,10 +2256,24 @@ class Library:
             raise ArcticException(f"no staged data for {symbol!r}")
         try:
             df = self.spark.read.option("mergeSchema", "true").parquet(*seg_files)
-            idx = self._detect_index(df, index_column)
+            sinfo = self._staged_index_info(seg_files) or {}
+            idx = self._detect_index(df, index_column
+                                     or sinfo.get("index_column"))
+            index_ns = False
+            if idx is not None and idx in df.columns:
+                if _is_ts_type(df, idx):
+                    # canonical physical form: exact LONG ns (stream_stage
+                    # chunks arrive as µs timestamps)
+                    df = self._index_to_ns_long(df, idx)
+                    index_ns = True
+                elif _is_long_type(df, idx) and (sinfo.get("index_ns")
+                                                 or index_column is not None):
+                    index_ns = True
             if mode == "append" and self.has_symbol(symbol):
                 prev = self._load_manifest(symbol,
                                            self._load_ref(symbol)["latest"])
+                df = self._align_index_phys(df, idx, prev)
+                index_ns = bool((prev.norm_meta or {}).get("index_ns"))
                 # same schema rules as append(): dynamic widens, static
                 # rejects name/type drift (staged chunks are arbitrary
                 # writer output)
@@ -2061,14 +2296,17 @@ class Library:
                     metadata if metadata is not None else prev.metadata,
                     sorted=("UNSORTED" if (overlap
                                            or prev.sorted == "UNSORTED")
-                            else "ASCENDING"))
+                            else "ASCENDING"),
+                    norm_meta=prev.norm_meta)
             else:
                 # mode="append" on a missing symbol behaves like write
                 # (reference test_sort_merge.py test_append_to_missing_symbol)
                 files = self._write_data_files(symbol, df, idx, sort=sort)
                 m = VersionManifest(symbol, self._next_version(symbol),
                                     time.time_ns(), idx, df.schema.json(),
-                                    files, metadata)
+                                    files, metadata,
+                                    norm_meta=({"index_ns": True}
+                                               if index_ns else None))
         except Exception:
             if delete_staged_data_on_failure:
                 self._remove_segment_files(symbol, seg_files)
@@ -2147,7 +2385,10 @@ class Library:
         if idx is None:
             raise ArcticException(
                 f"{symbol!r} has no datetime index to sort by")
-        df = self.read(symbol)
+        # PHYSICAL read, not read(): the public read's µs index view would
+        # truncate an ns-physical index on the rewrite (and sub-µs order is
+        # exactly what an out-of-order tick repair must preserve)
+        df = self._read_physical(prev)
         nm = prev.norm_meta or {}
         tiebreak = (nm["physical"][1:]
                     if nm.get("index_type") == "multiindex" else None)

@@ -60,11 +60,13 @@ def bucket_start_nanos(ts_ns: Column, rule_ns: int, origin_ns: int,
 
 
 def resolve_origin(df: DataFrame, ts_col: str, origin: Any, offset: str | None,
-                   rule_ns: int) -> int:
+                   rule_ns: int, ns_src: Column | None = None) -> int:
     """Origin in ns since epoch. 'start'/'end' variants need a min/max scan
-    (tiny agg job, same as the reference's index-range read)."""
+    (tiny agg job, same as the reference's index-range read). ``ns_src``:
+    exact LONG-ns source column for an ns-physical index."""
     if isinstance(origin, str) and origin in ("start", "start_day", "end", "end_day"):
-        agg = F.min(ts_col) if origin.startswith("start") else F.max(ts_col)
+        src = ns_src if ns_src is not None else F.col(ts_col)
+        agg = F.min(src) if origin.startswith("start") else F.max(src)
         val = df.select(agg).first()[0]
         t = pd.Timestamp(val)
         # pandas TimeGrouper anchors (core/resample.py _get_timestamp_range_edges):
@@ -184,10 +186,18 @@ def resample(df: DataFrame, ts_col: str, rule: str, aggregations: dict,
     label = label or ("right" if end_origin else "left")
     if closed not in ("left", "right") or label not in ("left", "right"):
         raise ValueError("closed/label must be 'left' or 'right'")
-    origin_ns = resolve_origin(df, ts_col, origin, offset, rule_ns)
+    # an ns-physical Library index carries an exact LONG shadow — bucket in
+    # true ns instead of the µs view (NaT sentinel back to null so NaT rows
+    # drop out of the bucket key like a null timestamp would)
+    from arcticdb_spark.catalog import NAT_SENTINEL, ns_shadow_col
+    shadow = ns_shadow_col(ts_col)
+    ns_src = (F.nullif(F.col(shadow), F.lit(NAT_SENTINEL))
+              if shadow in df.columns else None)
+    origin_ns = resolve_origin(df, ts_col, origin, offset, rule_ns,
+                               ns_src=ns_src)
 
     specs = normalize_agg_spec(aggregations)
-    ts_ns = _ts_nanos(F.col(ts_col))
+    ts_ns = ns_src if ns_src is not None else _ts_nanos(F.col(ts_col))
     start_ns = bucket_start_nanos(ts_ns, rule_ns, origin_ns, closed)
     label_ns = start_ns + F.lit(rule_ns) if label == "right" else start_ns
     # ns -> µs must stay exact: long `/` is double division and at ~1.7e18 ns

@@ -308,6 +308,28 @@ class QueryBuilder:
             raise ExpressionError(
                 f"date_range requires a datetime index; current index "
                 f"{ts_col!r} has type {dt}")
+        from arcticdb_spark.catalog import NAT_SENTINEL, ns_shadow_col
+        shadow = ns_shadow_col(ts_col)
+        if shadow in df.columns:
+            # ns-physical index (Library read): compare the exact LONG
+            # shadow with ns literals — sub-µs boundaries select exactly,
+            # and the filter pushes down to the scan column. NaT rows carry
+            # the sentinel (int64 min): below any representable lo, so only
+            # the hi-only branch needs the explicit exclusion.
+            import pandas as pd
+            c = F.col(shadow)
+            if lo is not None and hi is not None:
+                out = df.filter(c.between(F.lit(pd.Timestamp(lo).value),
+                                          F.lit(pd.Timestamp(hi).value)))
+            elif lo is not None:
+                out = df.filter(c >= F.lit(pd.Timestamp(lo).value))
+            elif hi is not None:
+                out = df.filter((c <= F.lit(pd.Timestamp(hi).value))
+                                & (c != F.lit(NAT_SENTINEL)))
+            else:
+                out = df
+            return (out.drop(ROW_ID)
+                    if (out is not df and ROW_ID in out.columns) else out)
         c = F.col(ts_col)
         if lo is not None and hi is not None:
             out = df.filter(c.between(_to_ts(lo), _to_ts(hi)))
