@@ -199,6 +199,12 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
 # long documents (2M ids x a few hundred shingles each is multiple GB).
 _BCAST_BYTES_MAX = 512 << 20
 
+# measured Python-object overhead of a {id: frozenset(shingle_str)} lookup
+# over its raw character payload (recursive getsizeof, 11-char shingles:
+# 5.96x) — driver RSS and the sc.broadcast pickle are gated on REAL memory,
+# not string payload
+_PYOBJ_SET_OVERHEAD = 6
+
 
 def _jaccard_rescore_broadcast(df, cand, cand_ids, text_col, id_col, k):
     """Rescore candidate id pairs against a driver-collected shingle-set
@@ -274,14 +280,20 @@ def jaccard_near_dup_pairs(df: DataFrame, text_col: str = "text",
                 .unionByName(cand.select(F.col("id_b").alias("id")))
                 .distinct())
     # one tiny agg over (id, length) estimates the broadcast footprint:
-    # each char lands in ~k shingles, plus per-element set/dict overhead
+    # each char lands in ~k shingles, plus per-element set/dict overhead.
+    # The char-payload estimate undercounts REAL driver memory: a frozenset
+    # of short shingle strings costs ~6x its character payload (str header
+    # 49B + set slot + dict entry; measured via recursive getsizeof on
+    # 11-char shingles: factor 5.96) — scale by the measured overhead so
+    # the gate compares like with like against broadcast_bytes_max.
     stats = (df.select(F.col(id_col).alias("id"),
                        F.length(text_col).alias("__len__"))
                .join(cand_ids, "id", "left_semi")
                .agg(F.count(F.lit(1)).alias("n"),
                     F.coalesce(F.sum("__len__"), F.lit(0)).alias("chars"))
                .first())
-    est_bytes = int(stats["chars"]) * (k + 1) + int(stats["n"]) * 64
+    payload = int(stats["chars"]) * (k + 1) + int(stats["n"]) * 64
+    est_bytes = payload * _PYOBJ_SET_OVERHEAD
     if est_bytes <= broadcast_bytes_max:
         scored = _jaccard_rescore_broadcast(df, cand, cand_ids,
                                             text_col, id_col, k)

@@ -554,6 +554,37 @@ def test_embedding_byte_gate_routes_to_join(spark, monkeypatch):
     assert (0, 1) in got
 
 
+def test_jaccard_byte_gate_boundary_routing(spark, monkeypatch):
+    """The broadcast gate compares REAL-memory estimate (payload x measured
+    Python-object overhead) against the budget: a corpus estimated just
+    under the gate broadcasts, one byte over routes to the equi-join."""
+    docs = [(i, f"alpha beta gamma delta epsilon zeta{i % 3}")
+            for i in range(12)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # replicate the gate's stats agg: candidate ids' total chars
+    cand = xdedup.minhash_near_dup_pairs(df, num_hashes=16, bands=8, k=2)
+    import pandas as pd
+    cp = cand.toPandas()
+    cand_id_set = set(cp.id_a) | set(cp.id_b)
+    chars = sum(len(t) for i, t in docs if i in cand_id_set)
+    est = (chars * 3 + len(cand_id_set) * 64) * xdedup._PYOBJ_SET_OVERHEAD
+
+    calls = []
+    real_bcast = xdedup._jaccard_rescore_broadcast
+    real_join = xdedup._jaccard_rescore_join
+    monkeypatch.setattr(xdedup, "_jaccard_rescore_broadcast",
+                        lambda *a, **k: calls.append("bcast")
+                        or real_bcast(*a, **k))
+    monkeypatch.setattr(xdedup, "_jaccard_rescore_join",
+                        lambda *a, **k: calls.append("join")
+                        or real_join(*a, **k))
+    xdedup.jaccard_near_dup_pairs(df, num_hashes=16, bands=8, k=2,
+                                  broadcast_bytes_max=est).count()
+    xdedup.jaccard_near_dup_pairs(df, num_hashes=16, bands=8, k=2,
+                                  broadcast_bytes_max=est - 1).count()
+    assert calls == ["bcast", "join"]
+
+
 def test_shuffle_deterministic(spark):
     from arcticdb_spark.extensions import sampling as xsamp
     df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
