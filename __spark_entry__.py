@@ -613,9 +613,9 @@ def q_dup_ngram_fraction(spark, sf):
 
 def q_embedding_kmeans(spark, sf):
     """Two Lloyd's iterations of k-means (``similarity.py:kmeans``):
-    deterministic init (first k vectors), rounded-trajectory E/M steps so
-    the DuckDB oracle can replay the exact same two iterations. Final
-    per-cluster sizes + mean distance."""
+    deterministic content-spread init (min-k vectors by md5(id)),
+    rounded-trajectory E/M steps so the DuckDB oracle can replay the exact
+    same two iterations. Final per-cluster sizes + mean distance."""
     e = load_table(spark, sf, "embeddings")
     a = xsim.kmeans(e, k=8, iters=2)
     return (a.groupBy("cluster")
@@ -763,13 +763,18 @@ def q_json_extract(spark, sf):
 
 def q_similarity_ivf(spark, sf):
     """IVF coarse-quantized top-5 verified against exact brute force:
-    every query must recover >= 3 of the true top-5 (measured 3-5/5 at
-    nprobe=6 across sf0.001-0.1)."""
+    every query must recover >= 2 of the true top-5 (measured 2-5/5 at
+    nprobe=6 across sf0.001-0.1 with the content-spread md5 seed; the
+    pre-round-6 "1.0 recall" was an artifact — the first-k-by-id seed made
+    the query vectors themselves the list centroids. The driver embeddings
+    are near-unclustered (intra-spread ~5x inter-centroid distance), the
+    worst case for coarse quantization; clustered-corpus recall is pinned
+    by test_seed_spread_on_id_sorted_corpus)."""
     e = load_table(spark, sf, "embeddings")
     queries = e.filter(F.col("vec_id") < 8)
     ann = xsim.ivf_topk(e, queries, k=5, n_lists=16, nprobe=6)
     bf = xsim.brute_force_topk(e, queries, k=5)
-    return _ann_recall_check(ann, bf, min_hits=3)
+    return _ann_recall_check(ann, bf, min_hits=2)
 
 
 def q_approx_sketches(spark, sf):
@@ -1685,7 +1690,8 @@ FROM f GROUP BY lang""",
         "embedding_kmeans": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-       FROM embeddings WHERE vec_id < 8),
+       FROM embeddings
+       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
 d1 AS (SELECT e.vec_id, c0.cid, round(list_distance(e.v, c0.cv), 6) AS dist
        FROM e CROSS JOIN c0),
 a1 AS (SELECT vec_id, cid AS cluster FROM
@@ -1727,7 +1733,8 @@ FROM f GROUP BY lang""",
 
         "embedding_centroids": """
 WITH cts AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-             FROM embeddings WHERE vec_id < 8),
+             FROM embeddings
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
 s AS (SELECT e.vec_id, cid,
         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), cv)
               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),

@@ -35,6 +35,22 @@ def unpersist_all() -> None:
             pass
 
 
+def _seed_rows(corpus: DataFrame, k: int, id_col: str, vec_col: str) -> list:
+    """Deterministic CONTENT-SPREAD seed set: the k corpus vectors with the
+    smallest ``md5(cast(id as string))``, ties by id. Engine-replayable
+    (DuckDB md5 of the same string matches bit-for-bit), and — unlike
+    first-k-by-id — decorrelated from id assignment order: on a corpus
+    where ids track content (appended source by source) first-k seeds
+    collapse into one region, giving unbalanced IVF lists and slow Lloyd
+    convergence. A TakeOrdered over the hash: no full sort, no shuffle."""
+    return sorted(
+        corpus.select(F.col(id_col).alias("cid"),
+                      F.col(vec_col).alias("cv"),
+                      F.md5(F.col(id_col).cast("string")).alias("__h__"))
+              .orderBy("__h__", "cid").limit(k).drop("__h__").collect(),
+        key=lambda r: r["cid"])
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
                        F.lit(0.0), lambda acc, v: acc + v)
@@ -158,11 +174,10 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_lists: int = 16, nprobe: int = 4) -> DataFrame:
-    """IVF: centroids = deterministic sample of corpus vectors; every vector
-    assigned to its best centroid; queries search only nprobe lists."""
-    cent_rows = (corpus.orderBy(id_col).limit(n_lists)
-                 .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-                 .collect())
+    """IVF: centroids = deterministic content-spread sample of corpus
+    vectors (min-k by md5(id) — `_seed_rows`); every vector assigned to its
+    best centroid; queries search only nprobe lists."""
+    cent_rows = _seed_rows(corpus, n_lists, id_col, vec_col)
     cids = np.array([int(r["cid"]) for r in cent_rows])
     M = np.stack([np.asarray(r["cv"], dtype="float64") for r in cent_rows]).T
 
@@ -189,9 +204,10 @@ def centroid_assign(corpus: DataFrame, k: int = 8,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
     """Nearest-centroid assignment (the k-means E-step / IVF coarse
-    quantizer): centroids are the first ``k`` corpus vectors by id
-    (deterministic seed set), each vector is assigned to the centroid with
-    the highest cosine (ties -> lowest centroid id).
+    quantizer): centroids are the ``k`` corpus vectors with the smallest
+    md5(id) (deterministic content-spread seed set — `_seed_rows`), each
+    vector is assigned to the centroid with the highest cosine (ties ->
+    lowest centroid id).
 
     The k x d centroid matrix is driver-collected (k rows, independent of
     corpus size) and inlined as literal arrays, so assignment is one narrow
@@ -199,10 +215,7 @@ def centroid_assign(corpus: DataFrame, k: int = 8,
     Cosines are rounded to 6dp before the argmax so the decision is
     reproducible across engines (same contract as brute_force_topk).
     """
-    cent = sorted(corpus.orderBy(id_col).limit(k)
-                        .select(F.col(id_col).alias("cid"),
-                                F.col(vec_col).alias("cv"))
-                        .collect(), key=lambda r: r["cid"])
+    cent = _seed_rows(corpus, k, id_col, vec_col)
     cids = np.array([int(r["cid"]) for r in cent])
     M = np.stack([np.asarray(r["cv"], dtype="float64") for r in cent])
     Mn = np.sqrt((M * M).sum(axis=1))
@@ -258,8 +271,9 @@ def _kmeans_estep(base: DataFrame, cents: dict) -> DataFrame:
 
 def kmeans(corpus: DataFrame, k: int = 8, iters: int = 2,
            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Lloyd's k-means, Spark-native and deterministic: init = the first
-    ``k`` corpus vectors by id; each iteration is one narrow E-step
+    """Lloyd's k-means, Spark-native and deterministic: init = the ``k``
+    corpus vectors with the smallest md5(id) (content-spread seed —
+    `_seed_rows`); each iteration is one narrow E-step
     (broadcast literal centroids, no Python) plus one M-step groupBy whose
     per-dimension ``avg`` aggregates are map-side combinable — per
     iteration the driver holds only the k x d centroid matrix and the
@@ -272,9 +286,7 @@ def kmeans(corpus: DataFrame, k: int = 8, iters: int = 2,
 
     Returns the final assignment: (vec_id, cluster, dist).
     """
-    rows = (corpus.orderBy(id_col).limit(k)
-                  .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-                  .collect())
+    rows = _seed_rows(corpus, k, id_col, vec_col)
     cents = {int(r["cid"]): [float(x) for x in r["cv"]] for r in rows}
     dim = len(next(iter(cents.values())))
     base = corpus.select(

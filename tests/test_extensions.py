@@ -110,6 +110,34 @@ def test_lsh_recall_reasonable(spark):
     assert len(e & a) / len(e) >= 0.4
 
 
+def test_seed_spread_on_id_sorted_corpus(spark):
+    """Adversarial corpus: ids assigned cluster-by-cluster (appended source
+    by source). First-k-by-id seeding would put every seed in cluster 0;
+    the md5 content-spread seed must cover multiple content clusters and
+    keep IVF recall intact."""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((4, 16)) * 10.0
+    vecs, owner = [], []
+    for c in range(4):                       # ids 0-15 cluster0, 16-31 ...
+        for _ in range(16):
+            vecs.append(centers[c] + rng.standard_normal(16) * 0.05)
+            owner.append(c)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(64)],
+        "vec_id long, embedding array<float>")
+    seeds = xsim._seed_rows(df, 8, "vec_id", "embedding")
+    seed_clusters = {owner[int(r["cid"])] for r in seeds}
+    assert len(seed_clusters) >= 3           # spread, not collapsed
+    # recall on one query per cluster, against brute force
+    q = df.filter(F.col("vec_id").isin([0, 16, 32, 48]))
+    exact = xsim.brute_force_topk(df, q, k=5).toPandas()
+    ann = xsim.ivf_topk(df, q, k=5, n_lists=8, nprobe=3).toPandas()
+    for qid in (0, 16, 32, 48):
+        e = set(exact[exact.query_id == qid].vec_id)
+        a = set(ann[ann.query_id == qid].vec_id)
+        assert len(e & a) >= 3, (qid, e, a)
+
+
 def test_asof_join_matches_pandas(spark):
     left = pd.DataFrame({
         "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 11:00",
