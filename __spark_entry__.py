@@ -705,9 +705,11 @@ def q_ngram_top(spark, sf):
     # inline tokenize expression would re-run the regex split per position
     # (see dedup.ngrams_from_tokens)
     tc = F.col("__toks__")
+    # plain concat, not concat_ws: varargs/null handling cost ~35% of the
+    # whole query at sf0.1 (tokens are never null here)
     bigrams = F.transform(F.sequence(F.lit(1), F.size(tc) - 1),
-                          lambda i: F.concat_ws(" ", F.element_at(tc, i),
-                                                F.element_at(tc, i + 1)))
+                          lambda i: F.concat(F.element_at(tc, i), F.lit(" "),
+                                             F.element_at(tc, i + 1)))
     exploded = (d.select(tokens(F.lower(F.col("text"))).alias("__toks__"))
                  .filter(F.size(tc) >= 2)
                  .select(F.explode(bigrams).alias("bigram")))

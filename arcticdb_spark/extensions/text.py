@@ -68,7 +68,7 @@ def quality_score(text: Column) -> Column:
 def lang_id(text: Column) -> Column:
     """Stopword-vote language heuristic: count marker-word hits per language,
     pick the argmax (ties -> precedence en>de>fr>es; 'unk' if zero hits)."""
-    toks_l = F.transform(tokens(text), F.lower)
+    toks_l = tokens(F.lower(text))
     scores = []
     for lang, markers in _LANG_MARKERS.items():
         arr = F.array(*[F.lit(w) for w in markers])
@@ -114,7 +114,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     """
     keep = [id_col, *carry_cols]
     toks = df.select(*keep,
-                     F.explode(F.transform(tokens(F.col(text_col)), F.lower))
+                     F.explode(tokens(F.lower(F.col(text_col))))
                       .alias("tok"))
     cnt = toks.groupBy(*keep, "tok").agg(F.count(F.lit(1)).alias("c"))
     per = (cnt.groupBy(*keep)

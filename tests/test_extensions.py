@@ -378,13 +378,18 @@ class TestCentroidAssign:
         df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
         out = {r["vec_id"]: r for r in centroid_assign(df, k=4).collect()}
         assert len(out) == 40
+        # content-spread seed: min-4 ids by md5(str(id)) — replay the rule
+        import hashlib
+        seed_ids = sorted(sorted(
+            range(40),
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:4])
         # a centroid is its own nearest centroid with cosine 1
-        for cid in range(4):
+        for cid in seed_ids:
             assert out[cid]["centroid_id"] == cid
             assert abs(out[cid]["cos"] - 1.0) < 1e-9
         # every assignment picks the max rounded cosine (brute check)
         import math
-        cents = {i: rows[i][1] for i in range(4)}
+        cents = {i: rows[i][1] for i in seed_ids}
 
         def cos(a, b):
             d = sum(x * y for x, y in zip(a, b))
@@ -401,7 +406,8 @@ class TestKMeans:
         import random
         rnd = random.Random(3)
         rows = []
-        # two tight blobs far apart; ids 0/1 (the init seeds) one in each
+        # two tight blobs far apart; the md5 seed set for n=30, k=2 is
+        # {6, 27} — one id in each blob, so Lloyd's must separate them
         for i in range(30):
             center = 10.0 if i % 2 == 0 else -10.0
             rows.append((i, [center + rnd.uniform(-0.5, 0.5) for _ in range(4)]))
@@ -409,7 +415,7 @@ class TestKMeans:
         out = {r["vec_id"]: r["cluster"] for r in kmeans(df, k=2, iters=3).collect()}
         evens = {out[i] for i in range(0, 30, 2)}
         odds = {out[i] for i in range(1, 30, 2)}
-        assert evens == {0} and odds == {1}
+        assert evens == {6} and odds == {27}
 
     def test_deterministic_across_runs(self, spark):
         from arcticdb_spark.extensions.similarity import kmeans
