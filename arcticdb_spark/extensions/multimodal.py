@@ -47,39 +47,56 @@ def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
     return [int.from_bytes(h[4 * i:4 * i + 4], "big") / 2**32 for i in range(dim)]
 
 
-def decode_media_batch(fake: bool = True, dim: int = 8):
+def decode_media_batch(fake: bool = True, dim: int = 8, decoder=None):
     """Returns a mapInPandas function: binary content -> feature vector.
 
-    Replace ``_fake_features`` with a real PIL/librosa/ffmpeg call in an
-    environment that has them — the Spark plumbing does not change.
+    ``decoder`` is the real-codec injection seam: a callable
+    ``(payload: bytes, kind: str) -> list[float]`` (e.g. a PIL decode +
+    embed, a librosa spectrogram, an ffmpeg probe) — it is serialized by
+    value into the python workers, so pass a top-level-importable or
+    locally-defined function, and do any heavy model loading lazily inside
+    it. Without a decoder, ``fake=True`` uses the deterministic
+    content-hash features (oracle-checkable stand-in); ``fake=False`` with
+    no decoder is a configuration error raised at plan-build time.
     """
+    if decoder is None and not fake:
+        raise ValueError(
+            "decode_media_batch: pass decoder=<callable(payload, kind)> "
+            "for real decoding, or fake=True for the deterministic "
+            "content-hash features")
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decoding requires PIL/librosa/ffmpeg "
-                    "(not in this container); pass fake=True")
             contents = pdf["content"]
+            kinds = pdf["kind"]
+            if decoder is not None:
+                feats = [decoder(bytes(b) if b is not None else b"", k)
+                         for b, k in zip(contents, kinds)]
+            else:
+                feats = [_fake_features(b or b"", dim) for b in contents]
             out = pd.DataFrame({
                 "media_id": pdf["media_id"],
-                "kind": pdf["kind"],
+                "kind": kinds,
                 "n_bytes": contents.map(lambda b: len(b) if b is not None else 0),
                 "sha256": contents.map(
                     lambda b: hashlib.sha256(b or b"").hexdigest()),
-                "feat": contents.map(
-                    lambda b: _fake_features(b or b"", dim)),
+                "feat": feats,
             })
             yield out
     return fn
 
 
 def extract_features(df: DataFrame, fake: bool = True, dim: int = 8,
-                     batch_partitions: int | None = None) -> DataFrame:
-    """Media frame -> feature frame via Arrow-batched mapInPandas."""
+                     batch_partitions: int | None = None,
+                     decoder=None) -> DataFrame:
+    """Media frame -> feature frame via Arrow-batched mapInPandas
+    (``decoder`` — see :func:`decode_media_batch`)."""
     if batch_partitions:
         # balance batches: big payloads hash-spread across partitions
         df = df.repartition(batch_partitions, "media_id")
-    return df.mapInPandas(decode_media_batch(fake=fake, dim=dim), FEATURE_SCHEMA)
+    return df.mapInPandas(
+        decode_media_batch(fake=fake, dim=dim, decoder=decoder),
+        FEATURE_SCHEMA)
 
 
 def media_from_documents(docs: DataFrame, limit: int | None = None) -> DataFrame:

@@ -70,6 +70,45 @@ def test_text_stats_and_langid(spark):
     assert 0 <= out.loc[0, "quality"] <= 1.0
 
 
+def test_detect_language_dispatch(spark, monkeypatch):
+    # nested def: cloudpickle serializes locally-defined functions BY VALUE
+    # into the python workers (a module-level test helper would pickle by
+    # reference and fail to import there)
+    def fake_lid_loader():
+        class _M:  # fastText predict() protocol; 'detects' the first word
+            def predict(self, texts):
+                labs = [(f"__label__{t.split(' ')[0]}",) if t else ()
+                        for t in texts]
+                return labs, [(1.0,)] * len(texts)
+        return _M()
+
+    df = spark.createDataFrame(
+        [(0, "the cat and the dog sat on the mat with it"),
+         (1, "xx yy zz")], "doc_id long, text string")
+    # heuristic path: deterministic stopword vote, JVM-side
+    out = xtext.detect_language(df, model="heuristic").toPandas() \
+        .set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[1, "lang_pred"] == "unk"
+    # auto without fasttext installed -> heuristic fallback
+    monkeypatch.setattr(xtext, "_load_fasttext_model", lambda: None)
+    out2 = xtext.detect_language(df, model="auto").toPandas() \
+        .set_index("doc_id")
+    assert out2.loc[0, "lang_pred"] == "en"
+    # explicit fasttext without the dep -> actionable error
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="fasttext"):
+        xtext.detect_language(df, model="fasttext")
+    # injected model loader -> real mapInPandas path through python workers
+    out3 = xtext.detect_language(df, model="fasttext",
+                                 loader=fake_lid_loader).toPandas() \
+        .set_index("doc_id")
+    assert out3.loc[0, "lang_pred"] == "the"
+    assert out3.loc[1, "lang_pred"] == "xx"
+    with _pytest.raises(ValueError):
+        xtext.detect_language(df, model="nope")
+
+
 def test_fingerprint_normalizes(spark):
     df = spark.createDataFrame([(0, "A  b c"), (1, "a b  C"), (2, "a b d")],
                                "doc_id long, text string")
@@ -209,6 +248,56 @@ def test_multimodal_plumbing(spark):
     m1 = feats.set_index("media_id")["sha256"].to_dict()
     m2 = feats2.set_index("media_id")["sha256"].to_dict()
     assert m1 == m2
+
+
+def test_multimodal_real_decoder_seam(spark):
+    """The non-fake path through a REAL decoder: hand-encoded valid PNGs
+    (pure stdlib: zlib + struct) decoded in the python workers by a
+    pure-Python PNG parser — IHDR dimensions plus the mean pixel value of
+    the zlib-decompressed scanlines. Exercises the decoder= injection end
+    to end; swapping in PIL/ffmpeg changes only this callable."""
+    import struct
+    import zlib
+
+    def png_bytes(w, h, val):
+        def chunk(tag, data):
+            c = tag + data
+            return (struct.pack(">I", len(data)) + c
+                    + struct.pack(">I", zlib.crc32(c)))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit gray
+        raw = b"".join(b"\x00" + bytes([val]) * w for _ in range(h))
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    def png_decoder(payload, kind):
+        import struct as s
+        import zlib as z
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+        w, h = s.unpack(">II", payload[16:24])
+        # first IDAT chunk (these PNGs have exactly one)
+        pos, idat = 8, b""
+        while pos < len(payload):
+            (ln,), tag = s.unpack(">I", payload[pos:pos + 4]), \
+                payload[pos + 4:pos + 8]
+            if tag == b"IDAT":
+                idat += payload[pos + 8:pos + 8 + ln]
+            pos += 12 + ln
+        raw = z.decompress(idat)
+        pixels = [b for r in range(h)
+                  for b in raw[r * (w + 1) + 1:(r + 1) * (w + 1)]]
+        return [float(w), float(h), sum(pixels) / len(pixels)]
+
+    rows = [(i, "image", bytearray(png_bytes(2 + i, 3, 10 * i)),
+             "image/png", 2 + i, 3, None) for i in range(4)]
+    media = spark.createDataFrame(rows, xmm.MEDIA_SCHEMA)
+    feats = (xmm.extract_features(media, fake=False, decoder=png_decoder)
+             .toPandas().set_index("media_id").sort_index())
+    for i in range(4):
+        assert list(feats.loc[i, "feat"]) == [2.0 + i, 3.0, 10.0 * i]
+    # fake=False without a decoder is a plan-build-time config error
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="decoder"):
+        xmm.decode_media_batch(fake=False)
 
 
 def test_range_join(spark):
