@@ -35,6 +35,11 @@ from arcticdb_spark.catalog import (Arctic, ArcticDbNotYetImplemented,
                                     UpdatePayload, WritePayload)
 from arcticdb_spark.lazy import (LazyDataFrame, LazyDataFrameCollection,
                                  concat)
+from arcticdb_spark.normalizers import (CustomNormalizer,
+                                        CustomNormalizerMeta,
+                                        clear_registered_normalizers,
+                                        register_normalizer,
+                                        registered_normalizers)
 
 __version__ = "0.1.0"
 

@@ -880,6 +880,26 @@ class Library:
             if tzs:
                 meta = dict(meta or {})
                 meta["tzs"] = tzs
+            # uint64: Spark/Arrow have no unsigned 64-bit type. Values that
+            # fit int64 convert exactly (and skip the slow non-Arrow
+            # fallback createDataFrame would otherwise take); values above
+            # 2^63-1 are REJECTED explicitly — the silent alternative
+            # round-tripped them as float64 with NaN (the reference handles
+            # full-range uint64 natively, signed_unsigned_comparison.hpp;
+            # documented deviation in PARITY.md)
+            u64 = [c for c, dt in pdf.dtypes.items()
+                   if getattr(dt, "kind", None) == "u" and dt.itemsize == 8]
+            if u64:
+                pdf = pdf.copy(deep=False)
+                for c in u64:
+                    pos = list(pdf.columns).index(c)
+                    col = pdf.iloc[:, pos]
+                    if len(col) and int(col.max()) > 2**63 - 1:
+                        raise ArcticDbNotYetImplemented(
+                            f"column {c!r}: uint64 values above 2**63-1 are "
+                            "not representable (Spark has no unsigned "
+                            "64-bit type); rescale or store as two columns")
+                    pdf.isetitem(pos, col.astype("int64"))
             if len(pdf) == 0:
                 # schema inference needs rows; map pandas dtypes explicitly
                 # (reference supports empty writes: test_empty_writes)
@@ -1045,7 +1065,8 @@ class Library:
               index_column: str | None = None, prune_previous: bool = False,
               dedup: bool = False, staged: bool = False,
               prune_previous_versions: bool | None = None,
-              recursive_normalizers: bool = False) -> VersionManifest:
+              recursive_normalizers: bool = False,
+              _custom_meta: dict | None = None) -> VersionManifest:
         """New version from scratch (reference ``library.py:1013``).
 
         ``dedup=True`` reproduces the reference's segment dedup
@@ -1059,6 +1080,31 @@ class Library:
         reference's name for ``prune_previous`` (either works)."""
         if prune_previous_versions is not None:
             prune_previous = prune_previous_versions
+        # user-extensible normalizers (reference _custom_normalizers.py:17;
+        # the composite tries custom normalizers before built-in dispatch):
+        # first registered acceptor wins; its output re-enters the normal
+        # machinery (frame / recursive structure / pickle) and the manifest
+        # records {"custom": {class_name, data}} for read-side rebuild
+        from arcticdb_spark import normalizers as _cn
+        if _custom_meta is None and _cn.has_normalizers():
+            res = _cn.apply_custom_normalize(df)
+            if res is not None:
+                if staged:
+                    raise ArcticDbNotYetImplemented(
+                        "staged write of a custom-normalized type")
+                item2, cmeta = res
+                if isinstance(item2, (dict, list, tuple)):
+                    return self._write_recursive(symbol, item2, metadata,
+                                                 prune_previous,
+                                                 custom_meta=cmeta)
+                if self._is_df_leaf(item2) or isinstance(item2, DataFrame):
+                    return self.write(symbol, item2, metadata=metadata,
+                                      index_column=index_column,
+                                      prune_previous=prune_previous,
+                                      dedup=dedup, _custom_meta=cmeta)
+                return self.write_pickle(symbol, item2, metadata=metadata,
+                                         prune_previous=prune_previous,
+                                         custom_meta=cmeta)
         if recursive_normalizers and isinstance(df, (dict, list, tuple)):
             return self._write_recursive(symbol, df, metadata, prune_previous)
         if staged:
@@ -1108,6 +1154,8 @@ class Library:
                 files = swapped
             except NoSuchVersionException:
                 pass
+        if _custom_meta is not None:
+            norm_meta = {**(norm_meta or {}), "custom": _custom_meta}
         m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(),
                             idx, sdf.schema.json(), files, metadata,
                             sorted=sorted_flag, norm_meta=norm_meta)
@@ -1138,7 +1186,8 @@ class Library:
     _PICKLE_CHUNK = 16 << 20
 
     def write_pickle(self, symbol: str, data: Any, metadata: Any = None,
-                     prune_previous: bool = False) -> VersionManifest:
+                     prune_previous: bool = False,
+                     custom_meta: dict | None = None) -> VersionManifest:
         """Arbitrary-object fallback (reference ``library.py:1166``
         write_pickle; ``_normalization.py:1359,1467`` msgpack/pickle
         fallback): the object is pickled and stored as chunked BINARY rows
@@ -1154,10 +1203,12 @@ class Library:
             [(i, bytearray(c)) for i, c in enumerate(chunks)],
             schema="chunk_id long, data binary")
         files = self._write_data_files(symbol, sdf, None, sort=False)
+        nm: dict = {"index_type": "pickled", "total_bytes": len(payload)}
+        if custom_meta is not None:
+            nm["custom"] = custom_meta
         m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(),
                             None, sdf.schema.json(), files, metadata,
-                            norm_meta={"index_type": "pickled",
-                                       "total_bytes": len(payload)})
+                            norm_meta=nm)
         self._commit(m)
         if prune_previous:
             self.prune_previous_versions(symbol)
@@ -1214,12 +1265,20 @@ class Library:
         return f"_rec__{symbol}__" + ".".join(path)
 
     def _write_recursive(self, symbol: str, data, metadata,
-                         prune_previous: bool) -> VersionManifest:
+                         prune_previous: bool,
+                         custom_meta: dict | None = None) -> VersionManifest:
+        from arcticdb_spark import normalizers as _cn
         leaves = list(self._flatten_struct(data))
         pins = []
         for path, leaf in leaves:
             sub = self._rec_subsymbol(symbol, path)
             if self._is_df_leaf(leaf):
+                lm = self.write(sub, leaf)
+            elif _cn.has_normalizers() \
+                    and _cn.apply_custom_normalize(leaf) is not None:
+                # custom-normalized leaf (reference: the flattener consults
+                # the registry per node) — write()'s hook records the leaf's
+                # own custom meta; its read denormalizes before reassembly
                 lm = self.write(sub, leaf)
             else:  # non-normalizable leaf -> pickle fallback, like the
                 # reference's msgpack/pickle leaf handling
@@ -1227,10 +1286,12 @@ class Library:
             pins.append({"symbol": sub, "version": lm.version})
         counter = [0]
         template = self._struct_template(data, counter)
+        nm: dict = {"index_type": "recursive",
+                    "struct": template, "leaves": pins}
+        if custom_meta is not None:
+            nm["custom"] = custom_meta
         m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(),
-                            None, "{}", [], metadata,
-                            norm_meta={"index_type": "recursive",
-                                       "struct": template, "leaves": pins})
+                            None, "{}", [], metadata, norm_meta=nm)
         self._commit(m)
         if prune_previous:
             self.prune_previous_versions(symbol)
@@ -1264,6 +1325,14 @@ class Library:
         to the pickle path for this item."""
         if self._is_df_leaf(item):
             return False
+        from arcticdb_spark import normalizers as _cn
+        if _cn.has_normalizers():
+            res = _cn.apply_custom_normalize(item)
+            if res is not None:
+                return self.will_item_be_pickled(res[0], recursive_normalizers
+                                                 or isinstance(res[0],
+                                                               (dict, list,
+                                                                tuple)))
         if recursive_normalizers and isinstance(item, (dict, list, tuple)):
             return any(not self._is_df_leaf(leaf)
                        for _, leaf in self._flatten_struct(item))
@@ -1708,7 +1777,7 @@ class Library:
              row_range: tuple | None = None, columns: list[str] | None = None,
              query_builder=None, with_row_ids: bool = False,
              lazy: bool = False, output_format: str = "spark",
-             incomplete: bool = False):
+             incomplete: bool = False, _raw: bool = False):
         """Versioned scan with manifest-side pruning (``library.py:2022``).
 
         Pruning happens before Spark sees a path: date_range drops files by
@@ -1747,6 +1816,23 @@ class Library:
                 ldf._clauses = list(query_builder._clauses)
             return ldf
         m = self._resolve_version(symbol, as_of)
+        cmeta = (m.norm_meta.get("custom")
+                 if isinstance(m.norm_meta, dict) else None)
+        if cmeta is not None and not _raw:
+            # custom-normalized symbols are opaque (like pickled ones):
+            # read the stored form, then the registered normalizer rebuilds
+            # the original object (reference CompositeCustomNormalizer
+            # denormalize, _custom_normalizers.py:101)
+            if (query_builder is not None or date_range is not None
+                    or row_range is not None or columns is not None
+                    or with_row_ids):
+                raise ArcticException(
+                    f"{symbol!r} is a custom-normalized symbol: queries/"
+                    "slicing/column selection are unsupported")
+            from arcticdb_spark import normalizers as _cn
+            inner = self.read(symbol, as_of=m.version,
+                              output_format="pandas", _raw=True)
+            return _cn.apply_custom_denormalize(inner, cmeta)
         if self._is_recursive(m):
             if (query_builder is not None or date_range is not None
                     or row_range is not None or columns is not None):
