@@ -2646,11 +2646,23 @@ class Library:
                             metadata, prev.sorted, prev.norm_meta)
         return self._commit(m)
 
+    @staticmethod
+    def _user_schema(m: "VersionManifest") -> dict:
+        """Manifest schema with the ns-physical index reported as its
+        LOGICAL type (the reference describes the index as a nanosecond
+        timestamp, types.hpp:73 — reporting 'long' would read as int data)."""
+        schema = json.loads(m.schema_json)
+        if m.index_column and (m.norm_meta or {}).get("index_ns"):
+            for f in schema.get("fields", []):
+                if f.get("name") == m.index_column:
+                    f["type"] = "timestamp_ns"
+        return schema
+
     def get_description(self, symbol: str, as_of=None) -> dict:
         m = self._resolve_version(symbol, as_of)
         return {"symbol": symbol, "version": m.version,
                 "row_count": m.total_rows, "index_column": m.index_column,
-                "schema": json.loads(m.schema_json),
+                "schema": self._user_schema(m),
                 "ts_min": m.ts_min, "ts_max": m.ts_max,
                 "sorted": m.sorted}
 
@@ -2658,7 +2670,7 @@ class Library:
         """Reference ``_store.py:3882`` get_info: descriptive dict with the
         reference's field names (col_names/dtype/rows/date_range/...)."""
         m = self._resolve_version(symbol, version)
-        fields = json.loads(m.schema_json).get("fields", [])
+        fields = self._user_schema(m).get("fields", [])
         typ = ("pickled" if self._is_pickled(m)
                else "recursive" if self._is_recursive(m) else "dataframe")
         return {

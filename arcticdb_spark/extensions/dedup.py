@@ -205,6 +205,21 @@ _BCAST_BYTES_MAX = 512 << 20
 # not string payload
 _PYOBJ_SET_OVERHEAD = 6
 
+# every physical-strategy gate decision is appended here (gate name,
+# measured size, budget, chosen path) — tools/scale_probe.py dumps it per
+# scale factor so SCALING.md records which side of each gate actually
+# fires as data grows; also the first thing to read when a dedup job's
+# plan surprises you in production
+GATE_LOG: list[dict] = []
+
+
+def _gate(gate: str, path: str, **kw) -> None:
+    GATE_LOG.append({"gate": gate, "path": path, **kw})
+
+
+def clear_gate_log() -> None:
+    GATE_LOG.clear()
+
 
 def _jaccard_rescore_broadcast(df, cand, cand_ids, text_col, id_col, k):
     """Rescore candidate id pairs against a driver-collected shingle-set
@@ -294,6 +309,9 @@ def jaccard_near_dup_pairs(df: DataFrame, text_col: str = "text",
                .first())
     payload = int(stats["chars"]) * (k + 1) + int(stats["n"]) * 64
     est_bytes = payload * _PYOBJ_SET_OVERHEAD
+    _gate("jaccard_rescore", "broadcast" if est_bytes <= broadcast_bytes_max
+          else "join", est_bytes=est_bytes, budget=broadcast_bytes_max,
+          cand_docs=int(stats["n"]))
     if est_bytes <= broadcast_bytes_max:
         scored = _jaccard_rescore_broadcast(df, cand, cand_ids,
                                             text_col, id_col, k)
@@ -370,6 +388,8 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                                                       cosine)
     n = n_rows if n_rows is not None else (0 if exact_below <= 0 else df.count())
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    _gate("embedding_strategy", "exact" if n < exact_below else "lsh",
+          n_rows=n, exact_below=exact_below)
     if n < exact_below:
         a = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
         b = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
@@ -387,6 +407,11 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                         & (F.col("a.id") < F.col("b.id")))
                   .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
                   .dropDuplicates(["id_a", "id_b"]))
+        _gate("embedding_rescore",
+              "broadcast" if (n_rows is not None
+                              and n_rows * dim * 8 <= _BCAST_BYTES_MAX)
+              else "join",
+              est_bytes=(n_rows or 0) * dim * 8, budget=_BCAST_BYTES_MAX)
         if n_rows is not None and n_rows * dim * 8 <= _BCAST_BYTES_MAX:
             # vectors fit an executor-side broadcast (the dimension-table
             # pattern; byte gate: n_rows x dim x 8B float64 matrix):
@@ -571,7 +596,11 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
     silently returning split clusters."""
     p2 = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     p2 = _materialize(p2)
-    if p2.count() <= driver_edges_max:
+    n_edges = p2.count()
+    _gate("cluster_solver", "driver_union_find" if n_edges <= driver_edges_max
+          else "distributed_propagation",
+          edges=n_edges, budget=driver_edges_max)
+    if n_edges <= driver_edges_max:
         return _clusters_union_find(pairs.sparkSession,
                                     [(r["a"], r["b"]) for r in p2.collect()])
     edges = p2.unionByName(p2.select(F.col("b").alias("a"),

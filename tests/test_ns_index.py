@@ -235,3 +235,14 @@ def test_ns_merge_experimental_on_ns_key(tmp_lib):
     back = tmp_lib.read("t", output_format="pandas")
     assert back.loc[pd.Timestamp(BASE + 2), "v"] == 40.0
     assert len(back) == 4
+
+
+def test_ns_description_reports_logical_type(tmp_lib):
+    tmp_lib.write("t", _ns_frame(3))
+    d = tmp_lib.get_description("t")
+    idx_field = [f for f in d["schema"]["fields"] if f["name"] == "ts"][0]
+    assert idx_field["type"] == "timestamp_ns"
+    info = tmp_lib.get_info("t")
+    assert "timestamp_ns" in info["dtype"]
+    # exact ns range straight from footer stats
+    assert d["ts_min"] == BASE and d["ts_max"] == BASE + 2

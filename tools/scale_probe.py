@@ -63,6 +63,82 @@ def stress_dedup_cluster(spark) -> list[str]:
     ]
 
 
+def probe_sf1_gates(spark) -> list[str]:
+    """sf1-scale probe of the gated dedup/ANN paths (VERDICT r5 item 9):
+    synthesize sf1 as 10x the sf0.1 documents/embeddings (varied per copy —
+    near-dup-heavy, the adversarial shape for pair listing), run each gated
+    operator, and record WHICH SIDE of every gate fired via
+    ``dedup.GATE_LOG`` — the 100 TB question is not the wall-clock but
+    whether the strategy picker flips to the distributed path when it
+    should."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from arcticdb_spark.extensions import dedup as xd
+    from arcticdb_spark.extensions import similarity as xs
+    from arcticdb_spark.sources import tables
+
+    mult = 10
+    docs = tables.load_table(spark, SFS[2], "documents")
+    dup = (docs.crossJoin(spark.range(mult).select(F.col("id").alias("copy")))
+           .select((F.col("doc_id") * mult + F.col("copy")).alias("doc_id"),
+                   F.concat(F.col("text"), F.lit(" copyterm"),
+                            F.col("copy").cast("string")).alias("text"))
+           .persist())
+    n_docs = dup.count()
+    emb = tables.load_table(spark, SFS[2], "embeddings")
+    emb10 = (emb.crossJoin(spark.range(mult).select(F.col("id").alias("copy")))
+             .select((F.col("vec_id") * mult + F.col("copy")).alias("vec_id"),
+                     F.transform(
+                         F.col("embedding"),
+                         lambda x, i: x + F.when(i == 0,
+                                                 F.col("copy") * 0.001)
+                                           .otherwise(F.lit(0.0)))
+                      .alias("embedding"))
+             .persist())
+    n_vecs = emb10.count()
+
+    runs = [
+        ("exact_dedup", lambda: xd.exact_dedup(dup).count()),
+        ("minhash_pairs", lambda: xd.minhash_near_dup_pairs(dup).count()),
+        ("jaccard_pairs", lambda: xd.jaccard_near_dup_pairs(dup).count()),
+        ("near_dup_clusters", lambda: xd.near_dup_clusters(
+            xd.minhash_near_dup_pairs(dup)).count()),
+        ("simhash_dedup", lambda: xd.simhash_dedup(dup).count()),
+        ("embedding_near_dup", lambda: xd.embedding_near_dup_pairs(
+            emb10, n_rows=n_vecs).count()),
+        ("kmeans", lambda: xs.kmeans(emb10, k=8, iters=2).count()),
+    ]
+    lines = ["", f"## sf1 gate probe — 10x sf0.1 ({n_docs} docs, "
+                 f"{n_vecs} vectors, near-dup-heavy)", "",
+             "| operator | sec | gate decisions (gate -> path, measured vs budget) |",
+             "|---|---|---|"]
+    for name, fn in runs:
+        xd.clear_gate_log()
+        t0 = _t.perf_counter()
+        fn()
+        dt = _t.perf_counter() - t0
+        gates = "; ".join(
+            f"{g['gate']}->{g['path']} "
+            + (f"({g.get('est_bytes', g.get('edges', g.get('n_rows', '?')))}"
+               f"/{g.get('budget', g.get('exact_below', '?'))})")
+            for g in xd.GATE_LOG) or "-"
+        lines.append(f"| {name} | {dt:.1f} | {gates} |")
+        xd.unpersist_all()
+        xs.unpersist_all()
+    dup.unpersist()
+    emb10.unpersist()
+    lines += ["",
+              "Every broadcast/driver-collect sits behind one of these "
+              "gates with a distributed fallback; the probe records the "
+              "side that fired at this size (routing boundary tests: "
+              "test_jaccard_byte_gate_boundary_routing, "
+              "test_embedding_byte_gate_routes_to_join, "
+              "test_near_dup_clusters_long_chain_converges_or_raises)."]
+    return lines
+
+
 def main():
     spark = get_spark("scale_probe")
     qs = E.queries()
@@ -95,6 +171,8 @@ def main():
                  "documents 50 / 500 / 5000.")
     if "--stress" in sys.argv:
         lines.extend(stress_dedup_cluster(spark))
+    if "--sf1" in sys.argv:
+        lines.extend(probe_sf1_gates(spark))
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(lines))
     print("wrote SCALING.md")
@@ -102,5 +180,17 @@ def main():
         print(f"{name:24s} {ts[0]:.2f} {ts[1]:.2f} {ts[2]:.2f}")
 
 
+def sf1_only():
+    """Append just the sf1 gate-probe section to the existing SCALING.md."""
+    spark = get_spark("scale_probe")
+    lines = probe_sf1_gates(spark)
+    with open("/root/repo/SCALING.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
 if __name__ == "__main__":
-    main()
+    if "--sf1-only" in sys.argv:
+        sf1_only()
+    else:
+        main()
