@@ -199,11 +199,12 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
 # long documents (2M ids x a few hundred shingles each is multiple GB).
 _BCAST_BYTES_MAX = 512 << 20
 
-# measured Python-object overhead of a {id: frozenset(shingle_str)} lookup
-# over its raw character payload (recursive getsizeof, 11-char shingles:
-# 5.96x) — driver RSS and the sc.broadcast pickle are gated on REAL memory,
-# not string payload
-_PYOBJ_SET_OVERHEAD = 6
+# measured real-memory factor of the {id: sorted int64 shingle-hash array}
+# broadcast lookup over the corpus CHARACTER payload (ndarray data + header
+# + dict entries ≈ 2.0x chars for ~6-char tokens; a frozenset-of-strings
+# lookup measured 6x — the int64-hash representation is what makes the
+# broadcast path affordable). Rounded up for shorter-token corpora.
+_HASHSET_OVERHEAD = 3
 
 # every physical-strategy gate decision is appended here (gate name,
 # measured size, budget, chosen path) — tools/scale_probe.py dumps it per
@@ -221,18 +222,34 @@ def clear_gate_log() -> None:
     GATE_LOG.clear()
 
 
+def _shingle_hash_sets(df, cand_ids, text_col, id_col, k,
+                       broadcast_ids: bool = False):
+    """(id, sorted distinct xxhash64-per-shingle LONG array) for candidate
+    ids only. Hashing runs JVM-side inside codegen; downstream rescoring
+    moves/holds 8 B per shingle instead of its string (~10x smaller
+    broadcast/shuffle) and compares longs instead of strings. Jaccard on
+    the hash sets equals string-set jaccard up to 64-bit collisions inside
+    one candidate pair's union (~hundreds of shingles: P < 1e-14)."""
+    ids = F.broadcast(cand_ids) if broadcast_ids else cand_ids
+    hashes = F.array_sort(F.array_distinct(
+        F.transform(shingles_from_tokens(F.col("__toks__"), k),
+                    lambda s: F.xxhash64(s)))).alias("sh")
+    return (_spread(df.select(F.col(id_col).alias("id"), text_col))
+            .join(ids, "id", "left_semi")
+            .select("id", tokens(F.lower(F.col(text_col))).alias("__toks__"))
+            .select("id", hashes))
+
+
 def _jaccard_rescore_broadcast(df, cand, cand_ids, text_col, id_col, k):
-    """Rescore candidate id pairs against a driver-collected shingle-set
+    """Rescore candidate id pairs against a driver-collected shingle-hash
     lookup shipped to tasks as one broadcast — Arrow moves 2 longs per
-    pair, never the sets."""
-    sets_expr = F.array_distinct(
-        shingles_from_tokens(F.col("__toks__"), k)).alias("sh")
-    sub = (df.select(F.col(id_col).alias("id"), text_col)
-             .join(F.broadcast(cand_ids), "id", "left_semi")
-             .select("id", tokens(F.lower(F.col(text_col)))
-                      .alias("__toks__"))
-             .select("id", sets_expr))
-    lookup = {r["id"]: frozenset(r["sh"]) for r in sub.collect()}
+    pair, never the sets. Per-pair work is np.intersect1d over sorted
+    int64 arrays (C merge), not Python set ops (measured ~10x on the
+    near-dup-heavy sf1 probe)."""
+    sub = _shingle_hash_sets(df, cand_ids, text_col, id_col, k,
+                             broadcast_ids=True)
+    lookup = {r["id"]: np.asarray(r["sh"], dtype=np.int64)
+              for r in sub.collect()}
     bc = df.sparkSession.sparkContext.broadcast(lookup)
 
     @F.pandas_udf("double")
@@ -241,8 +258,8 @@ def _jaccard_rescore_broadcast(df, cand, cand_ids, text_col, id_col, k):
         out = np.zeros(len(ia), dtype="float64")
         for i, (x, y) in enumerate(zip(ia.to_numpy(), ib.to_numpy())):
             sa, sb = lk[int(x)], lk[int(y)]
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
             out[i] = inter / union if union else 0.0
         return pd.Series(out)
 
@@ -252,16 +269,12 @@ def _jaccard_rescore_broadcast(df, cand, cand_ids, text_col, id_col, k):
 
 
 def _jaccard_rescore_join(df, cand, cand_ids, text_col, id_col, k):
-    """Rescore by re-attaching the (candidate-only) shingle sets with two
-    equi-joins — the scale path when the lookup exceeds the broadcast
-    budget."""
-    sets_expr = F.array_distinct(
-        shingles_from_tokens(F.col("__toks__"), k)).alias("sh")
+    """Rescore by re-attaching the (candidate-only) shingle-hash sets with
+    two equi-joins — the scale path when the lookup exceeds the broadcast
+    budget; the joined arrays are 8 B/shingle longs, and the intersect/
+    union stay JVM-side."""
     sets_df = _materialize(
-        _spread(df.select(F.col(id_col).alias("id"), text_col))
-        .join(cand_ids, "id", "left_semi")
-        .select("id", tokens(F.lower(F.col(text_col))).alias("__toks__"))
-        .select("id", sets_expr))
+        _shingle_hash_sets(df, cand_ids, text_col, id_col, k))
     j = (cand.join(sets_df.withColumnRenamed("id", "id_a")
                           .withColumnRenamed("sh", "sh_a"), "id_a")
              .join(sets_df.withColumnRenamed("id", "id_b")
@@ -294,21 +307,19 @@ def jaccard_near_dup_pairs(df: DataFrame, text_col: str = "text",
     cand_ids = (cand.select(F.col("id_a").alias("id"))
                 .unionByName(cand.select(F.col("id_b").alias("id")))
                 .distinct())
-    # one tiny agg over (id, length) estimates the broadcast footprint:
-    # each char lands in ~k shingles, plus per-element set/dict overhead.
-    # The char-payload estimate undercounts REAL driver memory: a frozenset
-    # of short shingle strings costs ~6x its character payload (str header
-    # 49B + set slot + dict entry; measured via recursive getsizeof on
-    # 11-char shingles: factor 5.96) — scale by the measured overhead so
-    # the gate compares like with like against broadcast_bytes_max.
+    # one tiny agg over (id, length) estimates the broadcast footprint in
+    # REAL driver memory (the measured `_HASHSET_OVERHEAD` x chars factor
+    # for the int64 shingle-hash lookup, ndarray data + per-doc overhead
+    # included) so the gate compares like with like against
+    # broadcast_bytes_max.
     stats = (df.select(F.col(id_col).alias("id"),
                        F.length(text_col).alias("__len__"))
                .join(cand_ids, "id", "left_semi")
                .agg(F.count(F.lit(1)).alias("n"),
                     F.coalesce(F.sum("__len__"), F.lit(0)).alias("chars"))
                .first())
-    payload = int(stats["chars"]) * (k + 1) + int(stats["n"]) * 64
-    est_bytes = payload * _PYOBJ_SET_OVERHEAD
+    est_bytes = (int(stats["chars"]) * _HASHSET_OVERHEAD
+                 + int(stats["n"]) * 160)
     _gate("jaccard_rescore", "broadcast" if est_bytes <= broadcast_bytes_max
           else "join", est_bytes=est_bytes, budget=broadcast_bytes_max,
           cand_docs=int(stats["n"]))

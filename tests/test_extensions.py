@@ -690,7 +690,7 @@ def test_jaccard_byte_gate_boundary_routing(spark, monkeypatch):
     cp = cand.toPandas()
     cand_id_set = set(cp.id_a) | set(cp.id_b)
     chars = sum(len(t) for i, t in docs if i in cand_id_set)
-    est = (chars * 3 + len(cand_id_set) * 64) * xdedup._PYOBJ_SET_OVERHEAD
+    est = chars * xdedup._HASHSET_OVERHEAD + len(cand_id_set) * 160
 
     calls = []
     real_bcast = xdedup._jaccard_rescore_broadcast

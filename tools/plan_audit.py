@@ -28,6 +28,12 @@ from arcticdb_spark import get_spark
 # on a single symbol); they are documented, not accidental
 ALLOWED_GLOBAL_WINDOW = set()
 
+# single-partition exchanges that are BY DESIGN over provably tiny inputs:
+# pack_chunks' prefix_sum computes cumulative offsets over the
+# one-row-per-physical-partition totals table (plans/rowid.py:86) — the
+# exchange moves O(#partitions) rows, not data
+ALLOWED_SINGLE_PARTITION = {"pack_chunks"}
+
 
 def audit(name: str, plan: str) -> list[tuple[str, str]]:
     out = []
@@ -41,7 +47,7 @@ def audit(name: str, plan: str) -> list[tuple[str, str]]:
             out.append(("FAIL", "Window with empty partitionBy (single task)"))
         break
     n_single = plan.count("Exchange SinglePartition")
-    if n_single:
+    if n_single and name not in ALLOWED_SINGLE_PARTITION:
         out.append(("WARN", f"{n_single}x Exchange SinglePartition"))
     return out
 
