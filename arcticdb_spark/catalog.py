@@ -669,14 +669,20 @@ class Library:
             entries.sort(key=lambda e: (e.ts_min if e.ts_min is not None else 0, e.path))
         return _renumber(entries)
 
-    def _normalize(self, df) -> tuple[DataFrame, dict | None]:
+    def _normalize(self, df, index_column: str | None = None
+                   ) -> tuple[DataFrame, dict | None]:
         """pandas/Spark input -> (Spark frame, normalization metadata).
 
         Index demotion follows the reference (_normalization.py:923-959):
         a DatetimeIndex becomes the physical ts column; MultiIndex level 0
         becomes the ts column and levels >= 1 become ordinary columns named
         ``__idx__<name>`` / ``__fkidx__<n>`` (:931-950); an unnamed
-        RangeIndex is positional and dropped."""
+        RangeIndex is positional and dropped. ``index_column`` applies to
+        ARROW input only (names the exact-ns index column; for pandas the
+        frame's own index wins, matching the reference —
+        test_arrow_pandas_interop.py test_write_pandas_df_with_specified_
+        index_column: "index_column value should be ignored when writing
+        as pandas")."""
         if isinstance(df, DataFrame):
             return df, None
         import numpy as np
@@ -689,16 +695,19 @@ class Library:
             # Arrow input (reference test_arrow_writes.py / sparse tests):
             # convert DIRECTLY (Spark 4 createDataFrame takes an Arrow
             # table) — the pandas hop degraded nullable int64/bool to
-            # float64/object. A timestamp column named by
-            # ``write(index_column=...)`` becomes the index downstream
-            # exactly as for a Spark frame.
-            tbl = (pa.Table.from_batches([df])
-                   if isinstance(df, pa.RecordBatch) else df)
+            # float64/object. The index column (named by
+            # ``write(index_column=...)``, else the first timestamp field)
+            # is cast to exact int64 ns; int64-min values inside ns
+            # timestamps are NaT sentinels -> null (reference
+            # test_arrow_read.py NaT-sentinel case).
+            orig = (pa.Table.from_batches([df])
+                    if isinstance(df, pa.RecordBatch) else df)
             try:
-                return self.spark.createDataFrame(tbl), None
+                tbl, ameta = self._normalize_arrow_ns(orig, index_column)
+                return self.spark.createDataFrame(tbl), ameta
             except Exception:
                 # exotic arrow types (dictionary etc.): pandas fallback
-                return self._normalize(tbl.to_pandas())
+                return self._normalize(orig.to_pandas())
         if isinstance(df, pd.Series):
             # reference SeriesNormalizer (_normalization.py:982-1022):
             # normalize as a one-column frame, record the original name so
@@ -910,6 +919,46 @@ class Library:
             f"cannot normalize {type(df).__name__}: write() takes a Spark or "
             "pandas DataFrame; use write_pickle() for arbitrary objects")
 
+    @staticmethod
+    def _normalize_arrow_ns(tbl, index_column: str | None):
+        """Exact-ns handling for Arrow input: the index column (explicit or
+        first timestamp field) becomes int64 ns (any timestamp unit upcast
+        exactly); int64-min inside naive ns timestamps is the NaT sentinel
+        -> null everywhere (reference test_arrow_read.py). Returns
+        (table, norm_meta|None)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        idx_name = index_column
+        if idx_name is None:
+            for f in tbl.schema:
+                if pa.types.is_timestamp(f.type):
+                    idx_name = f.name
+                    break
+        meta = None
+        for i, f in enumerate(list(tbl.schema)):
+            if not pa.types.is_timestamp(f.type) or f.type.tz is not None:
+                continue
+            col = tbl.column(i)
+            if f.type.unit == "ns":
+                ints = col.cast(pa.int64())
+                ints = pc.if_else(pc.equal(ints, pa.scalar(NAT_SENTINEL)),
+                                  pa.scalar(None, pa.int64()), ints)
+                if f.name == idx_name:
+                    tbl = tbl.set_column(i, pa.field(f.name, pa.int64()),
+                                         ints)
+                    meta = {"index_ns": True, "physical": f.name}
+                else:
+                    # ns DATA column: sentinel -> null; Spark then stores
+                    # it at µs (documented PARITY deviation)
+                    tbl = tbl.set_column(
+                        i, f, ints.cast(pa.timestamp("ns")))
+            elif f.name == idx_name:
+                # µs/ms/s index: exact upcast to ns ints
+                ints = col.cast(pa.timestamp("ns")).cast(pa.int64())
+                tbl = tbl.set_column(i, pa.field(f.name, pa.int64()), ints)
+                meta = {"index_ns": True, "physical": f.name}
+        return tbl, meta
+
     # -- EMPTY (all-None) columns: reference ValueType::EMPTY (types.hpp:85-93)
     # -- a void column is recorded in the manifest schema but never written to
     # -- parquet (parquet has no null type); reads backfill it with NULLs and a
@@ -1109,8 +1158,14 @@ class Library:
             return self._write_recursive(symbol, df, metadata, prune_previous)
         if staged:
             return self.stage(symbol, df)
+        import pandas as pd
+        if isinstance(df, (pd.DataFrame, pd.Series)):
+            # reference ignores index_column for pandas input (the frame's
+            # own index wins — test_write_pandas_df_with_specified_index_
+            # column)
+            index_column = None
         sorted_flag = self._input_sortedness(df)
-        sdf, norm_meta = self._normalize(df)
+        sdf, norm_meta = self._normalize(df, index_column)
         nm = norm_meta or {}
         if nm.get("index_ns"):
             p = nm["physical"]
@@ -1476,8 +1531,8 @@ class Library:
             raise SortingException(
                 f"append to {symbol!r}: existing or new data is UNSORTED "
                 "(pass validate_index=False to append anyway)")
-        sdf, _ = self._normalize(df)
         idx = prev.index_column
+        sdf, _ = self._normalize(df, idx)
         sdf = self._align_index_phys(sdf, idx, prev)
         if self.dynamic_schema:
             schema_json = self._merge_schema(prev.schema_json, sdf.schema)
@@ -1578,7 +1633,7 @@ class Library:
             # UnsortedDataException on update of unsorted data)
             raise SortingException(
                 f"update of {symbol!r}: symbol is UNSORTED")
-        sdf, _ = self._normalize(df)
+        sdf, _ = self._normalize(df, idx)
         if not sdf.head(1):
             return prev  # zero-row update: nothing done, no new version
         sdf = self._align_index_phys(sdf, idx, prev)
@@ -1666,7 +1721,7 @@ class Library:
         if idx is None:
             raise ArcticException(
                 "merge_experimental requires a timestamp-indexed symbol")
-        src, _ = self._normalize(source)
+        src, _ = self._normalize(source, idx)
         src = self._align_index_phys(src, idx, prev)
         target = self._read_physical(prev)
         keys = [idx] + [c for c in (on or []) if c != idx]

@@ -246,3 +246,74 @@ def test_ns_description_reports_logical_type(tmp_lib):
     assert "timestamp_ns" in info["dtype"]
     # exact ns range straight from footer stats
     assert d["ts_min"] == BASE and d["ts_max"] == BASE + 2
+
+
+def test_arrow_ns_index_write_exact(tmp_lib):
+    # Arrow input with a timestamp[ns] index column: stored as exact LONG
+    # ns (reference arrow writes keep ns)
+    import pyarrow as pa
+    tbl = pa.table({
+        "ts": pa.array([BASE + i for i in range(5)], pa.int64())
+                 .cast(pa.timestamp("ns")),
+        "v": pa.array([float(i) for i in range(5)], pa.float64())})
+    tmp_lib.write("t", tbl)
+    got = tmp_lib.read("t", output_format="spark-ns")
+    assert sorted(r["ts"] for r in got.collect()) == [BASE + i
+                                                      for i in range(5)]
+    back = tmp_lib.read("t", output_format="arrow").sort_by("ts")
+    import pyarrow as pa2
+    assert back.schema.field("ts").type == pa2.timestamp("ns")
+
+
+def test_arrow_nat_sentinel_becomes_null(tmp_lib):
+    # reference test_arrow_read.py NaT-sentinel case: int64-min inside a
+    # ns timestamp column is NaT -> null, alongside genuine Arrow nulls
+    import pyarrow as pa
+    sent = -9223372036854775808
+    ts = pa.array([pd.Timestamp("2025-01-01").value, sent, None, sent,
+                   pd.Timestamp("2025-01-02").value, None],
+                  type=pa.int64()).cast(pa.timestamp("ns"))
+    tbl = pa.table({"x": ts, "y": pa.array([1, 2, 3, 4, 5, 6])})
+    tmp_lib.write("arrow", tbl)
+    result = tmp_lib.read("arrow", output_format="arrow").sort_by("y")
+    assert result.column("x").is_null().to_pylist() == [
+        False, True, True, True, False, True]
+
+
+def test_pandas_index_column_ignored(tmp_lib):
+    # reference test_arrow_pandas_interop.py
+    # test_write_pandas_df_with_specified_index_column: "index_column value
+    # should be ignored when writing as pandas" — the frame's own index wins
+    pdf = pd.DataFrame({"col": [0, 1]})
+    tmp_lib.write("sym", pdf, index_column="col")
+    m = tmp_lib._load_manifest("sym", 0)
+    assert m.index_column is None
+    back = tmp_lib.read("sym", output_format="pandas")
+    pd.testing.assert_frame_equal(back, pdf)
+    # a datetime-indexed pandas frame still gets ITS index, not index_column
+    pdf2 = pd.DataFrame({"col": [0, 1]},
+                        index=pd.DatetimeIndex(
+                            np.array([BASE, BASE + 1],
+                                     dtype=np.int64).view("M8[ns]"),
+                            name="ts"))
+    tmp_lib.write("sym2", pdf2, index_column="col")
+    m2 = tmp_lib._load_manifest("sym2", 0)
+    assert m2.index_column == "ts"
+    back2 = tmp_lib.read("sym2", output_format="pandas")
+    assert back2.index.asi8.tolist() == [BASE, BASE + 1]
+
+
+def test_arrow_update_onto_ns_symbol(tmp_lib):
+    # reference test_arrow_pandas_interop.py test_update_arrow_with_pandas
+    # (the working direction): arrow correction updates a pandas-written
+    # ns symbol on the exact ns key
+    import pyarrow as pa
+    pdf = _ns_frame(4)
+    tmp_lib.write("t", pdf)
+    up = pa.table({
+        "ts": pa.array([BASE + 2], pa.int64()).cast(pa.timestamp("ns")),
+        "v": pa.array([42.0], pa.float64())})
+    tmp_lib.update("t", up)
+    back = tmp_lib.read("t", output_format="pandas")
+    assert back["v"].tolist() == [0.0, 1.0, 42.0, 3.0]
+    assert back.index.asi8.tolist() == [BASE + i for i in range(4)]
