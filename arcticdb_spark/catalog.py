@@ -1223,16 +1223,21 @@ class Library:
     def _input_sortedness(df) -> str:
         """Sortedness of a to-be-written frame's datetime index (reference
         SortedValue tracking, pinned by test_date_range.py
-        test_read_unsorted_date_range_dataframe): non-monotonic ts-indexed
-        pandas input is stored as-given and marked UNSORTED instead of being
-        silently re-ordered. Spark-frame inputs are ts-sorted on write (the
-        engine's sorted-on-write invariant), so they report ASCENDING."""
+        test_read_unsorted_date_range_dataframe and test_append.py's
+        DESCENDING state machine): monotonic-decreasing input is tracked as
+        DESCENDING, other non-monotonic input as UNSORTED — both stored
+        as-given, never silently re-ordered. Spark-frame inputs are
+        ts-sorted on write (the engine's sorted-on-write invariant), so
+        they report ASCENDING."""
         import pandas as pd
         if isinstance(df, (pd.DataFrame, pd.Series)):
             lvl0 = (df.index.get_level_values(0)
                     if isinstance(df.index, pd.MultiIndex) else df.index)
-            if (isinstance(lvl0, pd.DatetimeIndex)
-                    and not lvl0.is_monotonic_increasing):
+            if isinstance(lvl0, pd.DatetimeIndex):
+                if lvl0.is_monotonic_increasing:
+                    return "ASCENDING"
+                if lvl0.is_monotonic_decreasing:
+                    return "DESCENDING"
                 return "UNSORTED"
         return "ASCENDING"
 
@@ -1524,13 +1529,14 @@ class Library:
                         f"step={rmeta['step']}; got start={df.index.start}, "
                         f"step={df.index.step})")
         chunk_sorted = self._input_sortedness(df)
-        if validate_index and (prev.sorted == "UNSORTED"
-                               or chunk_sorted == "UNSORTED"):
-            # reference UnsortedDataException: appending to/with unsorted
-            # data requires validate_index=False
+        if validate_index and (prev.sorted != "ASCENDING"
+                               or chunk_sorted != "ASCENDING"):
+            # reference UnsortedDataException: appending to/with data that
+            # is not sorted ascending requires validate_index=False
             raise SortingException(
-                f"append to {symbol!r}: existing or new data is UNSORTED "
-                "(pass validate_index=False to append anyway)")
+                f"append to {symbol!r}: existing or new data is "
+                f"{prev.sorted if prev.sorted != 'ASCENDING' else chunk_sorted}"
+                " (pass validate_index=False to append anyway)")
         idx = prev.index_column
         sdf, _ = self._normalize(df, idx)
         sdf = self._align_index_phys(sdf, idx, prev)
@@ -1549,9 +1555,17 @@ class Library:
         if overlap and validate_index:
             raise SortingException(
                 f"append index range [{min(mins)}] overlaps existing max {prev.ts_max}")
-        out_sorted = ("ASCENDING" if (prev.sorted == "ASCENDING"
-                                      and chunk_sorted == "ASCENDING"
-                                      and not overlap) else "UNSORTED")
+        # reference sortedness state machine (test_append.py
+        # test_append_mix_*): ASC+ASC (no overlap) -> ASC; DESC+DESC ->
+        # DESC (per-chunk status merge — the reference does NOT recheck
+        # the global sequence); any mix or UNSORTED side -> UNSORTED
+        if (prev.sorted == "ASCENDING" and chunk_sorted == "ASCENDING"
+                and not overlap):
+            out_sorted = "ASCENDING"
+        elif prev.sorted == "DESCENDING" and chunk_sorted == "DESCENDING":
+            out_sorted = "DESCENDING"
+        else:
+            out_sorted = "UNSORTED"
         m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(), idx,
                             schema_json, _renumber(prev.files + new_files),
                             metadata if metadata is not None else prev.metadata,
@@ -1628,11 +1642,11 @@ class Library:
         idx = prev.index_column
         if idx is None:
             raise ArcticException("update requires a timestamp-indexed symbol")
-        if prev.sorted == "UNSORTED":
-            # range surgery needs a sorted symbol (reference
+        if prev.sorted != "ASCENDING":
+            # range surgery needs an ascending symbol (reference
             # UnsortedDataException on update of unsorted data)
             raise SortingException(
-                f"update of {symbol!r}: symbol is UNSORTED")
+                f"update of {symbol!r}: symbol is {prev.sorted}")
         sdf, _ = self._normalize(df, idx)
         if not sdf.head(1):
             return prev  # zero-row update: nothing done, no new version
@@ -1917,12 +1931,13 @@ class Library:
             # test_read_date_range_not_date_time_dataframe)
             raise ArcticException(
                 f"{symbol!r} has no datetime index: date_range is unsupported")
-        if date_range is not None and m.sorted == "UNSORTED":
+        if date_range is not None and m.sorted != "ASCENDING":
             # reference UnsortedDataException (test_date_range.py
-            # test_read_unsorted_date_range_dataframe)
+            # test_read_unsorted_date_range_dataframe); DESCENDING counts —
+            # the index-segment filter assumes ascending ranges
             raise SortingException(
-                f"{symbol!r} is UNSORTED: date_range reads require a sorted "
-                "symbol (rewrite via sort_and_finalize or write sorted data)")
+                f"{symbol!r} is {m.sorted}: date_range reads require an "
+                "ascending-sorted symbol (repair via sort_index)")
 
         if query_builder is not None and date_range is not None:
             # a data-relative resample origin (start/end/..._day) is
@@ -2436,7 +2451,7 @@ class Library:
                     schema_json, _renumber(prev.files + new_files),
                     metadata if metadata is not None else prev.metadata,
                     sorted=("UNSORTED" if (overlap
-                                           or prev.sorted == "UNSORTED")
+                                           or prev.sorted != "ASCENDING")
                             else "ASCENDING"),
                     norm_meta=prev.norm_meta)
             else:

@@ -148,3 +148,67 @@ def test_sort_index_rejects_rangeindex_and_pickled(tmp_lib):
     tmp_lib.write_pickle("p", {"x": 1})
     with pytest.raises(ArcticException):
         tmp_lib.sort_index("p")
+
+
+def _desc_df(start, n=10):
+    idx = pd.DatetimeIndex(list(reversed(pd.date_range(start, periods=n))),
+                           name="ts")
+    return pd.DataFrame({"c": np.arange(n, dtype=np.int64)}, index=idx)
+
+
+def test_write_descending_marks_descending(tmp_lib):
+    # reference test_append.py test_append_mix_descending_not_sorted
+    df = _desc_df("2019-01-01")
+    assert df.index.is_monotonic_decreasing
+    tmp_lib.write("d", df)
+    assert tmp_lib.get_info("d")["sorted"] == "DESCENDING"
+    # values/pairs survive exactly (row order for non-ascending multi-file
+    # writes is file order — same documented deviation as UNSORTED writes)
+    out = tmp_lib.read("d", output_format="pandas")
+    assert sorted(zip(out.index, out["c"])) == sorted(zip(df.index, df["c"]))
+    # date_range needs ascending
+    with pytest.raises(SortingException):
+        tmp_lib.read("d", date_range=(pd.Timestamp("2019-01-02"),
+                                      pd.Timestamp("2019-01-05")))
+    # update needs ascending
+    with pytest.raises(SortingException):
+        tmp_lib.update("d", pd.DataFrame(
+            {"c": [1]}, index=pd.DatetimeIndex([pd.Timestamp("2019-01-03")],
+                                               name="ts")))
+
+
+def test_append_descending_state_machine(tmp_lib):
+    # reference test_append_mix_descending_not_sorted /
+    # test_append_mix_ascending_descending: per-chunk status merge
+    tmp_lib.write("d", _desc_df("2019-01-01"))
+    # appending to a non-ascending symbol needs validate_index=False
+    with pytest.raises(SortingException):
+        tmp_lib.append("d", _desc_df("2020-01-01"))
+    m = tmp_lib.append("d", _desc_df("2020-01-01"), validate_index=False)
+    assert m.sorted == "DESCENDING"            # DESC + DESC -> DESC
+    m = tmp_lib.append("d", _unsorted_df(), validate_index=False)
+    assert m.sorted == "UNSORTED"              # DESC + UNSORTED -> UNSORTED
+    m = tmp_lib.append(
+        "d", pd.DataFrame({"c": np.arange(5, dtype=np.int64)},
+                          index=pd.date_range("2022-01-01", periods=5,
+                                              name="ts")),
+        validate_index=False)
+    assert m.sorted == "UNSORTED"              # sticky
+
+    tmp_lib.write("m", _desc_df("2019-01-01"))
+    m = tmp_lib.append(
+        "m", pd.DataFrame({"c": np.arange(5, dtype=np.int64)},
+                          index=pd.date_range("2020-01-01", periods=5,
+                                              name="ts")),
+        validate_index=False)
+    assert m.sorted == "UNSORTED"              # DESC + ASC -> UNSORTED
+
+
+def test_sort_index_repairs_descending(tmp_lib):
+    df = _desc_df("2019-01-01")
+    tmp_lib.write("d", df)
+    tmp_lib.sort_index("d")
+    assert tmp_lib.get_info("d")["sorted"] == "ASCENDING"
+    out = tmp_lib.read("d", date_range=(pd.Timestamp("2019-01-02"),
+                                        pd.Timestamp("2019-01-05")))
+    assert out.count() == 4
