@@ -565,6 +565,33 @@ class Library:
         # reference LibraryOptions.dynamic_schema (options.py:43): appends may
         # add columns / promote numeric types; reads backfill + upcast
         self.dynamic_schema = dynamic_schema
+        # library-level output format default (reference
+        # library.set_output_format / OutputFormat, options.py:170-196);
+        # per-read output_format overrides
+        self._default_output_format = "spark"
+
+    _OUTPUT_FORMATS = {"spark": "spark", "spark-ns": "spark-ns",
+                       "pandas": "pandas", "arrow": "arrow",
+                       "pyarrow": "arrow", "experimental_arrow": "arrow",
+                       "polars": "polars"}
+
+    def set_output_format(self, output_format) -> None:
+        """Reference ``library.set_output_format(OutputFormat.PYARROW)``:
+        library-level default for read/head/tail/batch reads. Accepts this
+        engine's names plus the reference's OutputFormat values
+        (PANDAS/PYARROW/EXPERIMENTAL_ARROW, enum or string)."""
+        key = str(getattr(output_format, "value", output_format)).lower()
+        if key not in self._OUTPUT_FORMATS:
+            raise ArcticException(
+                f"unknown output_format {output_format!r}; expected one of "
+                f"{sorted(set(self._OUTPUT_FORMATS))}")
+        self._default_output_format = self._OUTPUT_FORMATS[key]
+
+    def _resolve_output_format(self, output_format):
+        if output_format is None:
+            return self._default_output_format
+        key = str(getattr(output_format, "value", output_format)).lower()
+        return self._OUTPUT_FORMATS.get(key, output_format)
 
     # ---- paths (metadata via self._fs; data via local/Spark paths) ----
     def _sym_dir(self, symbol):
@@ -1845,7 +1872,7 @@ class Library:
     def read(self, symbol: str, as_of=None, date_range: tuple | None = None,
              row_range: tuple | None = None, columns: list[str] | None = None,
              query_builder=None, with_row_ids: bool = False,
-             lazy: bool = False, output_format: str = "spark",
+             lazy: bool = False, output_format: str | None = None,
              incomplete: bool = False, _raw: bool = False):
         """Versioned scan with manifest-side pruning (``library.py:2022``).
 
@@ -1858,6 +1885,7 @@ class Library:
         chain further clauses; ``output_format`` in {"spark", "pandas",
         "arrow"} (reference OutputFormat, options.py:170-196)."""
         import pandas as pd
+        output_format = self._resolve_output_format(output_format)
         if date_range is not None and row_range is not None:
             # reference _store.py:2221: "Date range and row range both
             # specified" is a user error — and the absolute-rowid row_range
@@ -2137,7 +2165,9 @@ class Library:
             m = self._resolve_version(symbol, as_of)
             idx = m.index_column
             norm_meta = m.norm_meta
-            base = self.read(symbol, as_of=as_of)
+            # explicit spark: the union below needs a Spark frame whatever
+            # the library's default output format is
+            base = self.read(symbol, as_of=as_of, output_format="spark")
         if seg_files:
             inc = self.spark.read.option("mergeSchema", "true") \
                 .parquet(*seg_files)
@@ -2312,16 +2342,20 @@ class Library:
         return tbl
 
     def head(self, symbol: str, n: int = 5, as_of=None,
-             columns: list[str] | None = None) -> DataFrame:
-        return self.read(symbol, as_of=as_of, row_range=(0, n), columns=columns)
+             columns: list[str] | None = None,
+             output_format: str | None = None) -> DataFrame:
+        return self.read(symbol, as_of=as_of, row_range=(0, n),
+                         columns=columns, output_format=output_format)
 
     def tail(self, symbol: str, n: int = 5, as_of=None,
-             columns: list[str] | None = None) -> DataFrame:
+             columns: list[str] | None = None,
+             output_format: str | None = None) -> DataFrame:
         if n == 0:
             # pandas tail(0) is empty; (-0, None) would mean "everything"
             return self.read(symbol, as_of=as_of, row_range=(0, 0),
-                             columns=columns)
-        return self.read(symbol, as_of=as_of, row_range=(-n, None), columns=columns)
+                             columns=columns, output_format=output_format)
+        return self.read(symbol, as_of=as_of, row_range=(-n, None),
+                         columns=columns, output_format=output_format)
 
     # ---- staged ingestion (reference stage/finalize, library.py:952,1739) ----
     def _staging_dir(self, symbol):
@@ -3095,7 +3129,8 @@ class Library:
     def read_batch_and_join(self, symbols: list[str], query_builder,
                             as_of=None) -> DataFrame:
         """(``library.py:2348``) concat N symbols then run remaining clauses."""
-        dfs = [self.read(s, as_of=as_of) for s in symbols]
+        dfs = [self.read(s, as_of=as_of, output_format="spark")
+               for s in symbols]
         idx = self._resolve_version(symbols[0], as_of).index_column
         return query_builder.to_df_multi(dfs, index_column=idx)
 

@@ -561,3 +561,36 @@ class TestUint64:
         with pytest.raises(ArcticDbNotYetImplemented, match="uint64"):
             tmp_lib.write("u", pdf)
         assert not tmp_lib.has_symbol("u")
+
+
+class TestOutputFormatDefault:
+    """Reference library.set_output_format (OutputFormat, options.py:170):
+    a library-level default for read/head/tail; per-call override wins."""
+
+    def test_set_output_format(self, tmp_lib):
+        import pandas as pd
+        import pyarrow as pa
+        import pytest
+        pdf = pd.DataFrame({"v": [1.0, 2.0, 3.0]},
+                           index=pd.date_range("2024-01-01", periods=3,
+                                               name="ts"))
+        tmp_lib.write("s", pdf)
+        from pyspark.sql import DataFrame as SparkDF
+        assert isinstance(tmp_lib.read("s"), SparkDF)   # default spark
+        tmp_lib.set_output_format("pandas")
+        out = tmp_lib.read("s")
+        assert isinstance(out, pd.DataFrame)
+        assert out.index.name == "ts"                   # index restored
+        assert isinstance(tmp_lib.head("s", 2), pd.DataFrame)
+        assert len(tmp_lib.tail("s", 2)) == 2
+        # per-call override beats the library default
+        assert isinstance(tmp_lib.read("s", output_format="arrow"),
+                          pa.Table)
+        # reference OutputFormat spellings
+        tmp_lib.set_output_format("PYARROW")
+        assert isinstance(tmp_lib.read("s"), pa.Table)
+        tmp_lib.set_output_format("EXPERIMENTAL_ARROW")
+        assert isinstance(tmp_lib.read("s"), pa.Table)
+        with pytest.raises(Exception):
+            tmp_lib.set_output_format("nope")
+        tmp_lib.set_output_format("spark")
