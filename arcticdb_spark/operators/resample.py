@@ -179,6 +179,14 @@ def resample(df: DataFrame, ts_col: str, rule: str, aggregations: dict,
     """Down-sample ``df`` on ``ts_col``; returns one row per non-empty bucket,
     bucket timestamp in ``ts_col`` (left or right label)."""
     rule_ns = rule_to_nanos(rule)
+    if rule_ns % 1000:
+        # bucket labels are emitted as µs timestamps (Spark's type
+        # ceiling): two sub-µs buckets would collide on the same label —
+        # reject loudly instead of returning ambiguous output
+        raise ValueError(
+            f"resample rule {rule!r} is finer than 1µs: bucket labels are "
+            "µs timestamps and would collide; aggregate on the spark-ns "
+            "LONG index directly for sub-µs bucketing")
     # end origins flip the default boundary to right (reference
     # processing.py:898-906, mirroring pandas TimeGrouper.__init__)
     end_origin = isinstance(origin, str) and origin in ("end", "end_day")

@@ -317,3 +317,20 @@ def test_arrow_update_onto_ns_symbol(tmp_lib):
     back = tmp_lib.read("t", output_format="pandas")
     assert back["v"].tolist() == [0.0, 1.0, 42.0, 3.0]
     assert back.index.asi8.tolist() == [BASE + i for i in range(4)]
+
+
+def test_ns_sub_us_resample_rejected(tmp_lib):
+    # µs bucket labels cannot express sub-µs buckets — loud rejection, not
+    # silently colliding labels (aggregate on spark-ns longs instead)
+    tmp_lib.write("t", _ns_frame(10))
+    from arcticdb_spark.query import QueryBuilder
+    q = QueryBuilder().resample("100ns").agg({"v": "sum"})
+    with pytest.raises(Exception, match="finer than 1µs|not a fixed"):
+        tmp_lib.read("t", query_builder=q)
+    # the spark-ns path expresses it exactly
+    from pyspark.sql import functions as F
+    ns = tmp_lib.read("t", output_format="spark-ns")
+    out = (ns.groupBy((F.col("ts") - F.pmod(F.col("ts"), F.lit(5)))
+                      .alias("bucket_ns"))
+             .agg(F.sum("v").alias("v")).orderBy("bucket_ns").collect())
+    assert [r["v"] for r in out] == [10.0, 35.0]  # 0+1+2+3+4, 5..9
