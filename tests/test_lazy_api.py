@@ -127,3 +127,55 @@ def test_collect_schema(tmp_lib):
     ldf = tmp_lib.read("sym", as_of=0, lazy=True)
     ldf = ldf.apply("double_a", ldf["a"] * 2)
     assert "double_a" in [f.name for f in ldf.collect_schema().fields]
+
+
+def test_collect_schema_with_projection_and_columns(tmp_lib):
+    # reference test_collect_schema.py test_collect_schema_with_query /
+    # _column_filtering: the pending clause chain and column selection
+    # shape the schema without executing
+    import pyarrow as pa
+    import numpy as np
+    tbl = pa.table({"col1": pa.array([0, 1], pa.int64()),
+                    "col2": pa.array([1.5, 2.5], pa.float32()),
+                    "col3": pa.array([2, 3], pa.int8())})
+    tmp_lib.write("s", tbl)
+    lazy = tmp_lib.read("s", lazy=True)
+    lazy["new_col"] = lazy["col1"] * 2
+    sch = lazy.collect_schema()
+    names = [f.name for f in sch.fields]
+    assert names == ["col1", "col2", "col3", "new_col"]
+    types = {f.name: f.dataType.simpleString() for f in sch.fields}
+    assert types["new_col"] == "bigint" and types["col2"] == "float" \
+        and types["col3"] == "tinyint"
+    sel = tmp_lib.read("s", columns=["col2", "col3"], lazy=True)
+    assert [f.name for f in sel.collect_schema().fields] == ["col2", "col3"]
+
+
+def test_collect_schema_opaque_symbols_raise(tmp_lib):
+    # reference: SchemaException for pickled / recursive symbols
+    import pandas as pd
+    import numpy as np
+    import pytest
+    from arcticdb_spark.catalog import ArcticException
+    tmp_lib.write_pickle("p", "blah")
+    with pytest.raises(ArcticException):
+        tmp_lib.read("p", lazy=True).collect_schema()
+    df = pd.DataFrame({"c": np.arange(3, dtype=np.int64)})
+    tmp_lib.write("r", {"a": df, "b": df}, recursive_normalizers=True)
+    with pytest.raises(ArcticException):
+        tmp_lib.read("r", lazy=True).collect_schema()
+
+
+def test_collect_after_version_deleted_raises(tmp_lib):
+    # reference test_collect_schema_and_collect_version_deleted: a lazy
+    # frame whose symbol is deleted before collect raises cleanly
+    import pandas as pd
+    import numpy as np
+    import pytest
+    from arcticdb_spark.catalog import NoSuchVersionException
+    tmp_lib.write("d", pd.DataFrame({"c": np.arange(3, dtype=np.int64)}))
+    lazy = tmp_lib.read("d", lazy=True)
+    lazy.collect_schema()
+    tmp_lib.delete("d")
+    with pytest.raises(NoSuchVersionException):
+        lazy.collect()
