@@ -179,3 +179,40 @@ def test_collect_after_version_deleted_raises(tmp_lib):
     tmp_lib.delete("d")
     with pytest.raises(NoSuchVersionException):
         lazy.collect()
+
+
+def test_lazy_concat_differently_named_ts_indexes(tmp_lib):
+    # reference test_symbol_concat_differently_named_timeseries: symbols
+    # whose ts indexes have different names still concat; the unified
+    # index lands under the engine's common physical name
+    import pandas as pd
+    from arcticdb_spark import concat
+    df0 = pd.DataFrame({"col1": [1.0]},
+                       index=pd.DatetimeIndex([pd.Timestamp(0)], name="tsA"))
+    df1 = pd.DataFrame({"col1": [2.0]},
+                       index=pd.DatetimeIndex([pd.Timestamp(1)], name="tsB"))
+    tmp_lib.write("s0", df0)
+    tmp_lib.write("s1", df1)
+    out = concat(tmp_lib.read_batch(["s0", "s1"], lazy=True),
+                 "outer").collect()
+    pdf = out.toPandas() if hasattr(out, "toPandas") else out
+    assert sorted(pdf["col1"].tolist()) == [1.0, 2.0]
+    assert len(pdf) == 2
+
+
+def test_lazy_concat_missing_symbol_raises_at_collect(tmp_lib):
+    # reference test_symbol_concat_non_existent_symbol: lazy construction
+    # is cheap; the missing symbol surfaces at collect()
+    import pandas as pd
+    import pytest
+    from arcticdb_spark import concat
+    from arcticdb_spark.catalog import NoSuchVersionException
+    tmp_lib.write("s0", pd.DataFrame({"col": [0]}))
+    lazy = concat(tmp_lib.read_batch(["s0", "nope"], lazy=True))
+    with pytest.raises(NoSuchVersionException):
+        lazy.collect()
+    # deleted symbol behaves the same (no live versions)
+    tmp_lib.write("gone", pd.DataFrame({"col": [0]}))
+    tmp_lib.delete("gone")
+    with pytest.raises(NoSuchVersionException):
+        concat(tmp_lib.read_batch(["s0", "gone"], lazy=True)).collect()
