@@ -1113,14 +1113,45 @@ def q_ns_precision(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDERING POLICY (round 4+): least-recently-driver-verified first.
-        # The driver checks only the first ~50 entries per round, so a static
-        # order starves the tail. Round-6 sort: new-this-round queries (never
-        # driver-verified) lead, then the 29 queries whose last driver row is
-        # CORRECTNESS_r04 (the r05 rotation's tail), then the 50 r05-green
-        # queries. Union r05∪r06 covers the whole registry on current code.
-        # --- new in r6, never driver-verified ---
+        # The driver checks only the first ~50 entries per round. Round-7 sort:
+        # the six queries whose kernels/oracles changed in r6 but whose driver
+        # rows predate the change lead (VERDICT r6 item 1), then the other 24
+        # queries whose last driver row is CORRECTNESS_r05, then the 50 queries
+        # green in CORRECTNESS_r06 on current code. New r7 queries go on top.
+        # --- r6-changed kernels/oracles; driver re-verification required ---
+        "embedding_kmeans": q_embedding_kmeans,
+        "embedding_centroids": q_embedding_centroids,
+        "ngram_top": q_ngram_top,
+        "token_frequencies": q_token_frequencies,
+        "dup_ngram_fraction": q_dup_ngram_fraction,
+        "decontaminate": q_decontaminate,
+        # --- last driver row is r05 ---
+        "cumulative_sum": q_cumulative_sum,
+        "distinct_agg": q_distinct_agg,
+        "pivot": q_pivot,
+        "percentiles": q_percentiles,
+        "set_ops": q_set_ops,
+        "rollup": q_rollup,
+        "unpivot": q_unpivot,
+        "skew_salted_agg": q_skew_salted_agg,
+        "media_frame_sample": q_media_frame_sample,
+        "pack_chunks": q_pack_chunks,
+        "pii_scan": q_pii_scan,
+        "range_join": q_range_join,
+        "quality_repetition": q_quality_repetition,
+        "sample_split": q_sample_split,
+        "sample_stratified": q_sample_stratified,
+        "dedup_cluster": q_dedup_cluster,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_exact": q_dedup_exact,
+        "embedding_label_stats": q_embedding_label_stats,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "rolling_mean": q_rolling_mean,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        # --- green in CORRECTNESS_r06 on current code ---
         "ns_precision": q_ns_precision,
-        # --- last driver row is r04 (stale two rounds if skipped) ---
         "text_fingerprint": q_text_fingerprint,
         "multimodal_features": q_multimodal_features,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1150,7 +1181,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "project_then_groupby": q_project_then_groupby,
         "pipeline_filter_head": q_pipeline_filter_head,
-        # --- green in CORRECTNESS_r05 on current code ---
         "stream_resample": q_stream_resample,
         "stream_sessionize": q_stream_sessionize,
         "shuffle_shards": q_shuffle_shards,
@@ -1171,36 +1201,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except_users": q_except_users,
         "topk_per_group": q_topk_per_group,
         "window_lag_lead": q_window_lag_lead,
-        "cumulative_sum": q_cumulative_sum,
-        "distinct_agg": q_distinct_agg,
-        "pivot": q_pivot,
-        "percentiles": q_percentiles,
-        "set_ops": q_set_ops,
-        "rollup": q_rollup,
-        "unpivot": q_unpivot,
-        "ngram_top": q_ngram_top,
-        "token_frequencies": q_token_frequencies,
-        "skew_salted_agg": q_skew_salted_agg,
-        "media_frame_sample": q_media_frame_sample,
-        "decontaminate": q_decontaminate,
-        "pack_chunks": q_pack_chunks,
-        "pii_scan": q_pii_scan,
-        "range_join": q_range_join,
-        "dup_ngram_fraction": q_dup_ngram_fraction,
-        "embedding_kmeans": q_embedding_kmeans,
-        "quality_repetition": q_quality_repetition,
-        "embedding_centroids": q_embedding_centroids,
-        "sample_split": q_sample_split,
-        "sample_stratified": q_sample_stratified,
-        "dedup_cluster": q_dedup_cluster,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_exact": q_dedup_exact,
-        "embedding_label_stats": q_embedding_label_stats,
-        "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
-        "rolling_mean": q_rolling_mean,
-        "text_stats": q_text_stats,
-        "text_langid": q_text_langid,
     }
 
 
