@@ -1106,6 +1106,42 @@ def q_ns_precision(spark, sf):
                      .alias("sum_subus")))
 
 
+def q_uint64_filter_agg(spark, sf):
+    """Full-range uint64 end-to-end through the versioned library
+    (reference signed_unsigned_comparison.hpp + type_utils.cpp:141-155):
+    write a uint64 column straddling 2^63 (stored as int64 bit patterns
+    with a norm-meta marker), filter with an unsigned comparison at the
+    sign-bit boundary (expr.py UINT kind: pure long sign-bit-flip codegen),
+    and aggregate — min/max in unsigned order, sum wrapping mod 2^64 like
+    the reference's uint64 accumulator. Outputs go through hex->decimal
+    conversion (JVM-side conv) so the driver compares exact digit strings
+    against DuckDB's native UBIGINT."""
+    import numpy as np
+    import tempfile
+    from arcticdb_spark.catalog import Arctic
+    ev = (load_table(spark, sf, "events")
+          .select("event_id", "event_type").toPandas()
+          .sort_values("event_id").reset_index(drop=True))
+    ev["u"] = (np.uint64(2**63 - 5000)
+               + ev["event_id"].to_numpy().astype(np.uint64))
+    lib = Arctic(tempfile.mkdtemp(), spark).create_library("u64lib")
+    lib.write("ev", ev)
+    q = QueryBuilder()
+    q = q[q["u"] >= 2**63]          # unsigned boundary filter
+    q = q.groupby("event_type").agg({"umin": ("u", "min"),
+                                     "umax": ("u", "max"),
+                                     "usum": ("u", "sum"),
+                                     "n": ("u", "count")})
+    out = lib.read("ev", query_builder=q)
+
+    def dec(c):   # uint64 bit pattern -> exact unsigned decimal string
+        return F.conv(F.hex(F.col(c)), 16, 10)
+
+    return out.select("event_type", dec("umin").alias("umin"),
+                      dec("umax").alias("umax"), dec("usum").alias("usum"),
+                      F.col("n"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1118,6 +1154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows predate the change lead (VERDICT r6 item 1), then the other 24
         # queries whose last driver row is CORRECTNESS_r05, then the 50 queries
         # green in CORRECTNESS_r06 on current code. New r7 queries go on top.
+        # --- new in r7, never driver-verified ---
+        "uint64_filter_agg": q_uint64_filter_agg,
         # --- r6-changed kernels/oracles; driver re-verification required ---
         "embedding_kmeans": q_embedding_kmeans,
         "embedding_centroids": q_embedding_centroids,
@@ -1501,6 +1539,25 @@ GROUP BY fp"""
 
 def oracle_sql() -> dict[str, str]:
     sql = {
+        # native UBIGINT replay of the uint64 bit-pattern engine: same
+        # 2^63-straddling synthesis, unsigned boundary filter, min/max in
+        # unsigned order, sum wrapped mod 2^64 (DuckDB sums UBIGINT into
+        # HUGEINT — the modulo reproduces the reference's uint64
+        # accumulator wrap); exact decimal strings on both sides
+        "uint64_filter_agg": """
+WITH e AS (
+  SELECT event_type,
+         CAST(9223372036854770808 AS UBIGINT) + CAST(event_id AS UBIGINT) AS u
+  FROM events)
+SELECT event_type,
+       CAST(min(u) AS VARCHAR) AS umin,
+       CAST(max(u) AS VARCHAR) AS umax,
+       CAST(CAST(sum(u) AS HUGEINT) % 18446744073709551616 AS VARCHAR) AS usum,
+       CAST(count(u) AS BIGINT) AS n
+FROM e
+WHERE u >= CAST(9223372036854775808 AS UBIGINT)
+GROUP BY event_type
+""",
         # exact int64-ns replay of the library's ns-physical index: same
         # jitter synthesis, same sub-µs date_range bounds, aggregates on
         # raw ns epochs (SUM cast back to BIGINT — DuckDB sums to HUGEINT)

@@ -474,6 +474,31 @@ def _attach_ns_view(df: DataFrame, idx: str) -> DataFrame:
               .withColumn(idx, view))
 
 
+def _attach_uint64_marker(df: DataFrame, norm_meta) -> DataFrame:
+    """Mark LONG columns that physically hold uint64 bit patterns
+    (norm_meta['uint64'], recorded at write) with schema metadata so the
+    QueryBuilder compiler applies unsigned semantics (expr.py UINT) and
+    pandas/arrow outputs restore dtype. Metadata flows through
+    filter/select/groupBy-key plans unchanged."""
+    if not isinstance(norm_meta, dict):
+        return df
+    cols = norm_meta.get("uint64") or []
+    from arcticdb_spark.expr import UINT64_META
+    for c in cols:
+        if c in df.columns:
+            df = df.withMetadata(c, {UINT64_META: True})
+    return df
+
+
+def _uint64_output_cols(df: DataFrame) -> list[str]:
+    """Columns of ``df`` carrying the uint64 bit-pattern marker."""
+    from arcticdb_spark.expr import UINT64_META
+    from pyspark.sql import types as T
+    return [f.name for f in df.schema.fields
+            if isinstance(f.dataType, T.LongType)
+            and (f.metadata or {}).get(UINT64_META)]
+
+
 def _is_long_type(df: DataFrame, colname: str) -> bool:
     from pyspark.sql import types as T
     try:
@@ -916,26 +941,24 @@ class Library:
             if tzs:
                 meta = dict(meta or {})
                 meta["tzs"] = tzs
-            # uint64: Spark/Arrow have no unsigned 64-bit type. Values that
-            # fit int64 convert exactly (and skip the slow non-Arrow
-            # fallback createDataFrame would otherwise take); values above
-            # 2^63-1 are REJECTED explicitly — the silent alternative
-            # round-tripped them as float64 with NaN (the reference handles
-            # full-range uint64 natively, signed_unsigned_comparison.hpp;
-            # documented deviation in PARITY.md)
+            # uint64: Spark/Arrow-to-Spark have no unsigned 64-bit type.
+            # Store the int64 BIT PATTERN (exact, zero-copy numpy view) and
+            # record the columns in norm_meta — reads re-attach a schema
+            # marker so QueryBuilder comparisons/aggregations use unsigned
+            # semantics (expr.py UINT kind, matching the reference's
+            # signed_unsigned_comparison.hpp) and pandas/arrow outputs view
+            # the bits back to uint64. Values <= 2^63-1 have identical
+            # pattern and value, so the marker is metadata-only for them.
             u64 = [c for c, dt in pdf.dtypes.items()
                    if getattr(dt, "kind", None) == "u" and dt.itemsize == 8]
             if u64:
                 pdf = pdf.copy(deep=False)
                 for c in u64:
                     pos = list(pdf.columns).index(c)
-                    col = pdf.iloc[:, pos]
-                    if len(col) and int(col.max()) > 2**63 - 1:
-                        raise ArcticDbNotYetImplemented(
-                            f"column {c!r}: uint64 values above 2**63-1 are "
-                            "not representable (Spark has no unsigned "
-                            "64-bit type); rescale or store as two columns")
-                    pdf.isetitem(pos, col.astype("int64"))
+                    pdf.isetitem(pos, pdf.iloc[:, pos].to_numpy()
+                                 .view("int64"))
+                meta = dict(meta or {})
+                meta["uint64"] = [str(c) for c in u64]
             if len(pdf) == 0:
                 # schema inference needs rows; map pandas dtypes explicitly
                 # (reference supports empty writes: test_empty_writes)
@@ -945,6 +968,35 @@ class Library:
         raise ArcticException(
             f"cannot normalize {type(df).__name__}: write() takes a Spark or "
             "pandas DataFrame; use write_pickle() for arbitrary objects")
+
+    def _uint64_meta_for(self, prev: "VersionManifest", inm: dict | None,
+                         in_cols: list[str], op: str) -> Any:
+        """Reconcile incoming uint64 bit-pattern columns with a stored
+        version on append/update. Same-typed columns pass; a signed<->uint64
+        flip on an existing column raises (the reference has no common type
+        for uint64 and int64 — type_utils.cpp:155 INT->UINT never, and
+        UINT64->INT would need int128); a NEW uint64 column under dynamic
+        schema extends norm_meta. Returns the norm_meta to store."""
+        nm = prev.norm_meta if isinstance(prev.norm_meta, dict) else None
+        stored = set((nm or {}).get("uint64") or [])
+        incoming = set((inm or {}).get("uint64") or [])
+        if stored == incoming or not (stored | incoming):
+            return prev.norm_meta
+        prev_cols = {f["name"] for f in
+                     json.loads(prev.schema_json).get("fields", [])}
+        flipped = ((incoming & prev_cols) - stored) | \
+                  ((stored & set(in_cols)) - incoming)
+        if flipped:
+            raise SchemaException(
+                f"{op} to {prev.symbol!r}: columns {sorted(flipped)} mix "
+                "uint64 and signed int64 across versions (no common type; "
+                "reference entity/type_utils.cpp:141-155)")
+        new_u64 = incoming - prev_cols
+        if not new_u64:
+            return prev.norm_meta
+        out = dict(nm or {})
+        out["uint64"] = sorted(stored | new_u64)
+        return out
 
     @staticmethod
     def _normalize_arrow_ns(tbl, index_column: str | None):
@@ -1565,7 +1617,8 @@ class Library:
                 f"{prev.sorted if prev.sorted != 'ASCENDING' else chunk_sorted}"
                 " (pass validate_index=False to append anyway)")
         idx = prev.index_column
-        sdf, _ = self._normalize(df, idx)
+        sdf, inm = self._normalize(df, idx)
+        out_norm_meta = self._uint64_meta_for(prev, inm, sdf.columns, "append")
         sdf = self._align_index_phys(sdf, idx, prev)
         if self.dynamic_schema:
             schema_json = self._merge_schema(prev.schema_json, sdf.schema)
@@ -1596,7 +1649,7 @@ class Library:
         m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(), idx,
                             schema_json, _renumber(prev.files + new_files),
                             metadata if metadata is not None else prev.metadata,
-                            sorted=out_sorted, norm_meta=prev.norm_meta)
+                            sorted=out_sorted, norm_meta=out_norm_meta)
         out = self._commit(m)
         if prune_previous_versions:
             self.prune_previous_versions(symbol)
@@ -1674,7 +1727,8 @@ class Library:
             # UnsortedDataException on update of unsorted data)
             raise SortingException(
                 f"update of {symbol!r}: symbol is {prev.sorted}")
-        sdf, _ = self._normalize(df, idx)
+        sdf, inm = self._normalize(df, idx)
+        out_norm_meta = self._uint64_meta_for(prev, inm, sdf.columns, "update")
         if not sdf.head(1):
             return prev  # zero-row update: nothing done, no new version
         sdf = self._align_index_phys(sdf, idx, prev)
@@ -1722,7 +1776,7 @@ class Library:
         m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(), idx,
                             schema_json, _renumber(new_entries),
                             metadata if metadata is not None else prev.metadata,
-                            norm_meta=prev.norm_meta)
+                            norm_meta=out_norm_meta)
         out = self._commit(m)
         if prune_previous_versions:
             self.prune_previous_versions(symbol)
@@ -1762,7 +1816,11 @@ class Library:
         if idx is None:
             raise ArcticException(
                 "merge_experimental requires a timestamp-indexed symbol")
-        src, _ = self._normalize(source, idx)
+        src, src_nm = self._normalize(source, idx)
+        # uint64 source columns: bit patterns join/compare exactly against
+        # the stored patterns, but a signed<->uint64 flip must not slip
+        # through (same rule as append/update)
+        self._uint64_meta_for(prev, src_nm, src.columns, "merge")
         src = self._align_index_phys(src, idx, prev)
         target = self._read_physical(prev)
         keys = [idx] + [c for c in (on or []) if c != idx]
@@ -2083,6 +2141,7 @@ class Library:
             from pyspark.sql import types as T
             schema = T.StructType.fromJson(json.loads(m.schema_json))
             empty = self.spark.createDataFrame([], schema)
+            empty = _attach_uint64_marker(empty, m.norm_meta)
             if idx and (m.norm_meta or {}).get("index_ns"):
                 empty = _attach_ns_view(empty, idx)
             if columns:
@@ -2102,6 +2161,7 @@ class Library:
         phys = T.StructType([f for f in mschema.fields
                              if f.name not in void_cols])
         df = self._scan_files(m, files, phys, need_row_id=need_row_id)
+        df = _attach_uint64_marker(df, m.norm_meta)
 
         if void_cols:
             for c in void_cols:
@@ -2236,8 +2296,17 @@ class Library:
                         .drop(s))
             return df
         if output_format == "pandas":
+            import numpy as np
             import pandas as pd
+            u64_cols = _uint64_output_cols(df)
             pdf = df.toPandas()   # Arrow-accelerated collection
+            # uint64 restore: the stored LONG is the exact bit pattern —
+            # view back (zero-copy). A null (possible only via dynamic-
+            # schema backfill) degrades the column to float64 first, so
+            # keep uint64 only for fully-present columns.
+            for c in u64_cols:
+                if c in pdf.columns and not pdf[c].isna().any():
+                    pdf[c] = pdf[c].to_numpy(dtype="int64").view("uint64")
             # rebuild exact datetime64[ns] from the LONG shadows (bit-level
             # view: int64 min IS numpy's NaT) — before tz re-localization
             # and index restore, which operate on the rebuilt column
@@ -2322,10 +2391,18 @@ class Library:
     @staticmethod
     def _arrow_with_ns(df: DataFrame, shadows: list[str]):
         """Collect to Arrow, rebuilding exact timestamp[ns] index columns
-        from their LONG shadows (the reference's Arrow output is ns)."""
+        from their LONG shadows (the reference's Arrow output is ns) and
+        bit-viewing uint64 columns back to uint64 (Arrow has the type)."""
         import pyarrow as pa
         import pyarrow.compute as pc
+        u64_cols = _uint64_output_cols(df)
         tbl = df.toArrow()
+        for c in u64_cols:
+            i = tbl.column_names.index(c)
+            arr = pa.chunked_array([ch.view(pa.uint64())
+                                    for ch in tbl.column(i).chunks] or
+                                   [pa.array([], pa.uint64())])
+            tbl = tbl.set_column(i, pa.field(c, pa.uint64()), arr)
         for s in shadows:
             tgt = s[len(NS_SHADOW_PREFIX):]
             if s not in tbl.column_names:
@@ -2369,6 +2446,14 @@ class Library:
         ``finalize_staged_data(staged_data=...)`` to finalize exactly those
         segments (reference staged-tokens API, test_stage.py)."""
         sdf, nmeta = self._normalize(df)
+        if (nmeta or {}).get("uint64"):
+            # a staged chunk's norm meta is not carried into finalize's
+            # manifest — silently dropping the marker would corrupt values
+            # above 2^63-1 on read, so reject loudly (write/append/update
+            # support full-range uint64; the staged path does not yet)
+            raise ArcticDbNotYetImplemented(
+                "uint64 columns via stage/finalize are not supported; use "
+                "write/append/update")
         out = os.path.join(self._staging_dir(symbol), uuid.uuid4().hex)
         os.makedirs(os.path.dirname(out), exist_ok=True)
         self._drop_void(sdf).write.mode("overwrite").parquet(out)

@@ -41,6 +41,7 @@ from pyspark.sql import types as T
 # ---------------------------------------------------------------------------
 
 INT, FLOAT, BOOL, STR, TS, NULL, OTHER = "int", "float", "bool", "str", "ts", "null", "other"
+UINT = "uint"   # full-range uint64 stored as its int64 bit pattern
 
 _SPARK_KIND = {
     T.ByteType: INT, T.ShortType: INT, T.IntegerType: INT, T.LongType: INT,
@@ -51,9 +52,65 @@ _SPARK_KIND = {
     T.NullType: NULL,
 }
 
+# StructField metadata key marking a LONG column as a uint64 bit pattern
+# (catalog write path sets it from norm_meta; flows through filters/selects)
+UINT64_META = "arcticdb:uint64"
+
+_U64_WRAP = 1 << 64
+_I64_MIN = -(1 << 63)
+
 
 def _kind_of(dtype: T.DataType) -> str:
     return _SPARK_KIND.get(type(dtype), OTHER)
+
+
+def _field_kind(field: T.StructField) -> str:
+    if (isinstance(field.dataType, T.LongType)
+            and (field.metadata or {}).get(UINT64_META)):
+        return UINT
+    return _kind_of(field.dataType)
+
+
+def _u64_flip(c: Column) -> Column:
+    """Monotone map from unsigned order to signed order: for a uint64 value
+    u stored as bit pattern p, ``p XOR 2^63`` (as signed int64) equals
+    ``u - 2^63`` — so signed comparisons on flipped patterns implement
+    unsigned comparisons. Pure long codegen, no decimal.
+    (reference semantics: processing/signed_unsigned_comparison.hpp:1)"""
+    return c.bitwiseXOR(F.lit(_I64_MIN))
+
+
+def _u64_to_double(c: Column) -> Column:
+    """Unsigned value of a uint64 bit pattern as double (for DIV / mean /
+    mixed-with-float math — the reference promotes uint64+float and
+    uint64+signed combinations to double, entity/type_utils.cpp:254)."""
+    return c.cast("double") + F.when(c < 0, F.lit(float(_U64_WRAP))) \
+                               .otherwise(F.lit(0.0))
+
+
+def _cmp_uint_int(op: str, uc: Column, ic: Column, uint_on_left: bool) -> Column:
+    """Exact uint64-vs-int64 comparison on long columns (``uc`` holds the
+    uint64 bit pattern, ``ic`` the signed value). Equivalent to the
+    reference's msb_set dispatch (signed_unsigned_comparison.hpp:18-43):
+    when the signed side is negative the unsigned side is strictly greater;
+    otherwise both values are in [0, 2^63) ∪ [2^63, 2^64) and sign-bit
+    flipping makes signed comparison implement unsigned comparison. Null
+    operands propagate null (filter-false), as the caller expects."""
+    neg, nonneg = ic < 0, ic >= 0
+    fu, fi = _u64_flip(uc), _u64_flip(ic)
+    if op == "EQ":
+        return nonneg & (uc == ic)
+    if op == "NE":
+        return neg | (uc != ic)
+    if not uint_on_left:   # signed op unsigned: mirror the operator
+        op = {"LT": "GT", "LE": "GE", "GT": "LT", "GE": "LE"}[op]
+    if op == "LT":   # u < s
+        return nonneg & (fu < fi)
+    if op == "LE":
+        return nonneg & (fu <= fi)
+    if op == "GT":   # u > s
+        return neg | (fu > fi)
+    return neg | (fu >= fi)   # GE
 
 
 def _kind_of_value(v: Any) -> str:
@@ -163,11 +220,28 @@ class ExpressionNode:
             return list(values[0])
         return list(values)
 
+    @staticmethod
+    def _check_value_set(vals: list) -> list:
+        """Reference value_list_from_args (processing.py:380-408): a set
+        mixing negative signed integers with uint64-range values (> 2^63-1)
+        np.concatenates to float64 and raises 'Invalid datatype conversion
+        to double' — replicate that rejection at build time."""
+        ints = [int(v) for v in vals
+                if isinstance(v, int) and not isinstance(v, bool)
+                or _kind_of_value(v) == INT]
+        if ints and min(ints) < 0 and max(ints) > 2**63 - 1:
+            raise ExpressionError(
+                "Invalid datatype conversion to double: value set mixes "
+                "negative integers with uint64-range values")
+        return vals
+
     def isin(self, *values):
-        return IsInOp(self, self._collect_set(values), negate=False)
+        return IsInOp(self, self._check_value_set(self._collect_set(values)),
+                      negate=False)
 
     def isnotin(self, *values):
-        return IsInOp(self, self._collect_set(values), negate=True)
+        return IsInOp(self, self._check_value_set(self._collect_set(values)),
+                      negate=True)
 
     def isnull(self):  return UnaryOp("ISNULL", self)
     def isna(self):    return UnaryOp("ISNULL", self)
@@ -182,7 +256,7 @@ class ExpressionNode:
 
     # -- compilation --
     def compile(self, df: DataFrame) -> Column:
-        col, _ = _compile(self, dict(zip(df.schema.names, [f.dataType for f in df.schema.fields])))
+        col, _ = _compile(self, {f.name: f for f in df.schema.fields})
         return col
 
 
@@ -267,12 +341,13 @@ def _lit(v) -> Column:
     return F.lit(v)
 
 
-def _compile(node: ExpressionNode, schema: dict[str, T.DataType]) -> tuple[Column, str]:
-    """Return (spark Column, kind)."""
+def _compile(node: ExpressionNode, schema: dict[str, T.StructField]) -> tuple[Column, str]:
+    """Return (spark Column, kind). ``schema`` maps name -> StructField so
+    the uint64 bit-pattern marker (field metadata) is visible."""
     if isinstance(node, ColumnRef):
         if node.name not in schema:
             raise ExpressionError(f"column {node.name!r} not in schema {sorted(schema)}")
-        kind = _kind_of(schema[node.name])
+        kind = _field_kind(schema[node.name])
         # NOTE: floats are NOT nanvl-wrapped here — a wrapped column defeats
         # Parquet filter pushdown (PushedFilters goes empty). NaN ≡ null is
         # instead enforced per-operation below: comparisons/isin get a
@@ -283,6 +358,19 @@ def _compile(node: ExpressionNode, schema: dict[str, T.DataType]) -> tuple[Colum
 
     if isinstance(node, Constant):
         k = _kind_of_value(node.value)
+        if k == INT:
+            v = int(node.value)
+            if v > 2**63 - 1:
+                if v >= _U64_WRAP:
+                    raise ExpressionError(
+                        f"integer constant {v} exceeds uint64 range")
+                # uint64-range constant: carry its int64 BIT PATTERN with
+                # kind UINT — comparisons/arithmetic then use the unsigned
+                # semantics paths (a plain long literal would overflow)
+                return F.lit(v - _U64_WRAP), UINT
+            if v < _I64_MIN:
+                raise ExpressionError(
+                    f"integer constant {v} below int64 range")
         if k == FLOAT:
             import math
             if math.isnan(node.value):
@@ -299,10 +387,16 @@ def _compile(node: ExpressionNode, schema: dict[str, T.DataType]) -> tuple[Colum
     if isinstance(node, UnaryOp):
         c, k = _compile(node.child, schema)
         if node.op == "ABS":
+            if k == UINT:
+                return c, UINT   # abs of unsigned is the identity
             if k not in (INT, FLOAT):
                 raise ExpressionError(f"ABS unsupported on {k}")
             return F.abs(c), k
         if node.op == "NEG":
+            if k == UINT:
+                # negation leaves [0, 2^64): promote to double like the
+                # reference's permissive uint64/signed combine
+                return -_u64_to_double(c), FLOAT
             if k not in (INT, FLOAT, BOOL):
                 raise ExpressionError(f"NEG unsupported on {k}")
             return -(c.cast("long") if k == BOOL else c), INT if k == BOOL else k
@@ -339,6 +433,34 @@ def _compile(node: ExpressionNode, schema: dict[str, T.DataType]) -> tuple[Colum
                 lc, lk = lc.cast("long"), INT
             if BOOL == rk:
                 rc, rk = rc.cast("long"), INT
+            if UINT in (lk, rk):
+                # uint64 arithmetic (reference operation_types.hpp promotion
+                # + type_utils.cpp:254 permissive combine):
+                #   uint64 op uint64 -> uint64 mod 2^64: identical bit
+                #     patterns under two's-complement long ADD/SUB/MUL
+                #     (session runs ansi=false, so long math wraps);
+                #   uint64 op signed/float or DIV/POW -> double via exact
+                #     unsigned conversion.
+                if lk == rk == UINT and op in ("ADD", "SUB", "MUL"):
+                    # a nonneg int CONSTANT operand also lands here via the
+                    # coercion below; column-vs-column keeps bit patterns
+                    spark_op = {"ADD": lambda a, b: a + b,
+                                "SUB": lambda a, b: a - b,
+                                "MUL": lambda a, b: a * b}[op]
+                    return spark_op(lc, rc), UINT
+                lc = _u64_to_double(lc) if lk == UINT else lc.cast("double")
+                rc = _u64_to_double(rc) if rk == UINT else rc.cast("double")
+                if op == "DIV":
+                    return lc / rc, FLOAT
+                if op == "POW":
+                    if rk == FLOAT:
+                        raise ExpressionError(
+                            "POW with a float exponent is not supported")
+                    return F.pow(lc, rc), FLOAT
+                spark_op = {"ADD": lambda a, b: a + b,
+                            "SUB": lambda a, b: a - b,
+                            "MUL": lambda a, b: a * b}[op]
+                return spark_op(lc, rc), FLOAT
             if op == "DIV":
                 return lc.cast("double") / rc.cast("double"), FLOAT
             if op == "POW":
@@ -365,7 +487,32 @@ def _compile(node: ExpressionNode, schema: dict[str, T.DataType]) -> tuple[Colum
             if op in _ORDERING and (lk == STR or rk == STR):
                 # reference operation_types.hpp:444-449
                 raise ExpressionError("ordering comparisons on strings are not supported")
-            if lk == rk or NULL in (lk, rk):
+            cmp = {"EQ": lambda a, b: a == b, "NE": lambda a, b: a != b,
+                   "LT": lambda a, b: a < b, "LE": lambda a, b: a <= b,
+                   "GT": lambda a, b: a > b, "GE": lambda a, b: a >= b}[op]
+            res = None
+            if UINT in (lk, rk):
+                if lk == UINT and rk == UINT:
+                    # unsigned order == signed order of sign-bit-flipped
+                    # patterns; EQ/NE compare patterns directly
+                    if op in _ORDERING:
+                        res = cmp(_u64_flip(lc), _u64_flip(rc))
+                    else:
+                        res = cmp(lc, rc)
+                elif {lk, rk} == {UINT, INT}:
+                    # mixed signed/unsigned, exact mathematical comparison
+                    # (reference signed_unsigned_comparison.hpp:1)
+                    uc, ic = (lc, rc) if lk == UINT else (rc, lc)
+                    res = _cmp_uint_int(op, uc, ic.cast("long"),
+                                        uint_on_left=(lk == UINT))
+                elif FLOAT in (lk, rk):
+                    res = cmp(_u64_to_double(lc) if lk == UINT else lc,
+                              _u64_to_double(rc) if rk == UINT else rc)
+                elif NULL in (lk, rk):
+                    res = cmp(lc, rc)
+                else:
+                    raise ExpressionError(f"cannot compare {lk} with {rk}")
+            elif lk == rk or NULL in (lk, rk):
                 pass
             elif {lk, rk} <= {INT, FLOAT}:
                 pass
@@ -385,10 +532,8 @@ def _compile(node: ExpressionNode, schema: dict[str, T.DataType]) -> tuple[Colum
                 # implicit casts would silently "succeed" with different
                 # results, so reject before compiling.
                 raise ExpressionError(f"cannot compare {lk} with {rk}")
-            cmp = {"EQ": lambda a, b: a == b, "NE": lambda a, b: a != b,
-                   "LT": lambda a, b: a < b, "LE": lambda a, b: a <= b,
-                   "GT": lambda a, b: a > b, "GE": lambda a, b: a >= b}[op]
-            res = cmp(lc, rc)
+            if res is None:
+                res = cmp(lc, rc)
             # Missing semantics follow pandas (reference
             # test_query_builder_nat.py, test_filter_string_nans_col_col):
             # a missing operand (null / NaN / NaT) makes EQ and every
@@ -439,11 +584,29 @@ def _compile(node: ExpressionNode, schema: dict[str, T.DataType]) -> tuple[Colum
         # membership); Spark's implicit casts would silently mis-answer.
         if vals and k not in (NULL, OTHER):
             kinds = {_kind_of_value(v) for v in vals}
-            ok = (kinds <= {INT, FLOAT} and k in (INT, FLOAT)) or kinds == {k}
+            ok = (kinds <= {INT, FLOAT} and k in (INT, FLOAT, UINT)) or kinds == {k}
             if not ok:
                 raise ExpressionError(
                     f"isin/isnotin value set of kind {sorted(kinds)} is "
                     f"incompatible with column kind {k}")
+        if k == UINT:
+            # uint64 membership: map integer set values in [0, 2^64) to
+            # their int64 bit patterns; out-of-range / negative values can
+            # never match (reference ValueSet coercion +
+            # test_filter_numeric_isin_unsigned)
+            ints = [int(v) for v in vals
+                    if _kind_of_value(v) == INT
+                    or (_kind_of_value(v) == FLOAT and float(v).is_integer())]
+            vals = [v - _U64_WRAP if v > 2**63 - 1 else v
+                    for v in ints if 0 <= v < _U64_WRAP]
+        elif k == INT:
+            # a signed column can never hold uint64-range (> int64 max) or
+            # below-int64-min values — drop them instead of overflowing the
+            # long literal (reference test_filter_numeric_membership_mixing
+            # _int64_and_uint64: int64 col isnotin([uint64_max]) keeps all)
+            vals = [v for v in vals
+                    if _kind_of_value(v) != INT
+                    or _I64_MIN <= int(v) <= 2**63 - 1]
         # reference coerces the value set to the column type (processing.py:
         # 380-408) and treats missing (None/NaN/NaT) as a member of NO set:
         # isin never matches a missing row, isnotin always retains it
@@ -479,6 +642,12 @@ def _compile(node: ExpressionNode, schema: dict[str, T.DataType]) -> tuple[Colum
             raise ExpressionError("where() condition must be boolean")
         if ak == bk:
             out_k = ak
+        elif UINT in (ak, bk) and {ak, bk} <= {UINT, INT, FLOAT}:
+            # uint64 branch mixed with signed/float -> double (permissive
+            # combine, type_utils.cpp:254), exact unsigned conversion
+            ac = _u64_to_double(ac) if ak == UINT else ac.cast("double")
+            bc = _u64_to_double(bc) if bk == UINT else bc.cast("double")
+            out_k = FLOAT
         elif {ak, bk} <= {INT, FLOAT}:
             # numeric promotion: mixed int/float branches -> float64
             # (reference ternary_operation_with_types_to_proceed)
@@ -498,9 +667,17 @@ def _compile(node: ExpressionNode, schema: dict[str, T.DataType]) -> tuple[Colum
 
 def compile_expression(node: ExpressionNode, df: DataFrame) -> Column:
     """Public entry: compile an AST against a DataFrame's schema."""
-    schema = {f.name: f.dataType for f in df.schema.fields}
-    col, _ = _compile(node, schema)
+    col, _ = compile_expression_with_kind(node, df)
     return col
+
+
+def compile_expression_with_kind(node: ExpressionNode,
+                                 df: DataFrame) -> tuple[Column, str]:
+    """Like compile_expression but also returns the result kind, so the
+    projection layer can re-attach the uint64 marker (kind == UINT) to
+    derived columns."""
+    schema = {f.name: f for f in df.schema.fields}
+    return _compile(node, schema)
 
 
 def compile_predicate(node: ExpressionNode, df: DataFrame) -> Column:
@@ -510,7 +687,7 @@ def compile_predicate(node: ExpressionNode, df: DataFrame) -> Column:
     (``q[q["int_col"]]`` raises); Spark would otherwise implicitly cast a
     numeric column to boolean and silently mis-filter.
     """
-    schema = {f.name: f.dataType for f in df.schema.fields}
+    schema = {f.name: f for f in df.schema.fields}
     col, kind = _compile(node, schema)
     if kind != BOOL:
         raise ExpressionError(

@@ -97,15 +97,54 @@ def nan_safe(c: Column, dtype: str | None) -> Column:
 
 
 def compile_agg(out_name: str, in_col: str, how: str, ts_col: str,
-                dtypes: dict[str, str]) -> Column:
+                dtypes: dict[str, str],
+                u64: frozenset = frozenset()) -> Column:
     """One resample/groupby aggregator -> Spark agg Column.
 
     Spark aggregates skip nulls natively; float inputs are nanvl-normalized
     so NaN is skipped too (matches reference kernels
     ``unsorted_aggregation.cpp`` / ``sorted_aggregation.cpp``).
+
+    ``u64`` names LONG columns that hold uint64 bit patterns (catalog
+    uint64 marker): min/max flip the sign bit so signed aggregation
+    implements unsigned order; sum wraps mod 2^64 (= plain long sum under
+    ansi=false, matching the reference's uint64 accumulate); mean/std/var/
+    median convert exactly to double; the uint64-preserving aggregates
+    re-attach the marker on their alias.
     """
     how = how.lower()
     dt = dtypes.get(in_col)
+    if in_col in u64 and dt == "bigint":
+        from arcticdb_spark.expr import UINT64_META, _u64_flip, _u64_to_double
+        umeta = {UINT64_META: True}
+        c = F.col(in_col)
+        if how == "sum":
+            return F.coalesce(F.sum(c), F.lit(0).cast("long")) \
+                    .alias(out_name, metadata=umeta)
+        if how == "min":
+            return _u64_flip(F.min(_u64_flip(c))).alias(out_name,
+                                                        metadata=umeta)
+        if how == "max":
+            return _u64_flip(F.max(_u64_flip(c))).alias(out_name,
+                                                        metadata=umeta)
+        if how == "count":
+            return F.count(c).alias(out_name)
+        if how == "first":
+            return F.min_by(c, F.when(c.isNotNull(), F.col(ts_col))) \
+                    .alias(out_name, metadata=umeta)
+        if how == "last":
+            return F.max_by(c, F.when(c.isNotNull(), F.col(ts_col))) \
+                    .alias(out_name, metadata=umeta)
+        d = _u64_to_double(c)
+        if how == "mean":
+            return F.avg(d).alias(out_name)
+        if how == "std":
+            return F.stddev_samp(d).alias(out_name)
+        if how == "var":
+            return F.var_samp(d).alias(out_name)
+        if how == "median":
+            return F.median(d).alias(out_name)
+        raise ValueError(f"unsupported aggregator {how!r} on uint64 column")
     # reference per-type support matrix (processing.py:742-747): strings
     # support only count/first/last; timestamps everything except sum
     if dt == "string" and how in ("sum", "mean", "min", "max"):
@@ -217,6 +256,9 @@ def resample(df: DataFrame, ts_col: str, rule: str, aggregations: dict,
     bucket = F.timestamp_micros(label_us).alias(ts_col)
 
     dtypes = dict(df.dtypes)
-    aggs = [compile_agg(o, i, h, ts_col, dtypes) for (o, i, h) in specs]
+    from arcticdb_spark.expr import UINT64_META
+    u64 = frozenset(f.name for f in df.schema.fields
+                    if (f.metadata or {}).get(UINT64_META))
+    aggs = [compile_agg(o, i, h, ts_col, dtypes, u64) for (o, i, h) in specs]
     out = df.groupBy(bucket).agg(*aggs)
     return out.orderBy(ts_col)

@@ -261,10 +261,17 @@ class QueryBuilder:
     def _apply_project(self, df, args, idx):
         expr = args["expr"]
         if isinstance(expr, ExpressionNode):
-            c = compile_expression(expr, df)
-        else:  # broadcast constant projection (reference clause.cpp:174-205)
-            c = F.lit(expr)
-        return df.withColumn(args["name"], c)
+            from arcticdb_spark.expr import (UINT, UINT64_META,
+                                             compile_expression_with_kind)
+            c, kind = compile_expression_with_kind(expr, df)
+            out = df.withColumn(args["name"], c)
+            if kind == UINT:
+                # a uint64-derived projection stays uint64 (bit-pattern
+                # long) — re-attach the marker the withColumn dropped
+                out = out.withMetadata(args["name"], {UINT64_META: True})
+            return out
+        # broadcast constant projection (reference clause.cpp:174-205)
+        return df.withColumn(args["name"], F.lit(expr))
 
     def _apply_groupby_agg(self, df, args, idx):
         keys = args["keys"]
@@ -284,7 +291,10 @@ class QueryBuilder:
             cond = c if cond is None else (cond & c)
         specs = normalize_agg_spec(args["aggs"])
         ts = self._ts_col(idx)
-        aggs = [compile_agg(o, i, h, ts, dtypes) for (o, i, h) in specs]
+        from arcticdb_spark.expr import UINT64_META
+        u64 = frozenset(f.name for f in df.schema.fields
+                        if (f.metadata or {}).get(UINT64_META))
+        aggs = [compile_agg(o, i, h, ts, dtypes, u64) for (o, i, h) in specs]
         return df.filter(cond).groupBy(*key_cols).agg(*aggs)
 
     def _apply_resample_agg(self, df, args, idx):

@@ -536,31 +536,20 @@ def test_append_at_equal_boundary_allowed(tmp_lib):
 
 
 class TestUint64:
-    """uint64 policy (reference handles full-range uint64 natively,
-    cpp/arcticdb/processing/signed_unsigned_comparison.hpp; Spark has no
-    unsigned 64-bit type): in-range values convert exactly to int64,
-    out-of-range values are rejected at write time — never the previous
-    silent float64/NaN corruption."""
+    """Full-range uint64 (reference signed_unsigned_comparison.hpp): stored
+    as int64 bit patterns with a norm-meta marker, restored to uint64 dtype
+    on pandas/arrow output. The deep coverage (filters, mixed comparisons,
+    aggregations) lives in tests/test_uint64.py."""
 
-    def test_in_range_uint64_roundtrips_exact(self, tmp_lib):
+    def test_uint64_roundtrips_exact(self, tmp_lib):
         import numpy as np
         import pandas as pd
-        big = 2**63 - 1
-        pdf = pd.DataFrame({"u": np.array([0, 5, big], dtype=np.uint64)})
+        vals = [0, 5, 2**63 - 1, 2**63 + 5, 2**64 - 1]
+        pdf = pd.DataFrame({"u": np.array(vals, dtype=np.uint64)})
         tmp_lib.write("u", pdf)
         back = tmp_lib.read("u", output_format="pandas")
-        assert back["u"].tolist() == [0, 5, big]
-        assert back["u"].dtype == "int64"
-
-    def test_out_of_range_uint64_rejected(self, tmp_lib):
-        import numpy as np
-        import pandas as pd
-        import pytest
-        from arcticdb_spark.catalog import ArcticDbNotYetImplemented
-        pdf = pd.DataFrame({"u": np.array([1, 2**63 + 5], dtype=np.uint64)})
-        with pytest.raises(ArcticDbNotYetImplemented, match="uint64"):
-            tmp_lib.write("u", pdf)
-        assert not tmp_lib.has_symbol("u")
+        assert back["u"].tolist() == vals
+        assert back["u"].dtype == "uint64"
 
 
 class TestOutputFormatDefault:
