@@ -171,10 +171,16 @@ def test_seed_spread_on_id_sorted_corpus(spark):
     q = df.filter(F.col("vec_id").isin([0, 16, 32, 48]))
     exact = xsim.brute_force_topk(df, q, k=5).toPandas()
     ann = xsim.ivf_topk(df, q, k=5, n_lists=8, nprobe=3).toPandas()
+    hits = total = 0
     for qid in (0, 16, 32, 48):
         e = set(exact[exact.query_id == qid].vec_id)
         a = set(ann[ann.query_id == qid].vec_id)
         assert len(e & a) >= 3, (qid, e, a)
+        hits, total = hits + len(e & a), total + len(e)
+    # round-7 bar (Lloyd-refined centroids + top-2 multi-assignment):
+    # overall recall@5 >= 0.85 on the clustered adversarial corpus
+    # (measured 1.0; driver corpus 0.9-0.925 across sf0.001-0.1)
+    assert hits / total >= 0.85
 
 
 def test_asof_join_matches_pandas(spark):
