@@ -717,7 +717,14 @@ class Library:
                 continue
             entries.append(FileEntry(path, rows, 0, ts_min, ts_max,
                                      schema_json=df.schema.json()))
-        if index_column:
+        if index_column and sort:
+            # ts-sorted write: ranges are disjoint (repartitionByRange), so
+            # ts_min order reconstructs the global ascending sequence.
+            # UNSORTED/DESCENDING writes (sort=False) keep file-listing
+            # order — part files are written partition-major from an
+            # in-order createDataFrame, so listing order IS input row
+            # order, which the reference preserves for non-ascending data
+            # (test_append.py mix-order cases; sortedness state machine).
             entries.sort(key=lambda e: (e.ts_min if e.ts_min is not None else 0, e.path))
         return _renumber(entries)
 

@@ -212,3 +212,50 @@ def test_sort_index_repairs_descending(tmp_lib):
     out = tmp_lib.read("d", date_range=(pd.Timestamp("2019-01-02"),
                                         pd.Timestamp("2019-01-05")))
     assert out.count() == 4
+
+
+def test_unsorted_multifile_write_preserves_original_row_order(tmp_lib):
+    """Reference keeps INPUT row order for unsorted data across segment
+    boundaries (test_append.py mix-order cases): a multi-file unsorted
+    write must read back in exactly the order given, not ts-of-file order.
+    2000 rows shuffled deterministically spread over many part files on
+    local[32]."""
+    rng = np.random.default_rng(11)
+    n = 2000
+    perm = rng.permutation(n)
+    idx = pd.DatetimeIndex(
+        pd.date_range("2024-01-01", periods=n, freq="1min")[perm], name="ts")
+    df = pd.DataFrame({"v": np.arange(n, dtype=np.int64)}, index=idx)
+    m = tmp_lib.write("u", df)
+    assert m.sorted == "UNSORTED"
+    assert len(m.files) > 1, "test needs a multi-file write to be meaningful"
+    back = tmp_lib.read("u", output_format="pandas")
+    assert back["v"].tolist() == df["v"].tolist()
+    assert list(back.index) == list(df.index)
+
+
+def test_descending_multifile_write_preserves_original_row_order(tmp_lib):
+    n = 2000
+    idx = pd.date_range("2024-01-01", periods=n, freq="1min",
+                        name="ts")[::-1]
+    df = pd.DataFrame({"v": np.arange(n, dtype=np.int64)}, index=idx)
+    m = tmp_lib.write("d", df)
+    assert m.sorted == "DESCENDING"
+    assert len(m.files) > 1
+    back = tmp_lib.read("d", output_format="pandas")
+    assert back["v"].tolist() == df["v"].tolist()
+    assert list(back.index) == list(df.index)
+
+
+def test_unsorted_append_chunks_keep_chunk_order(tmp_lib):
+    """Unsorted chunks appended with validate_index=False read back in
+    write order: first chunk's rows (in its order), then the second's."""
+    i1 = pd.DatetimeIndex(["2024-01-05", "2024-01-02", "2024-01-09"],
+                          name="ts")
+    i2 = pd.DatetimeIndex(["2024-01-04", "2024-01-01"], name="ts")
+    tmp_lib.write("m", pd.DataFrame({"v": [0, 1, 2]}, index=i1))
+    tmp_lib.append("m", pd.DataFrame({"v": [3, 4]}, index=i2),
+                   validate_index=False)
+    back = tmp_lib.read("m", output_format="pandas")
+    assert back["v"].tolist() == [0, 1, 2, 3, 4]
+    assert list(back.index) == list(i1) + list(i2)
