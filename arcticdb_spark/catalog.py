@@ -474,6 +474,15 @@ def _attach_ns_view(df: DataFrame, idx: str) -> DataFrame:
               .withColumn(idx, view))
 
 
+def _default_backfill_lit(dtype):
+    """Rows of a column that a segment does not store (dynamic-schema
+    widening, EMPTY promotion) backfill with the type's default —
+    0 / False / NULL per reference sparse_utils.hpp default_initialize
+    (shared with symbol concat's outer fill)."""
+    from arcticdb_spark.operators.concat import default_fill_lit
+    return default_fill_lit(dtype)
+
+
 def _attach_uint64_marker(df: DataFrame, norm_meta) -> DataFrame:
     """Mark LONG columns that physically hold uint64 bit patterns
     (norm_meta['uint64'], recorded at write) with schema metadata so the
@@ -1124,7 +1133,7 @@ class Library:
                 have = set(df.columns)
                 df = df.select([
                     (F.col(f.name).cast(f.dataType) if f.name in have
-                     else F.lit(None).cast(f.dataType)).alias(f.name)
+                     else _default_backfill_lit(f.dataType)).alias(f.name)
                     for f in phys.fields] + ([ROW_ID] if need_row_id else []))
             parts.append(df)
         out = parts[0]
@@ -1551,10 +1560,6 @@ class Library:
                 f"{sorted(old_names ^ new_names)}")
         old_void = set(self._void_cols(old))
         typed_into_void = old_void - set(self._void_cols(new_schema))
-        if typed_into_void:
-            raise ArcticException(
-                f"columns {sorted(typed_into_void)} were written all-None "
-                f"(EMPTY type); promoting them on {op} requires dynamic_schema")
         old_types = {f.name: f.dataType for f in old.fields}
         changed = sorted(
             f.name for f in new_schema.fields
@@ -1566,6 +1571,20 @@ class Library:
                 + ", ".join(f"{n}: {old_types[n].simpleString()} -> "
                             f"{dict((f.name, f.dataType) for f in new_schema.fields)[n].simpleString()}"
                             for n in changed))
+        if typed_into_void:
+            # EMPTY columns are promotable to any incoming type regardless
+            # of schema mode (reference test_empty_column_type.py
+            # TestCanAppendToColumnWithNones / TestCanAppendColumnWithNones
+            # run static AND dynamic): the manifest schema takes the
+            # incoming type; the old void files backfill with the type's
+            # default on read (_default_backfill_lit)
+            new_types = {f.name: f.dataType for f in new_schema.fields}
+            promoted = T.StructType([
+                T.StructField(f.name, new_types[f.name], f.nullable,
+                              f.metadata)
+                if f.name in typed_into_void else f
+                for f in old.fields])
+            return json.dumps(promoted.jsonValue())
         return prev_schema_json
 
     def append(self, symbol: str, df, metadata: Any = None,

@@ -22,6 +22,19 @@ _NUM_ORDER = [T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType(),
               T.FloatType(), T.DoubleType()]
 
 
+def default_fill_lit(dtype: T.DataType):
+    """Reference ``util/sparse_utils.hpp:76-88`` default_initialize: cells a
+    segment/frame does not store backfill **0 for integers, False for
+    bools**, and missing (NaN / NaT / None -> NULL) for float / time /
+    string — the reference's non-nullable layout."""
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType,
+                          T.LongType)):
+        return F.lit(0).cast(dtype)
+    if isinstance(dtype, T.BooleanType):
+        return F.lit(False)
+    return F.lit(None).cast(dtype)
+
+
 def promote_types(a: T.DataType, b: T.DataType) -> T.DataType:
     if a == b:
         return a
@@ -53,9 +66,11 @@ def promote_types(a: T.DataType, b: T.DataType) -> T.DataType:
 def concat(dfs: list[DataFrame], join: str = "outer") -> DataFrame:
     """Row-wise concatenation of N frames.
 
-    join='outer': union of columns, missing backfilled with NULL (reference
-    backfills per dynamic-schema rules — NULL here, typed defaults applied
-    downstream by aggregations). join='inner': intersection of columns.
+    join='outer': union of columns; cells of a column missing from a frame
+    backfill with the promoted type's DEFAULT — 0 for ints, False for
+    bools, NULL for float/time/string (reference join_schemas + the
+    default_initialize rule; pinned by test_symbol_concatenation.py:191
+    ``fillna(0).astype(int64)``). join='inner': intersection of columns.
     Column order: first frame's order, then new columns in encounter order.
     """
     if not dfs:
@@ -83,7 +98,16 @@ def concat(dfs: list[DataFrame], join: str = "outer") -> DataFrame:
                   for df in dfs]
         return reduce(lambda a, b: a.unionByName(b), casted)
 
-    # outer
-    casted = [df.select([F.col(c).cast(merged[c]).alias(c) for c in df.columns])
+    # outer: attach missing columns as typed-default literals BEFORE the
+    # union (a post-union coalesce would also mask genuine nulls in frames
+    # that do store the column; pre-union literals only fill truly-absent
+    # cells). Still a zero-shuffle narrow union.
+    all_cols = list(orders[0]) + [c for o in orders[1:] for c in o
+                                  if c not in orders[0]]
+    seen: list[str] = []
+    ordered = [c for c in all_cols if not (c in seen or seen.append(c))]
+    casted = [df.select([(F.col(c).cast(merged[c]) if c in df.columns
+                          else default_fill_lit(merged[c])).alias(c)
+                         for c in ordered])
               for df in dfs]
-    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), casted)
+    return reduce(lambda a, b: a.unionByName(b), casted)

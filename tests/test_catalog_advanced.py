@@ -73,8 +73,11 @@ def test_dynamic_schema_append_new_column(dyn_lib):
     dyn_lib.append("sym", extra)
     out = dyn_lib.read("sym").toPandas().sort_values("ts").reset_index(drop=True)
     assert set(out.columns) == {"ts", "v", "w"}
-    assert out["w"].isna().sum() == 10  # backfilled for the old rows
-    assert out["w"].dropna().tolist() == list(range(10))
+    # old rows backfill with the INT default 0, exact dtype (reference
+    # sparse_utils.hpp default_initialize — round-7 parity change)
+    assert out["w"].dtype == "int32"
+    assert out["w"].tolist()[:10] == 10 * [0]
+    assert out["w"].tolist()[10:] == list(range(10))
 
 
 def test_dynamic_schema_type_promotion(dyn_lib, spark):
@@ -343,20 +346,26 @@ def test_empty_column_roundtrip_and_promotion(spark, tmp_path):
     assert out["v"].isna().tolist()[:2] == [True, True]
 
 
-def test_empty_column_static_mode_rejected(spark, tmp_path):
+def test_empty_column_static_mode_promotes(spark, tmp_path):
+    # reference test_empty_column_type.py TestCanAppendToColumnWithNones
+    # runs on STATIC schema too: EMPTY is promotable regardless of mode
+    # (round-7 parity change; a genuine type change still rejects — see
+    # test_type_promotion.py test_static_type_change_still_rejected)
     import pandas as pd
-    import pytest
-    from arcticdb_spark.catalog import Arctic, ArcticException
+    from arcticdb_spark.catalog import Arctic
     lib = Arctic(str(tmp_path), spark).create_library("static")
     f1 = pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=2), "v": [None, None]})
     lib.write("e", f1)
-    with pytest.raises(ArcticException, match="EMPTY"):
-        lib.append("e", pd.DataFrame({"ts": pd.date_range("2024-02-01", periods=2),
-                                      "v": [1.0, 2.0]}))
-    # appending more all-None rows is fine in static mode
+    lib.append("e", pd.DataFrame({"ts": pd.date_range("2024-02-01", periods=2),
+                                  "v": [1.0, 2.0]}))
+    out = (lib.read("e", output_format="pandas")
+           .sort_values("ts").reset_index(drop=True))
+    assert out["v"].isna().tolist() == [True, True, False, False]
+    assert out["v"].dropna().tolist() == [1.0, 2.0]
+    # appending more all-None rows stays fine (backfills under float type)
     lib.append("e", pd.DataFrame({"ts": pd.date_range("2024-03-01", periods=2),
                                   "v": [None, None]}))
-    assert lib.read("e").count() == 4
+    assert lib.read("e").count() == 6
 
 
 def test_void_append_into_typed_column(spark, tmp_path):

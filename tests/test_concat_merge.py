@@ -66,3 +66,28 @@ def test_merge_upsert(spark):
     assert out.index.tolist() == [1, 2, 5]
     assert out.loc[2, "v"] == 99.0
     assert out.loc[5, "v"] == 50.0
+
+
+def test_concat_outer_int_columns_fill_zero(spark):
+    """Reference test_symbol_concatenation.py:180-195: outer concat of
+    frames with disjoint INT columns fills the holes with 0 (the
+    default_initialize rule), keeping exact int dtype — not NULL/NaN."""
+    a = spark.createDataFrame(
+        pd.DataFrame({"col1": np.arange(3, dtype="int64"),
+                      "col2": np.arange(3, 6, dtype="int64")}))
+    b = spark.createDataFrame(
+        pd.DataFrame({"col2": np.arange(6, 9, dtype="int64"),
+                      "col3": np.arange(9, 12, dtype="int64")}))
+    out = concat([a, b], join="outer").toPandas()
+    assert out["col1"].tolist() == [0, 1, 2, 0, 0, 0]
+    assert out["col3"].tolist() == [0, 0, 0, 9, 10, 11]
+    assert out["col1"].dtype == "int64" and out["col3"].dtype == "int64"
+
+
+def test_concat_outer_bool_fills_false_float_fills_nan(spark):
+    a = spark.createDataFrame(pd.DataFrame({"k": [1, 2]}))
+    b = spark.createDataFrame(
+        pd.DataFrame({"k": [3], "flag": [True], "x": [1.5]}))
+    out = concat([a, b], join="outer").toPandas().sort_values("k")
+    assert out["flag"].tolist() == [False, False, True]
+    assert out["x"].isna().tolist() == [True, True, False]

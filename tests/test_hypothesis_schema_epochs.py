@@ -69,9 +69,14 @@ def test_epoch_chain_reads_like_pandas(chunks):
     if "extra" in expect.columns:
         got = out["extra"].to_numpy(dtype=np.float64)
         want = expect["extra"].astype(np.float64).to_numpy()
-        # rows from chunks without the column are NULL-backfilled
+        # rows from chunks without the column backfill with the promoted
+        # type's DEFAULT (reference sparse_utils.hpp default_initialize):
+        # 0 for an integer-promoted column, NaN for float
         mask = ~np.isnan(want)
-        assert np.isnan(got[~mask]).all()
+        if out["extra"].dtype.kind in "iu":
+            assert (got[~mask] == 0).all()
+        else:
+            assert np.isnan(got[~mask]).all()
         assert np.array_equal(got[mask], want[mask])
     # the promoted dtype must follow the lattice: any float chunk -> float,
     # all-int chunks -> the widest int

@@ -279,11 +279,12 @@ class TestSparseAndUnicodeStrings:
 
 class TestAllVoidWrites:
     """Reference test_empty_column_type.py: an all-None frame writes as
-    EMPTY type and typed data appends onto it. Spark-first deviation
-    (documented): missing values backfill as NULL, so a full read of an
-    int-promoted column lands on pandas float64/NaN where the reference's
-    non-nullable layout backfills 0; row_range reads that touch only typed
-    files keep the exact dtype."""
+    EMPTY type and typed data appends onto it (static AND dynamic — EMPTY
+    is promotable regardless of schema mode). On read, rows from void
+    segments backfill with the promoted type's DEFAULT — 0 for ints, False
+    for bools, NaN/NaT/None for float/time/string (reference
+    util/sparse_utils.hpp:76-88 default_initialize) — so the int case
+    reads back [0, 0, 1, 2, 3] with the exact dtype."""
 
     def test_all_void_write_roundtrip(self, tmp_lib):
         import pandas as pd
@@ -298,13 +299,49 @@ class TestAllVoidWrites:
         dyn_lib.append("sym", pd.DataFrame(
             {"col": np.array([1, 2, 3], dtype="int16")}))
         out = dyn_lib.read("sym", output_format="pandas")
-        assert out["col"].isna().tolist() == [True, True, False, False, False]
-        assert out["col"].dropna().tolist() == [1.0, 2.0, 3.0]
-        # typed-files-only row_range keeps the exact dtype (reference
-        # read(sym, row_range=[2,5]) equivalence)
+        # reference test_integer_simple_dynamic: 0-backfill, exact dtype
+        assert out["col"].dtype == "int16"
+        assert out["col"].tolist() == [0, 0, 1, 2, 3]
         rr = dyn_lib.read("sym", row_range=(2, 5), output_format="pandas")
         assert rr["col"].dtype == "int16"
         assert rr["col"].tolist() == [1, 2, 3]
+        rr0 = dyn_lib.read("sym", row_range=(0, 2), output_format="pandas")
+        assert rr0["col"].tolist() == [0, 0]
+
+    def test_void_then_int_append_static(self, tmp_lib):
+        # reference test_integer_simple (static): EMPTY promotes without
+        # dynamic_schema
+        import numpy as np
+        import pandas as pd
+        tmp_lib.write("sym", pd.DataFrame({"col": 2 * [None]}))
+        tmp_lib.append("sym", pd.DataFrame(
+            {"col": np.array([1, 2, 3], dtype="int16")}))
+        out = tmp_lib.read("sym", output_format="pandas")
+        assert out["col"].dtype == "int16"
+        assert out["col"].tolist() == [0, 0, 1, 2, 3]
+
+    def test_int_then_void_append_backfills_zero(self, dyn_lib):
+        # reference TestCanAppendColumnWithNones.test_integer
+        import numpy as np
+        import pandas as pd
+        dyn_lib.write("sym", pd.DataFrame(
+            {"col": np.array([1, 2, 3], dtype="int64"), "other": [1, 2, 3]}))
+        dyn_lib.append("sym", pd.DataFrame(
+            {"col": 2 * [None], "other": [4, 5]}))
+        out = dyn_lib.read("sym", output_format="pandas")
+        assert out["col"].dtype == "int64"
+        assert out["col"].tolist() == [1, 2, 3, 0, 0]
+        assert out["other"].tolist() == [1, 2, 3, 4, 5]
+
+    def test_void_then_float_append_backfills_nan(self, dyn_lib):
+        import numpy as np
+        import pandas as pd
+        dyn_lib.write("sym", pd.DataFrame({"col": 2 * [None]}))
+        dyn_lib.append("sym", pd.DataFrame(
+            {"col": np.array([1.5, 2.5], dtype="float64")}))
+        out = dyn_lib.read("sym", output_format="pandas")
+        assert out["col"].isna().tolist() == [True, True, False, False]
+        assert out["col"].dropna().tolist() == [1.5, 2.5]
 
     def test_void_then_string_append_dynamic(self, dyn_lib):
         import numpy as np
@@ -314,12 +351,15 @@ class TestAllVoidWrites:
         out = dyn_lib.read("sym", output_format="pandas")
         assert out["col"].tolist() == [None, None, "x", "y"]
 
-    def test_void_append_static_rejected(self, tmp_lib):
+    def test_static_type_change_still_rejected(self, tmp_lib):
+        # EMPTY promotion is allowed statically (round 7, reference
+        # parity), but a genuine numeric type change still is not
         import numpy as np
         import pandas as pd
         import pytest
         from arcticdb_spark.catalog import ArcticException
-        tmp_lib.write("sym", pd.DataFrame({"col": 2 * [None]}))
+        tmp_lib.write("sym", pd.DataFrame(
+            {"col": np.array([1, 2], dtype="int16")}))
         with pytest.raises(ArcticException, match="dynamic_schema"):
             tmp_lib.append("sym", pd.DataFrame(
-                {"col": np.array([1, 2], dtype="int16")}))
+                {"col": np.array([1, 2], dtype="int64")}))
