@@ -381,7 +381,9 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              exact_below: int = 2000, dim: int = 64,
                              n_planes: int = 6, n_tables: int = 8,
-                             n_rows: int | None = None) -> DataFrame:
+                             n_rows: int | None = None,
+                             broadcast_bytes_max: int = _BCAST_BYTES_MAX
+                             ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold.
 
     Two physical strategies, same logical result:
@@ -420,10 +422,10 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                   .dropDuplicates(["id_a", "id_b"]))
         _gate("embedding_rescore",
               "broadcast" if (n_rows is not None
-                              and n_rows * dim * 8 <= _BCAST_BYTES_MAX)
+                              and n_rows * dim * 8 <= broadcast_bytes_max)
               else "join",
-              est_bytes=(n_rows or 0) * dim * 8, budget=_BCAST_BYTES_MAX)
-        if n_rows is not None and n_rows * dim * 8 <= _BCAST_BYTES_MAX:
+              est_bytes=(n_rows or 0) * dim * 8, budget=broadcast_bytes_max)
+        if n_rows is not None and n_rows * dim * 8 <= broadcast_bytes_max:
             # vectors fit an executor-side broadcast (the dimension-table
             # pattern; byte gate: n_rows x dim x 8B float64 matrix):
             # rescore candidate id pairs against a normalized numpy

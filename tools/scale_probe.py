@@ -139,6 +139,81 @@ def probe_sf1_gates(spark) -> list[str]:
     return lines
 
 
+def probe_forced_join_gates(spark) -> list[str]:
+    """End-to-end exercise of BOTH sides of the two byte-gated rescore
+    paths at the sf1 probe size (VERDICT r6 item 7): run jaccard and
+    embedding near-dup with the default budget (broadcast side) and with
+    ``broadcast_bytes_max=1`` (forcing the distributed equi-join side),
+    assert the two sides return IDENTICAL pair counts, and record
+    wall-clock + the gate decision for each. This is the missing
+    end-to-end evidence that the join fallback is correct and usable at
+    the size where the gate actually flips."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from arcticdb_spark.extensions import dedup as xd
+    from arcticdb_spark.sources import tables
+
+    mult = 10
+    docs = tables.load_table(spark, SFS[2], "documents")
+    dup = (docs.crossJoin(spark.range(mult).select(F.col("id").alias("copy")))
+           .select((F.col("doc_id") * mult + F.col("copy")).alias("doc_id"),
+                   F.concat(F.col("text"), F.lit(" copyterm"),
+                            F.col("copy").cast("string")).alias("text"))
+           .persist())
+    n_docs = dup.count()
+    emb = tables.load_table(spark, SFS[2], "embeddings")
+    emb10 = (emb.crossJoin(spark.range(mult).select(F.col("id").alias("copy")))
+             .select((F.col("vec_id") * mult + F.col("copy")).alias("vec_id"),
+                     F.transform(
+                         F.col("embedding"),
+                         lambda x, i: x + F.when(i == 0,
+                                                 F.col("copy") * 0.001)
+                                           .otherwise(F.lit(0.0)))
+                      .alias("embedding"))
+             .persist())
+    n_vecs = emb10.count()
+
+    lines = ["", f"## forced-gate probe — both rescore paths end-to-end "
+                 f"({n_docs} docs, {n_vecs} vectors)", "",
+             "| operator | path | gate decision | sec | result pairs |",
+             "|---|---|---|---|---|"]
+    results = {}
+    runs = [
+        ("jaccard_rescore", "broadcast",
+         lambda: xd.jaccard_near_dup_pairs(dup).count()),
+        ("jaccard_rescore", "join (forced)",
+         lambda: xd.jaccard_near_dup_pairs(dup, broadcast_bytes_max=1).count()),
+        ("embedding_rescore", "broadcast",
+         lambda: xd.embedding_near_dup_pairs(emb10, n_rows=n_vecs).count()),
+        ("embedding_rescore", "join (forced)",
+         lambda: xd.embedding_near_dup_pairs(
+             emb10, n_rows=n_vecs, broadcast_bytes_max=1).count()),
+    ]
+    for op, path, fn in runs:
+        xd.clear_gate_log()
+        t0 = _t.perf_counter()
+        n = fn()
+        dt = _t.perf_counter() - t0
+        gate = "; ".join(f"{g['gate']}->{g['path']}"
+                         for g in xd.GATE_LOG if "rescore" in g["gate"]) or "-"
+        lines.append(f"| {op} | {path} | {gate} | {dt:.1f} | {n} |")
+        results.setdefault(op, []).append(n)
+        xd.unpersist_all()
+    dup.unpersist()
+    emb10.unpersist()
+    mismatches = {op: ns for op, ns in results.items() if len(set(ns)) != 1}
+    lines += ["",
+              ("**Both sides agree on every operator** — the join fallback "
+               "is value-identical to the broadcast path at this size."
+               if not mismatches else
+               f"**MISMATCH: {mismatches}** — the two gate sides disagree; "
+               "treat as a correctness bug."),
+              ""]
+    return lines
+
+
 def main():
     spark = get_spark("scale_probe")
     qs = E.queries()
@@ -173,6 +248,8 @@ def main():
         lines.extend(stress_dedup_cluster(spark))
     if "--sf1" in sys.argv:
         lines.extend(probe_sf1_gates(spark))
+    if "--forced-gates" in sys.argv:
+        lines.extend(probe_forced_join_gates(spark))
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(lines))
     print("wrote SCALING.md")
@@ -189,8 +266,19 @@ def sf1_only():
     print("\n".join(lines))
 
 
+def forced_gates_only():
+    """Append just the forced-gate section to the existing SCALING.md."""
+    spark = get_spark("scale_probe")
+    lines = probe_forced_join_gates(spark)
+    with open("/root/repo/SCALING.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
 if __name__ == "__main__":
     if "--sf1-only" in sys.argv:
         sf1_only()
+    elif "--forced-gates-only" in sys.argv:
+        forced_gates_only()
     else:
         main()
