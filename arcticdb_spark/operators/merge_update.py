@@ -20,14 +20,35 @@ from pyspark.sql import functions as F
 
 
 def merge_update(target: DataFrame, source: DataFrame, on: list[str],
-                 upsert: bool = False) -> DataFrame:
+                 upsert: bool = False,
+                 check_duplicates: bool = True) -> DataFrame:
     """Return target with matched rows replaced by source (and, if upsert,
-    unmatched source rows appended)."""
+    unmatched source rows appended).
+
+    ``check_duplicates``: the reference raises UserInputException when more
+    than one source row matches the same target row (hypothesis
+    test_merge_update.py); a bare join would silently EXPAND the target
+    instead. The check is one map-side-combinable groupBy on the source's
+    key tuple semi-joined against the target's keys — the source is the
+    small side of a merge (a correction batch), so this costs one cheap
+    job, and callers that pre-deduplicate can switch it off."""
     if not on:
         raise ValueError("merge requires at least one key column")
     for k in on:
         if k not in target.columns or k not in source.columns:
             raise ValueError(f"merge key {k!r} missing from target or source")
+    if check_duplicates:
+        dup_keys = (source.groupBy(*on).count()
+                    .filter(F.col("count") > 1).drop("count")).alias("d")
+        tk = target.select(*on).alias("tk")
+        nullsafe = None   # match the main join's NULL-key semantics
+        for k in on:
+            c = F.col(f"d.{k}").eqNullSafe(F.col(f"tk.{k}"))
+            nullsafe = c if nullsafe is None else (nullsafe & c)
+        if dup_keys.join(tk, nullsafe, "left_semi").head(1):
+            raise ValueError(
+                "Multiple source rows match the same target row on "
+                f"{on}; deduplicate the source first")
 
     t = target.alias("t")
     # Explicit matched flag: keys join with eqNullSafe, so a NULL source key
