@@ -348,6 +348,16 @@ class AdminTools:
                                 total[k].count + sz.count)
         return total
 
+    def remove_incompletes(self, symbols) -> None:
+        """Remove staged (incomplete) data for several symbols; symbols
+        without staged data are ignored (reference library.py:855
+        AdminTools.remove_incompletes)."""
+        import shutil
+        for s in symbols:
+            d = self._lib._staging_dir(s)
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+
 
 def _schema_from_pandas_dtypes(pdf):
     """Spark schema for a ZERO-ROW pandas frame (inference needs data).
@@ -626,6 +636,14 @@ class Library:
             return self._default_output_format
         key = str(getattr(output_format, "value", output_format)).lower()
         return self._OUTPUT_FORMATS.get(key, output_format)
+
+    def library_tool(self):
+        """Key-level debugging toolbox (reference ``library.py:852``
+        Library.library_tool / toolbox LibraryTool): list the physical
+        keys behind a symbol, read any of them raw, inspect a version's
+        file layout."""
+        from arcticdb_spark.toolbox import LibraryTool
+        return LibraryTool(self)
 
     # ---- paths (metadata via self._fs; data via local/Spark paths) ----
     def _sym_dir(self, symbol):
