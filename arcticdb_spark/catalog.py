@@ -579,6 +579,12 @@ class Library:
                  rows_per_file: int = 1_000_000, dynamic_schema: bool = False,
                  fs=None, data_root: str | None = None):
         self.spark = spark
+        # results-affecting SQL confs (UTC, nanosAsLong, µs parquet output,
+        # ansi=false so uint64 mod-2^64 long math wraps instead of
+        # throwing) — idempotent, and essential when the session was built
+        # outside get_spark (a verify driver, a user's own session)
+        from arcticdb_spark.sources.tables import ensure_session_conf
+        ensure_session_conf(spark)
         self.name = name
         self._fs = fs or LocalFileSystem()
         self.root = self._fs.join(root, name)

@@ -80,21 +80,37 @@ def concat(dfs: list[DataFrame], join: str = "outer") -> DataFrame:
     if join not in ("outer", "inner"):
         raise ValueError("join must be 'outer' or 'inner'")
 
-    # promoted common type per column name
+    # promoted common type per column name; uint64 bit-pattern columns may
+    # only meet other uint64 columns (no common type with signed int64 —
+    # reference type_utils.cpp:141-155; a silent union would reinterpret
+    # bit patterns)
+    from arcticdb_spark.expr import UINT64_META
     merged: dict[str, T.DataType] = {}
+    u64_status: dict[str, bool] = {}
     orders: list[list[str]] = []
     for df in dfs:
         orders.append(df.columns)
         for f in df.schema.fields:
+            if not isinstance(f.dataType, T.NullType):  # EMPTY: no opinion
+                is_u64 = bool((f.metadata or {}).get(UINT64_META))
+                if u64_status.setdefault(f.name, is_u64) != is_u64:
+                    raise TypeError(
+                        f"concat column {f.name!r} mixes uint64 and signed "
+                        "integers across frames (no common type)")
             merged[f.name] = (promote_types(merged[f.name], f.dataType)
                               if f.name in merged else f.dataType)
+
+    def _out(col, name):   # keep the uint64 marker through the cast
+        if u64_status.get(name):
+            return col.alias(name, metadata={UINT64_META: True})
+        return col.alias(name)
 
     if join == "inner":
         common = set(orders[0])
         for cols in orders[1:]:
             common &= set(cols)
         keep = [c for c in orders[0] if c in common]
-        casted = [df.select([F.col(c).cast(merged[c]).alias(c) for c in keep])
+        casted = [df.select([_out(F.col(c).cast(merged[c]), c) for c in keep])
                   for df in dfs]
         return reduce(lambda a, b: a.unionByName(b), casted)
 
@@ -106,8 +122,8 @@ def concat(dfs: list[DataFrame], join: str = "outer") -> DataFrame:
                                   if c not in orders[0]]
     seen: list[str] = []
     ordered = [c for c in all_cols if not (c in seen or seen.append(c))]
-    casted = [df.select([(F.col(c).cast(merged[c]) if c in df.columns
-                          else default_fill_lit(merged[c])).alias(c)
+    casted = [df.select([_out(F.col(c).cast(merged[c]) if c in df.columns
+                              else default_fill_lit(merged[c]), c)
                          for c in ordered])
               for df in dfs]
     return reduce(lambda a, b: a.unionByName(b), casted)

@@ -346,3 +346,26 @@ def test_column_selection_keeps_marker(ulib):
     back = ulib.read("u64", columns=["u"], output_format="pandas")
     assert back["u"].dtype == "uint64"
     assert back["u"].tolist() == FULL
+
+
+def test_concat_uint64_with_signed_raises(tmp_lib):
+    from arcticdb_spark.lazy import concat as lazy_concat
+    tmp_lib.write("a", pd.DataFrame({"x": np.array([1, U64_MAX],
+                                                   dtype=np.uint64)}))
+    tmp_lib.write("b", pd.DataFrame({"x": np.array([1, -2],
+                                                   dtype=np.int64)}))
+    with pytest.raises(TypeError, match="uint64"):
+        lazy_concat(tmp_lib.read_batch(["a", "b"], lazy=True),
+                    "outer").collect()
+
+
+def test_concat_uint64_both_sides_roundtrips(tmp_lib):
+    from arcticdb_spark.lazy import concat as lazy_concat
+    tmp_lib.write("a", pd.DataFrame({"x": np.array([1, U64_MAX],
+                                                   dtype=np.uint64)}))
+    tmp_lib.write("b", pd.DataFrame({"x": np.array([2**63, 7],
+                                                   dtype=np.uint64)}))
+    out = lazy_concat(tmp_lib.read_batch(["a", "b"], lazy=True),
+                      "outer").collect(output_format="pandas")
+    assert out["x"].dtype == "uint64"
+    assert sorted(out["x"].tolist()) == [1, 7, 2**63, U64_MAX]
