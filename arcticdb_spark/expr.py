@@ -88,6 +88,44 @@ def _u64_to_double(c: Column) -> Column:
                                .otherwise(F.lit(0.0))
 
 
+def _cmp_uint_const(op: str, uc: Column, v: int, uint_on_left: bool) -> Column:
+    """uint64 column vs integer CONSTANT as plain signed predicates on the
+    bit pattern — parquet-PUSHABLE, unlike the sign-bit-flip form (an XOR
+    expression defeats row-group stats pruning). The unsigned domain maps
+    to signed patterns as [0, 2^63) then [-2^63, 0), so any unsigned
+    threshold splits into at most two signed ranges on the raw column."""
+    if not uint_on_left:
+        op = {"LT": "GT", "LE": "GE", "GT": "LT", "GE": "LE",
+              "EQ": "EQ", "NE": "NE"}[op]
+    if v < 0:
+        # every uint64 value exceeds any negative constant
+        if op == "NE":
+            return F.lit(True)          # missing u: NE is true anyway
+        if op in ("GT", "GE"):
+            return uc.isNotNull()       # ordering vs missing u -> false
+        return F.lit(False) & uc.isNotNull()   # EQ/LT/LE
+    if v >= _U64_WRAP:
+        if op == "NE":
+            return F.lit(True)
+        if op in ("LT", "LE"):
+            return uc.isNotNull()
+        return F.lit(False) & uc.isNotNull()   # EQ/GT/GE
+    patt = F.lit(v - _U64_WRAP if v > 2**63 - 1 else v)
+    if op == "EQ":
+        return uc == patt
+    if op == "NE":
+        return uc != patt
+    if v <= 2**63 - 1:        # pattern is non-negative
+        return {"LT": (uc >= 0) & (uc < patt),
+                "LE": (uc >= 0) & (uc <= patt),
+                "GT": (uc < 0) | (uc > patt),
+                "GE": (uc < 0) | (uc >= patt)}[op]
+    return {"LT": (uc >= 0) | (uc < patt),   # pattern is negative
+            "LE": (uc >= 0) | (uc <= patt),
+            "GT": (uc < 0) & (uc > patt),
+            "GE": (uc < 0) & (uc >= patt)}[op]
+
+
 def _cmp_uint_int(op: str, uc: Column, ic: Column, uint_on_left: bool) -> Column:
     """Exact uint64-vs-int64 comparison on long columns (``uc`` holds the
     uint64 bit pattern, ``ic`` the signed value). Equivalent to the
@@ -492,7 +530,20 @@ def _compile(node: ExpressionNode, schema: dict[str, T.StructField]) -> tuple[Co
                    "GT": lambda a, b: a > b, "GE": lambda a, b: a >= b}[op]
             res = None
             if UINT in (lk, rk):
-                if lk == UINT and rk == UINT:
+                # constant side: compile to pushable signed range predicates
+                # on the raw bit pattern (covers both small-INT constants
+                # and uint64-range constants that compiled to UINT kind)
+                lconst = isinstance(node.left, Constant) and \
+                    _kind_of_value(node.left.value) == INT
+                rconst = isinstance(node.right, Constant) and \
+                    _kind_of_value(node.right.value) == INT
+                if lk == UINT and not lconst and rconst:
+                    res = _cmp_uint_const(op, lc, int(node.right.value),
+                                          uint_on_left=True)
+                elif rk == UINT and not rconst and lconst:
+                    res = _cmp_uint_const(op, rc, int(node.left.value),
+                                          uint_on_left=False)
+                elif lk == UINT and rk == UINT:
                     # unsigned order == signed order of sign-bit-flipped
                     # patterns; EQ/NE compare patterns directly
                     if op in _ORDERING:
