@@ -290,7 +290,7 @@ def jaccard_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", threshold: float = 0.5,
                            num_hashes: int = 16, bands: int = 8,
                            k: int = 2,
-                           broadcast_bytes_max: int = _BCAST_BYTES_MAX) -> DataFrame:
+                           broadcast_bytes_max: int | None = None) -> DataFrame:
     """LSH candidates verified with exact token-k-gram Jaccard >= threshold.
 
     Verify plan (the id-pairs + broadcast-set pattern proven by
@@ -302,6 +302,8 @@ def jaccard_near_dup_pairs(df: DataFrame, text_col: str = "text",
     volume x shingle expansion) above ``broadcast_bytes_max`` routes the
     rescore to the equi-join path instead.
     """
+    if broadcast_bytes_max is None:   # resolve at CALL time
+        broadcast_bytes_max = _BCAST_BYTES_MAX
     cand = _materialize(
         minhash_near_dup_pairs(df, text_col, id_col, num_hashes, bands, k))
     cand_ids = (cand.select(F.col("id_a").alias("id"))
@@ -382,7 +384,7 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              exact_below: int = 2000, dim: int = 64,
                              n_planes: int = 6, n_tables: int = 8,
                              n_rows: int | None = None,
-                             broadcast_bytes_max: int = _BCAST_BYTES_MAX
+                             broadcast_bytes_max: int | None = None
                              ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold.
 
@@ -399,6 +401,8 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     """
     from arcticdb_spark.extensions.similarity import (_bucket_udf, _planes,
                                                       cosine)
+    if broadcast_bytes_max is None:   # resolve at CALL time (tests/probes
+        broadcast_bytes_max = _BCAST_BYTES_MAX   # monkeypatch the global)
     n = n_rows if n_rows is not None else (0 if exact_below <= 0 else df.count())
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     _gate("embedding_strategy", "exact" if n < exact_below else "lsh",

@@ -156,11 +156,11 @@ def test_aggregation_numeric_dynamic(chunks):
     assume(any("agg_column" in c.columns for c in chunks))
     agg_dtypes = [c["agg_column"].dtype for c in chunks
                   if "agg_column" in c.columns]
-    kinds = {d.kind for d in agg_dtypes}
-    # the engine rejects signed<->uint64 mixing (no common type); skip
-    # draws the reference would also reject
-    assume(not ({"u"} & kinds and {"i"} & kinds
-                and any(d.itemsize == 8 for d in agg_dtypes)))
+    # uint64 columns are bit-pattern typed: the engine raises on appending
+    # ANY other dtype onto a uint64 column (documented PARITY delta) — if
+    # uint64 appears, every chunk's agg dtype must be uint64
+    if any(d.kind == "u" and d.itemsize == 8 for d in agg_dtypes):
+        assume(all(d.kind == "u" and d.itemsize == 8 for d in agg_dtypes))
     lib = _tmp_lib(dynamic=True)
     lib.write("sym", chunks[0])
     for c in chunks[1:]:
