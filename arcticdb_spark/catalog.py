@@ -2282,6 +2282,10 @@ class Library:
             inc = self.spark.read.option("mergeSchema", "true") \
                 .parquet(*seg_files)
             sinfo = self._staged_index_info(seg_files) or {}
+            # staged uint64 bit-pattern columns: marked like committed
+            # reads, so the union keeps unsigned semantics and pandas
+            # output restores dtype (committed side is marked by read())
+            inc = _attach_uint64_marker(inc, {"uint64": sinfo.get("uint64")})
             if idx is None:
                 idx = self._detect_index(inc, sinfo.get("index_column"))
             if idx is not None and _is_long_type(inc, idx) \
@@ -2496,27 +2500,27 @@ class Library:
         ``finalize_staged_data(staged_data=...)`` to finalize exactly those
         segments (reference staged-tokens API, test_stage.py)."""
         sdf, nmeta = self._normalize(df)
-        if (nmeta or {}).get("uint64"):
-            # a staged chunk's norm meta is not carried into finalize's
-            # manifest — silently dropping the marker would corrupt values
-            # above 2^63-1 on read, so reject loudly (write/append/update
-            # support full-range uint64; the staged path does not yet)
-            raise ArcticDbNotYetImplemented(
-                "uint64 columns via stage/finalize are not supported; use "
-                "write/append/update")
         out = os.path.join(self._staging_dir(symbol), uuid.uuid4().hex)
         os.makedirs(os.path.dirname(out), exist_ok=True)
         self._drop_void(sdf).write.mode("overwrite").parquet(out)
         nm = nmeta or {}
+        side: dict = {}
         if nm.get("index_ns"):
             # sidecar: the demoted index is a LONG ns column, which type
             # inspection alone can't distinguish from plain int data —
             # finalize/incomplete reads consult this (removed with the
             # chunk dir once its segments are consumed)
             p = nm["physical"]
+            side = {"index_column": p[0] if isinstance(p, list) else p,
+                    "index_ns": True}
+        if nm.get("uint64"):
+            # uint64 bit-pattern columns: same LONG-indistinguishable
+            # problem as the ns index — record them so finalize carries
+            # the marker into the manifest and incomplete reads restore
+            side["uint64"] = list(nm["uint64"])
+        if side:
             with open(os.path.join(out, "_asdb_staged_meta.json"), "w") as fh:
-                json.dump({"index_column": p[0] if isinstance(p, list) else p,
-                           "index_ns": True}, fh)
+                json.dump(side, fh)
         segs = sorted(os.path.join(out, fn) for fn in os.listdir(out)
                       if fn.endswith(".parquet"))
         return StageResult(symbol, segs)
@@ -2536,14 +2540,48 @@ class Library:
     @staticmethod
     def _staged_index_info(seg_files: list[str]) -> dict | None:
         """Union of the chunk sidecars written by ``stage()`` (index column
-        name + ns flag for a demoted datetime index)."""
+        name + ns flag for a demoted datetime index; uint64 bit-pattern
+        column names, unioned across chunks)."""
         out: dict = {}
+        u64: set = set()
         for d in sorted({os.path.dirname(f) for f in seg_files}):
             p = os.path.join(d, "_asdb_staged_meta.json")
             if os.path.exists(p):
                 with open(p) as fh:
-                    out.update(json.load(fh))
+                    data = json.load(fh)
+                u64 |= set(data.pop("uint64", []))
+                out.update(data)
+        if u64:
+            out["uint64"] = sorted(u64)
         return out or None
+
+    @staticmethod
+    def _staged_uint64_check(seg_files: list[str], u64_cols: set) -> None:
+        """Every chunk whose segments physically contain a uint64-claimed
+        column must itself claim it — otherwise a signed-long chunk would
+        silently alias bit patterns into the finalized column (same rule
+        as append's signed<->uint64 flip rejection)."""
+        if not u64_cols:
+            return
+        import pyarrow.parquet as pq
+        by_dir: dict[str, list[str]] = {}
+        for f in seg_files:
+            by_dir.setdefault(os.path.dirname(f), []).append(f)
+        for d, fs in by_dir.items():
+            p = os.path.join(d, "_asdb_staged_meta.json")
+            claimed: set = set()
+            if os.path.exists(p):
+                with open(p) as fh:
+                    claimed = set(json.load(fh).get("uint64", []))
+            names = set()
+            for f in fs:
+                names |= set(pq.ParquetFile(f).schema_arrow.names)
+            bad = (u64_cols & names) - claimed
+            if bad:
+                raise SchemaException(
+                    f"staged chunks mix uint64 and signed int64 in columns "
+                    f"{sorted(bad)} (no common type; stage every chunk's "
+                    "column with one dtype)")
 
     def finalize_staged_data(self, symbol: str, mode: str = "write",
                              metadata: Any = None, index_column: str | None = None,
@@ -2582,6 +2620,8 @@ class Library:
         try:
             df = self.spark.read.option("mergeSchema", "true").parquet(*seg_files)
             sinfo = self._staged_index_info(seg_files) or {}
+            u64_cols = set(sinfo.get("uint64") or [])
+            self._staged_uint64_check(seg_files, u64_cols)
             idx = self._detect_index(df, index_column
                                      or sinfo.get("index_column"))
             index_ns = False
@@ -2622,16 +2662,22 @@ class Library:
                     sorted=("UNSORTED" if (overlap
                                            or prev.sorted != "ASCENDING")
                             else "ASCENDING"),
-                    norm_meta=prev.norm_meta)
+                    norm_meta=self._uint64_meta_for(
+                        prev, {"uint64": sorted(u64_cols)}, df.columns,
+                        "finalize_staged_data"))
             else:
                 # mode="append" on a missing symbol behaves like write
                 # (reference test_sort_merge.py test_append_to_missing_symbol)
                 files = self._write_data_files(symbol, df, idx, sort=sort)
+                nm_out: dict = {}
+                if index_ns:
+                    nm_out["index_ns"] = True
+                if u64_cols:
+                    nm_out["uint64"] = sorted(u64_cols)
                 m = VersionManifest(symbol, self._next_version(symbol),
                                     time.time_ns(), idx, df.schema.json(),
                                     files, metadata,
-                                    norm_meta=({"index_ns": True}
-                                               if index_ns else None))
+                                    norm_meta=(nm_out or None))
         except Exception:
             if delete_staged_data_on_failure:
                 self._remove_segment_files(symbol, seg_files)

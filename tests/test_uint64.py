@@ -336,10 +336,49 @@ def test_update_uint64_range_surgery(tmp_lib):
     assert back["u"].dtype == "uint64"
 
 
-def test_stage_uint64_rejected(tmp_lib):
-    with pytest.raises(ArcticDbNotYetImplemented, match="stage"):
-        tmp_lib.stage("s", pd.DataFrame(
-            {"u": np.array([1], dtype=np.uint64)}))
+def test_stage_finalize_uint64_roundtrip(tmp_lib):
+    # chunk sidecars carry the uint64 marker into finalize's manifest
+    tmp_lib.stage("s", pd.DataFrame(
+        {"u": np.array([1, U64_MAX], dtype=np.uint64)}))
+    tmp_lib.stage("s", pd.DataFrame(
+        {"u": np.array([2**63, 7], dtype=np.uint64)}))
+    tmp_lib.finalize_staged_data("s", sort=False)
+    back = tmp_lib.read("s", output_format="pandas")
+    assert back["u"].dtype == "uint64"
+    assert sorted(back["u"].tolist()) == [1, 7, 2**63, U64_MAX]
+    # and the QueryBuilder applies unsigned semantics on the result
+    q = QueryBuilder()
+    q = q[q["u"] >= 2**63]
+    out = tmp_lib.read("s", query_builder=q, output_format="pandas")
+    assert sorted(out["u"].tolist()) == [2**63, U64_MAX]
+
+
+def test_stage_finalize_mixed_uint64_signed_raises(tmp_lib):
+    tmp_lib.stage("s", pd.DataFrame(
+        {"u": np.array([1, U64_MAX], dtype=np.uint64)}))
+    tmp_lib.stage("s", pd.DataFrame(
+        {"u": np.array([5, -2], dtype=np.int64)}))
+    with pytest.raises(SchemaException, match="uint64"):
+        tmp_lib.finalize_staged_data("s", sort=False)
+
+
+def test_incomplete_read_restores_staged_uint64(tmp_lib):
+    tmp_lib.stage("s", pd.DataFrame(
+        {"u": np.array([3, U64_MAX], dtype=np.uint64)}))
+    out = tmp_lib.read("s", incomplete=True, output_format="pandas")
+    assert out["u"].dtype == "uint64"
+    assert sorted(out["u"].tolist()) == [3, U64_MAX]
+
+
+def test_finalize_append_signed_onto_uint64_symbol_raises(tmp_lib):
+    idx = pd.date_range("2024-01-01", periods=2, freq="1D")
+    tmp_lib.write("s", pd.DataFrame(
+        {"u": np.array([1, U64_MAX], dtype=np.uint64)}, index=idx))
+    tmp_lib.stage("s", pd.DataFrame(
+        {"ts": pd.date_range("2024-02-01", periods=2, freq="1D"),
+         "u": np.array([5, 6], dtype=np.int64)}))
+    with pytest.raises(SchemaException, match="uint64"):
+        tmp_lib.finalize_staged_data("s", mode="append")
 
 
 def test_column_selection_keeps_marker(ulib):
