@@ -1155,9 +1155,18 @@ class Library:
                                   "__asdb_ri__"))
             if sj is not None:  # homogeneous scan already matches phys
                 have = set(df.columns)
+
+                def fill(f):
+                    # the INDEX column is time, whatever its physical type
+                    # (ns index = LONG): a missing index backfills NaT/NULL,
+                    # never the integer default 0 (epoch 1970)
+                    if f.name == m.index_column:
+                        return F.lit(None).cast(f.dataType)
+                    return _default_backfill_lit(f.dataType)
+
                 df = df.select([
                     (F.col(f.name).cast(f.dataType) if f.name in have
-                     else _default_backfill_lit(f.dataType)).alias(f.name)
+                     else fill(f)).alias(f.name)
                     for f in phys.fields] + ([ROW_ID] if need_row_id else []))
             parts.append(df)
         out = parts[0]

@@ -363,3 +363,74 @@ class TestAllVoidWrites:
         with pytest.raises(ArcticException, match="dynamic_schema"):
             tmp_lib.append("sym", pd.DataFrame(
                 {"col": np.array([1, 2], dtype="int64")}))
+
+
+class TestAppendNonesOntoTyped:
+    """Reference test_empty_column_type.py TestCanAppendColumnWithNones:
+    an all-None (EMPTY) column appends onto any typed column without
+    changing its type; on read the None rows backfill with the type
+    default (sparse_utils.hpp:76-88): bool -> False, float -> NaN,
+    string -> None, datetime -> NaT."""
+
+    def _roundtrip(self, lib, initial):
+        import pandas as pd
+        lib.write("sym", pd.DataFrame({"col": initial,
+                                       "other": [1, 2, 3]}))
+        lib.append("sym", pd.DataFrame({"col": 2 * [None],
+                                        "other": [4, 5]}))
+        out = lib.read("sym", output_format="pandas")
+        assert out["other"].tolist() == [1, 2, 3, 4, 5]
+        return out["col"]
+
+    def test_bool(self, dyn_lib):
+        import numpy as np
+        col = self._roundtrip(dyn_lib,
+                              np.array([True, False, True], dtype="bool"))
+        assert col.tolist() == [True, False, True, False, False]
+        assert col.dtype == "bool"
+
+    def test_float32(self, dyn_lib):
+        import numpy as np
+        col = self._roundtrip(dyn_lib,
+                              np.array([1.5, 2.5, 3.5], dtype="float32"))
+        assert col.dtype == "float32"
+        assert col.tolist()[:3] == [1.5, 2.5, 3.5]
+        assert col.isna().tolist() == [False, False, False, True, True]
+
+    def test_string(self, dyn_lib):
+        import numpy as np
+        col = self._roundtrip(dyn_lib, np.array(["x", "y" * 100, ""]))
+        assert col.tolist() == ["x", "y" * 100, "", None, None]
+
+    def test_datetime(self, dyn_lib):
+        import numpy as np
+        import pandas as pd
+        col = self._roundtrip(dyn_lib, np.array(
+            [np.datetime64("2005-02"), np.datetime64("2005-03"),
+             np.datetime64("2005-04")], dtype="datetime64[us]"))
+        assert col.isna().tolist() == [False, False, False, True, True]
+        assert pd.Timestamp(col.iloc[0]) == pd.Timestamp("2005-02-01")
+
+    def test_static_schema_too(self, tmp_lib):
+        # the reference runs this matrix on static AND dynamic fixtures
+        import numpy as np
+        col = self._roundtrip(tmp_lib,
+                              np.array([7, 8, 9], dtype="int32"))
+        assert col.dtype == "int32"
+        assert col.tolist() == [7, 8, 9, 0, 0]
+
+    def test_row_range_over_backfilled_rows(self, dyn_lib):
+        # reference: read(sym, row_range=[3,5]) returns the defaults only
+        import numpy as np
+        import pandas as pd
+        dyn_lib.write("sym", pd.DataFrame(
+            {"col": np.array([1, 2, 3], dtype="int16"), "other": [1, 2, 3]}))
+        dyn_lib.append("sym", pd.DataFrame({"col": 2 * [None],
+                                            "other": [4, 5]}))
+        rr = dyn_lib.read("sym", row_range=(3, 5), output_format="pandas")
+        assert rr["col"].dtype == "int16"
+        assert rr["col"].tolist() == [0, 0]
+        tail = dyn_lib.tail("sym", n=1, output_format="pandas")
+        assert tail["col"].tolist() == [0]
+        head = dyn_lib.head("sym", n=1, output_format="pandas")
+        assert head["col"].tolist() == [1]
