@@ -1113,6 +1113,41 @@ def q_uint64_filter_agg(spark, sf):
                       F.col("n"))
 
 
+def q_uint64_mixed_compare(spark, sf):
+    """Mixed signed/unsigned comparison + wrap-mod-2^64 projection through
+    the library (reference signed_unsigned_comparison.hpp:18-43): a uint64
+    column straddling 2^63 filtered against a SIGNED int64 column (some
+    negative), then doubled mod 2^64. DuckDB replays the comparison with
+    native UBIGINT-vs-BIGINT (exact hugeint-promoted math), so any error
+    in the sign-guarded flip formulas hash-mismatches."""
+    import numpy as np
+    import tempfile
+    from arcticdb_spark.catalog import Arctic
+    ev = (load_table(spark, sf, "events")
+          .select("event_id", "event_type", "user_id").toPandas()
+          .sort_values("event_id").reset_index(drop=True))
+    ev["u"] = (np.uint64(2**63 - 2500)
+               + ev["event_id"].to_numpy().astype(np.uint64) * np.uint64(2))
+    # signed comparand: negative for every 3rd row
+    ev["s"] = (ev["user_id"].to_numpy().astype(np.int64)
+               - np.where(ev["event_id"].to_numpy() % 3 == 0, 10**6, 0))
+    lib = Arctic(tempfile.mkdtemp(), spark).create_library("u64mix")
+    lib.write("ev", ev)
+    q = QueryBuilder()
+    q = q[(q["u"] > q["s"]) & (q["u"] <= 2**63 + 40000)]
+    q = q.apply("w", q["u"] + q["u"])     # wraps mod 2^64 above 2^63
+    q = q.groupby("event_type").agg({"n": ("u", "count"),
+                                     "wmin": ("w", "min"),
+                                     "wmax": ("w", "max")})
+    out = lib.read("ev", query_builder=q)
+
+    def dec(c):
+        return F.conv(F.hex(F.col(c)), 16, 10)
+
+    return out.select("event_type", F.col("n"),
+                      dec("wmin").alias("wmin"), dec("wmax").alias("wmax"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1127,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green in CORRECTNESS_r06 on current code. New r7 queries go on top.
         # --- new in r7, never driver-verified ---
         "uint64_filter_agg": q_uint64_filter_agg,
+        "uint64_mixed_compare": q_uint64_mixed_compare,
         # --- r6-changed kernels/oracles; driver re-verification required ---
         "embedding_kmeans": q_embedding_kmeans,
         "embedding_centroids": q_embedding_centroids,
@@ -1515,6 +1551,28 @@ def oracle_sql() -> dict[str, str]:
         # unsigned order, sum wrapped mod 2^64 (DuckDB sums UBIGINT into
         # HUGEINT — the modulo reproduces the reference's uint64
         # accumulator wrap); exact decimal strings on both sides
+        # mixed signed/unsigned comparison replay: DuckDB promotes
+        # UBIGINT-vs-BIGINT compares to exact hugeint math — the native
+        # reference for the engine's sign-guarded long formulas; the
+        # doubled column wraps mod 2^64 on both sides
+        "uint64_mixed_compare": """
+WITH e AS (
+  SELECT event_type,
+         CAST(9223372036854773308 AS UBIGINT)
+           + CAST(event_id AS UBIGINT) * 2 AS u,
+         CAST(user_id AS BIGINT)
+           - CASE WHEN event_id % 3 = 0 THEN 1000000 ELSE 0 END AS s
+  FROM events),
+f AS (SELECT *, CAST(CAST(u AS HUGEINT) * 2 % 18446744073709551616
+                     AS UBIGINT) AS w
+      FROM e
+      WHERE CAST(u AS HUGEINT) > CAST(s AS HUGEINT)
+        AND u <= CAST(9223372036854775808 AS UBIGINT) + 40000)
+SELECT event_type, CAST(count(u) AS BIGINT) AS n,
+       CAST(min(w) AS VARCHAR) AS wmin,
+       CAST(max(w) AS VARCHAR) AS wmax
+FROM f GROUP BY event_type
+""",
         "uint64_filter_agg": """
 WITH e AS (
   SELECT event_type,
