@@ -2522,6 +2522,12 @@ class Library:
             p = nm["physical"]
             side = {"index_column": p[0] if isinstance(p, list) else p,
                     "index_ns": True}
+            if nm.get("index_type") == "datetime":
+                # pandas DatetimeIndex chunk: record the restore info so
+                # the finalized version's pandas output re-promotes the
+                # index (fake_name = the index was unnamed)
+                side["index_type"] = "datetime"
+                side["fake_name"] = bool(nm.get("fake_name"))
         if nm.get("uint64"):
             # uint64 bit-pattern columns: same LONG-indistinguishable
             # problem as the ns index — record them so finalize carries
@@ -2553,16 +2559,43 @@ class Library:
         column names, unioned across chunks)."""
         out: dict = {}
         u64: set = set()
+        fakes: list[bool] = []
         for d in sorted({os.path.dirname(f) for f in seg_files}):
             p = os.path.join(d, "_asdb_staged_meta.json")
             if os.path.exists(p):
                 with open(p) as fh:
                     data = json.load(fh)
                 u64 |= set(data.pop("uint64", []))
+                if "fake_name" in data:
+                    fakes.append(bool(data.pop("fake_name")))
                 out.update(data)
         if u64:
             out["uint64"] = sorted(u64)
+        if fakes:
+            # the restored index is unnamed only if EVERY chunk's was
+            out["fake_name"] = all(fakes)
         return out or None
+
+    @staticmethod
+    def _validate_staged_static_schemas(seg_files: list[str]) -> None:
+        """Static-schema finalize: every staged segment must carry the SAME
+        column set and types (reference SchemaException E_DESCRIPTOR_
+        MISMATCH for incompatible staged segments; dynamic_schema lifts
+        this). Footer-only check — no data read."""
+        import pyarrow.parquet as pq
+        ref_schema = None
+        ref_file = None
+        for f in seg_files:
+            sch = {fld.name: str(fld.type)
+                   for fld in pq.ParquetFile(f).schema_arrow}
+            if ref_schema is None:
+                ref_schema, ref_file = sch, f
+            elif sch != ref_schema:
+                drift = sorted(set(sch.items()) ^ set(ref_schema.items()))
+                raise SchemaException(
+                    "E_DESCRIPTOR_MISMATCH: staged segments have "
+                    f"incompatible schemas (enable dynamic_schema): "
+                    f"{drift[:6]}")
 
     @staticmethod
     def _staged_uint64_check(seg_files: list[str], u64_cols: set) -> None:
@@ -2633,6 +2666,13 @@ class Library:
             self._staged_uint64_check(seg_files, u64_cols)
             idx = self._detect_index(df, index_column
                                      or sinfo.get("index_column"))
+            if not self.dynamic_schema:
+                # static schema: chunks with drifted column sets/types are
+                # rejected like the reference's E_DESCRIPTOR_MISMATCH
+                # (hypothesis test_sort_merge.py assert_staged_columns_are_
+                # incompatible) — the mergeSchema union above would
+                # otherwise silently NULL-pad
+                self._validate_staged_static_schemas(seg_files)
             index_ns = False
             if idx is not None and idx in df.columns:
                 if _is_ts_type(df, idx):
@@ -2643,6 +2683,24 @@ class Library:
                 elif _is_long_type(df, idx) and (sinfo.get("index_ns")
                                                  or index_column is not None):
                     index_ns = True
+            if self.dynamic_schema:
+                # dynamic schema: cells of a column a chunk did not store
+                # arrive as NULLs from the mergeSchema union; fill int/bool
+                # with the type default (0/False) BEFORE materializing, so
+                # finalized reads match the reference's non-nullable layout
+                # (merge_and_sort_segment_list 0-fills int columns). Int
+                # chunks themselves are non-nullable, so a NULL here can
+                # only mean column-absent; the index column is exempt.
+                from pyspark.sql import types as T
+                fills = [c for f in df.schema.fields
+                         for c in [f.name]
+                         if c != idx and isinstance(
+                             f.dataType, (T.ByteType, T.ShortType,
+                                          T.IntegerType, T.LongType,
+                                          T.BooleanType))]
+                for c in fills:
+                    df = df.withColumn(c, F.coalesce(
+                        F.col(c), _default_backfill_lit(df.schema[c].dataType)))
             if mode == "append" and self.has_symbol(symbol):
                 prev = self._load_manifest(symbol,
                                            self._load_ref(symbol)["latest"])
@@ -2683,6 +2741,12 @@ class Library:
                     nm_out["index_ns"] = True
                 if u64_cols:
                     nm_out["uint64"] = sorted(u64_cols)
+                if idx and sinfo.get("index_type") == "datetime":
+                    # pandas-staged chunks: restore the DatetimeIndex on
+                    # pandas output like a direct write would
+                    nm_out["index_type"] = "datetime"
+                    nm_out["physical"] = idx
+                    nm_out["fake_name"] = bool(sinfo.get("fake_name"))
                 m = VersionManifest(symbol, self._next_version(symbol),
                                     time.time_ns(), idx, df.schema.json(),
                                     files, metadata,
