@@ -178,10 +178,11 @@ def test_ns_staged_finalize_exact(tmp_lib):
     tmp_lib.write("t", _ns_frame(3), staged=True)
     tmp_lib.stage("t", _ns_frame(3, start=BASE + 3))
     tmp_lib.sort_and_finalize_staged_data("t")
-    # staged chunks are raw (no pandas-index norm meta survives finalize);
-    # the ts COLUMN must still be ns-exact
+    # round 7: stage sidecars carry the DatetimeIndex restore info, so the
+    # finalized symbol's pandas output re-promotes the ns-exact INDEX like
+    # a direct write would (previously ts stayed a raw column)
     back = tmp_lib.read("t", output_format="pandas")
-    assert back["ts"].astype("int64").tolist() == [BASE + i for i in range(6)]
+    assert back.index.asi8.tolist() == [BASE + i for i in range(6)]
     ns = tmp_lib.read("t", output_format="spark-ns")
     assert sorted(r["ts"] for r in ns.collect()) == [BASE + i
                                                      for i in range(6)]
