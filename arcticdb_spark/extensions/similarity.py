@@ -220,7 +220,7 @@ def _ivf_refine_centroids(corpus: DataFrame, seed_rows: list,
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_lists: int = 16, nprobe: int = 4,
-             refine_iters: int = 2) -> DataFrame:
+             refine_iters: int = 2, n_assign: int = 2) -> DataFrame:
     """IVF: list centroids = deterministic content-spread sample of corpus
     vectors (min-k by md5(id) — `_seed_rows`) refined with
     ``refine_iters`` spherical-Lloyd rounds (`_ivf_refine_centroids`);
@@ -238,12 +238,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         order = np.argsort(-(V @ M), axis=1, kind="stable")
         return pd.Series([cids[o].tolist() for o in order])
 
-    # multi-assignment (n_assign=2): each vector is indexed into its TOP-2
+    # multi-assignment: each vector is indexed into its top-``n_assign``
     # lists — the standard IVF recall lever for weakly-clustered data
-    # (boundary vectors are reachable from both adjacent cells). Index size
-    # 2x, query-side cost ~2x candidates within the same nprobe; at scale
-    # this is a storage/recall tradeoff, not a shuffle change.
-    n_assign = 2
+    # (boundary vectors are reachable from adjacent cells). Index size and
+    # query-side candidates scale by n_assign within the same nprobe; at
+    # scale this is a storage/recall tradeoff, not a shuffle change.
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"),
                       F.explode(F.slice(centroid_order(F.col(vec_col)),
                                         1, n_assign)).alias("list_id"))
