@@ -3192,16 +3192,36 @@ class Library:
             self._fs.remove(p)
 
     # ---- compaction (reference CompactDataClause / defragment_symbol_data) ----
+    @staticmethod
+    def _compact_plan(prev: "VersionManifest", target: int) -> int | None:
+        """Projected post-compaction file count, or None if compaction would
+        be a no-op. Defragmentation only ever MERGES segments (reference
+        CompactDataClause, ``cpp/arcticdb/processing/clause.hpp:926-976``),
+        so the projected count is capped at the current count and a symbol
+        already at/below target density is left alone — except when its
+        files carry heterogeneous per-epoch schemas (dynamic-schema append
+        chain), where a same-count rewrite still buys back uniform schema
+        and full parquet filter pushdown."""
+        n_parts = max(1, -(-prev.total_rows // target))
+        hetero = len({fe.schema_json for fe in prev.files}) > 1
+        if n_parts >= len(prev.files) and not hetero:
+            return None
+        return min(n_parts, len(prev.files))
+
     def compact_symbol(self, symbol: str, target_rows_per_file: int | None = None
                        ) -> VersionManifest:
         """Defragment: rewrite many small files into ~target-sized ones as a
         new version (reference ``compact_data_explain_plan``/defragment).
-        One range-partitioned shuffle sized by total rows."""
+        One range-partitioned shuffle sized by total rows. Never increases
+        the file count; an already-compact symbol is returned unchanged
+        (no new version)."""
         prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
         idx = prev.index_column
         target = target_rows_per_file or self.rows_per_file
+        n_parts = self._compact_plan(prev, target)
+        if n_parts is None:
+            return prev
         df = self._read_physical(prev)
-        n_parts = max(1, -(-prev.total_rows // target))
         if idx:
             df = df.repartitionByRange(n_parts, F.col(idx)).sortWithinPartitions(idx)
         else:
@@ -3214,10 +3234,12 @@ class Library:
 
     def is_symbol_fragmented(self, symbol: str,
                              segment_size: int | None = None) -> bool:
+        """True iff compact_data would actually reduce the segment count
+        (the two agree by construction — both consult ``_compact_plan``)."""
         m = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
         target = segment_size or self.rows_per_file
-        small = sum(1 for fe in m.files if fe.rows < target // 2)
-        return small > 1
+        plan = self._compact_plan(m, target)
+        return plan is not None and plan < len(m.files)
 
     def compact_data(self, symbol: str,
                      rows_per_segment: int | None = None) -> VersionManifest:
@@ -3231,11 +3253,13 @@ class Library:
         segment layout, purely from manifest row counts — no data touched."""
         m = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
         target = rows_per_segment or self.rows_per_file
-        after = max(1, -(-m.total_rows // target))
+        plan = self._compact_plan(m, target)
+        after = len(m.files) if plan is None else plan
         return {"symbol": symbol,
                 "total_rows": m.total_rows,
                 "segments_before": len(m.files),
                 "segments_after": after,
+                "would_compact": plan is not None,
                 "rows_per_segment": target,
                 "is_fragmented": self.is_symbol_fragmented(symbol, target)}
 
