@@ -1131,21 +1131,30 @@ def q_uint64_mixed_compare(spark, sf):
     # signed comparand: negative for every 3rd row
     ev["s"] = (ev["user_id"].to_numpy().astype(np.int64)
                - np.where(ev["event_id"].to_numpy() % 3 == 0, 10**6, 0))
+    # unsigned pow operands: base 2, exponents 60..63 — uint ** uint stays
+    # INTEGER (uint64) per the reference promotion table
+    # (operation_types.hpp:238); 2^63 exceeds signed range, so the unsigned
+    # max must pick the negative bit pattern
+    ev["pb"] = np.uint64(2)
+    ev["pe"] = (60 + ev["event_id"].to_numpy() % 4).astype(np.uint64)
     lib = Arctic(tempfile.mkdtemp(), spark).create_library("u64mix")
     lib.write("ev", ev)
     q = QueryBuilder()
     q = q[(q["u"] > q["s"]) & (q["u"] <= 2**63 + 40000)]
     q = q.apply("w", q["u"] + q["u"])     # wraps mod 2^64 above 2^63
+    q = q.apply("p", q["pb"] ** q["pe"])  # uint ** uint -> uint64
     q = q.groupby("event_type").agg({"n": ("u", "count"),
                                      "wmin": ("w", "min"),
-                                     "wmax": ("w", "max")})
+                                     "wmax": ("w", "max"),
+                                     "pmax": ("p", "max")})
     out = lib.read("ev", query_builder=q)
 
     def dec(c):
         return F.conv(F.hex(F.col(c)), 16, 10)
 
     return out.select("event_type", F.col("n"),
-                      dec("wmin").alias("wmin"), dec("wmax").alias("wmax"))
+                      dec("wmin").alias("wmin"), dec("wmax").alias("wmax"),
+                      dec("pmax").alias("pmax"))
 
 
 # ---------------------------------------------------------------------------
@@ -1561,16 +1570,20 @@ WITH e AS (
          CAST(9223372036854773308 AS UBIGINT)
            + CAST(event_id AS UBIGINT) * 2 AS u,
          CAST(user_id AS BIGINT)
-           - CASE WHEN event_id % 3 = 0 THEN 1000000 ELSE 0 END AS s
+           - CASE WHEN event_id % 3 = 0 THEN 1000000 ELSE 0 END AS s,
+         60 + event_id % 4 AS pe
   FROM events),
 f AS (SELECT *, CAST(CAST(u AS HUGEINT) * 2 % 18446744073709551616
-                     AS UBIGINT) AS w
+                     AS UBIGINT) AS w,
+                -- uint ** uint stays uint64 (exact: powers of two)
+                CAST(power(2, pe) AS UBIGINT) AS p
       FROM e
       WHERE CAST(u AS HUGEINT) > CAST(s AS HUGEINT)
         AND u <= CAST(9223372036854775808 AS UBIGINT) + 40000)
 SELECT event_type, CAST(count(u) AS BIGINT) AS n,
        CAST(min(w) AS VARCHAR) AS wmin,
-       CAST(max(w) AS VARCHAR) AS wmax
+       CAST(max(w) AS VARCHAR) AS wmax,
+       CAST(max(p) AS VARCHAR) AS pmax
 FROM f GROUP BY event_type
 """,
         "uint64_filter_agg": """

@@ -1002,40 +1002,92 @@ class Library:
             if len(pdf) == 0:
                 # schema inference needs rows; map pandas dtypes explicitly
                 # (reference supports empty writes: test_empty_writes)
-                return self.spark.createDataFrame(
-                    pdf, schema=_schema_from_pandas_dtypes(pdf)), meta
-            return self.spark.createDataFrame(pdf), meta
+                sdf = self.spark.createDataFrame(
+                    pdf, schema=_schema_from_pandas_dtypes(pdf))
+            else:
+                sdf = self.spark.createDataFrame(pdf)
+            if u64:
+                # embed the uint64 marker in the Spark schema so the files'
+                # per-epoch schema_json records which LONG columns hold bit
+                # patterns — a later uint64->float64 widening (reference
+                # strict int->f64 promotion, type_utils.cpp:94) needs it to
+                # convert old epochs by unsigned VALUE at read time
+                sdf = _attach_uint64_marker(sdf, {"uint64": meta["uint64"]})
+            return sdf, meta
         raise ArcticException(
             f"cannot normalize {type(df).__name__}: write() takes a Spark or "
             "pandas DataFrame; use write_pickle() for arbitrary objects")
 
     def _uint64_meta_for(self, prev: "VersionManifest", inm: dict | None,
-                         in_cols: list[str], op: str) -> Any:
+                         in_schema, op: str) -> Any:
         """Reconcile incoming uint64 bit-pattern columns with a stored
-        version on append/update. Same-typed columns pass; a signed<->uint64
-        flip on an existing column raises (the reference has no common type
-        for uint64 and int64 — type_utils.cpp:155 INT->UINT never, and
-        UINT64->INT would need int128); a NEW uint64 column under dynamic
-        schema extends norm_meta. Returns the norm_meta to store."""
+        version on append/update (the reference's merge_descriptors path,
+        ``entity/merge_descriptors.cpp:84``, which uses the STRICT
+        ``has_valid_common_type``):
+
+        * same-typed columns pass;
+        * a signed<->uint64 flip on an existing column raises — the strict
+          combine has no common type for uint64 and any signed int
+          (``type_utils.cpp`` common_type_mixed_sign_ints would need 128
+          bits -> nullopt); pinned by the ported reference cases in
+          tests/test_column_type_changes_port.py;
+        * a uint64<->float flip WIDENS to float64 — int->float64 is a valid
+          promotion even under IntToFloatConversion::STRICT
+          (``type_utils.cpp:94``), so the column leaves the uint64 set and
+          old bit-pattern epochs convert by unsigned value at read;
+        * a NEW uint64 column under dynamic schema extends norm_meta.
+
+        ``in_schema`` is the incoming Spark schema (or a plain column-name
+        list for callers with no dtype context, e.g. merge sources, which
+        then get the strict flip check only). Returns the norm_meta to
+        store."""
+        from pyspark.sql import types as T
         nm = prev.norm_meta if isinstance(prev.norm_meta, dict) else None
         stored = set((nm or {}).get("uint64") or [])
         incoming = set((inm or {}).get("uint64") or [])
         if stored == incoming or not (stored | incoming):
             return prev.norm_meta
-        prev_cols = {f["name"] for f in
-                     json.loads(prev.schema_json).get("fields", [])}
-        flipped = ((incoming & prev_cols) - stored) | \
-                  ((stored & set(in_cols)) - incoming)
+        if isinstance(in_schema, T.StructType):
+            in_types = {f.name: f.dataType for f in in_schema.fields}
+        else:
+            in_types = {c: None for c in in_schema}
+        prev_types = {f["name"]: f.get("type") for f in
+                      json.loads(prev.schema_json).get("fields", [])}
+        widened: set[str] = set()
+        flipped: set[str] = set()
+        for c in (incoming & set(prev_types)) - stored:
+            if prev_types[c] in ("float", "double"):
+                widened.add(c)
+            else:
+                flipped.add(c)
+        for c in (stored & set(in_types)) - incoming:
+            t = in_types.get(c)
+            if isinstance(t, (T.FloatType, T.DoubleType)):
+                widened.add(c)
+            elif isinstance(t, T.NullType):
+                pass   # EMPTY has no opinion; the column stays uint64
+            else:
+                flipped.add(c)
         if flipped:
             raise SchemaException(
                 f"{op} to {prev.symbol!r}: columns {sorted(flipped)} mix "
-                "uint64 and signed int64 across versions (no common type; "
-                "reference entity/type_utils.cpp:141-155)")
-        new_u64 = incoming - prev_cols
-        if not new_u64:
+                "uint64 and signed integers across versions (no common "
+                "type; reference entity/merge_descriptors.cpp:84 strict "
+                "has_valid_common_type)")
+        if widened and not self.dynamic_schema:
+            # static schema still rejects the type change (reference
+            # StreamDescriptorMismatch); let the descriptor check raise
+            # with the full message
+            widened = set()
+        new_u64 = incoming - set(prev_types)
+        out_set = (stored | new_u64) - widened
+        if out_set == stored:
             return prev.norm_meta
         out = dict(nm or {})
-        out["uint64"] = sorted(stored | new_u64)
+        if out_set:
+            out["uint64"] = sorted(out_set)
+        else:
+            out.pop("uint64", None)
         return out
 
     @staticmethod
@@ -1155,6 +1207,7 @@ class Library:
                                   "__asdb_ri__"))
             if sj is not None:  # homogeneous scan already matches phys
                 have = set(df.columns)
+                efields = {f.name: f for f in fschema.fields}
 
                 def fill(f):
                     # the INDEX column is time, whatever its physical type
@@ -1164,9 +1217,24 @@ class Library:
                         return F.lit(None).cast(f.dataType)
                     return _default_backfill_lit(f.dataType)
 
+                def conv(f):
+                    # a uint64 bit-pattern epoch widened to float64 by a
+                    # later append/update converts by unsigned VALUE, not by
+                    # signed reinterpretation (reference strict int->f64
+                    # promotion, type_utils.cpp:94; marker embedded in the
+                    # epoch schema at write)
+                    ef = efields.get(f.name)
+                    if (ef is not None
+                            and isinstance(ef.dataType, T.LongType)
+                            and (ef.metadata or {}).get("arcticdb:uint64")
+                            and isinstance(f.dataType,
+                                           (T.FloatType, T.DoubleType))):
+                        from arcticdb_spark.expr import _u64_to_double
+                        return _u64_to_double(F.col(f.name)).cast(f.dataType)
+                    return F.col(f.name).cast(f.dataType)
+
                 df = df.select([
-                    (F.col(f.name).cast(f.dataType) if f.name in have
-                     else fill(f)).alias(f.name)
+                    (conv(f) if f.name in have else fill(f)).alias(f.name)
                     for f in phys.fields] + ([ROW_ID] if need_row_id else []))
             parts.append(df)
         out = parts[0]
@@ -1565,15 +1633,25 @@ class Library:
         from arcticdb_spark.operators.concat import promote_types
         old = T.StructType.fromJson(json.loads(prev_schema_json))
         merged: dict[str, T.DataType] = {f.name: f.dataType for f in old.fields}
+        # field metadata (the uint64 bit-pattern marker) survives while the
+        # type is unchanged; a widened column drops it — the wide type holds
+        # plain values, only the narrow epochs keep bit patterns
+        metas: dict[str, dict] = {f.name: (f.metadata or {})
+                                  for f in old.fields}
         order = [f.name for f in old.fields]
         for f in new_schema.fields:
             if f.name in merged:
-                merged[f.name] = promote_types(merged[f.name], f.dataType)
+                was = merged[f.name]
+                merged[f.name] = promote_types(was, f.dataType)
+                if merged[f.name] != was:
+                    metas[f.name] = {}
             else:
                 merged[f.name] = f.dataType
+                metas[f.name] = f.metadata or {}
                 order.append(f.name)
         return T.StructType(
-            [T.StructField(n, merged[n], True) for n in order]).json()
+            [T.StructField(n, merged[n], True, metas[n])
+             for n in order]).json()
 
     def _validate_static_schema(self, prev_schema_json: str, new_schema,
                                 op: str) -> str:
@@ -1677,7 +1755,7 @@ class Library:
                 " (pass validate_index=False to append anyway)")
         idx = prev.index_column
         sdf, inm = self._normalize(df, idx)
-        out_norm_meta = self._uint64_meta_for(prev, inm, sdf.columns, "append")
+        out_norm_meta = self._uint64_meta_for(prev, inm, sdf.schema, "append")
         sdf = self._align_index_phys(sdf, idx, prev)
         if self.dynamic_schema:
             schema_json = self._merge_schema(prev.schema_json, sdf.schema)
@@ -1787,7 +1865,7 @@ class Library:
             raise SortingException(
                 f"update of {symbol!r}: symbol is {prev.sorted}")
         sdf, inm = self._normalize(df, idx)
-        out_norm_meta = self._uint64_meta_for(prev, inm, sdf.columns, "update")
+        out_norm_meta = self._uint64_meta_for(prev, inm, sdf.schema, "update")
         if not sdf.head(1):
             return prev  # zero-row update: nothing done, no new version
         sdf = self._align_index_phys(sdf, idx, prev)
@@ -1879,7 +1957,7 @@ class Library:
         # uint64 source columns: bit patterns join/compare exactly against
         # the stored patterns, but a signed<->uint64 flip must not slip
         # through (same rule as append/update)
-        self._uint64_meta_for(prev, src_nm, src.columns, "merge")
+        self._uint64_meta_for(prev, src_nm, src.schema, "merge")
         src = self._align_index_phys(src, idx, prev)
         target = self._read_physical(prev)
         keys = [idx] + [c for c in (on or []) if c != idx]
@@ -2730,7 +2808,7 @@ class Library:
                                            or prev.sorted != "ASCENDING")
                             else "ASCENDING"),
                     norm_meta=self._uint64_meta_for(
-                        prev, {"uint64": sorted(u64_cols)}, df.columns,
+                        prev, {"uint64": sorted(u64_cols)}, df.schema,
                         "finalize_staged_data"))
             else:
                 # mode="append" on a missing symbol behaves like write

@@ -494,7 +494,26 @@ def _compile(node: ExpressionNode, schema: dict[str, T.StructField]) -> tuple[Co
                     if rk == FLOAT:
                         raise ExpressionError(
                             "POW with a float exponent is not supported")
-                    return F.pow(lc, rc), FLOAT
+                    d = F.pow(lc, rc)
+                    if rk == UINT and lk == UINT:
+                        # uint ^ uint -> uint64 (operation_types.hpp:238
+                        # PowOperator integer special case). The reference
+                        # computes std::pow in double then casts to uint64
+                        # (PowOperator::apply :625), so the result carries
+                        # double precision; mirror the unsigned cast by
+                        # mapping [2^63, 2^64) back to negative bit
+                        # patterns. >= 2^64 is UB upstream — saturates here.
+                        bits = F.when(
+                            d >= F.lit(float(1 << 63)),
+                            (d - F.lit(float(1 << 64))).cast("long")
+                        ).otherwise(d.cast("long"))
+                        return bits, UINT
+                    if rk == UINT and lk == INT:
+                        # int ^ uint -> int64 (same table)
+                        return d.cast("long"), INT
+                    # signed exponent (or float base) -> double: a negative
+                    # exponent produces fractional results
+                    return d, FLOAT
                 spark_op = {"ADD": lambda a, b: a + b,
                             "SUB": lambda a, b: a - b,
                             "MUL": lambda a, b: a * b}[op]
@@ -503,11 +522,10 @@ def _compile(node: ExpressionNode, schema: dict[str, T.StructField]) -> tuple[Co
                 return lc.cast("double") / rc.cast("double"), FLOAT
             if op == "POW":
                 # the reference rejects float exponents (test_project_pow_
-                # float_exponent_raises); int exponents produce float64 here
-                # (signed-exponent promotion — negative powers are fractions).
-                # Deviation: the reference's unsigned-exponent integer pow
-                # (uint**uint -> uint64) has no Spark analogue (no unsigned
-                # types survive ingestion), so every allowed pow is float64.
+                # float_exponent_raises); signed int exponents produce
+                # float64 (negative powers are fractions). Unsigned-exponent
+                # integer pow stays integer — handled in the UINT branch
+                # above (uint**uint -> uint64, int**uint -> int64).
                 if rk == FLOAT:
                     raise ExpressionError(
                         "POW with a float exponent is not supported")

@@ -177,7 +177,7 @@ class ConcatLazyFrame(QueryBuilder):
                 if old != new:
                     df = df.withColumnRenamed(old, new)
             frames.append(df)
-        out = _concat(frames, join=self._join)
+        out = _concat(frames, join=self._join, index_cols=merged_phys)
         idx_col = merged_phys[0] if merged_phys else None
         out = self._run(out, idx_col)
         fmt = output_format or "spark"

@@ -63,7 +63,8 @@ def promote_types(a: T.DataType, b: T.DataType) -> T.DataType:
     raise TypeError(f"cannot promote {a} with {b}")
 
 
-def concat(dfs: list[DataFrame], join: str = "outer") -> DataFrame:
+def concat(dfs: list[DataFrame], join: str = "outer",
+           index_cols: list[str] | None = None) -> DataFrame:
     """Row-wise concatenation of N frames.
 
     join='outer': union of columns; cells of a column missing from a frame
@@ -72,6 +73,16 @@ def concat(dfs: list[DataFrame], join: str = "outer") -> DataFrame:
     default_initialize rule; pinned by test_symbol_concatenation.py:191
     ``fillna(0).astype(int64)``). join='inner': intersection of columns.
     Column order: first frame's order, then new columns in encounter order.
+
+    uint64 columns: a DATA column that is uint64 in one frame and signed
+    int / float in another widens to FLOAT64 with the unsigned side
+    converted by exact unsigned value — the reference's concat join_schemas
+    resolves data columns through the PERMISSIVE ``promotable_type``
+    (``clause_utils.cpp:326,385`` inner/outer_join -> ``type_utils.cpp:254``
+    fall back to FLOAT64 when both sides promote to it). INDEX columns go
+    through the STRICT ``has_valid_common_type`` instead
+    (``clause_utils.cpp:267`` generate_index_fields), where uint64 + signed
+    has no common type (128 bits would be needed) — that mix raises.
     """
     if not dfs:
         raise ValueError("concat of zero frames")
@@ -80,28 +91,41 @@ def concat(dfs: list[DataFrame], join: str = "outer") -> DataFrame:
     if join not in ("outer", "inner"):
         raise ValueError("join must be 'outer' or 'inner'")
 
-    # promoted common type per column name; uint64 bit-pattern columns may
-    # only meet other uint64 columns (no common type with signed int64 —
-    # reference type_utils.cpp:141-155; a silent union would reinterpret
-    # bit patterns)
-    from arcticdb_spark.expr import UINT64_META
+    from arcticdb_spark.expr import UINT64_META, _u64_to_double
+    idx_cols = set(index_cols or [])
     merged: dict[str, T.DataType] = {}
-    u64_status: dict[str, bool] = {}
+    u64_seen: dict[str, set[bool]] = {}
     orders: list[list[str]] = []
     for df in dfs:
         orders.append(df.columns)
         for f in df.schema.fields:
             if not isinstance(f.dataType, T.NullType):  # EMPTY: no opinion
                 is_u64 = bool((f.metadata or {}).get(UINT64_META))
-                if u64_status.setdefault(f.name, is_u64) != is_u64:
+                u64_seen.setdefault(f.name, set()).add(is_u64)
+                if len(u64_seen[f.name]) > 1 and f.name in idx_cols:
                     raise TypeError(
-                        f"concat column {f.name!r} mixes uint64 and signed "
-                        "integers across frames (no common type)")
+                        f"concat index column {f.name!r} mixes uint64 and "
+                        "signed integers across frames (no common type; "
+                        "reference clause_utils.cpp:267 strict index join)")
             merged[f.name] = (promote_types(merged[f.name], f.dataType)
                               if f.name in merged else f.dataType)
+    # mixed uint64/signed data columns -> FLOAT64 (permissive combine)
+    mixed_u64 = {c for c, s in u64_seen.items() if len(s) > 1}
+    pure_u64 = {c for c, s in u64_seen.items() if s == {True}}
+    for c in mixed_u64:
+        merged[c] = T.DoubleType()
+
+    def _cast(df, name, target):
+        """Per-frame cast to the merged type; a uint64 bit-pattern source
+        converts by exact unsigned VALUE when the target is double."""
+        col = F.col(name)
+        f = df.schema[name]
+        if (name in mixed_u64 and (f.metadata or {}).get(UINT64_META)):
+            return _u64_to_double(col).cast(target)
+        return col.cast(target)
 
     def _out(col, name):   # keep the uint64 marker through the cast
-        if u64_status.get(name):
+        if name in pure_u64:
             return col.alias(name, metadata={UINT64_META: True})
         return col.alias(name)
 
@@ -110,7 +134,7 @@ def concat(dfs: list[DataFrame], join: str = "outer") -> DataFrame:
         for cols in orders[1:]:
             common &= set(cols)
         keep = [c for c in orders[0] if c in common]
-        casted = [df.select([_out(F.col(c).cast(merged[c]), c) for c in keep])
+        casted = [df.select([_out(_cast(df, c, merged[c]), c) for c in keep])
                   for df in dfs]
         return reduce(lambda a, b: a.unionByName(b), casted)
 
@@ -122,7 +146,7 @@ def concat(dfs: list[DataFrame], join: str = "outer") -> DataFrame:
                                   if c not in orders[0]]
     seen: list[str] = []
     ordered = [c for c in all_cols if not (c in seen or seen.append(c))]
-    casted = [df.select([_out(F.col(c).cast(merged[c]) if c in df.columns
+    casted = [df.select([_out(_cast(df, c, merged[c]) if c in df.columns
                               else default_fill_lit(merged[c]), c)
                          for c in ordered])
               for df in dfs]

@@ -209,9 +209,11 @@ class QueryBuilder:
         join = "outer"
         if clauses and clauses[0][0] == "concat":
             join = clauses[0][1]["join"]
-        df = _concat(dfs, join=join)
-        return self._run(df, index_column or self._index_column,
-                         skip_concat=True)
+        idx = index_column or self._index_column
+        idx_list = (list(idx) if isinstance(idx, (list, tuple))
+                    else [idx] if idx else [])
+        df = _concat(dfs, join=join, index_cols=idx_list)
+        return self._run(df, idx, skip_concat=True)
 
     @staticmethod
     def _ts_col(idx) -> str | None:

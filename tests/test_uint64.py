@@ -387,15 +387,21 @@ def test_column_selection_keeps_marker(ulib):
     assert back["u"].tolist() == FULL
 
 
-def test_concat_uint64_with_signed_raises(tmp_lib):
+def test_concat_uint64_with_signed_widens_to_float64(tmp_lib):
+    """Concat resolves DATA columns through the reference's PERMISSIVE
+    combine (clause_utils.cpp:326,385 outer/inner_join -> promotable_type,
+    type_utils.cpp:254): uint64 + int64 -> FLOAT64, the unsigned side by
+    exact unsigned value. (Append/update use the STRICT merge_descriptors
+    path and still raise — test_append_signed_to_uint64_raises.)"""
     from arcticdb_spark.lazy import concat as lazy_concat
     tmp_lib.write("a", pd.DataFrame({"x": np.array([1, U64_MAX],
                                                    dtype=np.uint64)}))
     tmp_lib.write("b", pd.DataFrame({"x": np.array([1, -2],
                                                    dtype=np.int64)}))
-    with pytest.raises(TypeError, match="uint64"):
-        lazy_concat(tmp_lib.read_batch(["a", "b"], lazy=True),
-                    "outer").collect()
+    out = lazy_concat(tmp_lib.read_batch(["a", "b"], lazy=True),
+                      "outer").collect(output_format="pandas")
+    assert out["x"].dtype == "float64"
+    assert sorted(out["x"].tolist()) == [-2.0, 1.0, 1.0, float(U64_MAX)]
 
 
 def test_concat_uint64_both_sides_roundtrips(tmp_lib):
@@ -408,3 +414,42 @@ def test_concat_uint64_both_sides_roundtrips(tmp_lib):
                       "outer").collect(output_format="pandas")
     assert out["x"].dtype == "uint64"
     assert sorted(out["x"].tolist()) == [1, 7, 2**63, U64_MAX]
+
+
+def test_pow_uint_uint_is_uint64(tmp_lib):
+    """uint ^ uint -> uint64 (reference operation_types.hpp:238 PowOperator
+    integer case; computed in double then cast back, PowOperator::apply)."""
+    pdf = pd.DataFrame({
+        "b": np.array([2, 3, 2, 7], dtype=np.uint64),
+        "e": np.array([10, 2, 63, 0], dtype=np.uint64),
+        "i": np.array([2, -3, 5, 1], dtype=np.int64),
+    })
+    tmp_lib.write("powsym", pdf)
+    q = QueryBuilder()
+    q = q.apply("w", q["b"] ** q["e"])
+    out = tmp_lib.read("powsym", query_builder=q, output_format="pandas")
+    assert out["w"].dtype == "uint64"
+    assert sorted(out["w"].tolist()) == sorted([1024, 9, 2**63, 1])
+
+
+def test_pow_int_uint_is_int64(tmp_lib):
+    """signed base ^ unsigned exponent -> int64 (same promotion table)."""
+    pdf = pd.DataFrame({
+        "e": np.array([10, 2, 3, 0], dtype=np.uint64),
+        "i": np.array([2, -3, 5, 1], dtype=np.int64),
+    })
+    tmp_lib.write("powsym2", pdf)
+    q = QueryBuilder()
+    q = q.apply("w", q["i"] ** q["e"])
+    out = tmp_lib.read("powsym2", query_builder=q, output_format="pandas")
+    assert out["w"].dtype == "int64"
+    assert sorted(out["w"].tolist()) == sorted([1024, 9, 125, 1])
+
+
+def test_pow_uint_signed_exponent_is_double(ulib):
+    """unsigned base ^ signed exponent -> double (negative exponents are
+    fractional)."""
+    q = QueryBuilder()
+    q = q.apply("w", q["u"] ** q["i"])
+    out = ulib.read("u64", query_builder=q, output_format="pandas")
+    assert out["w"].dtype == "float64"
