@@ -1164,65 +1164,14 @@ def q_uint64_mixed_compare(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDERING POLICY (round 4+): least-recently-driver-verified first.
-        # The driver checks only the first ~50 entries per round. Round-7 sort:
-        # the six queries whose kernels/oracles changed in r6 but whose driver
-        # rows predate the change lead (VERDICT r6 item 1), then the other 24
-        # queries whose last driver row is CORRECTNESS_r05, then the 50 queries
-        # green in CORRECTNESS_r06 on current code. New r7 queries go on top.
-        # --- new in r7, never driver-verified ---
-        "uint64_filter_agg": q_uint64_filter_agg,
+        # The driver checks only the first ~50 entries per round. Round-8
+        # sort: uint64_mixed_compare leads (its kernel/oracle gained the
+        # unsigned-pow term in r8), then the 32 queries whose last driver row
+        # is CORRECTNESS_r06 (the stale half after the r7 run), then the 49
+        # remaining queries green in CORRECTNESS_r07 on current code.
+        # --- changed in r8; driver re-verification required ---
         "uint64_mixed_compare": q_uint64_mixed_compare,
-        # --- r6-changed kernels/oracles; driver re-verification required ---
-        "embedding_kmeans": q_embedding_kmeans,
-        "embedding_centroids": q_embedding_centroids,
-        "ngram_top": q_ngram_top,
-        "token_frequencies": q_token_frequencies,
-        "dup_ngram_fraction": q_dup_ngram_fraction,
-        "decontaminate": q_decontaminate,
-        # --- last driver row is r05 ---
-        "cumulative_sum": q_cumulative_sum,
-        "distinct_agg": q_distinct_agg,
-        "pivot": q_pivot,
-        "percentiles": q_percentiles,
-        "set_ops": q_set_ops,
-        "rollup": q_rollup,
-        "unpivot": q_unpivot,
-        "skew_salted_agg": q_skew_salted_agg,
-        "media_frame_sample": q_media_frame_sample,
-        "pack_chunks": q_pack_chunks,
-        "pii_scan": q_pii_scan,
-        "range_join": q_range_join,
-        "quality_repetition": q_quality_repetition,
-        "sample_split": q_sample_split,
-        "sample_stratified": q_sample_stratified,
-        "dedup_cluster": q_dedup_cluster,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_exact": q_dedup_exact,
-        "embedding_label_stats": q_embedding_label_stats,
-        "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
-        "rolling_mean": q_rolling_mean,
-        "text_stats": q_text_stats,
-        "text_langid": q_text_langid,
-        # --- green in CORRECTNESS_r06 on current code ---
-        "ns_precision": q_ns_precision,
-        "text_fingerprint": q_text_fingerprint,
-        "multimodal_features": q_multimodal_features,
-        "dedup_jaccard": q_dedup_jaccard,
-        "semi_join_date_arith": q_semi_join_date_arith,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "similarity_bruteforce": q_similarity_bruteforce,
-        "similarity_lsh": q_similarity_lsh,
-        "similarity_ivf": q_similarity_ivf,
-        "json_extract": q_json_extract,
-        "approx_sketches": q_approx_sketches,
-        "filter_numeric": q_filter_numeric,
-        "filter_isin_regex": q_filter_isin_regex,
-        "filter_ternary": q_filter_ternary,
-        "project_arith": q_project_arith,
-        "groupby_single": q_groupby_single,
-        "groupby_first_last": q_groupby_first_last,
+        # --- last driver row is r06 ---
         "groupby_tpch_q1": q_groupby_tpch_q1,
         "groupby_ts_minmax": q_groupby_ts_minmax,
         "resample_weekly": q_resample_weekly,
@@ -1255,6 +1204,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except_users": q_except_users,
         "topk_per_group": q_topk_per_group,
         "window_lag_lead": q_window_lag_lead,
+        # --- green in CORRECTNESS_r07 on current code ---
+        "uint64_filter_agg": q_uint64_filter_agg,
+        "embedding_kmeans": q_embedding_kmeans,
+        "embedding_centroids": q_embedding_centroids,
+        "ngram_top": q_ngram_top,
+        "token_frequencies": q_token_frequencies,
+        "dup_ngram_fraction": q_dup_ngram_fraction,
+        "decontaminate": q_decontaminate,
+        "cumulative_sum": q_cumulative_sum,
+        "distinct_agg": q_distinct_agg,
+        "pivot": q_pivot,
+        "percentiles": q_percentiles,
+        "set_ops": q_set_ops,
+        "rollup": q_rollup,
+        "unpivot": q_unpivot,
+        "skew_salted_agg": q_skew_salted_agg,
+        "media_frame_sample": q_media_frame_sample,
+        "pack_chunks": q_pack_chunks,
+        "pii_scan": q_pii_scan,
+        "range_join": q_range_join,
+        "quality_repetition": q_quality_repetition,
+        "sample_split": q_sample_split,
+        "sample_stratified": q_sample_stratified,
+        "dedup_cluster": q_dedup_cluster,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_exact": q_dedup_exact,
+        "embedding_label_stats": q_embedding_label_stats,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "rolling_mean": q_rolling_mean,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        "ns_precision": q_ns_precision,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_features": q_multimodal_features,
+        "dedup_jaccard": q_dedup_jaccard,
+        "semi_join_date_arith": q_semi_join_date_arith,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "similarity_bruteforce": q_similarity_bruteforce,
+        "similarity_lsh": q_similarity_lsh,
+        "similarity_ivf": q_similarity_ivf,
+        "json_extract": q_json_extract,
+        "approx_sketches": q_approx_sketches,
+        "filter_numeric": q_filter_numeric,
+        "filter_isin_regex": q_filter_isin_regex,
+        "filter_ternary": q_filter_ternary,
+        "project_arith": q_project_arith,
+        "groupby_single": q_groupby_single,
+        "groupby_first_last": q_groupby_first_last,
     }
 
 
