@@ -26,8 +26,11 @@ from arcticdb_spark.query import QueryBuilder, col
 from arcticdb_spark.expr import where
 from arcticdb_spark.catalog import (Arctic, ArcticDbNotYetImplemented,
                                     ArcticException, DataError,
-                                    DeleteRequest, MergeStrategy,
+                                    DeleteRequest, EnterpriseLibraryOptions,
+                                    LibraryOptions, MergeStrategy,
                                     MissingKeysInStageResultsError,
+                                    ModifiableEnterpriseLibraryOption,
+                                    ModifiableLibraryOption,
                                     NoSuchVersionException,
                                     ReadInfoRequest, ReadRequest,
                                     SchemaException, SortingException,

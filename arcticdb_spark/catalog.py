@@ -264,6 +264,78 @@ class ReadInfoRequest:
     as_of: Any = None
 
 
+class LibraryOptions:
+    """Library configuration (reference ``options.py:21`` LibraryOptions).
+
+    ``rows_per_segment`` maps to this engine's ``rows_per_file`` (parquet
+    file slicing). ``columns_per_segment`` is accepted and persisted but
+    advisory: parquet is already columnar, so column slicing is subsumed
+    by projection pushdown. ``dedup`` sets the library-level default for
+    write-time segment dedup (per-call ``write(dedup=...)`` overrides)."""
+
+    def __init__(self, *, dynamic_schema: bool = False, dedup: bool = False,
+                 rows_per_segment: int = 100_000,
+                 columns_per_segment: int = 127):
+        self.dynamic_schema = dynamic_schema
+        self.dedup = dedup
+        self.rows_per_segment = rows_per_segment
+        self.columns_per_segment = columns_per_segment
+
+    def __eq__(self, o):
+        return (self.dynamic_schema == o.dynamic_schema
+                and self.dedup == o.dedup
+                and self.rows_per_segment == o.rows_per_segment
+                and self.columns_per_segment == o.columns_per_segment)
+
+    def __repr__(self):
+        return (f"LibraryOptions(dynamic_schema={self.dynamic_schema}, "
+                f"dedup={self.dedup}, "
+                f"rows_per_segment={self.rows_per_segment}, "
+                f"columns_per_segment={self.columns_per_segment})")
+
+
+class EnterpriseLibraryOptions:
+    """Enterprise flags (reference ``options.py:300``).
+
+    ``replication``: persisted only — the reference's oplog feeds a
+    one-way replication tool; a Spark deployment replicates storage at the
+    object-store layer, so the flag is configuration parity without an
+    execution analogue. ``background_deletion``: honored — delete /
+    prune_previous_versions tombstone versions (readers see data gone,
+    same logical semantics) but leave parquet data files on disk for an
+    out-of-band deletion job, exactly the reference contract."""
+
+    def __init__(self, *, replication: bool = False,
+                 background_deletion: bool = False):
+        self.replication = replication
+        self.background_deletion = background_deletion
+
+    def __eq__(self, o):
+        return (self.replication == o.replication
+                and self.background_deletion == o.background_deletion)
+
+    def __repr__(self):
+        return (f"EnterpriseLibraryOptions(replication={self.replication}, "
+                f"background_deletion={self.background_deletion})")
+
+
+from enum import Enum
+
+
+class ModifiableLibraryOption(Enum):
+    """Reference ``storage/library_manager.hpp:19``."""
+    DEDUP = 1
+    ROWS_PER_SEGMENT = 2
+    COLUMNS_PER_SEGMENT = 3
+    RECURSIVE_NORMALIZERS = 4
+
+
+class ModifiableEnterpriseLibraryOption(Enum):
+    """Reference ``storage/library_manager.hpp:25``."""
+    REPLICATION = 1
+    BACKGROUND_DELETION = 2
+
+
 @dataclass
 class Size:
     """Compressed bytes + object count for one key type (reference
@@ -577,7 +649,13 @@ class Library:
 
     def __init__(self, spark: SparkSession, root: str, name: str,
                  rows_per_file: int = 1_000_000, dynamic_schema: bool = False,
-                 fs=None, data_root: str | None = None):
+                 fs=None, data_root: str | None = None,
+                 library_options: "LibraryOptions | None" = None,
+                 enterprise_library_options:
+                     "EnterpriseLibraryOptions | None" = None):
+        if library_options is not None:
+            rows_per_file = library_options.rows_per_segment
+            dynamic_schema = library_options.dynamic_schema
         self.spark = spark
         # results-affecting SQL confs (UTC, nanosAsLong, µs parquet output,
         # ansi=false so uint64 mod-2^64 long math wraps instead of
@@ -603,15 +681,39 @@ class Library:
         os.makedirs(self.data_root, exist_ok=True)
         # persisted LibraryOptions (reference options.py:21): a library
         # re-opened later keeps its configuration
+        ent = enterprise_library_options or EnterpriseLibraryOptions()
+        dedup_default = (library_options.dedup if library_options is not None
+                         else False)
+        columns_per_segment = (library_options.columns_per_segment
+                               if library_options is not None else 127)
         cfg_path = self._fs.join(self.root, "_config.json")
         try:
             cfg = self._fs.read_json(cfg_path)
             rows_per_file = cfg.get("rows_per_file", rows_per_file)
             dynamic_schema = cfg.get("dynamic_schema", dynamic_schema)
+            dedup_default = cfg.get("dedup", dedup_default)
+            columns_per_segment = cfg.get("columns_per_segment",
+                                          columns_per_segment)
+            ent = EnterpriseLibraryOptions(
+                replication=cfg.get("replication", ent.replication),
+                background_deletion=cfg.get("background_deletion",
+                                            ent.background_deletion))
         except FileNotFoundError:
-            self._fs.write_json_atomic(cfg_path, {"rows_per_file": rows_per_file,
-                                                  "dynamic_schema": dynamic_schema})
+            self._fs.write_json_atomic(cfg_path, {
+                "rows_per_file": rows_per_file,
+                "dynamic_schema": dynamic_schema,
+                "dedup": dedup_default,
+                "columns_per_segment": columns_per_segment,
+                "replication": ent.replication,
+                "background_deletion": ent.background_deletion})
         self.rows_per_file = rows_per_file
+        self.dedup = dedup_default
+        self.columns_per_segment = columns_per_segment
+        self.replication = ent.replication
+        # background deletion (reference EnterpriseLibraryOptions): delete /
+        # prune tombstone versions but defer physical data-file removal to
+        # an out-of-band job; logical read semantics are unchanged
+        self.background_deletion = ent.background_deletion
         # reference LibraryOptions.dynamic_schema (options.py:43): appends may
         # add columns / promote numeric types; reads backfill + upcast
         self.dynamic_schema = dynamic_schema
@@ -1308,7 +1410,7 @@ class Library:
 
     def write(self, symbol: str, df, metadata: Any = None,
               index_column: str | None = None, prune_previous: bool = False,
-              dedup: bool = False, staged: bool = False,
+              dedup: bool | None = None, staged: bool = False,
               prune_previous_versions: bool | None = None,
               recursive_normalizers: bool = False,
               _custom_meta: dict | None = None) -> VersionManifest:
@@ -1325,6 +1427,8 @@ class Library:
         reference's name for ``prune_previous`` (either works)."""
         if prune_previous_versions is not None:
             prune_previous = prune_previous_versions
+        if dedup is None:   # library-level default (LibraryOptions.dedup)
+            dedup = self.dedup
         # user-extensible normalizers (reference _custom_normalizers.py:17;
         # the composite tries custom normalizers before built-in dispatch):
         # first registered acceptor wins; its output re-enters the normal
@@ -3147,9 +3251,24 @@ class Library:
             for v in ((versions,) if isinstance(versions, int) else versions):
                 self.delete_version(symbol, v)
             return
-        self._fs.rmtree(self._sym_dir(symbol))
-        if self.data_root != self.root:
-            shutil.rmtree(self._data_sym_dir(symbol), ignore_errors=True)
+        if self.background_deletion and self.data_root == self.root:
+            # background_deletion (EnterpriseLibraryOptions): remove the
+            # metadata (readers raise NoSuchVersion — same logical
+            # semantics) but keep the data/ subtree for the out-of-band
+            # physical-deletion job. Same-root layout interleaves both
+            # under <root>/<symbol>/, so prune entry-by-entry.
+            d = self._sym_dir(symbol)
+            if self._fs.isdir(d):
+                for entry in self._fs.listdir(d):
+                    if entry == "data":
+                        continue
+                    p = self._fs.join(d, entry)
+                    (self._fs.rmtree if self._fs.isdir(p)
+                     else self._fs.remove)(p)
+        else:
+            self._fs.rmtree(self._sym_dir(symbol))
+            if not self.background_deletion:
+                shutil.rmtree(self._data_sym_dir(symbol), ignore_errors=True)
         # recursive-normalizer leaves are exclusively owned by the parent —
         # GC them with it (they're invisible to list_symbols)
         prefix = f"_rec__{symbol}__"
@@ -3213,9 +3332,10 @@ class Library:
             if v in keep_versions:
                 continue
             m = self._load_manifest(symbol, v)
-            for fe in m.files:
-                if fe.path not in referenced and os.path.exists(fe.path):
-                    os.remove(fe.path)
+            if not self.background_deletion:
+                for fe in m.files:
+                    if fe.path not in referenced and os.path.exists(fe.path):
+                        os.remove(fe.path)
             self._fs.remove(self._ver_path(symbol, v))
         ref["deleted"] = [v for v in ref.get("deleted", []) if v in keep_versions]
         self._fs.write_json_atomic(self._ref_path(symbol), ref)
@@ -3439,7 +3559,15 @@ class Library:
     def options(self) -> dict:
         """Persisted LibraryOptions (reference ``library.py`` options())."""
         return {"rows_per_file": self.rows_per_file,
-                "dynamic_schema": self.dynamic_schema}
+                "dynamic_schema": self.dynamic_schema,
+                "dedup": self.dedup,
+                "columns_per_segment": self.columns_per_segment}
+
+    def enterprise_options(self) -> EnterpriseLibraryOptions:
+        """Reference ``library.py`` enterprise_options()."""
+        return EnterpriseLibraryOptions(
+            replication=self.replication,
+            background_deletion=self.background_deletion)
 
     def write_pickle_batch(self, payloads: list[tuple]) -> list[VersionManifest]:
         """(``library.py:1319``) payloads = [(symbol, data[, metadata]), ...]."""
@@ -3577,17 +3705,41 @@ class Arctic:
     def __repr__(self) -> str:
         return f"Arctic(config={self.uri or type(self.fs).__name__})"
 
-    def modify_library_option(self, library: "Library", option: str, value) -> None:
-        """Reference ``arctic.py`` modify_library_option: persist a changed
-        LibraryOptions value (rows_per_file / dynamic_schema) so future opens
-        see it; applies to the live Library object too."""
-        if option not in ("rows_per_file", "dynamic_schema"):
+    # enum members / reference names -> this engine's attribute names.
+    # RECURSIVE_NORMALIZERS and COLUMNS_PER_SEGMENT are persisted for
+    # round-trip parity; recursive normalizers are always available here
+    # (write(recursive_normalizers=True)) and column slicing is subsumed
+    # by parquet projection pushdown.
+    _MODIFIABLE_OPTIONS = {
+        ModifiableLibraryOption.DEDUP: "dedup",
+        ModifiableLibraryOption.ROWS_PER_SEGMENT: "rows_per_file",
+        ModifiableLibraryOption.COLUMNS_PER_SEGMENT: "columns_per_segment",
+        ModifiableEnterpriseLibraryOption.REPLICATION: "replication",
+        ModifiableEnterpriseLibraryOption.BACKGROUND_DELETION:
+            "background_deletion",
+        "dedup": "dedup",
+        "rows_per_segment": "rows_per_file",
+        "rows_per_file": "rows_per_file",
+        "columns_per_segment": "columns_per_segment",
+        "dynamic_schema": "dynamic_schema",
+        "replication": "replication",
+        "background_deletion": "background_deletion",
+    }
+
+    def modify_library_option(self, library: "Library", option, value) -> None:
+        """Reference ``arctic.py:376`` modify_library_option: persist a
+        changed LibraryOptions / EnterpriseLibraryOptions value (accepts the
+        ModifiableLibraryOption / ModifiableEnterpriseLibraryOption enums or
+        plain option names) so future opens see it; applies to the live
+        Library object too."""
+        attr = self._MODIFIABLE_OPTIONS.get(option)
+        if attr is None:
             raise ArcticException(f"unknown library option {option!r}")
         cfg_path = library._fs.join(library.root, "_config.json")
         try:
             cfg = library._fs.read_json(cfg_path)
         except FileNotFoundError:
             cfg = {}
-        cfg[option] = value
+        cfg[attr] = value
         library._fs.write_json_atomic(cfg_path, cfg)
-        setattr(library, option, value)
+        setattr(library, attr, value)
