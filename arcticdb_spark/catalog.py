@@ -1325,13 +1325,13 @@ class Library:
                     # signed reinterpretation (reference strict int->f64
                     # promotion, type_utils.cpp:94; marker embedded in the
                     # epoch schema at write)
+                    from arcticdb_spark.expr import UINT64_META, _u64_to_double
                     ef = efields.get(f.name)
                     if (ef is not None
                             and isinstance(ef.dataType, T.LongType)
-                            and (ef.metadata or {}).get("arcticdb:uint64")
+                            and (ef.metadata or {}).get(UINT64_META)
                             and isinstance(f.dataType,
                                            (T.FloatType, T.DoubleType))):
-                        from arcticdb_spark.expr import _u64_to_double
                         return _u64_to_double(F.col(f.name)).cast(f.dataType)
                     return F.col(f.name).cast(f.dataType)
 

@@ -17,7 +17,13 @@ QUERIES = ["filter_numeric", "groupby_tpch_q1", "resample_1h", "join_revenue",
            "asof_join", "dedup_exact", "dedup_minhash", "dedup_cluster",
            "quality_repetition", "embedding_kmeans",
            "similarity_bruteforce",
-           "decontaminate", "pack_chunks", "dup_ngram_fraction", "pii_scan"]
+           "decontaminate", "pack_chunks", "dup_ngram_fraction", "pii_scan",
+           # r7 newcomers (VERDICT r7 item 7): the uint64 library queries
+           # and the streaming gate lines. stream_resample pays the shared
+           # one-pass gate runtime for the sf_dir; stream_sessionize then
+           # reads the cached result — the pair shows both costs.
+           "uint64_filter_agg", "uint64_mixed_compare",
+           "stream_resample", "stream_sessionize"]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
 
