@@ -974,19 +974,24 @@ class Library:
                 meta = dict(meta or {})
                 meta["categoricals"] = cat_meta
                 return sdf, meta
-            # non-string column names (bool/int/float — reference
-            # _column_name_to_strings, test_write.py
-            # test_write_bool_named_columns): stringify for the physical
-            # schema, record the original kind for pandas-output restore.
+            # column names must be str or int (reference _check_valid_name,
+            # _normalization.py:511 — "bools are a subclass of int, so we
+            # need to check for them explicitly"; pinned by test_write.py
+            # test_write_bool_named_columns which expects the raise). int
+            # names stringify for the physical schema with the original
+            # kind recorded for pandas-output restore (norm meta is_int).
             renamed = None
             if any(not isinstance(c, str) for c in pdf.columns):
                 renamed = []
                 phys_cols = []
                 for c in pdf.columns:
+                    if isinstance(c, bool) or not isinstance(
+                            c, (str, int, np.integer)):
+                        raise SchemaException(
+                            "Column and index names must be of type str or "
+                            f"int, received {c!r} of type {type(c)}")
                     phys_cols.append(str(c))
-                    kind = ("bool" if isinstance(c, bool) else
-                            "int" if isinstance(c, (int, np.integer)) else
-                            "float" if isinstance(c, (float, np.floating))
+                    kind = ("int" if isinstance(c, (int, np.integer))
                             else "str")
                     renamed.append([str(c), kind])
                 pdf = pdf.copy(deep=False)
@@ -1848,6 +1853,36 @@ class Library:
                         f"stored index (expected start={exp_start}, "
                         f"step={rmeta['step']}; got start={df.index.start}, "
                         f"step={df.index.step})")
+        elif prev.index_column is None and rmeta.get("index_type") is None:
+            # default row-count symbol (reference hypothesis test_append.py
+            # TestAppendHypothesis.test_ forbidden-append rows): the row
+            # numbers are implicit, so only a default-shaped RangeIndex may
+            # append; a step change, a non-range integer index, or a
+            # different index KIND raises instead of silently dropping or
+            # reinterpreting the incoming index (NormalizationException /
+            # E_INCOMPATIBLE_INDEX upstream)
+            import pandas as pd
+            if isinstance(df, (pd.DataFrame, pd.Series)):
+                idx = df.index
+                if isinstance(idx, pd.RangeIndex):
+                    if idx.step != 1:
+                        raise ArcticException(
+                            f"append to {symbol!r}: RangeIndex step "
+                            f"{idx.step} does not match the stored "
+                            "row-count index (step 1)")
+                elif isinstance(idx, (pd.DatetimeIndex, pd.MultiIndex)):
+                    raise SchemaException(
+                        f"append to {symbol!r}: E_INCOMPATIBLE_INDEX — "
+                        f"cannot append a {type(idx).__name__} frame to a "
+                        "row-count-indexed symbol")
+                elif idx.name is None:
+                    # an unnamed non-range index would be silently dropped
+                    # by positional normalization — refuse like the
+                    # reference ("does not make a range index")
+                    raise ArcticException(
+                        f"append to {symbol!r}: the frame's index "
+                        f"({type(idx).__name__}) is not a range index and "
+                        "cannot extend a row-count-indexed symbol")
         chunk_sorted = self._input_sortedness(df)
         if validate_index and (prev.sorted != "ASCENDING"
                                or chunk_sorted != "ASCENDING"):
@@ -1859,6 +1894,15 @@ class Library:
                 " (pass validate_index=False to append anyway)")
         idx = prev.index_column
         sdf, inm = self._normalize(df, idx)
+        if idx is not None and idx not in sdf.columns:
+            # reference StreamDescriptorMismatch naming the index column
+            # (hypothesis test_append.py
+            # test_regular_append_dynamic_schema_named_index): an appended
+            # frame whose index does not normalize to the stored index
+            # column must fail cleanly, not leak an unresolved-column error
+            raise SchemaException(
+                f"append to {symbol!r}: the stored index column {idx!r} is "
+                f"missing from the incoming frame (columns: {sdf.columns})")
         out_norm_meta = self._uint64_meta_for(prev, inm, sdf.schema, "append")
         sdf = self._align_index_phys(sdf, idx, prev)
         if self.dynamic_schema:
@@ -1969,6 +2013,15 @@ class Library:
             raise SortingException(
                 f"update of {symbol!r}: symbol is {prev.sorted}")
         sdf, inm = self._normalize(df, idx)
+        if idx is not None and idx not in sdf.columns:
+            # reference StreamDescriptorMismatch naming the index column
+            # (hypothesis test_append.py
+            # test_regular_append_dynamic_schema_named_index): an appended
+            # frame whose index does not normalize to the stored index
+            # column must fail cleanly, not leak an unresolved-column error
+            raise SchemaException(
+                f"update to {symbol!r}: the stored index column {idx!r} is "
+                f"missing from the incoming frame (columns: {sdf.columns})")
         out_norm_meta = self._uint64_meta_for(prev, inm, sdf.schema, "update")
         if not sdf.head(1):
             return prev  # zero-row update: nothing done, no new version

@@ -135,15 +135,22 @@ def test_arrow_record_batch_and_zero_rows(tmp_lib):
 
 
 def test_non_string_column_names(tmp_lib):
-    # reference test_write_bool_named_columns / _column_name_to_strings
+    # reference _check_valid_name (_normalization.py:511): column names
+    # must be str or int — int names round-trip as ints, bool raises
+    # (bool is a subclass of int, checked explicitly; pinned upstream by
+    # test_write.py test_write_bool_named_columns), float/tuple raise.
     from arcticdb_spark.catalog import ArcticException
-    df = pd.DataFrame({True: [1, 2], False: [3, 4], 7: [5.0, 6.0]})
+    df = pd.DataFrame({1: [1, 2], 7: [5.0, 6.0]})
     tmp_lib.write("b", df)
     out = tmp_lib.read("b", output_format="pandas")
-    assert list(out.columns) == [True, False, 7]
-    assert out[True].tolist() == [1, 2]
+    assert list(out.columns) == [1, 7]
+    assert out[1].tolist() == [1, 2]
     # spark output keeps the stringified physical names
-    assert set(tmp_lib.read("b").columns) == {"True", "False", "7"}
+    assert set(tmp_lib.read("b").columns) == {"1", "7"}
+    for bad in ({True: [1, 2]}, {2.5: [1, 2]}, {("a", "b"): [1, 2]}):
+        with pytest.raises(ArcticException, match="str or int"):
+            tmp_lib.write("bad", pd.DataFrame(bad))
+    assert not tmp_lib.has_symbol("bad")
     # duplicate names raise cleanly
     dup = pd.DataFrame([[1, 2]], columns=["x", "x"])
     with pytest.raises(ArcticException, match="duplicate column"):
