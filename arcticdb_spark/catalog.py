@@ -812,7 +812,10 @@ class Library:
         try:
             ref = self._load_ref(symbol)
         except NoSuchVersionException:
-            return 0
+            # deleted symbol: snapshot-pinned manifests may survive and
+            # their numbers must not be reused
+            existing = self._list_version_numbers(symbol)
+            return (existing[-1] + 1) if existing else 0
         tops = [ref.get("latest", -1)] + list(ref.get("deleted", []))
         existing = self._list_version_numbers(symbol)
         if existing:
@@ -2183,19 +2186,37 @@ class Library:
 
     # ---- read path ----
     def _resolve_version(self, symbol: str, as_of) -> VersionManifest:
-        ref = self._load_ref(symbol)
-        deleted = set(ref.get("deleted", []))
-        if as_of is None:
-            v = ref["latest"]
-        elif isinstance(as_of, int):
-            v = as_of
-        elif isinstance(as_of, str):
+        if isinstance(as_of, str):
+            # snapshot reads resolve WITHOUT the version ref: a deleted
+            # symbol stays readable through a snapshot that pins it
+            # (reference library.py:2677 — delete "may not actually delete
+            # the underlying data if a snapshot still references it")
             snap = self._load_snapshot(as_of)
             if symbol not in snap["symbols"]:
                 raise NoSuchVersionException(
                     f"{symbol!r} not in snapshot {as_of!r}")
             v = snap["symbols"][symbol]
             return self._load_manifest(symbol, v)
+        if isinstance(as_of, int):
+            try:
+                ref = self._load_ref(symbol)
+            except NoSuchVersionException:
+                # symbol deleted; only snapshot-pinned manifests remain —
+                # version-number reads of those still succeed (reference
+                # test_deletion.py test_delete_snapshot: "Should not raise
+                # as it exists in a snapshot")
+                return self._load_manifest(symbol, as_of)
+            if as_of in set(ref.get("deleted", [])):
+                if any(self._load_snapshot(n)["symbols"].get(symbol) == as_of
+                       for n in self.list_snapshots()):
+                    return self._load_manifest(symbol, as_of)
+                raise NoSuchVersionException(
+                    f"{symbol!r} version {as_of} was deleted")
+            return self._load_manifest(symbol, as_of)
+        ref = self._load_ref(symbol)
+        deleted = set(ref.get("deleted", []))
+        if as_of is None:
+            v = ref["latest"]
         else:  # timestamp: newest version created at/before it
             import pandas as pd
             cutoff = pd.Timestamp(as_of).value
@@ -3139,7 +3160,40 @@ class Library:
                       if fn.endswith(".json"))
 
     def delete_snapshot(self, name: str) -> None:
+        """Remove the snapshot, then GC versions it ALONE kept alive —
+        tombstoned or symbol-deleted versions unpinned by any remaining
+        snapshot lose their manifest and their unshared data files
+        (reference snapshot GC: deleting the last referencing snapshot
+        releases the data; ``snapshot`` docstring library.py:2642)."""
+        snap = self._load_snapshot(name)
         self._fs.remove(self._snap_path(name))
+        for sym, v in snap["symbols"].items():
+            if any(self._load_snapshot(o)["symbols"].get(sym) == v
+                   for o in self.list_snapshots()):
+                continue   # still pinned by another snapshot
+            try:
+                alive = v not in set(self._load_ref(sym).get("deleted", []))
+            except NoSuchVersionException:
+                alive = False   # whole symbol was deleted
+            if alive:
+                continue
+            try:
+                m = self._load_manifest(sym, v)
+            except NoSuchVersionException:
+                continue
+            keep = set()
+            for vv in self._list_version_numbers(sym):
+                if vv != v:
+                    try:
+                        keep |= {fe.path for fe in
+                                 self._load_manifest(sym, vv).files}
+                    except NoSuchVersionException:
+                        pass
+            if not self.background_deletion:
+                for fe in m.files:
+                    if fe.path not in keep and os.path.exists(fe.path):
+                        os.remove(fe.path)
+            self._fs.remove(self._ver_path(sym, v))
 
     def add_to_snapshot(self, name: str, symbol: str, version: int | None = None):
         snap = self._load_snapshot(name)
@@ -3304,6 +3358,36 @@ class Library:
             for v in ((versions,) if isinstance(versions, int) else versions):
                 self.delete_version(symbol, v)
             return
+        pinned = set()
+        for name in self.list_snapshots():
+            v = self._load_snapshot(name)["symbols"].get(symbol)
+            if v is not None:
+                pinned.add(v)
+        if pinned:
+            # snapshot-pinned versions survive the delete (reference
+            # library.py:2677): drop the ref (the symbol is logically gone
+            # — has_symbol/list_symbols/read all miss it) and every
+            # unpinned version + its unshared data files; pinned manifests
+            # and their files stay readable via read(as_of=<snapshot>).
+            keep_files = set()
+            for v in pinned:
+                try:
+                    keep_files |= {fe.path for fe in
+                                   self._load_manifest(symbol, v).files}
+                except NoSuchVersionException:
+                    pass
+            for v in self._list_version_numbers(symbol):
+                if v in pinned:
+                    continue
+                m = self._load_manifest(symbol, v)
+                if not self.background_deletion:
+                    for fe in m.files:
+                        if fe.path not in keep_files and os.path.exists(fe.path):
+                            os.remove(fe.path)
+                self._fs.remove(self._ver_path(symbol, v))
+            if self._fs.exists(self._ref_path(symbol)):
+                self._fs.remove(self._ref_path(symbol))
+            return
         if self.background_deletion and self.data_root == self.root:
             # background_deletion (EnterpriseLibraryOptions): remove the
             # metadata (readers raise NoSuchVersion — same logical
@@ -3390,7 +3474,13 @@ class Library:
                     if fe.path not in referenced and os.path.exists(fe.path):
                         os.remove(fe.path)
             self._fs.remove(self._ver_path(symbol, v))
-        ref["deleted"] = [v for v in ref.get("deleted", []) if v in keep_versions]
+        # snapshot-pinned non-latest versions are TOMBSTONED, not live:
+        # readable while pinned (by snapshot or version number), released
+        # by delete_snapshot's GC once the last pin goes (reference
+        # test_deletion.py test_delete_snapshot)
+        ref["deleted"] = sorted(
+            {v for v in ref.get("deleted", []) if v in keep_versions}
+            | (snap_pins - {latest}))
         self._fs.write_json_atomic(self._ref_path(symbol), ref)
 
     # ---- column stats (reference create_column_stats, _store.py:1297) ----

@@ -4,6 +4,16 @@ RuleBasedStateMachine: random interleavings of write / append / delete /
 delete_version / snapshot / prune against a pure-Python model, with
 invariants over read()/as_of/list_symbols/list_versions/snapshot reads.
 
+Round-8 extension: the model now tracks the reference's full tombstone /
+snapshot lifecycle (test_deletion.py test_delete_snapshot,
+test_delete_snapshot_key_shared_with_another_snapshot, library.py:2677):
+
+* ``delete(symbol)`` purges unpinned versions but snapshot-pinned ones
+  stay readable — via the snapshot AND by version number;
+* tombstoned-but-pinned versions read by version number;
+* deleting the LAST snapshot that pins a tombstoned/symbol-deleted
+  version garbage-collects it (reads raise afterwards).
+
 Simplifications vs the reference machine (documented scope): metadata
 payloads and batch reads are pinned by the deterministic suites
 (test_catalog*.py, test_batch_ops); this machine focuses on the version
@@ -33,16 +43,23 @@ def _init(spark):
 
 _SYMS = ["s0", "s1"]
 
+LIVE, TOMB, PURGED = "live", "tombstoned", "purged"
+
 
 class VersionStoreMachine(RuleBasedStateMachine):
     def __init__(self):
         super().__init__()
         self.lib = Arctic(tempfile.mkdtemp(), _spark).create_library("vs")
         self.counter = 0
-        # model: sym -> {version_number: values or None (tombstoned)}
-        self.versions: dict = {}
-        self.latest: dict = {}
+        self.vals: dict = {}    # sym -> {v: row values}
+        self.state: dict = {}   # sym -> {v: LIVE | TOMB | PURGED}
+        self.latest: dict = {}  # sym -> v | None
+        self.gone: set = set()  # syms whose ref was removed (delete(sym))
         self.snaps: dict = {}   # name -> {sym: version}
+
+    # ---- model helpers --------------------------------------------------
+    def _pins(self, sym):
+        return {snap[sym] for snap in self.snaps.values() if sym in snap}
 
     def _frame(self):
         self.counter += 1
@@ -50,34 +67,40 @@ class VersionStoreMachine(RuleBasedStateMachine):
             "ts": pd.date_range("2024-01-01", periods=3, freq="D"),
             "v": np.arange(3, dtype="int64") + 10 * self.counter})
 
+    def _purge_unpinned(self, sym, keep=()):
+        """delete(sym)/prune physics: unpinned non-keep versions lose their
+        manifests; pinned ones survive."""
+        pins = self._pins(sym)
+        for v, stt in self.state.get(sym, {}).items():
+            if stt != PURGED and v not in pins and v not in keep:
+                self.state[sym][v] = PURGED
+
+    # ---- rules ----------------------------------------------------------
     @rule(sym=st.sampled_from(_SYMS), prune=st.booleans())
     def write_version(self, sym, prune):
         pdf = self._frame()
         m = self.lib.write(sym, pdf, prune_previous=prune)
-        vers = self.versions.setdefault(sym, {})
-        if prune:
-            pinned = {v for snap in self.snaps.values()
-                      for s, v in snap.items() if s == sym}
-            for v in list(vers):
-                if vers[v] is not None and v not in pinned:
-                    vers[v] = None
-        vers[m.version] = pdf["v"].tolist()
+        self.gone.discard(sym)
+        self.vals.setdefault(sym, {})[m.version] = pdf["v"].tolist()
+        self.state.setdefault(sym, {})[m.version] = LIVE
         self.latest[sym] = m.version
+        if prune:
+            self._purge_unpinned(sym, keep=(m.version,))
 
     @rule(sym=st.sampled_from(_SYMS))
     def append_version(self, sym):
-        if self.latest.get(sym) is None or \
-                self.versions[sym].get(self.latest[sym]) is None:
+        v = self.latest.get(sym)
+        if v is None:
             return
-        prev_vals = self.versions[sym][self.latest[sym]]
+        prev_vals = self.vals[sym][v]
         self.counter += 1
-        start = pd.Timestamp("2024-01-01") + pd.Timedelta(
-            days=len(prev_vals))
+        start = pd.Timestamp("2024-01-01") + pd.Timedelta(days=len(prev_vals))
         pdf = pd.DataFrame({
             "ts": pd.date_range(start, periods=2, freq="D"),
             "v": np.arange(2, dtype="int64") + 10 * self.counter})
         m = self.lib.append(sym, pdf)
-        self.versions[sym][m.version] = prev_vals + pdf["v"].tolist()
+        self.vals[sym][m.version] = prev_vals + pdf["v"].tolist()
+        self.state[sym][m.version] = LIVE
         self.latest[sym] = m.version
 
     @rule(sym=st.sampled_from(_SYMS))
@@ -86,10 +109,31 @@ class VersionStoreMachine(RuleBasedStateMachine):
         if v is None:
             return
         self.lib.delete_version(sym, v)
-        self.versions[sym][v] = None
-        live = [k for k, vals in self.versions[sym].items()
-                if vals is not None]
-        self.latest[sym] = max(live) if live else None
+        self.state[sym][v] = TOMB
+        live = [k for k, stt in self.state[sym].items() if stt == LIVE]
+        if live:
+            self.latest[sym] = max(live)
+        else:
+            # last live version: the library deletes the symbol (ref gone,
+            # unpinned manifests purged, pinned survive)
+            self.latest[sym] = None
+            self.gone.add(sym)
+            self._purge_unpinned(sym)
+
+    @rule(sym=st.sampled_from(_SYMS))
+    def delete_symbol(self, sym):
+        if self.latest.get(sym) is None:
+            return
+        self.lib.delete(sym)
+        self.latest[sym] = None
+        self.gone.add(sym)
+        pins = self._pins(sym)
+        for v, stt in self.state[sym].items():
+            if v in pins:
+                if stt == LIVE:
+                    self.state[sym][v] = TOMB   # readable only via pins now
+            elif stt != PURGED:
+                self.state[sym][v] = PURGED
 
     @rule(name=st.sampled_from(["snapA", "snapB"]))
     def take_snapshot(self, name):
@@ -98,7 +142,7 @@ class VersionStoreMachine(RuleBasedStateMachine):
             return
         if name in self.snaps:
             self.lib.delete_snapshot(name)
-            del self.snaps[name]
+            self._release(self.snaps.pop(name))
         self.lib.snapshot(name)
         self.snaps[name] = dict(pinned)
 
@@ -106,7 +150,18 @@ class VersionStoreMachine(RuleBasedStateMachine):
     def drop_snapshot(self, name):
         if name in self.snaps:
             self.lib.delete_snapshot(name)
-            del self.snaps[name]
+            self._release(self.snaps.pop(name))
+
+    def _release(self, pins):
+        """Snapshot GC model: a tombstoned / symbol-deleted version whose
+        LAST pin is released is purged (reference
+        test_delete_snapshot_key_shared_with_another_snapshot)."""
+        for sym, v in pins.items():
+            if v in self._pins(sym):
+                continue    # still pinned by another snapshot
+            stt = self.state.get(sym, {}).get(v)
+            if stt == TOMB or (sym in self.gone and stt != PURGED):
+                self.state[sym][v] = PURGED
 
     # ---- invariants -----------------------------------------------------
     @invariant()
@@ -120,44 +175,36 @@ class VersionStoreMachine(RuleBasedStateMachine):
             if v is None:
                 continue
             out = self.lib.read(sym, output_format="pandas")
-            assert out["v"].tolist() == self.versions[sym][v], sym
+            assert out["v"].tolist() == self.vals[sym][v], sym
 
     @invariant()
     def as_of_reads_match(self):
-        for sym, vers in self.versions.items():
-            for v, vals in vers.items():
-                if vals is None:
-                    pinned = any(snap.get(sym) == v
-                                 for snap in self.snaps.values())
-                    if not pinned:
-                        continue
-                    # tombstoned but snapshot-pinned: still readable
-                    out = self.lib.read(sym, as_of=v,
-                                        output_format="pandas")
-                    assert len(out) > 0
+        for sym, states in self.state.items():
+            pins = self._pins(sym)
+            for v, stt in states.items():
+                if stt == PURGED or (stt == TOMB and v not in pins):
+                    with pytest.raises(NoSuchVersionException):
+                        self.lib.read(sym, as_of=v)
                 else:
-                    out = self.lib.read(sym, as_of=v,
-                                        output_format="pandas")
-                    assert out["v"].tolist() == vals, (sym, v)
+                    # LIVE, or TOMB-but-pinned (readable by version number,
+                    # reference test_delete_snapshot "Should not raise")
+                    out = self.lib.read(sym, as_of=v, output_format="pandas")
+                    assert out["v"].tolist() == self.vals[sym][v], (sym, v)
 
     @invariant()
     def snapshot_reads_match(self):
         assert sorted(self.lib.list_snapshots()) == sorted(self.snaps)
         for name, pins in self.snaps.items():
             for sym, v in pins.items():
-                out = self.lib.read(sym, as_of=name,
-                                    output_format="pandas")
-                want = self.versions[sym][v]
-                if want is not None:
-                    assert out["v"].tolist() == want, (name, sym)
+                out = self.lib.read(sym, as_of=name, output_format="pandas")
+                assert out["v"].tolist() == self.vals[sym][v], (name, sym)
 
 
 VersionStoreMachine.TestCase.settings = settings(
-    max_examples=3, stateful_step_count=8, deadline=None,
+    max_examples=5, stateful_step_count=10, deadline=None,
     suppress_health_check=list(HealthCheck))
 
 
 def test_version_store_state_machine(spark):
     run_state_machine_as_test(
-        VersionStoreMachine,
-        settings=VersionStoreMachine.TestCase.settings)
+        VersionStoreMachine, settings=VersionStoreMachine.TestCase.settings)

@@ -112,4 +112,6 @@ class TestMergeLifecycle:
 
     def test_options_roundtrip(self, lib):
         assert lib.options() == {"rows_per_file": 1_000_000,
-                                 "dynamic_schema": False}
+                                 "dynamic_schema": False,
+                                 "dedup": False,
+                                 "columns_per_segment": 127}
