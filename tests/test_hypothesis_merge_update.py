@@ -43,7 +43,7 @@ def merge_args(draw):
     happen), deduplicated on the full key tuple."""
     rng = np.random.default_rng(draw(st.integers(0, 2**16)))
     n = draw(st.integers(2, 30))
-    n_chunks = draw(st.integers(1, 3))
+    n_chunks = min(draw(st.integers(1, 3)), n)
     idx = pd.DatetimeIndex(
         sorted(pd.Timestamp("2024-01-01")
                + pd.to_timedelta(rng.choice(10_000, size=n, replace=False),
