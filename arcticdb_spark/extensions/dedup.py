@@ -199,13 +199,6 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
 # long documents (2M ids x a few hundred shingles each is multiple GB).
 _BCAST_BYTES_MAX = 512 << 20
 
-# measured real-memory factor of the {id: sorted int64 shingle-hash array}
-# broadcast lookup over the corpus CHARACTER payload (ndarray data + header
-# + dict entries ≈ 2.0x chars for ~6-char tokens; a frozenset-of-strings
-# lookup measured 6x — the int64-hash representation is what makes the
-# broadcast path affordable). Rounded up for shorter-token corpora.
-_HASHSET_OVERHEAD = 3
-
 # every physical-strategy gate decision is appended here (gate name,
 # measured size, budget, chosen path) — tools/scale_probe.py dumps it per
 # scale factor so SCALING.md records which side of each gate actually
@@ -240,17 +233,15 @@ def _shingle_hash_sets(df, cand_ids, text_col, id_col, k,
             .select("id", hashes))
 
 
-def _jaccard_rescore_broadcast(df, cand, cand_ids, text_col, id_col, k):
+def _jaccard_rescore_broadcast(sets_df, cand):
     """Rescore candidate id pairs against a driver-collected shingle-hash
     lookup shipped to tasks as one broadcast — Arrow moves 2 longs per
     pair, never the sets. Per-pair work is np.intersect1d over sorted
     int64 arrays (C merge), not Python set ops (measured ~10x on the
     near-dup-heavy sf1 probe)."""
-    sub = _shingle_hash_sets(df, cand_ids, text_col, id_col, k,
-                             broadcast_ids=True)
     lookup = {r["id"]: np.asarray(r["sh"], dtype=np.int64)
-              for r in sub.collect()}
-    bc = df.sparkSession.sparkContext.broadcast(lookup)
+              for r in sets_df.collect()}
+    bc = cand.sparkSession.sparkContext.broadcast(lookup)
 
     @F.pandas_udf("double")
     def jac(ia: pd.Series, ib: pd.Series) -> pd.Series:
@@ -268,13 +259,11 @@ def _jaccard_rescore_broadcast(df, cand, cand_ids, text_col, id_col, k):
         F.round(jac(F.col("id_a"), F.col("id_b")), 6).alias("jaccard"))
 
 
-def _jaccard_rescore_join(df, cand, cand_ids, text_col, id_col, k):
+def _jaccard_rescore_join(sets_df, cand):
     """Rescore by re-attaching the (candidate-only) shingle-hash sets with
     two equi-joins — the scale path when the lookup exceeds the broadcast
     budget; the joined arrays are 8 B/shingle longs, and the intersect/
     union stay JVM-side."""
-    sets_df = _materialize(
-        _shingle_hash_sets(df, cand_ids, text_col, id_col, k))
     j = (cand.join(sets_df.withColumnRenamed("id", "id_a")
                           .withColumnRenamed("sh", "sh_a"), "id_a")
              .join(sets_df.withColumnRenamed("id", "id_b")
@@ -295,12 +284,13 @@ def jaccard_near_dup_pairs(df: DataFrame, text_col: str = "text",
 
     Verify plan (the id-pairs + broadcast-set pattern proven by
     ``embedding_near_dup_pairs``): candidate pairs carry IDS ONLY through
-    the shuffle; shingle sets are computed once, for candidate ids only
-    (left-semi on the id set), and shipped to tasks as a broadcast lookup —
-    the naive form drags two wide array columns through the candidate-pair
-    shuffle. The gate is BYTE-aware: estimated lookup size (candidate text
-    volume x shingle expansion) above ``broadcast_bytes_max`` routes the
-    rescore to the equi-join path instead.
+    the shuffle; shingle sets are computed ONCE, for candidate ids only
+    (left-semi on the id set), materialized, and fed to whichever rescore
+    path the gate picks — the naive form drags two wide array columns
+    through the candidate-pair shuffle. The gate is byte-EXACT: the
+    materialized table's count/size agg (cache-local, no rescan) gives the
+    true int64-hash payload; above ``broadcast_bytes_max`` the rescore
+    re-attaches the sets by equi-join instead of a driver broadcast.
     """
     if broadcast_bytes_max is None:   # resolve at CALL time
         broadcast_bytes_max = _BCAST_BYTES_MAX
@@ -309,28 +299,22 @@ def jaccard_near_dup_pairs(df: DataFrame, text_col: str = "text",
     cand_ids = (cand.select(F.col("id_a").alias("id"))
                 .unionByName(cand.select(F.col("id_b").alias("id")))
                 .distinct())
-    # one tiny agg over (id, length) estimates the broadcast footprint in
-    # REAL driver memory (the measured `_HASHSET_OVERHEAD` x chars factor
-    # for the int64 shingle-hash lookup, ndarray data + per-doc overhead
-    # included) so the gate compares like with like against
-    # broadcast_bytes_max.
-    stats = (df.select(F.col(id_col).alias("id"),
-                       F.length(text_col).alias("__len__"))
-               .join(cand_ids, "id", "left_semi")
-               .agg(F.count(F.lit(1)).alias("n"),
-                    F.coalesce(F.sum("__len__"), F.lit(0)).alias("chars"))
-               .first())
-    est_bytes = (int(stats["chars"]) * _HASHSET_OVERHEAD
-                 + int(stats["n"]) * 160)
+    sets_df = _materialize(
+        _shingle_hash_sets(df, cand_ids, text_col, id_col, k))
+    # exact broadcast footprint from the persisted sets: 8 B per hash plus
+    # the measured per-entry overhead of the {id: int64 ndarray} lookup
+    # (ndarray header + dict slot ~ 224 B)
+    stats = sets_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.size("sh")), F.lit(0)).alias("hashes")).first()
+    est_bytes = int(stats["hashes"]) * 8 + int(stats["n"]) * 224
     _gate("jaccard_rescore", "broadcast" if est_bytes <= broadcast_bytes_max
           else "join", est_bytes=est_bytes, budget=broadcast_bytes_max,
           cand_docs=int(stats["n"]))
     if est_bytes <= broadcast_bytes_max:
-        scored = _jaccard_rescore_broadcast(df, cand, cand_ids,
-                                            text_col, id_col, k)
+        scored = _jaccard_rescore_broadcast(sets_df, cand)
     else:
-        scored = _jaccard_rescore_join(df, cand, cand_ids,
-                                       text_col, id_col, k)
+        scored = _jaccard_rescore_join(sets_df, cand)
     return scored.filter(F.col("jaccard") >= threshold)
 
 

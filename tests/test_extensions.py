@@ -684,19 +684,22 @@ def test_embedding_byte_gate_routes_to_join(spark, monkeypatch):
 
 
 def test_jaccard_byte_gate_boundary_routing(spark, monkeypatch):
-    """The broadcast gate compares REAL-memory estimate (payload x measured
-    Python-object overhead) against the budget: a corpus estimated just
-    under the gate broadcasts, one byte over routes to the equi-join."""
+    """The broadcast gate compares the MEASURED lookup size (8 B per
+    shingle hash + per-entry ndarray/dict overhead) against the budget: a
+    corpus measured just under the gate broadcasts, one byte over routes
+    to the equi-join."""
     docs = [(i, f"alpha beta gamma delta epsilon zeta{i % 3}")
             for i in range(12)]
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    # replicate the gate's stats agg: candidate ids' total chars
+    # replicate the gate's agg over the candidate shingle-hash sets
     cand = xdedup.minhash_near_dup_pairs(df, num_hashes=16, bands=8, k=2)
-    import pandas as pd
     cp = cand.toPandas()
     cand_id_set = set(cp.id_a) | set(cp.id_b)
-    chars = sum(len(t) for i, t in docs if i in cand_id_set)
-    est = chars * xdedup._HASHSET_OVERHEAD + len(cand_id_set) * 160
+    cand_ids_df = df.sparkSession.createDataFrame(
+        [(int(i),) for i in cand_id_set], "id long")
+    sets = xdedup._shingle_hash_sets(df, cand_ids_df, "text",
+                                     "doc_id", 2).toPandas()
+    est = int(sets["sh"].map(len).sum()) * 8 + len(sets) * 224
 
     calls = []
     real_bcast = xdedup._jaccard_rescore_broadcast
