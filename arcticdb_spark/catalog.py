@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import tempfile
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -3778,7 +3779,13 @@ class Arctic:
       ``azure_client`` (a ContainerClient, or a fake in tests);
     * ``gs://bucket/prefix`` — metadata on Google Cloud Storage
       (``GCSObjectFileSystem``, ``if_generation_match=0`` CAS); pass
-      ``gcs_client`` (a ``google.cloud.storage.Bucket``, or a fake in tests).
+      ``gcs_client`` (a ``google.cloud.storage.Bucket``, or a fake in tests);
+    * ``lmdb:///path[?map_size=…]`` — the reference's embedded local case
+      (adapters/lmdb_library_adapter.py): resolved to that directory;
+      ``map_size`` is accepted and ignored (parquet has no map limit);
+    * ``mem://`` — the reference's in-memory test case (adapters/
+      in_memory_library_adapter.py): an ephemeral store scoped to this
+      Arctic instance, deleted when it is garbage-collected.
     """
 
     def __init__(self, uri: str, spark: SparkSession | None = None,
@@ -3787,6 +3794,7 @@ class Arctic:
         from arcticdb_spark.session import get_spark
         self.spark = spark or get_spark()
         self.data_root = data_root
+        self._orig_uri = uri
         if uri.startswith("s3://"):
             rest = uri[len("s3://"):]
             bucket, _, prefix = rest.partition("/")
@@ -3804,6 +3812,25 @@ class Arctic:
             self.fs = GCSObjectFileSystem(bucket_client=gcs_client,
                                           prefix=prefix, bucket=bucket)
             self.uri = ""
+        elif uri.startswith("lmdb://"):
+            # reference LMDBLibraryAdapter (adapters/lmdb_library_adapter.py:
+            # 100-123): lmdb://<path>[?map_size=…] is the embedded local
+            # case. Here the same path holds parquet + JSON manifests, so
+            # map_size has no meaning and is accepted-and-ignored.
+            path, _, _query = uri[len("lmdb://"):].partition("?")
+            self.fs = LocalFileSystem()
+            self.uri = os.path.abspath(path)
+            os.makedirs(self.uri, exist_ok=True)
+        elif uri.startswith("mem://"):
+            # reference InMemoryLibraryAdapter (adapters/
+            # in_memory_library_adapter.py:20-52): ephemeral per-instance
+            # store. Spark's parquet writer needs real paths, so the store
+            # is a TemporaryDirectory whose lifetime is tied to this Arctic
+            # object — dropped (and deleted) when the instance is collected,
+            # matching the reference's instance-scoped memory storage.
+            self._mem_tmp = tempfile.TemporaryDirectory(prefix="arctic_mem_")
+            self.fs = LocalFileSystem()
+            self.uri = self._mem_tmp.name
         else:
             self.fs = LocalFileSystem()
             self.uri = uri.removeprefix("file://")
@@ -3836,8 +3863,9 @@ class Arctic:
         return self.fs.isdir(path)
 
     def get_uri(self) -> str:
-        """Reference ``arctic.py`` get_uri."""
-        return self.uri
+        """Reference ``arctic.py`` get_uri: the URI this instance was
+        constructed with, verbatim (not the resolved local path)."""
+        return self._orig_uri
 
     def __getitem__(self, name: str) -> Library:
         return self.get_library(name)

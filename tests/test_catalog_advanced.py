@@ -639,3 +639,33 @@ def test_explain_plan_agrees_with_compaction(spark, tmp_path):
     assert m2.version == m.version and len(m2.files) == len(m.files)
     back = lib.read("sym", output_format="pandas")
     assert back["v"].tolist() == list(range(12))
+
+
+def test_arctic_lmdb_uri(spark, tmp_path):
+    """lmdb://<path>[?map_size=…] resolves to the directory, ignoring the
+    query params (reference adapters/lmdb_library_adapter.py:100-123)."""
+    import pandas as pd
+    from arcticdb_spark.catalog import Arctic
+    uri = f"lmdb://{tmp_path}/store?map_size=1GB"
+    ac = Arctic(uri, spark)
+    lib = ac.create_library("emb")
+    lib.write("s", pd.DataFrame({"a": [1, 2, 3]}))
+    assert lib.read("s").count() == 3
+    assert ac.get_uri() == uri                       # verbatim, like upstream
+    # a second instance on the same path sees the same data
+    ac2 = Arctic(f"lmdb://{tmp_path}/store", spark)
+    assert ac2.get_library("emb").read("s").count() == 3
+
+
+def test_arctic_mem_uri(spark):
+    """mem:// is instance-scoped ephemeral storage (reference adapters/
+    in_memory_library_adapter.py): two instances don't share state."""
+    import pandas as pd
+    from arcticdb_spark.catalog import Arctic
+    ac = Arctic("mem://", spark)
+    lib = ac.create_library("m")
+    lib.write("s", pd.DataFrame({"a": [1.5, 2.5]}))
+    assert lib.read("s").count() == 2
+    assert ac.get_uri() == "mem://"
+    other = Arctic("mem://", spark)
+    assert not other.has_library("m")
