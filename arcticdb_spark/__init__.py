@@ -31,6 +31,7 @@ from arcticdb_spark.catalog import (Arctic, ArcticDbNotYetImplemented,
                                     MissingKeysInStageResultsError,
                                     ModifiableEnterpriseLibraryOption,
                                     ModifiableLibraryOption,
+                                    KeyType, OutputFormat, Size,
                                     NoSuchVersionException,
                                     ReadInfoRequest, ReadRequest,
                                     SchemaException, SortingException,

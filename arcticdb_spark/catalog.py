@@ -337,6 +337,38 @@ class ModifiableEnterpriseLibraryOption(Enum):
     BACKGROUND_DELETION = 2
 
 
+class OutputFormat(str, Enum):
+    """Reference ``options.py`` OutputFormat: accepted (as the enum or a
+    case-insensitive string) everywhere an ``output_format`` argument is —
+    str-valued so ``OutputFormat.PANDAS`` and ``"pandas"`` are
+    interchangeable. This engine adds SPARK (the Spark-first default) and
+    SPARK_NS (raw int64-ns index view) beyond the reference's set."""
+    PANDAS = "PANDAS"
+    PYARROW = "PYARROW"
+    POLARS = "POLARS"
+    SPARK = "SPARK"
+    SPARK_NS = "SPARK-NS"
+
+
+class KeyType(str, Enum):
+    """Reference ``admin_tools.py:37`` KeyType: the physical key kinds.
+    str-valued so size dicts keyed by name accept the enum and vice versa
+    (``sizes[KeyType.TABLE_DATA]`` == ``sizes["TABLE_DATA"]``). LOG /
+    LOG_COMPACTED / SYMBOL_LIST exist for name parity; this engine keeps
+    no oplog and derives the symbol list from directories, so their sizes
+    are always empty."""
+    TABLE_DATA = "TABLE_DATA"
+    TABLE_INDEX = "TABLE_INDEX"
+    VERSION = "VERSION"
+    VERSION_REF = "VERSION_REF"
+    APPEND_DATA = "APPEND_DATA"
+    MULTI_KEY = "MULTI_KEY"
+    SNAPSHOT_REF = "SNAPSHOT_REF"
+    LOG = "LOG"
+    LOG_COMPACTED = "LOG_COMPACTED"
+    SYMBOL_LIST = "SYMBOL_LIST"
+
+
 @dataclass
 class Size:
     """Compressed bytes + object count for one key type (reference
@@ -368,6 +400,13 @@ class AdminTools:
 
     _KEY_TYPES = ("VERSION_REF", "VERSION", "TABLE_INDEX", "TABLE_DATA",
                   "APPEND_DATA")
+    # library-level kinds reported by get_sizes() for KeyType parity:
+    # SNAPSHOT_REF counts the snapshot JSONs; MULTI_KEY / LOG /
+    # LOG_COMPACTED / SYMBOL_LIST have no artifacts in this layout
+    # (recursive normalizers embed their children in VERSION manifests, no
+    # oplog is kept, and the symbol list is derived from directories)
+    _LIB_KEY_TYPES = ("SNAPSHOT_REF", "MULTI_KEY", "LOG", "LOG_COMPACTED",
+                      "SYMBOL_LIST")
 
     def __init__(self, lib: "Library"):
         self._lib = lib
@@ -414,11 +453,21 @@ class AdminTools:
         return self._sym_sizes(symbol)
 
     def get_sizes(self) -> dict:
-        total = {k: Size(0, 0) for k in self._KEY_TYPES}
+        total = {k: Size(0, 0)
+                 for k in self._KEY_TYPES + self._LIB_KEY_TYPES}
         for sizes in self.get_sizes_by_symbol().values():
             for k, sz in sizes.items():
                 total[k] = Size(total[k].bytes + sz.bytes,
                                 total[k].count + sz.count)
+        lib = self._lib
+        sdir = lib._fs.join(lib.root, "_snapshots")
+        if lib._fs.isdir(sdir):
+            sb = sn = 0
+            for f in lib._fs.listdir(sdir):
+                sb += len(json.dumps(
+                    lib._fs.read_json(lib._fs.join(sdir, f))))
+                sn += 1
+            total["SNAPSHOT_REF"] = Size(sb, sn)
         return total
 
     def remove_incompletes(self, symbols) -> None:
@@ -3219,6 +3268,14 @@ class Library:
 
     def has_symbol(self, symbol: str) -> bool:
         return self._fs.exists(self._ref_path(symbol))
+
+    def __getitem__(self, symbol: str):
+        """Reference ``library.py:918``: ``lib[symbol]`` reads latest."""
+        return self.read(symbol)
+
+    def __contains__(self, symbol: str) -> bool:
+        """Reference ``library.py:921``: ``symbol in lib``."""
+        return self.has_symbol(symbol)
 
     def list_versions(self, symbol: str | None = None,
                       snapshot: str | None = None,

@@ -669,3 +669,14 @@ def test_arctic_mem_uri(spark):
     assert ac.get_uri() == "mem://"
     other = Arctic("mem://", spark)
     assert not other.has_library("m")
+
+
+def test_library_getitem_contains(spark, tmp_path):
+    """lib[symbol] reads latest and `symbol in lib` checks existence
+    (reference library.py:918-922)."""
+    import pandas as pd
+    from arcticdb_spark.catalog import Arctic
+    lib = Arctic(str(tmp_path), spark).create_library("dunder")
+    lib.write("s", pd.DataFrame({"a": [7, 8]}))
+    assert "s" in lib and "t" not in lib
+    assert lib["s"].count() == 2

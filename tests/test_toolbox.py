@@ -73,3 +73,24 @@ def test_append_data_keys_and_remove_incompletes(tmp_lib):
 def test_unknown_key_type_raises(tmp_lib):
     with pytest.raises(ValueError, match="key type"):
         tmp_lib.library_tool().find_keys_for_symbol("NOPE", "s")
+
+
+def test_keytype_enum_and_output_format(spark, tmp_path):
+    """KeyType / OutputFormat are str enums (reference admin_tools.py:37,
+    options.py OutputFormat): size dicts accept the enum or the plain
+    string, and read(output_format=OutputFormat.PANDAS) works."""
+    import pandas as pd
+    from arcticdb_spark import Arctic, KeyType, OutputFormat, Size
+    lib = Arctic(str(tmp_path), spark).create_library("kt")
+    lib.write("s", pd.DataFrame({"a": [1, 2]}))
+    sizes = lib.admin_tools().get_sizes()
+    assert sizes[KeyType.TABLE_DATA] == sizes["TABLE_DATA"]
+    assert isinstance(sizes[KeyType.VERSION_REF], Size)
+    assert sizes[KeyType.VERSION_REF].count == 1
+    # library-level kinds always present (reference get_sizes covers all
+    # key types); snapshots actually counted
+    assert sizes[KeyType.LOG] == Size(0, 0)
+    lib.snapshot("snap1")
+    assert lib.admin_tools().get_sizes()[KeyType.SNAPSHOT_REF].count == 1
+    out = lib.read("s", output_format=OutputFormat.PANDAS)
+    assert list(out["a"]) == [1, 2]
