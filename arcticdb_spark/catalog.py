@@ -1471,6 +1471,7 @@ class Library:
               dedup: bool | None = None, staged: bool = False,
               prune_previous_versions: bool | None = None,
               recursive_normalizers: bool = False,
+              validate_index: bool = True,
               _custom_meta: dict | None = None) -> VersionManifest:
         """New version from scratch (reference ``library.py:1013``).
 
@@ -1482,7 +1483,14 @@ class Library:
         ``staged=True`` stages the chunk for a later finalize instead of
         committing a version (reference write(staged=True) incompletes);
         returns None in that case. ``prune_previous_versions`` is the
-        reference's name for ``prune_previous`` (either works)."""
+        reference's name for ``prune_previous`` (either works).
+
+        ``validate_index=True`` (the v2 default, library.py:1020) raises
+        SortingException for a non-monotonic-increasing datetime index
+        (reference UnsortedDataException, test_write.py
+        test_write_not_sorted_exception); ``validate_index=False`` stores
+        DESCENDING/UNSORTED input as-given with its sortedness tracked
+        (the native-API default, _store.py:726)."""
         if prune_previous_versions is not None:
             prune_previous = prune_previous_versions
         if dedup is None:   # library-level default (LibraryOptions.dedup)
@@ -1515,7 +1523,8 @@ class Library:
         if recursive_normalizers and isinstance(df, (dict, list, tuple)):
             return self._write_recursive(symbol, df, metadata, prune_previous)
         if staged:
-            return self.stage(symbol, df)
+            return self.stage(symbol, df,
+                              validate_index=validate_index)
         import pandas as pd
         if isinstance(df, (pd.DataFrame, pd.Series)):
             # reference ignores index_column for pandas input (the frame's
@@ -1523,6 +1532,11 @@ class Library:
             # column)
             index_column = None
         sorted_flag = self._input_sortedness(df)
+        if validate_index and sorted_flag != "ASCENDING":
+            raise SortingException(
+                "E_UNSORTED_DATA write requires a monotonically increasing "
+                f"datetime index (input is {sorted_flag}); pass "
+                "validate_index=False to store it as-given")
         sdf, norm_meta = self._normalize(df, index_column)
         nm = norm_meta or {}
         if nm.get("index_ns"):
@@ -1691,7 +1705,9 @@ class Library:
         for path, leaf in leaves:
             sub = self._rec_subsymbol(symbol, path)
             if self._is_df_leaf(leaf):
-                lm = self.write(sub, leaf)
+                # native-API default: leaves keep sortedness tracking
+                # without v2 validation (_store.py:726 validate_index=False)
+                lm = self.write(sub, leaf, validate_index=False)
             elif _cn.has_normalizers() \
                     and _cn.apply_custom_normalize(leaf) is not None:
                 # custom-normalized leaf (reference: the flattener consults
@@ -1862,12 +1878,23 @@ class Library:
 
     def append(self, symbol: str, df, metadata: Any = None,
                validate_index: bool = True,
-               prune_previous_versions: bool = False) -> VersionManifest:
+               prune_previous_versions: bool = False,
+               index_column: str | None = None,
+               compact_data: bool = False) -> VersionManifest:
         """Rows strictly after the existing index range (``library.py:1361``).
         Previous files are *reused*, not rewritten — O(new data) cost.
 
         With ``dynamic_schema`` the appended frame may add columns or widen
-        numeric types; otherwise the schema must match."""
+        numeric types; otherwise the schema must match.
+
+        ``index_column`` is accepted for signature parity (reference
+        library.py:1361): appends normalize the incoming chunk against the
+        STORED index column, so the hint is redundant here.
+        ``compact_data=True`` (reference library.py:1361 append kwarg)
+        defragments the symbol after the append when it is fragmented —
+        here as a follow-up compaction version rather than the reference's
+        single atomic version (documented deviation: one extra version
+        number, same final data)."""
         prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
         if self._is_pickled(prev):
             raise ArcticException(f"cannot append to pickled symbol {symbol!r}")
@@ -1991,6 +2018,10 @@ class Library:
         out = self._commit(m)
         if prune_previous_versions:
             self.prune_previous_versions(symbol)
+        if compact_data and self.is_symbol_fragmented(symbol):
+            out = self.compact_symbol(symbol)
+            if prune_previous_versions:
+                self.prune_previous_versions(symbol)
         return out
 
     def _append_ndarray(self, symbol: str, prev: "VersionManifest", arr,
@@ -2036,14 +2067,17 @@ class Library:
 
     def update(self, symbol: str, df, date_range: tuple | None = None,
                metadata: Any = None, upsert: bool = False,
-               prune_previous_versions: bool = False) -> VersionManifest:
+               prune_previous_versions: bool = False,
+               index_column: str | None = None) -> VersionManifest:
         """Range surgery (``version_core.cpp:587``): delete the index range
         covered by ``df`` (or the given range), splice the new rows in.
         Only files overlapping the range are rewritten.
 
         ``upsert=True`` creates the symbol when it doesn't exist (reference
         ``library.py:1520``); zero-row input is a no-op (no new version —
-        use delete_data_in_range when deletion is intended)."""
+        use delete_data_in_range when deletion is intended).
+        ``index_column`` is accepted for signature parity: updates
+        normalize against the STORED index column."""
         import pandas as pd
         try:
             prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
@@ -2807,13 +2841,41 @@ class Library:
     def _staging_dir(self, symbol):
         return os.path.join(self._data_sym_dir(symbol), "_staging")
 
-    def stage(self, symbol: str, df) -> "StageResult":
+    def stage(self, symbol: str, df, validate_index: bool = True,
+              sort_on_index: bool = False,
+              sort_columns: list | None = None,
+              index_column: bool = False) -> "StageResult":
         """Parallel unindexed chunk write (APPEND_DATA keys analogue).
 
         Returns a picklable ``StageResult`` whose ``staged_segments`` are
         the written segment keys; pass a list of StageResults as
         ``finalize_staged_data(staged_data=...)`` to finalize exactly those
-        segments (reference staged-tokens API, test_stage.py)."""
+        segments (reference staged-tokens API, test_stage.py).
+
+        ``validate_index=True`` (reference library.py:952 stage) raises on
+        a non-monotonic-increasing datetime-indexed chunk unless
+        ``sort_on_index``/``sort_columns`` sort it first (index primary,
+        sort_columns secondary — reference semantics)."""
+        import pandas as pd
+        if isinstance(df, (pd.DataFrame, pd.Series)):
+            if sort_on_index or sort_columns:
+                by = ([df.index.name or "__index__"] if sort_on_index else [])
+                if sort_columns:
+                    by += list(sort_columns)
+                if sort_on_index:
+                    named = df.index.name is not None
+                    tmp = df.rename_axis(by[0]).reset_index()
+                    tmp = tmp.sort_values(by, kind="mergesort")
+                    df = tmp.set_index(by[0])
+                    if not named:
+                        df.index.name = None
+                else:
+                    df = df.sort_values(by, kind="mergesort")
+            if validate_index and self._input_sortedness(df) != "ASCENDING":
+                raise SortingException(
+                    "E_UNSORTED_DATA staged chunk has an unsorted datetime "
+                    "index; pass validate_index=False, sort_on_index=True, "
+                    "or sort_columns to resolve")
         sdf, nmeta = self._normalize(df)
         out = os.path.join(self._staging_dir(symbol), uuid.uuid4().hex)
         os.makedirs(os.path.dirname(out), exist_ok=True)
@@ -2936,8 +2998,8 @@ class Library:
                              sort: bool = True, staged_data=None,
                              validate_index: bool = True,
                              prune_previous_versions: bool = False,
-                             delete_staged_data_on_failure: bool = False
-                             ) -> VersionManifest:
+                             delete_staged_data_on_failure: bool = False,
+                             stage_results=None) -> VersionManifest:
         """Compact staged chunks into one new version; ``sort=True`` is
         sort_and_finalize_staged_data (k-way merge == one Spark range shuffle).
 
@@ -2946,7 +3008,11 @@ class Library:
         test_finalize_with_tokens_*). Tokens for another symbol raise;
         tokens whose keys are gone raise MissingKeysInStageResultsError
         listing (stage_result_index, missing_key) pairs, and nothing is
-        finalized (all-or-nothing, test_finalize_noop_if_any_missing_keys)."""
+        finalized (all-or-nothing, test_finalize_noop_if_any_missing_keys).
+        ``stage_results`` is the reference's name for the same argument
+        (library.py:1747) — either spelling works."""
+        if staged_data is None:
+            staged_data = stage_results
         if staged_data is not None:
             wrong = [t for t in staged_data if t.symbol != symbol]
             if wrong:
@@ -3087,13 +3153,14 @@ class Library:
     def sort_and_finalize_staged_data(self, symbol: str, mode: str = "write",
                                       metadata: Any = None, staged_data=None,
                                       prune_previous_versions: bool = False,
-                                      delete_staged_data_on_failure: bool = False
-                                      ) -> VersionManifest:
+                                      delete_staged_data_on_failure: bool = False,
+                                      stage_results=None) -> VersionManifest:
         """Reference ``library.py:1873``: k-way merge of unsorted staged
         chunks == one Spark range shuffle + per-partition sort."""
         return self.finalize_staged_data(
             symbol, mode=mode, metadata=metadata, sort=True,
-            staged_data=staged_data,
+            staged_data=staged_data if staged_data is not None
+            else stage_results,
             prune_previous_versions=prune_previous_versions,
             delete_staged_data_on_failure=delete_staged_data_on_failure)
 
@@ -3183,7 +3250,7 @@ class Library:
         except FileNotFoundError:
             raise NoSuchVersionException(f"snapshot {name!r} does not exist")
 
-    def snapshot(self, name: str, metadata: Any = None,
+    def snapshot(self, snapshot_name: str, metadata: Any = None,
                  skip_symbols: list | None = None,
                  versions: dict[str, int] | None = None) -> None:
         """Named cross-symbol consistent version set (``library.py:2626``).
@@ -3198,7 +3265,7 @@ class Library:
             for sym in self.list_symbols():
                 if sym not in skip:
                     versions[sym] = self._load_ref(sym)["latest"]
-        self._fs.write_json_atomic(self._snap_path(name),
+        self._fs.write_json_atomic(self._snap_path(snapshot_name),
                                    {"symbols": versions, "metadata": metadata,
                                     "created_ns": time.time_ns()})
 
@@ -3683,12 +3750,27 @@ class Library:
         (reference ``library.py:2161`` accepts Union[str, ReadRequest]).
         With ``lazy=True`` returns a ``LazyDataFrameCollection`` (reference
         read_batch lazy form; split()/collect()/concat() chain from it)."""
+        if kw.get("query_builder") is not None:
+            # reference library.py:2161 read_batch: a global query_builder
+            # kwarg and a per-request one are mutually exclusive
+            # (ArcticInvalidApiUsageException) — checked eagerly, before
+            # any per-symbol error capture
+            for s in symbols:
+                if isinstance(s, ReadRequest) and s.query_builder is not None:
+                    raise ArcticException(
+                        "kwarg query_builder and per-symbol query builders "
+                        f"cannot both be used but {s.symbol!r} had its own "
+                        "query_builder specified")
+
         def one(s):
             if isinstance(s, ReadRequest):
+                sub = {k: v for k, v in kw.items() if k != "query_builder"}
                 return self.read(s.symbol, as_of=s.as_of,
                                  date_range=s.date_range, row_range=s.row_range,
                                  columns=s.columns,
-                                 query_builder=s.query_builder, **kw)
+                                 query_builder=s.query_builder
+                                 or kw.get("query_builder"),
+                                 **sub)
             return self.read(s, **kw)
         if kw.get("lazy"):
             # lazy construction is cheap and never touches storage; return
@@ -3722,10 +3804,14 @@ class Library:
     def _sym_of_payload(p) -> str:
         return p.symbol if isinstance(p, (WritePayload, UpdatePayload)) else p[0]
 
-    def write_batch(self, payloads: list) -> list:
+    def write_batch(self, payloads: list,
+                    prune_previous_versions: bool = False,
+                    validate_index: bool = True) -> list:
         return self._pmap_errors(
             lambda p: self.write(*self._payload(p)[:2],
-                                 metadata=self._payload(p)[2]),
+                                 metadata=self._payload(p)[2],
+                                 prune_previous=prune_previous_versions,
+                                 validate_index=validate_index),
             payloads, self._sym_of_payload)
 
     def append_batch(self, payloads: list) -> list:

@@ -680,3 +680,46 @@ def test_library_getitem_contains(spark, tmp_path):
     lib.write("s", pd.DataFrame({"a": [7, 8]}))
     assert "s" in lib and "t" not in lib
     assert lib["s"].count() == 2
+
+
+def test_v2_signature_parity_kwargs(spark, tmp_path):
+    """Keyword spellings from the upstream v2 API: snapshot(snapshot_name=),
+    append(compact_data=), write_batch(prune_previous_versions=,
+    validate_index=), read_batch(query_builder=) incl. the per-request
+    conflict raise (library.py:2161)."""
+    import pandas as pd
+    import pytest
+    from arcticdb_spark import (Arctic, ArcticException, QueryBuilder,
+                                ReadRequest, WritePayload)
+    lib = Arctic(str(tmp_path), spark).create_library("sig",
+                                                      rows_per_file=4)
+    idx = pd.date_range("2024-01-01", periods=3, name="ts")
+    lib.write("s", pd.DataFrame({"a": [1, 2, 3]}, index=idx))
+    lib.snapshot(snapshot_name="snap")
+    assert "snap" in lib.list_snapshots()
+    # fragment with 1-row appends, then append with compact_data=True
+    for i in range(3, 9):
+        lib.append("s", pd.DataFrame(
+            {"a": [i + 1]},
+            index=pd.date_range("2024-01-01", periods=i + 1,
+                                name="ts")[-1:]))
+    frag_files = len(lib._load_manifest(
+        "s", lib._load_ref("s")["latest"]).files)
+    lib.append("s", pd.DataFrame(
+        {"a": [11]}, index=pd.date_range("2024-01-11", periods=1,
+                                         name="ts")), compact_data=True)
+    m = lib._load_manifest("s", lib._load_ref("s")["latest"])
+    assert len(m.files) < frag_files
+    assert lib.read("s").count() == 10
+    # write_batch kwargs
+    lib.write_batch([WritePayload("b1", pd.DataFrame({"x": [1]}))],
+                    prune_previous_versions=True, validate_index=True)
+    assert lib.read("b1").count() == 1
+    # read_batch global query_builder
+    q = QueryBuilder()
+    q = q[q["a"] >= 5]
+    outs = lib.read_batch(["s"], query_builder=q)
+    assert outs[0].count() == 6
+    # conflict: global + per-request query builders
+    with pytest.raises(ArcticException):
+        lib.read_batch([ReadRequest("s", query_builder=q)], query_builder=q)

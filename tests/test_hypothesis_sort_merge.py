@@ -94,7 +94,7 @@ def _check(out, expected):
 def test_sort_merge_static_schema_write(chunks):
     lib = Arctic(tempfile.mkdtemp(), _spark).create_library("sm")
     for c in chunks:
-        lib.stage("sym", c)
+        lib.stage("sym", c, validate_index=False)
     lib.sort_and_finalize_staged_data("sym")
     out = lib.read("sym", output_format="pandas")
     _check(out, _expected(chunks))
@@ -108,7 +108,7 @@ def test_sort_merge_dynamic_schema_write(chunks):
     lib = Arctic(tempfile.mkdtemp(), _spark).create_library(
         "sm", dynamic_schema=True)
     for c in chunks:
-        lib.stage("sym", c)
+        lib.stage("sym", c, validate_index=False)
     lib.sort_and_finalize_staged_data("sym")
     out = lib.read("sym", output_format="pandas")
     _check(out, _expected(chunks))

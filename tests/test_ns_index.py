@@ -118,7 +118,8 @@ def test_ns_nat_roundtrip(tmp_lib):
     idx = pd.DatetimeIndex([pd.Timestamp(BASE), pd.NaT,
                             pd.Timestamp(BASE + 1)])
     pdf = pd.DataFrame({"v": [1.0, 2.0, 3.0]}, index=idx)
-    tmp_lib.write("t", pdf)
+    # a NaT makes the index non-monotonic -> native-API validate off
+    tmp_lib.write("t", pdf, validate_index=False)
     back = tmp_lib.read("t", output_format="pandas")
     assert back.index.isna().sum() == 1
     assert sorted(back.index.dropna().asi8.tolist()) == [BASE, BASE + 1]
@@ -192,7 +193,8 @@ def test_ns_sort_index_preserves_ns(tmp_lib):
     # out-of-order ns data -> UNSORTED -> sort_index repairs at ns fidelity
     idx = pd.DatetimeIndex(np.array(
         [BASE + 2, BASE, BASE + 1], dtype=np.int64).view("M8[ns]"))
-    tmp_lib.write("t", pd.DataFrame({"v": [2.0, 0.0, 1.0]}, index=idx))
+    tmp_lib.write("t", pd.DataFrame({"v": [2.0, 0.0, 1.0]}, index=idx),
+                  validate_index=False)
     tmp_lib.sort_index("t")
     back = tmp_lib.read("t", output_format="pandas")
     assert back.index.asi8.tolist() == [BASE, BASE + 1, BASE + 2]

@@ -19,7 +19,9 @@ def test_write_unsorted_marks_unsorted(tmp_lib):
     # reference test_read_unsorted_date_range_dataframe
     df = _unsorted_df()
     assert not df.index.is_monotonic_increasing
-    tmp_lib.write("sym", df)
+    # v2 default validates (see test_write_unsorted_default_raises);
+    # validate_index=False is the native-API path these cases model
+    tmp_lib.write("sym", df, validate_index=False)
     assert tmp_lib.get_info("sym")["sorted"] == "UNSORTED"
     # values roundtrip (row order is partition order — a documented
     # deviation; values and count must survive)
@@ -48,7 +50,7 @@ def test_unsorted_multiindex_write(tmp_lib):
     df = pd.DataFrame({"c": np.arange(n, dtype=np.int64)},
                       index=pd.MultiIndex.from_arrays(
                           [lvl0, lvl1], names=["datetime", "level"]))
-    tmp_lib.write("sym", df)
+    tmp_lib.write("sym", df, validate_index=False)
     assert tmp_lib.get_info("sym")["sorted"] == "UNSORTED"
     with pytest.raises(SortingException):
         tmp_lib.read("sym", date_range=(pd.Timestamp("2019-01-03"),
@@ -71,7 +73,7 @@ def test_append_sortedness_rules(tmp_lib):
         {"c": np.arange(5, dtype=np.int64)},
         index=pd.date_range("2019-02-01", periods=5, name="ts"))
     # append to an UNSORTED symbol raises unless validate_index=False
-    tmp_lib.write("u", _unsorted_df())
+    tmp_lib.write("u", _unsorted_df(), validate_index=False)
     with pytest.raises(SortingException):
         tmp_lib.append("u", later)
     m = tmp_lib.append("u", later, validate_index=False)
@@ -101,7 +103,7 @@ def test_append_sortedness_rules(tmp_lib):
 
 
 def test_update_unsorted_raises(tmp_lib):
-    tmp_lib.write("u", _unsorted_df())
+    tmp_lib.write("u", _unsorted_df(), validate_index=False)
     upd = pd.DataFrame({"c": [42]},
                        index=pd.DatetimeIndex([pd.Timestamp("2019-01-05")],
                                               name="ts"))
@@ -160,7 +162,7 @@ def test_write_descending_marks_descending(tmp_lib):
     # reference test_append.py test_append_mix_descending_not_sorted
     df = _desc_df("2019-01-01")
     assert df.index.is_monotonic_decreasing
-    tmp_lib.write("d", df)
+    tmp_lib.write("d", df, validate_index=False)
     assert tmp_lib.get_info("d")["sorted"] == "DESCENDING"
     # values/pairs survive exactly (row order for non-ascending multi-file
     # writes is file order — same documented deviation as UNSORTED writes)
@@ -180,7 +182,7 @@ def test_write_descending_marks_descending(tmp_lib):
 def test_append_descending_state_machine(tmp_lib):
     # reference test_append_mix_descending_not_sorted /
     # test_append_mix_ascending_descending: per-chunk status merge
-    tmp_lib.write("d", _desc_df("2019-01-01"))
+    tmp_lib.write("d", _desc_df("2019-01-01"), validate_index=False)
     # appending to a non-ascending symbol needs validate_index=False
     with pytest.raises(SortingException):
         tmp_lib.append("d", _desc_df("2020-01-01"))
@@ -195,7 +197,7 @@ def test_append_descending_state_machine(tmp_lib):
         validate_index=False)
     assert m.sorted == "UNSORTED"              # sticky
 
-    tmp_lib.write("m", _desc_df("2019-01-01"))
+    tmp_lib.write("m", _desc_df("2019-01-01"), validate_index=False)
     m = tmp_lib.append(
         "m", pd.DataFrame({"c": np.arange(5, dtype=np.int64)},
                           index=pd.date_range("2020-01-01", periods=5,
@@ -206,7 +208,7 @@ def test_append_descending_state_machine(tmp_lib):
 
 def test_sort_index_repairs_descending(tmp_lib):
     df = _desc_df("2019-01-01")
-    tmp_lib.write("d", df)
+    tmp_lib.write("d", df, validate_index=False)
     tmp_lib.sort_index("d")
     assert tmp_lib.get_info("d")["sorted"] == "ASCENDING"
     out = tmp_lib.read("d", date_range=(pd.Timestamp("2019-01-02"),
@@ -226,7 +228,7 @@ def test_unsorted_multifile_write_preserves_original_row_order(tmp_lib):
     idx = pd.DatetimeIndex(
         pd.date_range("2024-01-01", periods=n, freq="1min")[perm], name="ts")
     df = pd.DataFrame({"v": np.arange(n, dtype=np.int64)}, index=idx)
-    m = tmp_lib.write("u", df)
+    m = tmp_lib.write("u", df, validate_index=False)
     assert m.sorted == "UNSORTED"
     assert len(m.files) > 1, "test needs a multi-file write to be meaningful"
     back = tmp_lib.read("u", output_format="pandas")
@@ -239,7 +241,7 @@ def test_descending_multifile_write_preserves_original_row_order(tmp_lib):
     idx = pd.date_range("2024-01-01", periods=n, freq="1min",
                         name="ts")[::-1]
     df = pd.DataFrame({"v": np.arange(n, dtype=np.int64)}, index=idx)
-    m = tmp_lib.write("d", df)
+    m = tmp_lib.write("d", df, validate_index=False)
     assert m.sorted == "DESCENDING"
     assert len(m.files) > 1
     back = tmp_lib.read("d", output_format="pandas")
@@ -253,9 +255,29 @@ def test_unsorted_append_chunks_keep_chunk_order(tmp_lib):
     i1 = pd.DatetimeIndex(["2024-01-05", "2024-01-02", "2024-01-09"],
                           name="ts")
     i2 = pd.DatetimeIndex(["2024-01-04", "2024-01-01"], name="ts")
-    tmp_lib.write("m", pd.DataFrame({"v": [0, 1, 2]}, index=i1))
+    tmp_lib.write("m", pd.DataFrame({"v": [0, 1, 2]}, index=i1),
+                  validate_index=False)
     tmp_lib.append("m", pd.DataFrame({"v": [3, 4]}, index=i2),
                    validate_index=False)
     back = tmp_lib.read("m", output_format="pandas")
     assert back["v"].tolist() == [0, 1, 2, 3, 4]
     assert list(back.index) == list(i1) + list(i2)
+
+
+def test_write_unsorted_default_raises(tmp_lib):
+    """v2 Library.write default validate_index=True rejects a
+    non-monotonic-increasing datetime index (reference test_write.py
+    test_write_not_sorted_exception / _multi_index_exception)."""
+    with pytest.raises(SortingException):
+        tmp_lib.write("bad", _unsorted_df())
+    n = 20
+    lvl0 = np.roll(pd.date_range("2019-01-01", periods=n), 3)
+    mdf = pd.DataFrame({"c": np.arange(n, dtype=np.int64)},
+                       index=pd.MultiIndex.from_arrays(
+                           [lvl0, np.arange(n)], names=["datetime", "lvl"]))
+    with pytest.raises(SortingException):
+        tmp_lib.write("bad", mdf)
+    # descending is also not monotonic increasing under the v2 contract
+    with pytest.raises(SortingException):
+        tmp_lib.write("bad", _desc_df("2019-01-01"))
+    assert not tmp_lib.has_symbol("bad")

@@ -144,3 +144,32 @@ def test_append_finalize_equal_boundary_allowed(tmp_lib):
     tmp_lib.sort_and_finalize_staged_data("sym", mode="append")
     out = tmp_lib.read("sym", output_format="pandas")
     assert out["col"].tolist() == [1, 2, 3, 4, 5, 6]
+
+
+def test_stage_validate_and_sort_kwargs(tmp_lib):
+    """Reference library.py:952 stage kwargs: validate_index rejects an
+    unsorted chunk; sort_on_index sorts it (index primary, sort_columns
+    secondary); stage_results= is accepted by both finalize spellings."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    from arcticdb_spark.catalog import SortingException
+    idx = pd.DatetimeIndex(["2024-01-03", "2024-01-01", "2024-01-02"],
+                           name="ts")
+    df = pd.DataFrame({"v": [3.0, 1.0, 2.0]}, index=idx)
+    with pytest.raises(SortingException):
+        tmp_lib.stage("s", df)
+    tok = tmp_lib.stage("s", df, sort_on_index=True)
+    tmp_lib.finalize_staged_data("s", stage_results=[tok])
+    back = tmp_lib.read("s", output_format="pandas")
+    assert back["v"].tolist() == [1.0, 2.0, 3.0]
+    # sort_columns alone (no usable index requirement on the data)
+    df2 = pd.DataFrame({"k": [2, 1, 3], "v": [20.0, 10.0, 30.0]})
+    tok2 = tmp_lib.stage("c", df2, sort_columns=["k"])
+    tmp_lib.sort_and_finalize_staged_data("c", stage_results=[tok2])
+    assert tmp_lib.read("c", output_format="pandas")["v"].tolist() \
+        == [10.0, 20.0, 30.0]
+    # unsorted chunks still stage with validate_index=False
+    tmp_lib.stage("u", df, validate_index=False)
+    tmp_lib.sort_and_finalize_staged_data("u")
+    assert tmp_lib.read("u").count() == 3
