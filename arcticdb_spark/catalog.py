@@ -56,6 +56,26 @@ class SortingException(ArcticException):
     pass
 
 
+class UnsortedDataException(SortingException):
+    """Reference UnsortedDataException (error_code.hpp:201,
+    E_UNSORTED_DATA): data or an operation requires an ascending-sorted
+    datetime index. Subclasses SortingException so either name catches."""
+
+
+class ArcticInvalidApiUsageException(ArcticException):
+    """Reference library.py:71."""
+
+
+class ArcticUnsupportedDataTypeException(ArcticInvalidApiUsageException):
+    """Reference library.py:79: input that cannot be normalized was given
+    to write/append/update/stage (write_pickle is the escape hatch)."""
+
+
+class ArcticDuplicateSymbolsInBatchException(ArcticInvalidApiUsageException):
+    """Reference library.py:75: batch write/append/update payloads must
+    not repeat a symbol."""
+
+
 class ArcticDbNotYetImplemented(ArcticException):
     """Reference ArcticDbNotYetImplemented: valid input the engine does not
     support yet (e.g. append/update on categorical symbols)."""
@@ -1174,7 +1194,7 @@ class Library:
                 # convert old epochs by unsigned VALUE at read time
                 sdf = _attach_uint64_marker(sdf, {"uint64": meta["uint64"]})
             return sdf, meta
-        raise ArcticException(
+        raise ArcticUnsupportedDataTypeException(
             f"cannot normalize {type(df).__name__}: write() takes a Spark or "
             "pandas DataFrame; use write_pickle() for arbitrary objects")
 
@@ -1533,7 +1553,7 @@ class Library:
             index_column = None
         sorted_flag = self._input_sortedness(df)
         if validate_index and sorted_flag != "ASCENDING":
-            raise SortingException(
+            raise UnsortedDataException(
                 "E_UNSORTED_DATA write requires a monotonically increasing "
                 f"datetime index (input is {sorted_flag}); pass "
                 "validate_index=False to store it as-given")
@@ -1968,7 +1988,7 @@ class Library:
                                or chunk_sorted != "ASCENDING"):
             # reference UnsortedDataException: appending to/with data that
             # is not sorted ascending requires validate_index=False
-            raise SortingException(
+            raise UnsortedDataException(
                 f"append to {symbol!r}: existing or new data is "
                 f"{prev.sorted if prev.sorted != 'ASCENDING' else chunk_sorted}"
                 " (pass validate_index=False to append anyway)")
@@ -1998,7 +2018,7 @@ class Library:
             if mins and min(mins) < prev.ts_max:
                 overlap = True
         if overlap and validate_index:
-            raise SortingException(
+            raise UnsortedDataException(
                 f"append index range [{min(mins)}] overlaps existing max {prev.ts_max}")
         # reference sortedness state machine (test_append.py
         # test_append_mix_*): ASC+ASC (no overlap) -> ASC; DESC+DESC ->
@@ -2097,7 +2117,7 @@ class Library:
         if prev.sorted != "ASCENDING":
             # range surgery needs an ascending symbol (reference
             # UnsortedDataException on update of unsorted data)
-            raise SortingException(
+            raise UnsortedDataException(
                 f"update of {symbol!r}: symbol is {prev.sorted}")
         sdf, inm = self._normalize(df, idx)
         if idx is not None and idx not in sdf.columns:
@@ -2420,7 +2440,7 @@ class Library:
             # reference UnsortedDataException (test_date_range.py
             # test_read_unsorted_date_range_dataframe); DESCENDING counts —
             # the index-segment filter assumes ascending ranges
-            raise SortingException(
+            raise UnsortedDataException(
                 f"{symbol!r} is {m.sorted}: date_range reads require an "
                 "ascending-sorted symbol (repair via sort_index)")
 
@@ -2872,7 +2892,7 @@ class Library:
                 else:
                     df = df.sort_values(by, kind="mergesort")
             if validate_index and self._input_sortedness(df) != "ASCENDING":
-                raise SortingException(
+                raise UnsortedDataException(
                     "E_UNSORTED_DATA staged chunk has an unsorted datetime "
                     "index; pass validate_index=False, sort_on_index=True, "
                     "or sort_columns to resolve")
@@ -3092,7 +3112,7 @@ class Library:
                     mins = [f.ts_min for f in new_files if f.ts_min is not None]
                     overlap = bool(mins) and min(mins) < prev.ts_max
                 if overlap and validate_index:
-                    raise SortingException(
+                    raise UnsortedDataException(
                         "staged data overlaps existing index range")
                 m = VersionManifest(
                     symbol, self._next_version(symbol), time.time_ns(), idx,
@@ -3804,9 +3824,22 @@ class Library:
     def _sym_of_payload(p) -> str:
         return p.symbol if isinstance(p, (WritePayload, UpdatePayload)) else p[0]
 
+    def _raise_if_duplicate_symbols(self, payloads: list) -> None:
+        """Reference library.py _raise_if_duplicate_symbols_in_batch: a
+        mutating batch with a repeated symbol raises eagerly (the per-item
+        results would otherwise race on the version chain)."""
+        seen, dups = set(), set()
+        for p in payloads:
+            sym = self._sym_of_payload(p)
+            (dups if sym in seen else seen).add(sym)
+        if dups:
+            raise ArcticDuplicateSymbolsInBatchException(
+                f"duplicate symbols in batch: {sorted(dups)}")
+
     def write_batch(self, payloads: list,
                     prune_previous_versions: bool = False,
                     validate_index: bool = True) -> list:
+        self._raise_if_duplicate_symbols(payloads)
         return self._pmap_errors(
             lambda p: self.write(*self._payload(p)[:2],
                                  metadata=self._payload(p)[2],
@@ -3815,6 +3848,7 @@ class Library:
             payloads, self._sym_of_payload)
 
     def append_batch(self, payloads: list) -> list:
+        self._raise_if_duplicate_symbols(payloads)
         return self._pmap_errors(
             lambda p: self.append(*self._payload(p)[:2],
                                   metadata=self._payload(p)[2]),
@@ -3825,6 +3859,7 @@ class Library:
         """Accepts ``UpdatePayload`` objects or (symbol, data[, metadata])
         tuples; a missing symbol is a DataError unless ``upsert=True``
         (reference ``library.py`` update_batch)."""
+        self._raise_if_duplicate_symbols(payloads)
         def one(p):
             sym, data, meta = self._payload(p)
             dr = p.date_range if isinstance(p, UpdatePayload) else None
