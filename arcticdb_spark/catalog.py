@@ -76,6 +76,60 @@ class ArcticDuplicateSymbolsInBatchException(ArcticInvalidApiUsageException):
     not repeat a symbol."""
 
 
+class UserInputException(ArcticException):
+    """Reference ErrorCategory.USER_INPUT (error_code.hpp:32)."""
+
+
+# reference name_validation.hpp:20 MAX_SYMBOL_LENGTH (= 255 - 1) and
+# storage.hpp:29 GLOBALLY_UNSUPPORTED_CHARS plus '&' (the v2 docstring set:
+# "*", "&", "<", ">" — S3's reserved chars)
+_MAX_NAME_LENGTH = 254
+_UNSUPPORTED_NAME_CHARS = set("*&<>")
+
+
+def _verify_name(kind: str, name: str, check_ascii_range: bool = True,
+                 unsupported=frozenset(_UNSUPPORTED_NAME_CHARS)) -> None:
+    """Reference name_validation.cpp:18 verify_name: E_EMPTY_NAME /
+    E_NAME_TOO_LONG / E_INVALID_CHAR_IN_NAME as UserInputException."""
+    if not isinstance(name, str) or name == "":
+        raise UserInputException(
+            f"E_EMPTY_NAME The {kind} cannot be an empty string")
+    if len(name) > _MAX_NAME_LENGTH:
+        raise UserInputException(
+            f"E_NAME_TOO_LONG {kind} {name!r} length {len(name)} exceeds "
+            f"the max supported length {_MAX_NAME_LENGTH}")
+    for c in name:
+        if check_ascii_range and not (32 <= ord(c) <= 126):
+            raise UserInputException(
+                f"E_INVALID_CHAR_IN_NAME The {kind} can contain only ASCII "
+                f"chars in the range 32-126 inclusive; {kind}: {name!r} "
+                f"BadChar: {c!r}")
+        if c in unsupported:
+            raise UserInputException(
+                f"E_INVALID_CHAR_IN_NAME The {kind} contains unsupported "
+                f"chars; {kind}: {name!r} BadChar: {c!r}")
+
+
+def _verify_library_name(name: str) -> None:
+    """Reference name_validation.cpp:119-144 verify_library_path[_part]:
+    dot-delimited parts must be non-empty and not start with '/'; the
+    name cannot end with the delimiter."""
+    _verify_name("library name", name)
+    if name.endswith("."):
+        raise UserInputException(
+            "E_INVALID_CHAR_IN_NAME The library name ends with an "
+            f"unsupported suffix: {name!r}")
+    for part in name.split("."):
+        if part == "":
+            raise UserInputException(
+                "E_INVALID_CHAR_IN_NAME Library name has an empty part "
+                f"(parts are separated by '.'): {name!r}")
+        if part.startswith("/"):
+            raise UserInputException(
+                "E_INVALID_CHAR_IN_NAME Library name part starts with an "
+                f"invalid character '/': {part!r}")
+
+
 class ArcticDbNotYetImplemented(ArcticException):
     """Reference ArcticDbNotYetImplemented: valid input the engine does not
     support yet (e.g. append/update on categorical symbols)."""
@@ -1515,6 +1569,13 @@ class Library:
             prune_previous = prune_previous_versions
         if dedup is None:   # library-level default (LibraryOptions.dedup)
             dedup = self.dedup
+        # reference verify_symbol_key (name_validation.cpp:111): validated
+        # for NEW symbols only — existing pre-validation symbols keep
+        # working (test_name_validation.py); internal recursive-normalizer
+        # leaf symbols (_rec__ prefix) derive from an already-validated
+        # parent and may embed arbitrary user dict keys
+        if not symbol.startswith("_rec__") and not self.has_symbol(symbol):
+            _verify_name("symbol key", symbol)
         # user-extensible normalizers (reference _custom_normalizers.py:17;
         # the composite tries custom normalizers before built-in dispatch):
         # first registered acceptor wins; its output re-enters the normal
@@ -3276,6 +3337,7 @@ class Library:
         """Named cross-symbol consistent version set (``library.py:2626``).
         ``skip_symbols`` and ``versions`` are mutually exclusive, as in the
         reference."""
+        _verify_name("snapshot name", snapshot_name)
         if skip_symbols and versions:
             raise ArcticException(
                 "Only one of skip_symbols and versions can be set")
@@ -4015,6 +4077,7 @@ class Arctic:
             os.makedirs(self.uri, exist_ok=True)
 
     def create_library(self, name: str, **kw) -> Library:
+        _verify_library_name(name)
         kw.setdefault("fs", self.fs)
         kw.setdefault("data_root", self.data_root)
         return Library(self.spark, self.uri, name, **kw)

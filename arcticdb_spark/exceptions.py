@@ -22,6 +22,7 @@ from __future__ import annotations
 from enum import Enum
 
 from arcticdb_spark.catalog import (ArcticDbNotYetImplemented,
+                                    UserInputException,
                                     ArcticDuplicateSymbolsInBatchException,
                                     ArcticException,
                                     ArcticInvalidApiUsageException,
@@ -50,10 +51,6 @@ class MissingDataException(ArcticException):
 
 class StorageException(ArcticException):
     """ErrorCategory.STORAGE."""
-
-
-class UserInputException(ArcticException):
-    """ErrorCategory.USER_INPUT."""
 
 
 class CompatibilityException(ArcticException):

@@ -45,3 +45,23 @@ def test_unsupported_type_and_duplicate_batch(tmp_lib):
     p2 = WritePayload("dup", pd.DataFrame({"a": [2]}))
     with pytest.raises(ex.ArcticDuplicateSymbolsInBatchException):
         tmp_lib.write_batch([p1, p2])
+
+
+def test_name_validation(tmp_lib, spark, tmp_path):
+    """Reference name_validation.cpp rules: empty / >254-char / control
+    chars / the documented unsupported set raise UserInputException for NEW
+    symbols and snapshot names; library names add dot-part rules."""
+    from arcticdb_spark.catalog import Arctic
+    df = pd.DataFrame({"a": [1]})
+    for bad in ("", "x" * 255, "bad*name", "bad<name", "b&d", "tab\tname",
+                "unié"):
+        with pytest.raises(ex.UserInputException):
+            tmp_lib.write(bad, df)
+    tmp_lib.write("ok name-255_ok", df)       # spaces etc. are fine
+    with pytest.raises(ex.UserInputException):
+        tmp_lib.snapshot("bad>snap")
+    ac = Arctic(str(tmp_path), spark)
+    for bad in ("", "lib..part", "trailingdot.", "a./slashpart", "x" * 255):
+        with pytest.raises(ex.UserInputException):
+            ac.create_library(bad)
+    assert ac.create_library("ok.lib").name == "ok.lib"
