@@ -443,6 +443,26 @@ class KeyType(str, Enum):
     SYMBOL_LIST = "SYMBOL_LIST"
 
 
+class CompactDataInfo(dict):
+    """compact_data_explain_plan result: a dict (this engine's original
+    shape, keyed segments_before/after etc.) that also exposes the
+    reference's CompactDataInfo attribute names (``library.py:3202`` —
+    row_slices_before/after, num_row_slices_before/after,
+    version_id_before/after, will_do_work)."""
+
+    def __getattr__(self, name):
+        if name == "will_do_work":
+            return self["would_compact"]
+        if name == "num_row_slices_before":
+            return self["segments_before"]
+        if name == "num_row_slices_after":
+            return self["segments_after"]
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+
 @dataclass
 class Size:
     """Compressed bytes + object count for one key type (reference
@@ -3796,20 +3816,40 @@ class Library:
         return self.compact_symbol(symbol, target_rows_per_file=rows_per_segment)
 
     def compact_data_explain_plan(self, symbol: str,
-                                  rows_per_segment: int | None = None) -> dict:
+                                  rows_per_segment: int | None = None
+                                  ) -> "CompactDataInfo":
         """Dry run of compact_data (``library.py:3202``): current vs projected
-        segment layout, purely from manifest row counts — no data touched."""
+        segment layout, purely from manifest row counts — no data touched.
+        Returns a dict that also exposes the reference CompactDataInfo
+        attributes (row_slices_before/after, num_row_slices_before/after,
+        version_id_before/after, will_do_work)."""
         m = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
         target = rows_per_segment or self.rows_per_file
         plan = self._compact_plan(m, target)
         after = len(m.files) if plan is None else plan
-        return {"symbol": symbol,
-                "total_rows": m.total_rows,
-                "segments_before": len(m.files),
-                "segments_after": after,
-                "would_compact": plan is not None,
-                "rows_per_segment": target,
-                "is_fragmented": self.is_symbol_fragmented(symbol, target)}
+        before_slices = [0] + [fe.row_start + fe.rows for fe in m.files]
+        if plan is None:
+            after_slices = list(before_slices)
+        else:
+            # repartitionByRange yields near-even ranges; the projection is
+            # the even split the physical write targets
+            base, rem = divmod(m.total_rows, after)
+            after_slices, acc = [0], 0
+            for i in range(after):
+                acc += base + (1 if i < rem else 0)
+                after_slices.append(acc)
+        return CompactDataInfo(
+            symbol=symbol,
+            total_rows=m.total_rows,
+            segments_before=len(m.files),
+            segments_after=after,
+            would_compact=plan is not None,
+            rows_per_segment=target,
+            is_fragmented=self.is_symbol_fragmented(symbol, target),
+            row_slices_before=before_slices,
+            row_slices_after=after_slices,
+            version_id_before=m.version,
+            version_id_after=m.version + (1 if plan is not None else 0))
 
     # ---- batch ops (reference library.py:2161,1241,1469,1643,2506) ----
     # Each symbol's work is independent; the reference runs batches on its

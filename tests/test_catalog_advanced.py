@@ -723,3 +723,29 @@ def test_v2_signature_parity_kwargs(spark, tmp_path):
     # conflict: global + per-request query builders
     with pytest.raises(ArcticException):
         lib.read_batch([ReadRequest("s", query_builder=q)], query_builder=q)
+
+
+def test_compact_data_info_reference_attrs(spark, tmp_path):
+    """compact_data_explain_plan exposes the reference CompactDataInfo
+    attributes (library.py:3202) alongside the dict keys."""
+    import pandas as pd
+    from arcticdb_spark.catalog import Arctic
+    lib = Arctic(str(tmp_path), spark).create_library("cdi", rows_per_file=10)
+    idx = pd.date_range("2024-01-01", periods=3, name="ts")
+    lib.write("s", pd.DataFrame({"a": [1, 2, 3]}, index=idx))
+    for i in range(3, 12, 3):
+        lib.append("s", pd.DataFrame(
+            {"a": list(range(i, i + 3))},
+            index=pd.date_range("2024-01-01", periods=i + 3, name="ts")[-3:]))
+    info = lib.compact_data_explain_plan("s")
+    assert info.will_do_work and info["would_compact"]
+    assert info.num_row_slices_before == info["segments_before"] == 4
+    assert info.num_row_slices_after == info["segments_after"]
+    assert info.row_slices_before[0] == 0
+    assert info.row_slices_before[-1] == info.row_slices_after[-1] == 12
+    assert info.version_id_after == info.version_id_before + 1
+    lib.compact_data("s")
+    info2 = lib.compact_data_explain_plan("s")
+    assert not info2.will_do_work
+    assert info2.version_id_after == info2.version_id_before
+    assert info2.row_slices_after == info2.row_slices_before
