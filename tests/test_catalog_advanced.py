@@ -749,3 +749,42 @@ def test_compact_data_info_reference_attrs(spark, tmp_path):
     assert not info2.will_do_work
     assert info2.version_id_after == info2.version_id_before
     assert info2.row_slices_after == info2.row_slices_before
+
+
+def test_append_compact_data_bounds(spark, tmp_path):
+    """Ported from the reference's test_append_compact_data.py
+    generic_append_compact_data_test: append(compact_data=True) equals a
+    plain append data-wise, post-compaction segment row counts sit within
+    the CompactDataClause bounds [2/3*target, 4/3*target], and a further
+    compaction would be a no-op."""
+    import pandas as pd
+    from arcticdb_spark.catalog import Arctic
+    target = 10
+    lib = Arctic(str(tmp_path), spark).create_library("acd",
+                                                      rows_per_file=target)
+    idx = pd.date_range("2026-01-01", periods=20, name="ts")
+    df0 = pd.DataFrame({"col": range(20)}, index=idx)
+    lib.write("sym", df0)
+    lib.write("oracle", df0)
+    # fragment both with small appends
+    for i in range(20, 29, 3):
+        chunk = pd.DataFrame(
+            {"col": range(i, i + 3)},
+            index=pd.date_range("2026-01-01", periods=i + 3, name="ts")[-3:])
+        lib.append("oracle", chunk)
+        lib.append("sym", chunk)
+    tail = pd.DataFrame({"col": [99]},
+                        index=pd.date_range("2026-03-01", periods=1,
+                                            name="ts"))
+    lib.append("oracle", tail, compact_data=False)
+    lib.append("sym", tail, compact_data=True)
+    exp = lib.read("oracle", output_format="pandas")
+    got = lib.read("sym", output_format="pandas")
+    pd.testing.assert_frame_equal(got, exp)
+    m = lib._load_manifest("sym", lib._load_ref("sym")["latest"])
+    counts = [fe.rows for fe in m.files]
+    lo = max((2 * target) // 3, 1)
+    hi = max((4 * target) // 3, target + 1)
+    assert min(counts) >= min(lo, sum(counts)), counts
+    assert max(counts) <= hi, counts
+    assert not lib.compact_data_explain_plan("sym").will_do_work
