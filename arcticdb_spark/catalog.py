@@ -3146,6 +3146,35 @@ class Library:
                 # incompatible) — the mergeSchema union above would
                 # otherwise silently NULL-pad
                 self._validate_staged_static_schemas(seg_files)
+            if not sort and validate_index and idx is not None:
+                # non-sorting finalize requires the staged segments to be
+                # ordered and non-overlapping among themselves (reference
+                # library.py:1750 "All staged segments must be ordered and
+                # non-overlapping"; test_arctic.py
+                # test_parallel_writes_and_appends_index_validation) —
+                # checked from parquet footers only, no data IO. A SEGMENT
+                # is one stage() call's chunk (= one staging directory; a
+                # chunk's part files share it), so interleaved chunks fail
+                # even when individual part files happen not to overlap.
+                # Segment boundaries may touch (equal timestamps), like
+                # append.
+                by_chunk: dict[str, list] = {}
+                for f in seg_files:
+                    by_chunk.setdefault(os.path.dirname(f), []).append(f)
+                spans = []
+                for files in by_chunk.values():
+                    stats = [_footer_stats(f, idx)[1:] for f in files]
+                    mins = [s[0] for s in stats if s[0] is not None]
+                    maxs = [s[1] for s in stats if s[1] is not None]
+                    if mins and maxs:
+                        spans.append((min(mins), max(maxs)))
+                spans.sort()
+                for (_, a_max), (b_min, _) in zip(spans, spans[1:]):
+                    if b_min < a_max:
+                        raise UnsortedDataException(
+                            "E_UNSORTED_DATA staged segments overlap; pass "
+                            "validate_index=False to concatenate as-is or "
+                            "use sort_and_finalize_staged_data")
             index_ns = False
             if idx is not None and idx in df.columns:
                 if _is_ts_type(df, idx):

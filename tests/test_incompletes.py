@@ -70,3 +70,38 @@ def test_read_incompletes_dynamic_columns(tmp_lib):
     assert "newcol" in out.columns
     assert out["newcol"].notna().sum() == 1
     assert len(out) == 5
+
+
+@pytest.mark.parametrize("mode", ["append", "write"])
+@pytest.mark.parametrize("validate_index", [True, False, None])
+def test_finalize_index_validation_matrix(tmp_lib, mode, validate_index):
+    """Ported from the reference test_arctic.py
+    test_parallel_writes_and_appends_index_validation: overlapping staged
+    chunks raise UnsortedDataException at finalize unless
+    validate_index=False, for both WRITE and APPEND modes (default == True)."""
+    import pandas as pd
+    from arcticdb_spark.exceptions import UnsortedDataException
+    sym = "mx"
+    if mode == "append":
+        tmp_lib.write(sym, pd.DataFrame(
+            {"col": [1, 2]}, index=pd.DatetimeIndex(
+                ["2024-01-01", "2024-01-02"], name="ts")))
+    df_1 = pd.DataFrame({"col": [3, 4]}, index=pd.DatetimeIndex(
+        ["2024-01-03", "2024-01-04"], name="ts"))
+    df_2 = pd.DataFrame({"col": [5, 6]}, index=pd.DatetimeIndex(
+        ["2024-01-03 12:00", "2024-01-05"], name="ts"))
+    tmp_lib.write(sym, df_2, staged=True)
+    tmp_lib.write(sym, df_1, staged=True)
+    if validate_index is None:
+        with pytest.raises(UnsortedDataException):
+            tmp_lib.finalize_staged_data(sym, mode, sort=False)
+    elif validate_index:
+        with pytest.raises(UnsortedDataException):
+            tmp_lib.finalize_staged_data(sym, mode, sort=False,
+                                         validate_index=True)
+    else:
+        tmp_lib.finalize_staged_data(sym, mode, sort=False,
+                                     validate_index=False)
+        got = tmp_lib.read(sym, output_format="pandas")["col"].tolist()
+        assert sorted(got) == ([1, 2, 3, 4, 5, 6] if mode == "append"
+                               else [3, 4, 5, 6])

@@ -57,10 +57,18 @@ def test_unicode_append_update_staged(tmp_lib):
 
 
 def test_unicode_snapshot_and_filter(tmp_lib):
+    import pytest
+    from arcticdb_spark.exceptions import UserInputException
     from arcticdb_spark.query import QueryBuilder
     tmp_lib.write("sym", _df())
-    tmp_lib.snapshot(f"snap-{UNI}", metadata={TM: UNI})
-    assert f"snap-{UNI}" in tmp_lib.list_snapshots()
+    # "We validate against snapshot names more strictly with the v2 API"
+    # (reference test_unicode.py:231): a unicode snapshot NAME is a native-
+    # API-only allowance — the v2 surface rejects it; unicode metadata and
+    # values stay fully supported
+    with pytest.raises(UserInputException):
+        tmp_lib.snapshot(f"snap-{UNI}", metadata={TM: UNI})
+    tmp_lib.snapshot("snap-ascii", metadata={TM: UNI})
+    assert "snap-ascii" in tmp_lib.list_snapshots()
     q = QueryBuilder()
     q = q[q[CR] == UNI]
     assert tmp_lib.read("sym", query_builder=q).count() == 5
