@@ -1010,6 +1010,19 @@ class Library:
             entries.sort(key=lambda e: (e.ts_min if e.ts_min is not None else 0, e.path))
         return _renumber(entries)
 
+    @staticmethod
+    def _resolve_index_column_arg(df, index_column):
+        """Reference Arrow contract (library.py:1020 ``index_column: bool``,
+        test_arrow_writes.py): True means "the FIRST column is the
+        timeseries index". This engine also accepts a column name; False/
+        None mean no designated index."""
+        if index_column is True:
+            names = getattr(df, "column_names", None) or list(df.columns)
+            return names[0]
+        if index_column is False:
+            return None
+        return index_column
+
     def _normalize(self, df, index_column: str | None = None
                    ) -> tuple[DataFrame, dict | None]:
         """pandas/Spark input -> (Spark frame, normalization metadata).
@@ -1632,6 +1645,7 @@ class Library:
             # own index wins — test_write_pandas_df_with_specified_index_
             # column)
             index_column = None
+        index_column = self._resolve_index_column_arg(df, index_column)
         sorted_flag = self._input_sortedness(df)
         if validate_index and sorted_flag != "ASCENDING":
             raise UnsortedDataException(
@@ -2977,7 +2991,9 @@ class Library:
                     "E_UNSORTED_DATA staged chunk has an unsorted datetime "
                     "index; pass validate_index=False, sort_on_index=True, "
                     "or sort_columns to resolve")
-        sdf, nmeta = self._normalize(df)
+            index_column = False      # pandas chunks keep their own index
+        sdf, nmeta = self._normalize(
+            df, self._resolve_index_column_arg(df, index_column or None))
         out = os.path.join(self._staging_dir(symbol), uuid.uuid4().hex)
         os.makedirs(os.path.dirname(out), exist_ok=True)
         self._drop_void(sdf).write.mode("overwrite").parquet(out)

@@ -169,3 +169,31 @@ def test_arrow_read_strings_with_missing(tmp_lib):
     vals = t.column("s").to_pylist()
     assert sorted(v for v in vals if v is not None) == ["a", "c"]
     assert vals.count(None) == 2
+
+
+def test_arrow_write_index_column_true(tmp_lib):
+    """Reference Arrow contract (test_arrow_writes.py, library.py
+    ``index_column: bool``): True designates the FIRST column as the
+    timeseries index — date_range reads prune on it."""
+    import pandas as pd
+    import pyarrow as pa
+    t = pa.table({
+        "ts": pa.Array.from_pandas(pd.date_range("2025-01-01", periods=4),
+                                   type=pa.timestamp("ns")),
+        "col0": pa.array([0, 1, 2, 3], pa.int64()),
+    })
+    tmp_lib.write("s", t, index_column=True)
+    assert tmp_lib.read("s").count() == 4
+    got = tmp_lib.read("s", date_range=(pd.Timestamp("2025-01-02"),
+                                        pd.Timestamp("2025-01-03")))
+    assert got.count() == 2
+    # staged arrow chunks with index_column=True finalize onto the index
+    t2 = pa.table({
+        "ts": pa.Array.from_pandas(pd.date_range("2025-02-01", periods=2),
+                                   type=pa.timestamp("ns")),
+        "col0": pa.array([7, 8], pa.int64()),
+    })
+    tmp_lib.stage("u", t2, index_column=True)
+    tmp_lib.sort_and_finalize_staged_data("u")
+    assert tmp_lib.read("u").count() == 2
+    assert tmp_lib.get_info("u")["sorted"] == "ASCENDING"
