@@ -152,3 +152,46 @@ def test_sort_merge_static_incompatible_chunks_raise(tmp_lib):
     tmp_lib.stage("sym", pd.DataFrame({"b": ["x", "y"]}, index=idx2))
     with pytest.raises(SchemaException, match="E_DESCRIPTOR_MISMATCH"):
         tmp_lib.sort_and_finalize_staged_data("sym")
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(data=st.data())
+def test_finalize_ordering_rule(data):
+    """Non-sorting finalize raises UnsortedDataException exactly when the
+    staged chunk SPANS overlap (reference: segments must be ordered and
+    non-overlapping); with validate_index=False the chunks concatenate in
+    staged order regardless."""
+    from arcticdb_spark.exceptions import UnsortedDataException
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**16)))
+    n_chunks = data.draw(st.integers(2, 4))
+    spans = []
+    chunks = []
+    base = pd.Timestamp("2024-01-01").value
+    for _ in range(n_chunks):
+        start = int(rng.integers(0, 5000))
+        width = int(rng.integers(1, 1000))
+        k = int(rng.integers(1, 5))
+        offs = np.sort(rng.choice(width + 1, size=min(k, width + 1),
+                                  replace=False))
+        idx = pd.DatetimeIndex((base + (start + offs) * 60_000_000_000)
+                               .astype("int64").view("M8[ns]"), name="ts")
+        chunks.append(pd.DataFrame(
+            {"v": rng.normal(size=len(idx))}, index=idx))
+        spans.append((idx.min().value, idx.max().value))
+    spans_sorted = sorted(spans)
+    overlaps = any(b[0] < a[1] for a, b in zip(spans_sorted,
+                                               spans_sorted[1:]))
+    lib = Arctic(tempfile.mkdtemp(), _spark).create_library("ord")
+    for c in chunks:
+        lib.stage("sym", c)
+    if overlaps:
+        with pytest.raises(UnsortedDataException):
+            lib.finalize_staged_data("sym", sort=False)
+        lib.finalize_staged_data("sym", sort=False, validate_index=False)
+        assert lib.read("sym").count() == sum(len(c) for c in chunks)
+    else:
+        lib.finalize_staged_data("sym", sort=False)
+        out = lib.read("sym", output_format="pandas")
+        assert len(out) == sum(len(c) for c in chunks)
+        assert lib.get_info("sym")["sorted"] == "ASCENDING"
