@@ -2404,7 +2404,20 @@ class Library:
                 # version-number reads of those still succeed (reference
                 # test_deletion.py test_delete_snapshot: "Should not raise
                 # as it exists in a snapshot")
+                if as_of < 0:
+                    raise
                 return self._load_manifest(symbol, as_of)
+            if as_of < 0:
+                # negative = arithmetic back from the latest VERSION NUMBER
+                # (reference test_basic_version_store.py:2025-2029: with
+                # versions 0,1,2-deleted,3: -1 -> 3, -2 -> not found,
+                # -3 -> 1); a deleted landing spot raises below like any
+                # direct version-number read
+                as_of = ref["latest"] + 1 + as_of
+                if as_of < 0:
+                    raise NoSuchVersionException(
+                        f"{symbol!r} version {as_of - ref['latest'] - 1} "
+                        "not found")
             if as_of in set(ref.get("deleted", [])):
                 if any(self._load_snapshot(n)["symbols"].get(symbol) == as_of
                        for n in self.list_snapshots()):
@@ -3471,10 +3484,27 @@ class Library:
         self._fs.write_json_atomic(self._snap_path(name), snap)
 
     # ---- listing / metadata / GC ----
-    def list_symbols(self) -> list[str]:
+    def list_symbols(self, snapshot_name: str | None = None,
+                     regex: str | None = None) -> list[str]:
+        """Reference ``library.py:2803``: optionally the symbols pinned by
+        ``snapshot_name`` instead of the live set, optionally filtered by
+        ``regex`` (search semantics, like the reference)."""
+        if snapshot_name is not None:
+            out = list(self._load_snapshot(snapshot_name)["symbols"])
+            if regex is not None:
+                import re as _re
+                pat = _re.compile(regex)
+                out = [s for s in out if pat.search(s)]
+            return sorted(out)
         out = []
+        pat = None
+        if regex is not None:
+            import re as _re
+            pat = _re.compile(regex)
         for d in self._fs.listdir(self.root):
             if d.startswith("_"):
+                continue
+            if pat is not None and not pat.search(d):
                 continue
             if self._fs.exists(self._ref_path(d)):
                 out.append(d)

@@ -788,3 +788,32 @@ def test_append_compact_data_bounds(spark, tmp_path):
     assert min(counts) >= min(lo, sum(counts)), counts
     assert max(counts) <= hi, counts
     assert not lib.compact_data_explain_plan("sym").will_do_work
+
+
+def test_negative_as_of_and_list_symbols_filters(tmp_lib):
+    """Ported from the reference test_basic_version_store.py:2025-2029
+    (negative as_of is arithmetic on version numbers; a deleted landing
+    spot is not found) and library.py:2803 list_symbols(snapshot_name,
+    regex)."""
+    import pandas as pd
+    import pytest
+    from arcticdb_spark.catalog import NoSuchVersionException
+    for v in range(4):                      # versions 0..3, one row each +v
+        tmp_lib.write("sym", pd.DataFrame({"a": list(range(v + 1))}))
+    tmp_lib.snapshot("snap")
+    tmp_lib.delete_version("sym", 2)
+    assert tmp_lib.read("sym", as_of=-1).count() == 4    # v3
+    assert tmp_lib.read("sym", as_of=-3).count() == 2    # v1
+    assert tmp_lib.read("sym", as_of=-4).count() == 1    # v0
+    with pytest.raises(NoSuchVersionException):
+        tmp_lib.read("sym", as_of=-1000)
+    # v2 deleted and not pinned (the snapshot pins v3) -> not found,
+    # matching the reference's `-2 is None`
+    with pytest.raises(NoSuchVersionException):
+        tmp_lib.read("sym", as_of=-2)
+    # list_symbols filters
+    tmp_lib.write("other", pd.DataFrame({"b": [1]}))
+    tmp_lib.snapshot("s2", skip_symbols=["other"])
+    assert tmp_lib.list_symbols() == ["other", "sym"]
+    assert tmp_lib.list_symbols(regex="^sy") == ["sym"]
+    assert tmp_lib.list_symbols(snapshot_name="s2") == ["sym"]
