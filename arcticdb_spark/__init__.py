@@ -37,7 +37,7 @@ from arcticdb_spark.catalog import (Arctic, ArcticDbNotYetImplemented,
                                     SchemaException, SortingException,
                                     StageResult,
                                     UpdatePayload, WritePayload)
-from arcticdb_spark.catalog import UnsortedDataException
+from arcticdb_spark.catalog import UnsortedDataException, VersionedItem
 from arcticdb_spark.exceptions import ErrorCategory, ErrorCode
 from arcticdb_spark import exceptions
 from arcticdb_spark.lazy import (LazyDataFrame, LazyDataFrameCollection,

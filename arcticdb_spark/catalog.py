@@ -171,6 +171,20 @@ class FileEntry:
 
 
 @dataclass
+class VersionedItem:
+    """Reference ``_store.py:205`` VersionedItem: the result wrapper for
+    metadata reads (and the attribute shape mutation results answer).
+    ``data`` is None for metadata-only operations, like upstream."""
+    symbol: str
+    library: str | None
+    data: Any
+    version: int
+    metadata: Any
+    host: str | None = None
+    timestamp: int | None = None
+
+
+@dataclass
 class VersionManifest:
     symbol: str
     version: int
@@ -183,6 +197,18 @@ class VersionManifest:
     # normalization metadata (reference _normalization.py:931-950): how the
     # pandas index was demoted to physical columns, so reads can restore it
     norm_meta: Any = None
+
+    # -- VersionedItem attribute compatibility (reference _store.py:205):
+    # write/append/update return this manifest; upstream code reading
+    # .data / .timestamp off the result keeps working (.symbol /
+    # .version / .metadata are real fields above)
+    @property
+    def data(self):
+        return None
+
+    @property
+    def timestamp(self):
+        return self.created_ns
 
     @property
     def total_rows(self):
@@ -3569,8 +3595,13 @@ class Library:
                             "snapshots": snaps, "deleted": v in deleted})
         return out
 
-    def read_metadata(self, symbol: str, as_of=None):
-        return self._resolve_version(symbol, as_of).metadata
+    def read_metadata(self, symbol: str, as_of=None) -> "VersionedItem":
+        """Reference ``library.py:2485``: returns a VersionedItem whose
+        ``data`` is None — callers use ``.metadata`` (and ``.version``)."""
+        m = self._resolve_version(symbol, as_of)
+        return VersionedItem(symbol=symbol, library=self.name, data=None,
+                             version=m.version, metadata=m.metadata,
+                             timestamp=m.created_ns)
 
     def column_names(self, symbol: str, as_of=None) -> list[str]:
         """Reference ``_store.py:3441``: column names of a version straight

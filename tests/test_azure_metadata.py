@@ -184,7 +184,7 @@ class TestAzureCatalog:
 
     def test_metadata_and_description(self, az_lib):
         az_lib.write("sym", _frame(10), metadata={"source": "test"})
-        assert az_lib.read_metadata("sym") == {"source": "test"}
+        assert az_lib.read_metadata("sym").metadata == {"source": "test"}
         d = az_lib.get_description("sym")
         assert d["row_count"] == 10 and d["index_column"] == "ts"
 

@@ -110,9 +110,9 @@ def test_snapshots(tmp_lib):
 
 def test_metadata_roundtrip(tmp_lib):
     tmp_lib.write("sym", _ts_frame("2024-01-01", 5), metadata={"source": "unit"})
-    assert tmp_lib.read_metadata("sym") == {"source": "unit"}
+    assert tmp_lib.read_metadata("sym").metadata == {"source": "unit"}
     tmp_lib.write_metadata("sym", {"source": "v2"})
-    assert tmp_lib.read_metadata("sym") == {"source": "v2"}
+    assert tmp_lib.read_metadata("sym").metadata == {"source": "v2"}
     assert tmp_lib.read("sym").count() == 5  # data untouched
     desc = tmp_lib.get_description("sym")
     assert desc["row_count"] == 5 and desc["index_column"] == "ts"

@@ -217,7 +217,7 @@ def test_write_pickle_roundtrip(tmp_lib):
     tmp_lib.write_pickle("blob", obj, metadata={"kind": "dict"})
     assert tmp_lib.is_symbol_pickled("blob")
     assert tmp_lib.read("blob") == obj
-    assert tmp_lib.read_metadata("blob") == {"kind": "dict"}
+    assert tmp_lib.read_metadata("blob").metadata == {"kind": "dict"}
 
 
 def test_write_pickle_large_multichunk(tmp_lib):
@@ -278,12 +278,13 @@ def test_batch_variants_pickle_metadata_description(tmp_lib):
     import pandas as pd
     tmp_lib.write_pickle_batch([("p1", {"x": 1}), ("p2", [1, 2], {"m": "2"})])
     assert tmp_lib.read("p1") == {"x": 1}
-    assert tmp_lib.read_metadata("p2") == {"m": "2"}
+    assert tmp_lib.read_metadata("p2").metadata == {"m": "2"}
     f = pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=4), "v": [1.0, 2, 3, 4]})
     tmp_lib.write("s1", f)
     tmp_lib.write("s2", f)
     tmp_lib.write_metadata_batch([("s1", {"a": 1}), ("s2", {"b": 2})])
-    assert tmp_lib.read_metadata_batch(["s1", "s2"]) == [{"a": 1}, {"b": 2}]
+    assert [m.metadata for m in tmp_lib.read_metadata_batch(["s1", "s2"])] \
+        == [{"a": 1}, {"b": 2}]
     descs = tmp_lib.get_description_batch(["s1", "s2"])
     assert [d["row_count"] for d in descs] == [4, 4]
     tmp_lib.reload_symbol_list()  # no-op by design, must not raise

@@ -191,7 +191,7 @@ class TestGCSCatalog:
 
     def test_metadata_and_description(self, gcs_lib):
         gcs_lib.write("sym", _frame(10), metadata={"source": "test"})
-        assert gcs_lib.read_metadata("sym") == {"source": "test"}
+        assert gcs_lib.read_metadata("sym").metadata == {"source": "test"}
         d = gcs_lib.get_description("sym")
         assert d["row_count"] == 10 and d["index_column"] == "ts"
 

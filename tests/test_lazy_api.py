@@ -48,7 +48,9 @@ def test_batch_variants(tmp_lib):
     tmp_lib.update_batch([("b", _frame("2024-01-01 02:00", 2, off=50))])
     out = tmp_lib.read("b").toPandas()
     assert sorted(out["v"])[-2:] == [50.0, 51.0]
-    assert tmp_lib.read_metadata_batch(["a", "b"]) == [None, None]
+    assert [m.metadata
+            for m in tmp_lib.read_metadata_batch(["a", "b"])] \
+        == [None, None]
     tmp_lib.delete_batch(["a"])
     assert tmp_lib.list_symbols() == ["b"]
 

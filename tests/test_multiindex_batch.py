@@ -86,7 +86,7 @@ class TestBatchOps:
             tmp_lib.write(f"m{i}", pd.DataFrame({"ts": ts, "v": range(5)}),
                           metadata={"i": i})
         metas = tmp_lib.read_metadata_batch([f"m{i}" for i in range(4)])
-        assert [m["i"] for m in metas] == [0, 1, 2, 3]
+        assert [m.metadata["i"] for m in metas] == [0, 1, 2, 3]
 
     def test_append_batch(self, tmp_lib):
         ts = pd.date_range("2024-01-01", periods=10, freq="1h")
@@ -137,10 +137,11 @@ def test_write_batch_payloads_and_info_requests(tmp_lib):
     from arcticdb_spark.catalog import ReadInfoRequest, WritePayload
     f = pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=4), "v": [1.0, 2, 3, 4]})
     tmp_lib.write_batch([WritePayload("w1", f, {"m": 1}), ("w2", f)])
-    assert tmp_lib.read_metadata("w1") == {"m": 1}
+    assert tmp_lib.read_metadata("w1").metadata == {"m": 1}
     tmp_lib.write("w2", f, metadata={"m": 2})  # version 1
     metas = tmp_lib.read_metadata_batch([ReadInfoRequest("w2", as_of=0), "w2"])
-    assert metas == [None, {"m": 2}]
+    assert [m.metadata for m in metas] == [None, {"m": 2}]
+    assert [m.version for m in metas] == [0, 1]
     descs = tmp_lib.get_description_batch([ReadInfoRequest("w1"), "w2"])
     assert all(d["row_count"] == 4 for d in descs)
 

@@ -46,7 +46,7 @@ def test_restore_version_carries_metadata(tmp_lib):
     tmp_lib.write("s", _pdf([1.0]), metadata={"tag": "old"})
     tmp_lib.write("s", _pdf([2.0]), metadata={"tag": "new"})
     tmp_lib.restore_version("s", as_of=0)
-    assert tmp_lib.read_metadata("s") == {"tag": "old"}
+    assert tmp_lib.read_metadata("s").metadata == {"tag": "old"}
 
 
 def test_restore_version_default_latest_noop_copy(tmp_lib):

@@ -124,7 +124,7 @@ class TestS3Catalog:
 
     def test_metadata_and_description(self, s3_lib):
         s3_lib.write("sym", _frame(10), metadata={"source": "test"})
-        assert s3_lib.read_metadata("sym") == {"source": "test"}
+        assert s3_lib.read_metadata("sym").metadata == {"source": "test"}
         d = s3_lib.get_description("sym")
         assert d["row_count"] == 10 and d["index_column"] == "ts"
 

@@ -26,7 +26,7 @@ def test_write_read_unicode_columns_and_values(tmp_lib):
     assert out.index.name == "ts"
     assert list(out.columns) == ["a", TM, CR]
     assert out[CR].tolist() == [UNI] * 5
-    assert tmp_lib.read_metadata("sym") == {CR: TM}
+    assert tmp_lib.read_metadata("sym").metadata == {CR: TM}
 
 
 def test_unicode_multiindex(tmp_lib):
