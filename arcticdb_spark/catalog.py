@@ -469,6 +469,27 @@ class KeyType(str, Enum):
     SYMBOL_LIST = "SYMBOL_LIST"
 
 
+from collections import namedtuple
+
+# reference library.py:128 NameWithDType — (name, dtype) pairs in
+# SymbolDescription
+NameWithDType = namedtuple("NameWithDType", ["name", "dtype"])
+
+
+class SymbolDescription(dict):
+    """get_description result: this engine's original dict keys plus the
+    reference SymbolDescription attribute names (``library.py:135`` —
+    columns/index as NameWithDType tuples, index_type in
+    {NA, index, multi_index}, row_count, last_update_time (UTC datetime),
+    date_range (NaT pair when not ascending-ts-indexed), sorted)."""
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+
 class CompactDataInfo(dict):
     """compact_data_explain_plan result: a dict (this engine's original
     shape, keyed segments_before/after etc.) that also exposes the
@@ -3638,13 +3659,45 @@ class Library:
                     f["type"] = "timestamp_ns"
         return schema
 
-    def get_description(self, symbol: str, as_of=None) -> dict:
+    def get_description(self, symbol: str, as_of=None) -> "SymbolDescription":
+        """Reference ``library.py:2538`` get_description: returns the
+        SymbolDescription shape (attribute access) merged with this
+        engine's original dict keys."""
+        import datetime as _dt
+        import pandas as pd
         m = self._resolve_version(symbol, as_of)
-        return {"symbol": symbol, "version": m.version,
-                "row_count": m.total_rows, "index_column": m.index_column,
-                "schema": self._user_schema(m),
-                "ts_min": m.ts_min, "ts_max": m.ts_max,
-                "sorted": m.sorted}
+        schema = self._user_schema(m)
+        fields = schema.get("fields", [])
+        nm = m.norm_meta if isinstance(m.norm_meta, dict) else {}
+        idx_names = []
+        if m.index_column is not None:
+            idx_names = [m.index_column]
+            if nm.get("index_type") == "multiindex":
+                phys = nm.get("physical") or []
+                idx_names = list(phys) if isinstance(phys, list) else [phys]
+        by_name = {f["name"]: f["type"] for f in fields}
+        index = tuple(NameWithDType(n, by_name.get(n, "datetime64[ns]"))
+                      for n in idx_names)
+        columns = tuple(NameWithDType(f["name"], f["type"]) for f in fields
+                        if f["name"] not in set(idx_names))
+        index_type = ("NA" if not idx_names
+                      else "multi_index" if len(idx_names) > 1 else "index")
+        if (m.index_column is not None and m.sorted == "ASCENDING"
+                and m.ts_min is not None):
+            date_range = (pd.Timestamp(m.ts_min), pd.Timestamp(m.ts_max))
+        else:
+            date_range = (pd.NaT, pd.NaT)
+        return SymbolDescription(
+            symbol=symbol, version=m.version,
+            row_count=(None if self._is_pickled(m) else m.total_rows),
+            index_column=m.index_column,
+            schema=schema,
+            ts_min=m.ts_min, ts_max=m.ts_max,
+            sorted=m.sorted,
+            columns=columns, index=index, index_type=index_type,
+            last_update_time=_dt.datetime.fromtimestamp(
+                m.created_ns / 1e9, tz=_dt.timezone.utc),
+            date_range=date_range)
 
     def get_info(self, symbol: str, version=None) -> dict:
         """Reference ``_store.py:3882`` get_info: descriptive dict with the

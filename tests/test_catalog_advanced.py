@@ -818,3 +818,30 @@ def test_negative_as_of_and_list_symbols_filters(tmp_lib):
     assert tmp_lib.list_symbols() == ["other", "sym"]
     assert tmp_lib.list_symbols(regex="^sy") == ["sym"]
     assert tmp_lib.list_symbols(snapshot_name="s2") == ["sym"]
+
+
+def test_symbol_description_reference_attrs(tmp_lib):
+    """get_description answers the reference SymbolDescription attribute
+    names (library.py:135) alongside the original dict keys."""
+    import datetime as dt
+    import pandas as pd
+    idx = pd.date_range("2024-01-01", periods=4, name="ts")
+    tmp_lib.write("sym", pd.DataFrame({"a": [1, 2, 3, 4],
+                                       "b": [1.0, 2.0, 3.0, 4.0]},
+                                      index=idx))
+    d = tmp_lib.get_description("sym")
+    assert d.row_count == d["row_count"] == 4
+    assert [c.name for c in d.columns] == ["a", "b"]
+    assert d.index[0].name == "ts"
+    assert d.index_type == "index"
+    assert d.sorted == "ASCENDING"
+    assert d.date_range == (pd.Timestamp("2024-01-01"),
+                            pd.Timestamp("2024-01-04"))
+    assert isinstance(d.last_update_time, dt.datetime)
+    assert d.last_update_time.tzinfo is not None
+    # no index -> NA and NaT range; pickled -> row_count None
+    tmp_lib.write("plain", pd.DataFrame({"x": [1]}))
+    d2 = tmp_lib.get_description("plain")
+    assert d2.index_type == "NA" and d2.date_range[0] is pd.NaT
+    tmp_lib.write_pickle("blob2", {"k": 1})
+    assert tmp_lib.get_description("blob2").row_count is None
