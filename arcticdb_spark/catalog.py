@@ -471,6 +471,50 @@ class KeyType(str, Enum):
 
 from collections import namedtuple
 
+# reference library.py:83/101 SymbolVersion / VersionInfo — the key/value
+# shape of the upstream list_versions dict
+SymbolVersion = namedtuple("SymbolVersion", ["symbol", "version"])
+VersionInfo = namedtuple("VersionInfo", ["date", "deleted", "snapshots"])
+
+
+class VersionList(list):
+    """list_versions result: this engine's original list-of-row-dicts,
+    which ALSO answers the upstream Dict[SymbolVersion, VersionInfo]
+    access patterns (``library.py:2881``): ``vl["sym", 0].deleted``,
+    ``("sym", 0) in vl``, ``vl.keys()/values()/items()``. ``vl[int]`` and
+    iteration keep the row-dict behavior."""
+
+    @staticmethod
+    def _info(row) -> VersionInfo:
+        import datetime as _dt
+        return VersionInfo(
+            date=_dt.datetime.fromtimestamp(row["date"] / 1e9,
+                                            tz=_dt.timezone.utc),
+            deleted=row["deleted"], snapshots=list(row["snapshots"]))
+
+    def __getitem__(self, key):
+        if isinstance(key, tuple):
+            for row in self:
+                if (row["symbol"], row["version"]) == key:
+                    return self._info(row)
+            raise KeyError(key)
+        return super().__getitem__(key)
+
+    def __contains__(self, key):
+        if isinstance(key, tuple):
+            return any((r["symbol"], r["version"]) == key for r in self)
+        return super().__contains__(key)
+
+    def keys(self):
+        return [SymbolVersion(r["symbol"], r["version"]) for r in self]
+
+    def values(self):
+        return [self._info(r) for r in self]
+
+    def items(self):
+        return list(zip(self.keys(), self.values()))
+
+
 # reference library.py:128 NameWithDType — (name, dtype) pairs in
 # SymbolDescription
 NameWithDType = namedtuple("NameWithDType", ["name", "dtype"])
@@ -3589,7 +3633,7 @@ class Library:
                             "date": m.created_ns, "rows": m.total_rows,
                             "snapshots": [snapshot],
                             "deleted": v in set(self._load_ref(s).get("deleted", ()))})
-            return out
+            return VersionList(out)
         by_ver: dict[tuple, list] = {}
         if not skip_snapshots:
             for name in self.list_snapshots():
@@ -3614,7 +3658,7 @@ class Library:
                 out.append({"symbol": s, "version": v,
                             "date": m.created_ns, "rows": m.total_rows,
                             "snapshots": snaps, "deleted": v in deleted})
-        return out
+        return VersionList(out)
 
     def read_metadata(self, symbol: str, as_of=None) -> "VersionedItem":
         """Reference ``library.py:2485``: returns a VersionedItem whose

@@ -845,3 +845,23 @@ def test_symbol_description_reference_attrs(tmp_lib):
     assert d2.index_type == "NA" and d2.date_range[0] is pd.NaT
     tmp_lib.write_pickle("blob2", {"k": 1})
     assert tmp_lib.get_description("blob2").row_count is None
+
+
+def test_list_versions_reference_dict_access(tmp_lib):
+    """list_versions also answers the upstream Dict[SymbolVersion,
+    VersionInfo] patterns (library.py:2881) while staying an iterable of
+    row dicts."""
+    import datetime as dt
+    import pandas as pd
+    tmp_lib.write("s", pd.DataFrame({"a": [1]}))
+    tmp_lib.write("s", pd.DataFrame({"a": [1, 2]}))
+    tmp_lib.snapshot("sn")
+    vl = tmp_lib.list_versions("s")
+    assert [r["version"] for r in vl] == [0, 1]        # original shape
+    info = vl["s", 1]                                  # upstream shape
+    assert info.snapshots == ["sn"] and not info.deleted
+    assert isinstance(info.date, dt.datetime) and info.date.tzinfo
+    assert ("s", 0) in vl and ("s", 9) not in vl
+    assert [k.version for k in vl.keys()] == [0, 1]
+    assert [v.deleted for v in vl.values()] == [False, False]
+    assert dict(vl.items())[("s", 0)].snapshots == []
