@@ -3520,12 +3520,18 @@ class Library:
                                    {"symbols": versions, "metadata": metadata,
                                     "created_ns": time.time_ns()})
 
-    def list_snapshots(self) -> list[str]:
+    def list_snapshots(self, load_metadata: bool = True):
+        """Reference ``library.py:2857``: a {name: metadata} dict by
+        default; a plain name list with ``load_metadata=False`` (cheaper —
+        skips reading each snapshot file)."""
         d = self._fs.join(self.root, "_snapshots")
         if not self._fs.isdir(d):
-            return []
-        return sorted(fn[:-5] for fn in self._fs.listdir(d)
-                      if fn.endswith(".json"))
+            return {} if load_metadata else []
+        names = sorted(fn[:-5] for fn in self._fs.listdir(d)
+                       if fn.endswith(".json"))
+        if not load_metadata:
+            return names
+        return {n: self._load_snapshot(n).get("metadata") for n in names}
 
     def delete_snapshot(self, name: str) -> None:
         """Remove the snapshot, then GC versions it ALONE kept alive —

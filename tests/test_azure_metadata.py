@@ -171,7 +171,7 @@ class TestAzureCatalog:
         assert az_lib.read("a", as_of="snap1").count() == 10
         assert "snap1" in az_lib.list_snapshots()
         az_lib.delete_snapshot("snap1")
-        assert az_lib.list_snapshots() == []
+        assert az_lib.list_snapshots() == {}
 
     def test_list_symbols_and_delete(self, az_lib):
         az_lib.write("x", _frame(5))

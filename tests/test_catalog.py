@@ -103,9 +103,10 @@ def test_snapshots(tmp_lib):
     tmp_lib.write("a", _ts_frame("2024-01-01", 50))
     assert tmp_lib.read("a").count() == 50
     assert tmp_lib.read("a", as_of="snap1").count() == 5
-    assert tmp_lib.list_snapshots() == ["snap1"]
+    assert tmp_lib.list_snapshots() == {"snap1": None}
+    assert tmp_lib.list_snapshots(load_metadata=False) == ["snap1"]
     tmp_lib.delete_snapshot("snap1")
-    assert tmp_lib.list_snapshots() == []
+    assert tmp_lib.list_snapshots() == {}
 
 
 def test_metadata_roundtrip(tmp_lib):

@@ -865,3 +865,14 @@ def test_list_versions_reference_dict_access(tmp_lib):
     assert [k.version for k in vl.keys()] == [0, 1]
     assert [v.deleted for v in vl.values()] == [False, False]
     assert dict(vl.items())[("s", 0)].snapshots == []
+
+
+def test_list_snapshots_metadata_dict(tmp_lib):
+    """Reference library.py:2857: dict {name: metadata} by default, plain
+    names with load_metadata=False."""
+    import pandas as pd
+    tmp_lib.write("s", pd.DataFrame({"a": [1]}))
+    tmp_lib.snapshot("s1", metadata={"note": "x"})
+    tmp_lib.snapshot("s2")
+    assert tmp_lib.list_snapshots() == {"s1": {"note": "x"}, "s2": None}
+    assert tmp_lib.list_snapshots(load_metadata=False) == ["s1", "s2"]

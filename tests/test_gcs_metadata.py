@@ -178,7 +178,7 @@ class TestGCSCatalog:
         assert gcs_lib.read("a", as_of="snap1").count() == 10
         assert "snap1" in gcs_lib.list_snapshots()
         gcs_lib.delete_snapshot("snap1")
-        assert gcs_lib.list_snapshots() == []
+        assert gcs_lib.list_snapshots() == {}
 
     def test_list_symbols_and_delete(self, gcs_lib):
         gcs_lib.write("x", _frame(5))

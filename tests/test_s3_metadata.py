@@ -104,7 +104,7 @@ class TestS3Catalog:
         assert s3_lib.read("a", as_of="snap1").count() == 10
         assert "snap1" in s3_lib.list_snapshots()
         s3_lib.delete_snapshot("snap1")
-        assert s3_lib.list_snapshots() == []
+        assert s3_lib.list_snapshots() == {}
 
     def test_update_and_delete_range(self, s3_lib):
         pdf = _frame(200)
