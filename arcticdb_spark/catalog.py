@@ -4331,12 +4331,35 @@ class Arctic:
         kw.setdefault("data_root", self.data_root)
         return Library(self.spark, self.uri, name, **kw)
 
-    def get_library(self, name: str, create_if_missing: bool = False) -> Library:
+    def get_library(self, name: str, create_if_missing: bool = False,
+                    library_options: "LibraryOptions | None" = None,
+                    output_format=None) -> Library:
+        """Reference ``arctic.py:166``: ``library_options`` is only
+        meaningful together with ``create_if_missing`` — when the library
+        already exists, options differing from the stored configuration
+        raise MismatchingLibraryOptions (never silently reconfigure)."""
         path = self.fs.join(self.uri, name) if self.uri else name
-        if not self.fs.isdir(path) and not create_if_missing:
+        exists = self.fs.isdir(path)
+        if not exists and not create_if_missing:
             raise ArcticException(f"library {name!r} does not exist")
-        return Library(self.spark, self.uri, name, fs=self.fs,
-                       data_root=self.data_root)
+        if not exists:
+            lib = self.create_library(name, library_options=library_options)
+        else:
+            lib = Library(self.spark, self.uri, name, fs=self.fs,
+                          data_root=self.data_root)
+            if library_options is not None and library_options != \
+                    LibraryOptions(dynamic_schema=lib.dynamic_schema,
+                                   dedup=lib.dedup,
+                                   rows_per_segment=lib.rows_per_file,
+                                   columns_per_segment=lib.columns_per_segment):
+                from arcticdb_spark.exceptions import \
+                    MismatchingLibraryOptions
+                raise MismatchingLibraryOptions(
+                    f"{name!r} already exists with different options "
+                    f"(requested {library_options!r})")
+        if output_format is not None:
+            lib.set_output_format(output_format)
+        return lib
 
     def list_libraries(self) -> list[str]:
         return sorted(d for d in self.fs.listdir(self.uri)

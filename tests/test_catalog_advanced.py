@@ -876,3 +876,27 @@ def test_list_snapshots_metadata_dict(tmp_lib):
     tmp_lib.snapshot("s2")
     assert tmp_lib.list_snapshots() == {"s1": {"note": "x"}, "s2": None}
     assert tmp_lib.list_snapshots(load_metadata=False) == ["s1", "s2"]
+
+
+def test_get_library_options_kwargs(spark, tmp_path):
+    """Reference arctic.py:166: get_library(create_if_missing=True,
+    library_options=...) creates with those options; on an existing
+    library, differing options raise MismatchingLibraryOptions."""
+    import pytest
+    from arcticdb_spark import Arctic, LibraryOptions
+    from arcticdb_spark.exceptions import MismatchingLibraryOptions
+    ac = Arctic(str(tmp_path), spark)
+    opts = LibraryOptions(dynamic_schema=True, rows_per_segment=50)
+    lib = ac.get_library("l", create_if_missing=True, library_options=opts)
+    assert lib.dynamic_schema and lib.rows_per_file == 50
+    # same options: fine
+    lib2 = ac.get_library("l", create_if_missing=True, library_options=opts)
+    assert lib2.rows_per_file == 50
+    with pytest.raises(MismatchingLibraryOptions):
+        ac.get_library("l", create_if_missing=True,
+                       library_options=LibraryOptions(rows_per_segment=99))
+    # output_format pass-through
+    import pandas as pd
+    lib.write("s", pd.DataFrame({"a": [1]}))
+    lib3 = ac.get_library("l", output_format="pandas")
+    assert list(lib3.read("s")["a"]) == [1]
