@@ -900,3 +900,44 @@ def test_get_library_options_kwargs(spark, tmp_path):
     lib.write("s", pd.DataFrame({"a": [1]}))
     lib3 = ac.get_library("l", output_format="pandas")
     assert list(lib3.read("s")["a"]) == [1]
+
+
+def test_concurrent_writers_race_cas(spark, tmp_path):
+    """N threads race writes on one symbol: the O_EXCL version CAS (the
+    reference's VERSION_REF compare-and-swap) gives every SUCCESSFUL write
+    a distinct version, losers raise the concurrent-write error, and the
+    final symbol state is a readable, complete version."""
+    import threading
+    import pandas as pd
+    from arcticdb_spark.catalog import Arctic, ArcticException
+    lib = Arctic(str(tmp_path), spark).create_library("race")
+    lib.write("sym", pd.DataFrame({"w": [-1], "n": [1]}))
+    results, errors = [], []
+
+    def writer(i):
+        try:
+            m = lib.write("sym", pd.DataFrame({"w": [i] * (i + 1),
+                                               "n": list(range(i + 1))}))
+            results.append((i, m.version))
+        except ArcticException as e:
+            errors.append((i, str(e)))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # every successful write landed on its own version
+    versions = [v for _, v in results]
+    assert len(set(versions)) == len(versions)
+    assert results, "at least one racer must win"
+    for _, msg in errors:
+        assert "concurrent" in msg
+    # the latest version is one winner's complete frame
+    out = lib.read("sym", output_format="pandas")
+    winner = out["w"].iloc[0]
+    assert (out["w"] == winner).all() and len(out) == winner + 1
+    assert out["n"].tolist() == list(range(winner + 1))
+    # version history is dense and readable
+    for v in versions:
+        assert lib.read("sym", as_of=v).count() > 0
