@@ -105,3 +105,27 @@ def test_finalize_index_validation_matrix(tmp_lib, mode, validate_index):
         got = tmp_lib.read(sym, output_format="pandas")["col"].tolist()
         assert sorted(got) == ([1, 2, 3, 4, 5, 6] if mode == "append"
                                else [3, 4, 5, 6])
+
+
+def test_concurrent_stagers_then_finalize(tmp_lib):
+    """The advertised staged-data pattern (reference library.py:952):
+    multiple writers stage chunks to one symbol at the same time, one
+    process finalizes — every staged row lands exactly once."""
+    import threading
+    import pandas as pd
+    chunks = []
+    for i in range(6):
+        idx = pd.date_range("2024-01-01", periods=60,
+                            name="ts")[i * 10:(i + 1) * 10]
+        chunks.append(pd.DataFrame({"v": range(i * 10, i * 10 + 10)},
+                                   index=idx))
+    threads = [threading.Thread(target=tmp_lib.stage, args=("sym", c))
+               for c in chunks]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    tmp_lib.sort_and_finalize_staged_data("sym")
+    out = tmp_lib.read("sym", output_format="pandas")
+    assert out["v"].tolist() == list(range(60))
+    assert tmp_lib.get_info("sym")["sorted"] == "ASCENDING"
