@@ -333,6 +333,41 @@ def q_update_range_surgery(spark, sf):
     return ev.filter(~inside).unionByName(correction)
 
 
+def q_compact_roundtrip(spark, sf):
+    """Append-fragmentation -> compact_data round-trip through the
+    versioned library (reference CompactDataClause, clause.hpp:926-976;
+    explain plan library.py:3202): the events table is written as one
+    version plus 7 appended slices (rows_per_file forces fragmentation),
+    compacted, and read back. In-code asserts pin the physical contract —
+    the segment count strictly drops, matches the explain plan's
+    projection, and never exceeds the pre-compaction count — while the
+    returned rows let the DuckDB oracle verify the data survived
+    byte-exact."""
+    import tempfile
+    from arcticdb_spark.catalog import Arctic
+    # sf-independent row cap: the point is the version/compaction
+    # lifecycle, not write throughput — 5 versions of <=10k rows stay
+    # bounded at any scale factor (the oracle applies the same predicate)
+    ev = (load_table(spark, sf, "events")
+          .filter(F.col("event_id") < 10000)
+          .select("event_id", "value").toPandas()
+          .sort_values("event_id").reset_index(drop=True))
+    n = len(ev)
+    lib = Arctic(tempfile.mkdtemp(), spark).create_library(
+        "compactlib", rows_per_file=max(n // 2, 1))
+    step = max(n // 5, 1)
+    lib.write("ev", ev.iloc[:step])
+    for i in range(step, n, step):
+        lib.append("ev", ev.iloc[i:i + step])
+    before = len(lib._load_manifest("ev", lib._load_ref("ev")["latest"]).files)
+    info = lib.compact_data_explain_plan("ev")
+    assert info.will_do_work and info.num_row_slices_before == before
+    lib.compact_data("ev")
+    after = len(lib._load_manifest("ev", lib._load_ref("ev")["latest"]).files)
+    assert after == info.num_row_slices_after < before
+    assert not lib.compact_data_explain_plan("ev").will_do_work
+    return lib.read("ev").select("event_id", "value")
+
 # ---------------------------------------------------------------------------
 # joins & windows (extensions, SURVEY §2.3/2.6 gaps)
 # ---------------------------------------------------------------------------
@@ -1171,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # remaining queries green in CORRECTNESS_r07 on current code.
         # --- changed in r8; driver re-verification required ---
         "uint64_mixed_compare": q_uint64_mixed_compare,
+        "compact_roundtrip": q_compact_roundtrip,
         # --- last driver row is r06 ---
         "groupby_tpch_q1": q_groupby_tpch_q1,
         "groupby_ts_minmax": q_groupby_ts_minmax,
@@ -1563,6 +1599,9 @@ def oracle_sql() -> dict[str, str]:
         # UBIGINT-vs-BIGINT compares to exact hugeint math — the native
         # reference for the engine's sign-guarded long formulas; the
         # doubled column wraps mod 2^64 on both sides
+        "compact_roundtrip": """
+            SELECT event_id, value FROM events WHERE event_id < 10000
+        """,
         "uint64_mixed_compare": """
 WITH e AS (
   SELECT event_type,
