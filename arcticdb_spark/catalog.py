@@ -3042,19 +3042,24 @@ class Library:
 
     def head(self, symbol: str, n: int = 5, as_of=None,
              columns: list[str] | None = None,
-             output_format: str | None = None) -> DataFrame:
+             output_format: str | None = None,
+             lazy: bool = False) -> DataFrame:
         return self.read(symbol, as_of=as_of, row_range=(0, n),
-                         columns=columns, output_format=output_format)
+                         columns=columns, output_format=output_format,
+                         lazy=lazy)
 
     def tail(self, symbol: str, n: int = 5, as_of=None,
              columns: list[str] | None = None,
-             output_format: str | None = None) -> DataFrame:
+             output_format: str | None = None,
+             lazy: bool = False) -> DataFrame:
         if n == 0:
             # pandas tail(0) is empty; (-0, None) would mean "everything"
             return self.read(symbol, as_of=as_of, row_range=(0, 0),
-                             columns=columns, output_format=output_format)
+                             columns=columns, output_format=output_format,
+                             lazy=lazy)
         return self.read(symbol, as_of=as_of, row_range=(-n, None),
-                         columns=columns, output_format=output_format)
+                         columns=columns, output_format=output_format,
+                         lazy=lazy)
 
     # ---- staged ingestion (reference stage/finalize, library.py:952,1739) ----
     def _staging_dir(self, symbol):
@@ -3470,9 +3475,14 @@ class Library:
         return out
 
     def defragment_symbol_data(self, symbol: str,
-                               segment_size: int | None = None) -> VersionManifest:
+                               segment_size: int | None = None,
+                               prune_previous_versions: bool = False
+                               ) -> VersionManifest:
         """Reference API name for compaction."""
-        return self.compact_symbol(symbol, target_rows_per_file=segment_size)
+        out = self.compact_symbol(symbol, target_rows_per_file=segment_size)
+        if prune_previous_versions:
+            self.prune_previous_versions(symbol)
+        return out
 
     def read_index(self, symbol: str, as_of=None):
         """Index-structure introspection (reference ``_store.py:2712``):
@@ -4019,10 +4029,14 @@ class Library:
         return plan is not None and plan < len(m.files)
 
     def compact_data(self, symbol: str,
-                     rows_per_segment: int | None = None) -> VersionManifest:
+                     rows_per_segment: int | None = None,
+                     prune_previous_versions: bool = False) -> VersionManifest:
         """Reference ``library.py:3258`` — name-compatible alias of
         compact_symbol."""
-        return self.compact_symbol(symbol, target_rows_per_file=rows_per_segment)
+        out = self.compact_symbol(symbol, target_rows_per_file=rows_per_segment)
+        if prune_previous_versions:
+            self.prune_previous_versions(symbol)
+        return out
 
     def compact_data_explain_plan(self, symbol: str,
                                   rows_per_segment: int | None = None

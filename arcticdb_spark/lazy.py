@@ -33,6 +33,11 @@ class LazyDataFrame(QueryBuilder):
     # holds a live client and must be re-created by the caller)
     def __getstate__(self):
         from arcticdb_spark.sources.filesystem import LocalFileSystem
+        if self.__dict__.get("_lib") is None:
+            # already in reduced form (a deepcopy of a deepcopy — read()
+            # copies the builder once per clause-appending kwarg): the
+            # state is picklable as-is, _lib_pending included
+            return dict(self.__dict__)
         if not isinstance(self._lib._fs, LocalFileSystem):
             raise TypeError("LazyDataFrame over an object-store library "
                             "cannot be pickled; collect() first")
@@ -42,6 +47,10 @@ class LazyDataFrame(QueryBuilder):
         return st
 
     def __setstate__(self, st):
+        if "_lib_ref" not in st:
+            # state was already in reduced form (see __getstate__)
+            self.__dict__.update(st)
+            return
         ref = st.pop("_lib_ref")
         self.__dict__.update(st)
         self.__dict__["_lib"] = None

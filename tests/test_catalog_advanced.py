@@ -941,3 +941,27 @@ def test_concurrent_writers_race_cas(spark, tmp_path):
     # version history is dense and readable
     for v in versions:
         assert lib.read("sym", as_of=v).count() > 0
+
+
+def test_head_tail_lazy_and_compact_prune(spark, tmp_path):
+    """head/tail(lazy=True) return LazyDataFrames; compact_data/
+    defragment_symbol_data(prune_previous_versions=True) drop the
+    pre-compaction versions (reference library.py:3258)."""
+    import pandas as pd
+    from arcticdb_spark import Arctic, LazyDataFrame
+    lib = Arctic(str(tmp_path), spark).create_library("htc", rows_per_file=4)
+    idx = pd.date_range("2024-01-01", periods=4, name="ts")
+    lib.write("s", pd.DataFrame({"a": [1, 2, 3, 4]}, index=idx))
+    for i in range(4, 10, 2):
+        lib.append("s", pd.DataFrame(
+            {"a": [i + 1, i + 2]},
+            index=pd.date_range("2024-01-01", periods=i + 2, name="ts")[-2:]))
+    lz = lib.head("s", 3, lazy=True)
+    assert isinstance(lz, LazyDataFrame)
+    assert lz.collect().count() == 3
+    assert lib.tail("s", 2, lazy=True).collect().count() == 2
+    n_versions_before = len(lib.list_versions("s"))
+    lib.compact_data("s", prune_previous_versions=True)
+    assert lib.read("s").count() == 10
+    vl = lib.list_versions("s")
+    assert len(vl) == 1 and vl[0]["version"] == n_versions_before
