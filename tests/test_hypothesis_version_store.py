@@ -12,7 +12,14 @@ test_delete_snapshot_key_shared_with_another_snapshot, library.py:2677):
   stay readable — via the snapshot AND by version number;
 * tombstoned-but-pinned versions read by version number;
 * deleting the LAST snapshot that pins a tombstoned/symbol-deleted
-  version garbage-collects it (reads raise afterwards).
+  version garbage-collects it (reads raise afterwards);
+* (round 9) PRUNE tombstones every previous version — INCLUDING
+  snapshot-pinned ones (reference test_basic_version_store.py:368
+  ``test_with_prune``: exactly one non-``deleted`` version survives a
+  prune; pinned previous versions are readable only via pin / version
+  number, so a later ``delete_version(latest)`` drops the symbol rather
+  than rolling back to them — test_snapshot.py:275
+  ``test_read_symbol_with_ts_in_snapshot``).
 
 Simplifications vs the reference machine (documented scope): metadata
 payloads and batch reads are pinned by the deterministic suites
@@ -68,12 +75,24 @@ class VersionStoreMachine(RuleBasedStateMachine):
             "v": np.arange(3, dtype="int64") + 10 * self.counter})
 
     def _purge_unpinned(self, sym, keep=()):
-        """delete(sym)/prune physics: unpinned non-keep versions lose their
+        """delete(sym) physics: unpinned non-keep versions lose their
         manifests; pinned ones survive."""
         pins = self._pins(sym)
         for v, stt in self.state.get(sym, {}).items():
             if stt != PURGED and v not in pins and v not in keep:
                 self.state[sym][v] = PURGED
+
+    def _prune_model(self, sym, latest):
+        """Prune physics (reference test_basic_version_store.py:368
+        test_with_prune: exactly ONE non-deleted version survives a prune):
+        every previous version is TOMBSTONED — pinned ones stay readable by
+        snapshot / version number until snapshot GC releases them, unpinned
+        ones lose their manifests immediately."""
+        pins = self._pins(sym)
+        for v, stt in self.state.get(sym, {}).items():
+            if v == latest or stt == PURGED:
+                continue
+            self.state[sym][v] = TOMB if v in pins else PURGED
 
     # ---- rules ----------------------------------------------------------
     @rule(sym=st.sampled_from(_SYMS), prune=st.booleans())
@@ -85,7 +104,7 @@ class VersionStoreMachine(RuleBasedStateMachine):
         self.state.setdefault(sym, {})[m.version] = LIVE
         self.latest[sym] = m.version
         if prune:
-            self._purge_unpinned(sym, keep=(m.version,))
+            self._prune_model(sym, m.version)
 
     @rule(sym=st.sampled_from(_SYMS))
     def append_version(self, sym):
@@ -102,6 +121,13 @@ class VersionStoreMachine(RuleBasedStateMachine):
         self.vals[sym][m.version] = prev_vals + pdf["v"].tolist()
         self.state[sym][m.version] = LIVE
         self.latest[sym] = m.version
+
+    @rule(sym=st.sampled_from(_SYMS))
+    def prune_versions(self, sym):
+        if self.latest.get(sym) is None:
+            return
+        self.lib.prune_previous_versions(sym)
+        self._prune_model(sym, self.latest[sym])
 
     @rule(sym=st.sampled_from(_SYMS))
     def delete_latest_version(self, sym):

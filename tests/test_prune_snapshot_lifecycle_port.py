@@ -1,0 +1,122 @@
+"""Ported from the reference's deciding prune / snapshot-pin / delete
+lifecycle tests:
+
+* ``test_with_prune``
+  (reference python/tests/integration/arcticdb/version_store/
+  test_basic_version_store.py:368): after a prune, exactly ONE
+  non-``deleted`` version survives — snapshot-pinned previous versions are
+  tombstoned but stay readable through their snapshots.
+* ``test_prune_previous_versions_explicit_method`` (same file:392): the
+  explicit ``prune_previous_versions`` call has the same physics.
+* ``test_read_symbol_with_ts_in_snapshot``
+  (reference python/tests/integration/arcticdb/version_store/
+  test_snapshot.py:275): tombstoned-pinned versions stay readable BY
+  VERSION NUMBER, including after ``delete_version`` of the latest.
+
+Plus the post-delete state the round-8 verdict asked to pin: deleting the
+last live version while pins remain drops the symbol from
+``list_symbols`` but keeps pinned manifests readable by number AND by
+snapshot.
+"""
+
+import tempfile
+
+import pandas as pd
+import pytest
+
+from arcticdb_spark.catalog import Arctic, NoSuchVersionException
+
+
+@pytest.fixture()
+def lib(spark):
+    return Arctic(tempfile.mkdtemp(), spark).create_library("prunelc")
+
+
+def _frame(seed):
+    return pd.DataFrame({
+        "ts": pd.date_range("2024-01-01", periods=3, freq="D"),
+        "v": [seed, seed + 1, seed + 2]})
+
+
+def _vals(lib, sym, **kw):
+    return lib.read(sym, output_format="pandas", **kw)["v"].tolist()
+
+
+def test_with_prune(lib):
+    """test_basic_version_store.py:368 — one non-deleted version after
+    prune; previous versions readable through their snapshots."""
+    sym = "sym"
+    lib.write(sym, _frame(0), prune_previous=True)
+    lib.write(sym, _frame(10), prune_previous=True)
+
+    assert len(lib.list_versions()) == 1
+
+    lib.snapshot("my_snap")
+
+    lib.write(sym, _frame(20), prune_previous=True)
+    lib.snapshot("my_snap2")
+
+    live = [row for row in lib.list_versions() if not row["deleted"]]
+    assert len(live) == 1
+    assert _vals(lib, sym, as_of="my_snap") == [10, 11, 12]
+    assert _vals(lib, sym, as_of="my_snap2") == [20, 21, 22]
+
+
+def test_prune_previous_versions_explicit_method(lib):
+    """test_basic_version_store.py:392 — explicit prune keeps only the
+    latest version live; the snapshot keeps its pinned read."""
+    sym = "sym"
+    lib.write(sym, _frame(0), prune_previous=True)
+    lib.write(sym, _frame(10), prune_previous=False)
+    lib.snapshot("my_snap")
+    lib.write(sym, _frame(20), prune_previous=False)
+
+    lib.prune_previous_versions(sym)
+
+    assert _vals(lib, sym) == [20, 21, 22]
+    live = [row for row in lib.list_versions() if not row["deleted"]]
+    assert len(live) == 1
+    assert _vals(lib, sym, as_of="my_snap") == [10, 11, 12]
+
+
+def test_read_symbol_with_ts_in_snapshot(lib):
+    """test_snapshot.py:275 — tombstoned-pinned versions read by version
+    number, including after delete_version of the latest."""
+    sym = "sym"
+    lib.write(sym, _frame(0))
+    lib.write(sym, _frame(10))
+    lib.snapshot("snap")
+    # after this write only version 1 exists via the snapshot
+    lib.write(sym, _frame(20), prune_previous=True)
+
+    assert _vals(lib, sym) == [20, 21, 22]
+    assert len(lib.list_versions()) == 2  # deleted entry kept for pinned v1
+
+    assert _vals(lib, sym, as_of=1) == [10, 11, 12]
+
+    lib.snapshot("snap1")
+    lib.delete_version(sym, 2)
+    assert _vals(lib, sym, as_of=2) == [20, 21, 22]  # still in snapshot
+
+
+def test_delete_last_live_with_pins_drops_symbol_keeps_pins(lib):
+    """Round-8 verdict pin: the minimal falsifying sequence. write v0 →
+    snapshot pins v0 → write v1 with prune → delete_version(v1): the
+    symbol is GONE (no live versions — the pinned v0 is tombstoned, not
+    rolled back to), but v0 stays readable by number and by snapshot."""
+    sym = "s0"
+    lib.write(sym, _frame(0))
+    lib.snapshot("pin0")
+    lib.write(sym, _frame(10), prune_previous=True)
+    lib.delete_version(sym, 1)
+
+    assert sym not in lib.list_symbols()
+    with pytest.raises(NoSuchVersionException):
+        lib.read(sym)
+    assert _vals(lib, sym, as_of=0) == [0, 1, 2]
+    assert _vals(lib, sym, as_of="pin0") == [0, 1, 2]
+
+    # releasing the last pin garbage-collects the tombstoned version
+    lib.delete_snapshot("pin0")
+    with pytest.raises(NoSuchVersionException):
+        lib.read(sym, as_of=0)
