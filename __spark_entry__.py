@@ -1199,64 +1199,11 @@ def q_uint64_mixed_compare(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDERING POLICY (round 4+): least-recently-driver-verified first.
-        # The driver checks only the first ~50 entries per round. Round-8
-        # sort: uint64_mixed_compare leads (its kernel/oracle gained the
-        # unsigned-pow term in r8), then the 32 queries whose last driver row
-        # is CORRECTNESS_r06 (the stale half after the r7 run), then the 49
-        # remaining queries green in CORRECTNESS_r07 on current code.
-        # --- changed in r8; driver re-verification required ---
-        "uint64_mixed_compare": q_uint64_mixed_compare,
-        "compact_roundtrip": q_compact_roundtrip,
-        # --- last driver row is r06 ---
-        "groupby_tpch_q1": q_groupby_tpch_q1,
-        "groupby_ts_minmax": q_groupby_ts_minmax,
-        "resample_weekly": q_resample_weekly,
-        "concat_three": q_concat_three,
-        "resample_1h": q_resample_1h,
-        "resample_ohlc": q_resample_ohlc,
-        "resample_closed_right": q_resample_closed_right,
-        "resample_offset": q_resample_offset,
-        "resample_std_median": q_resample_std_median,
-        "corpus_clean": q_corpus_clean,
-        "project_then_groupby": q_project_then_groupby,
-        "pipeline_filter_head": q_pipeline_filter_head,
-        "stream_resample": q_stream_resample,
-        "stream_sessionize": q_stream_sessionize,
-        "shuffle_shards": q_shuffle_shards,
-        "salted_join": q_salted_join,
-        "simhash_dedup": q_simhash_dedup,
-        "pii_redact": q_pii_redact,
-        "categorical_roundtrip": q_categorical_roundtrip,
-        "date_range": q_date_range,
-        "head": q_head,
-        "tail": q_tail,
-        "row_range": q_row_range,
-        "concat_outer": q_concat_outer,
-        "concat_inner": q_concat_inner,
-        "merge_update_upsert": q_merge_update_upsert,
-        "update_range_surgery": q_update_range_surgery,
-        "join_revenue": q_join_revenue,
-        "anti_join": q_anti_join,
-        "except_users": q_except_users,
-        "topk_per_group": q_topk_per_group,
-        "window_lag_lead": q_window_lag_lead,
-        # --- green in CORRECTNESS_r07 on current code ---
-        "uint64_filter_agg": q_uint64_filter_agg,
-        "embedding_kmeans": q_embedding_kmeans,
-        "embedding_centroids": q_embedding_centroids,
-        "ngram_top": q_ngram_top,
-        "token_frequencies": q_token_frequencies,
-        "dup_ngram_fraction": q_dup_ngram_fraction,
-        "decontaminate": q_decontaminate,
-        "cumulative_sum": q_cumulative_sum,
-        "distinct_agg": q_distinct_agg,
-        "pivot": q_pivot,
-        "percentiles": q_percentiles,
-        "set_ops": q_set_ops,
-        "rollup": q_rollup,
-        "unpivot": q_unpivot,
-        "skew_salted_agg": q_skew_salted_agg,
-        "media_frame_sample": q_media_frame_sample,
+        # The driver checks only the first ~50 entries per round. Round-9
+        # sort: the 33 queries whose last driver row is CORRECTNESS_r07
+        # (the stale half after the r8 run), then the 50 queries verified
+        # in CORRECTNESS_r08 in their r8 order.
+        # --- last driver row is r07 ---
         "pack_chunks": q_pack_chunks,
         "pii_scan": q_pii_scan,
         "range_join": q_range_join,
@@ -1290,6 +1237,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "project_arith": q_project_arith,
         "groupby_single": q_groupby_single,
         "groupby_first_last": q_groupby_first_last,
+        # --- green in CORRECTNESS_r08 on current code ---
+        "uint64_mixed_compare": q_uint64_mixed_compare,
+        "compact_roundtrip": q_compact_roundtrip,
+        "groupby_tpch_q1": q_groupby_tpch_q1,
+        "groupby_ts_minmax": q_groupby_ts_minmax,
+        "resample_weekly": q_resample_weekly,
+        "concat_three": q_concat_three,
+        "resample_1h": q_resample_1h,
+        "resample_ohlc": q_resample_ohlc,
+        "resample_closed_right": q_resample_closed_right,
+        "resample_offset": q_resample_offset,
+        "resample_std_median": q_resample_std_median,
+        "corpus_clean": q_corpus_clean,
+        "project_then_groupby": q_project_then_groupby,
+        "pipeline_filter_head": q_pipeline_filter_head,
+        "stream_resample": q_stream_resample,
+        "stream_sessionize": q_stream_sessionize,
+        "shuffle_shards": q_shuffle_shards,
+        "salted_join": q_salted_join,
+        "simhash_dedup": q_simhash_dedup,
+        "pii_redact": q_pii_redact,
+        "categorical_roundtrip": q_categorical_roundtrip,
+        "date_range": q_date_range,
+        "head": q_head,
+        "tail": q_tail,
+        "row_range": q_row_range,
+        "concat_outer": q_concat_outer,
+        "concat_inner": q_concat_inner,
+        "merge_update_upsert": q_merge_update_upsert,
+        "update_range_surgery": q_update_range_surgery,
+        "join_revenue": q_join_revenue,
+        "anti_join": q_anti_join,
+        "except_users": q_except_users,
+        "topk_per_group": q_topk_per_group,
+        "window_lag_lead": q_window_lag_lead,
+        "uint64_filter_agg": q_uint64_filter_agg,
+        "embedding_kmeans": q_embedding_kmeans,
+        "embedding_centroids": q_embedding_centroids,
+        "ngram_top": q_ngram_top,
+        "token_frequencies": q_token_frequencies,
+        "dup_ngram_fraction": q_dup_ngram_fraction,
+        "decontaminate": q_decontaminate,
+        "cumulative_sum": q_cumulative_sum,
+        "distinct_agg": q_distinct_agg,
+        "pivot": q_pivot,
+        "percentiles": q_percentiles,
+        "set_ops": q_set_ops,
+        "rollup": q_rollup,
+        "unpivot": q_unpivot,
+        "skew_salted_agg": q_skew_salted_agg,
+        "media_frame_sample": q_media_frame_sample,
     }
 
 
