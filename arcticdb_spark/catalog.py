@@ -666,6 +666,29 @@ class AdminTools:
                 shutil.rmtree(d, ignore_errors=True)
 
 
+def _index_undecided(m) -> bool:
+    """True when the symbol is EMPTY and recorded no index opinion — the
+    reference's undecided empty-index state (decided by the first
+    non-empty append/update). A recorded categorical dtype keeps the
+    pandas-native RangeIndex instead: the reference's empty-index read
+    applies under the empty-types feature, while test_categorical.py
+    test_categorical_empty (feature off) pins RangeIndex for an empty
+    categorical frame."""
+    nm = m.norm_meta if isinstance(m.norm_meta, dict) else {}
+    nm = nm or {}
+    return (m.total_rows == 0 and m.index_column is None
+            and not nm.get("index_type") and not nm.get("categoricals"))
+
+
+def _pandas_nrows(df):
+    """Row count of a pandas DataFrame/Series input, None for anything
+    else (Spark frames are not counted — that would trigger a job)."""
+    import pandas as pd
+    if isinstance(df, (pd.DataFrame, pd.Series)):
+        return len(df)
+    return None
+
+
 def _schema_from_pandas_dtypes(pdf):
     """Spark schema for a ZERO-ROW pandas frame (inference needs data).
     object dtype maps to string; an all-None column in a 0-row frame is
@@ -1360,8 +1383,16 @@ class Library:
             if len(pdf) == 0:
                 # schema inference needs rows; map pandas dtypes explicitly
                 # (reference supports empty writes: test_empty_writes)
-                sdf = self.spark.createDataFrame(
-                    pdf, schema=_schema_from_pandas_dtypes(pdf))
+                if len(pdf.columns) == 0:
+                    # 0 rows AND 0 columns (reference test_empty_writes.py
+                    # test_write_no_rows_and_columns): pandas->records
+                    # conversion trips on a fieldless frame — build the
+                    # zero-column Spark frame directly
+                    from pyspark.sql import types as T
+                    sdf = self.spark.createDataFrame([], T.StructType([]))
+                else:
+                    sdf = self.spark.createDataFrame(
+                        pdf, schema=_schema_from_pandas_dtypes(pdf))
             else:
                 sdf = self.spark.createDataFrame(pdf)
             if u64:
@@ -2124,6 +2155,34 @@ class Library:
                     raise SchemaException(
                         f"append to series symbol {symbol!r}: name "
                         f"{smeta['name']!r} != appended name {new_name!r}")
+        in_rows = _pandas_nrows(df)
+        if in_rows == 0:
+            # appending an empty frame/series only increments the version
+            # number — data, schema and index untouched; metadata is the
+            # new version's verbatim (reference test_append.py:803
+            # test_append_empty_frame_metadata, test_empty_column_type.py
+            # TestAppendAndUpdateWithEmptyToColumnOnlyIncrementsVersionNumber
+            # — incl. "empty df does not create new columns in dynamic
+            # schema"). Index kind / dtype of the empty input carry no
+            # opinion, so none of the usual validation applies.
+            m = VersionManifest(
+                symbol, self._next_version(symbol), time.time_ns(),
+                prev.index_column, prev.schema_json, prev.files,
+                metadata, sorted=prev.sorted, norm_meta=prev.norm_meta)
+            out = self._commit(m)
+            if prune_previous_versions:
+                self.prune_previous_versions(symbol)
+            return out
+        if prev.total_rows == 0 and in_rows:
+            # the first non-empty append onto an EMPTY symbol decides the
+            # column types AND the index type (reference
+            # test_empty_column_type.py TestCanAppendToEmptyColumn: "the
+            # type of the columns, including the index column, is decided
+            # after the first append") — write-like replace continuing the
+            # version chain
+            return self.write(symbol, df, metadata=metadata,
+                              prune_previous=prune_previous_versions,
+                              validate_index=validate_index)
         if rmeta.get("index_type") == "range":
             # reference test_append.py test_append_range_index: a stored
             # non-default RangeIndex only accepts the exact continuation
@@ -2219,7 +2278,8 @@ class Library:
             out_sorted = "UNSORTED"
         m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(), idx,
                             schema_json, _renumber(prev.files + new_files),
-                            metadata if metadata is not None else prev.metadata,
+                            metadata,  # per-version, verbatim (None clears;
+                            # reference test_append_empty_frame_metadata)
                             sorted=out_sorted, norm_meta=out_norm_meta)
         out = self._commit(m)
         if prune_previous_versions:
@@ -2267,8 +2327,7 @@ class Library:
         m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(),
                             None, prev.schema_json,
                             _renumber(prev.files + new_files),
-                            metadata if metadata is not None else prev.metadata,
-                            norm_meta=nm)
+                            metadata, norm_meta=nm)
         return self._commit(m)
 
     def update(self, symbol: str, df, date_range: tuple | None = None,
@@ -2280,8 +2339,9 @@ class Library:
         Only files overlapping the range are rewritten.
 
         ``upsert=True`` creates the symbol when it doesn't exist (reference
-        ``library.py:1520``); zero-row input is a no-op (no new version —
-        use delete_data_in_range when deletion is intended).
+        ``library.py:1520``); zero-row input leaves the data untouched but
+        still commits a new version with the given metadata (reference
+        test_update.py test_update_empty_frame_metadata).
         ``index_column`` is accepted for signature parity: updates
         normalize against the STORED index column."""
         import pandas as pd
@@ -2297,6 +2357,27 @@ class Library:
         if self._is_pickled(prev):
             raise ArcticException(f"cannot update pickled symbol {symbol!r}")
         self._reject_categorical(prev, df, "update")
+        in_rows = _pandas_nrows(df)
+        if in_rows == 0:
+            # zero-row update: data untouched (even with a date_range —
+            # reference test_update.py
+            # test_empty_dataframe_with_daterange_does_not_delete_data),
+            # but the version number still increments and the metadata is
+            # set verbatim (test_update_empty_frame_metadata,
+            # test_empty_dataframe_increases_version)
+            m = VersionManifest(
+                symbol, self._next_version(symbol), time.time_ns(),
+                prev.index_column, prev.schema_json, prev.files,
+                metadata, sorted=prev.sorted, norm_meta=prev.norm_meta)
+            out = self._commit(m)
+            if prune_previous_versions:
+                self.prune_previous_versions(symbol)
+            return out
+        if prev.total_rows == 0 and in_rows:
+            # updating an EMPTY symbol decides the column AND index types
+            # (reference test_empty_column_type.py TestCanUpdateEmptyColumn)
+            return self.write(symbol, df, metadata=metadata,
+                              prune_previous=prune_previous_versions)
         idx = prev.index_column
         if idx is None:
             raise ArcticException("update requires a timestamp-indexed symbol")
@@ -2362,7 +2443,8 @@ class Library:
         new_entries.sort(key=lambda e: (e.ts_min if e.ts_min is not None else 0, e.path))
         m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(), idx,
                             schema_json, _renumber(new_entries),
-                            metadata if metadata is not None else prev.metadata,
+                            metadata,  # per-version, verbatim (None clears;
+                            # reference test_update_empty_frame_metadata)
                             norm_meta=out_norm_meta)
         out = self._commit(m)
         if prune_previous_versions:
@@ -2765,7 +2847,8 @@ class Library:
             if columns:
                 empty = empty.select(columns)
             out = query_builder.to_df(empty, idx) if query_builder else empty
-            return self._format_output(out, output_format, m.norm_meta)
+            return self._format_output(out, output_format, m.norm_meta,
+                                       undecided_index=_index_undecided(m))
 
         # scan with the manifest's schema, grouped by schema epoch
         # (_scan_files): files written before a dynamic-schema widening are
@@ -2892,7 +2975,8 @@ class Library:
         return self._format_output(df, output_format, norm_meta)
 
     @staticmethod
-    def _format_output(df: DataFrame, output_format: str, norm_meta=None):
+    def _format_output(df: DataFrame, output_format: str, norm_meta=None,
+                       undecided_index: bool = False):
         if norm_meta and norm_meta.get("index_type") == "ndarray":
             # reference NdArrayNormalizer.denormalize: reshape the flat
             # column back to the stored shape — for every output format
@@ -2998,6 +3082,13 @@ class Library:
                     out = out.set_axis(pd.Index(pdf[other[0]],
                                                 name=other[0]))
                 return out.rename(s["name"])
+            if undecided_index and len(pdf) == 0:
+                # an EMPTY symbol's index type is undecided until the first
+                # non-empty append; the reference's empty-index feature
+                # reads it as an empty DatetimeIndex
+                # (test_empty_column_type.py create_empty_column fixtures:
+                # "data.index.equals(pd.DatetimeIndex([]))")
+                pdf.index = pd.DatetimeIndex([])
             return pdf
         if output_format == "arrow":
             return Library._arrow_with_ns(df, shadows)
@@ -3552,43 +3643,103 @@ class Library:
         snap = self._load_snapshot(name)
         self._fs.remove(self._snap_path(name))
         for sym, v in snap["symbols"].items():
-            if any(self._load_snapshot(o)["symbols"].get(sym) == v
-                   for o in self.list_snapshots()):
-                continue   # still pinned by another snapshot
-            try:
-                alive = v not in set(self._load_ref(sym).get("deleted", []))
-            except NoSuchVersionException:
-                alive = False   # whole symbol was deleted
-            if alive:
-                continue
-            try:
-                m = self._load_manifest(sym, v)
-            except NoSuchVersionException:
-                continue
-            keep = set()
-            for vv in self._list_version_numbers(sym):
-                if vv != v:
-                    try:
-                        keep |= {fe.path for fe in
-                                 self._load_manifest(sym, vv).files}
-                    except NoSuchVersionException:
-                        pass
-            if not self.background_deletion:
-                for fe in m.files:
-                    if fe.path not in keep and os.path.exists(fe.path):
-                        os.remove(fe.path)
-            self._fs.remove(self._ver_path(sym, v))
+            self._gc_released_pin(sym, v)
 
-    def add_to_snapshot(self, name: str, symbol: str, version: int | None = None):
-        snap = self._load_snapshot(name)
-        snap["symbols"][symbol] = (version if version is not None
-                                   else self._load_ref(symbol)["latest"])
-        self._fs.write_json_atomic(self._snap_path(name), snap)
+    def _gc_released_pin(self, sym: str, v: int) -> None:
+        """GC a (symbol, version) pin a snapshot edit just released: when
+        no remaining snapshot pins it and the version is tombstoned (or
+        its symbol deleted), the manifest and unshared data files go —
+        shared by delete_snapshot / add_to_snapshot (displaced pin) /
+        remove_from_snapshot (reference snapshot GC,
+        test_delete_snapshot_key_shared_with_another_snapshot). At scale
+        this is what keeps snapshot churn from leaking segments."""
+        if any(self._load_snapshot(o)["symbols"].get(sym) == v
+               for o in self.list_snapshots(load_metadata=False)):
+            return   # still pinned by another snapshot
+        try:
+            alive = v not in set(self._load_ref(sym).get("deleted", []))
+        except NoSuchVersionException:
+            alive = False   # whole symbol was deleted
+        if alive:
+            return
+        try:
+            m = self._load_manifest(sym, v)
+        except NoSuchVersionException:
+            return
+        keep = set()
+        for vv in self._list_version_numbers(sym):
+            if vv != v:
+                try:
+                    keep |= {fe.path for fe in
+                             self._load_manifest(sym, vv).files}
+                except NoSuchVersionException:
+                    pass
+        if not self.background_deletion:
+            for fe in m.files:
+                if fe.path not in keep and os.path.exists(fe.path):
+                    os.remove(fe.path)
+        self._fs.remove(self._ver_path(sym, v))
 
-    def remove_from_snapshot(self, name: str, symbol: str):
+    def add_to_snapshot(self, name: str, symbols, as_ofs=None,
+                        version: int | None = None):
+        """Add/replace snapshot entries (reference ``_store.py:3194``):
+        ``symbols`` is a name or list of names, ``as_ofs`` the matching
+        version queries (None = latest). Existing entries are REPLACED and
+        the displaced pins released (snapshot GC). Unresolvable symbols/
+        versions are skipped without error, like the reference. ``version``
+        is this engine's single-symbol shorthand for ``as_ofs=[version]``."""
         snap = self._load_snapshot(name)
-        snap["symbols"].pop(symbol, None)
+        syms = [symbols] if isinstance(symbols, str) else list(symbols)
+        if as_ofs is None:
+            as_ofs = [version] * len(syms)
+        if len(as_ofs) != len(syms):
+            raise ArcticException(
+                f"add_to_snapshot: {len(syms)} symbols but "
+                f"{len(as_ofs)} as_ofs")
+        if len(set(syms)) != len(syms):
+            # reference test_add_to_snapshot_duplicate_symbol_*_raises:
+            # duplicates raise whether or not the versions agree
+            raise ArcticException(
+                "add_to_snapshot: duplicate symbols in request")
+        released = []
+        for s, a in zip(syms, as_ofs):
+            try:
+                m = self._resolve_version(s, a)
+            except (NoSuchVersionException, ArcticException):
+                continue   # reference: no effect, no error
+            old = snap["symbols"].get(s)
+            if old is not None and old != m.version:
+                released.append((s, old))
+            snap["symbols"][s] = m.version
         self._fs.write_json_atomic(self._snap_path(name), snap)
+        for s, v in released:
+            self._gc_released_pin(s, v)
+
+    def remove_from_snapshot(self, name: str, symbols, versions=None):
+        """Remove snapshot entries (reference ``_store.py:3224``):
+        ``versions[i]`` must match the pinned version of ``symbols[i]`` or
+        the entry is left untouched (no error). ``versions=None`` is this
+        engine's shorthand for "whatever is pinned". Released pins are
+        GC'd like delete_snapshot's."""
+        snap = self._load_snapshot(name)
+        syms = [symbols] if isinstance(symbols, str) else list(symbols)
+        if versions is None:
+            vers = [snap["symbols"].get(s) for s in syms]
+        else:
+            vers = ([versions] if isinstance(versions, int)
+                    else list(versions))
+            if len(vers) != len(syms):
+                raise ArcticException(
+                    f"remove_from_snapshot: {len(syms)} symbols but "
+                    f"{len(vers)} versions")
+        released = []
+        for s, v in zip(syms, vers):
+            if v is not None and snap["symbols"].get(s) == v:
+                snap["symbols"].pop(s)
+                released.append((s, v))
+        self._fs.write_json_atomic(self._snap_path(name), snap)
+        for s, v in released:
+            self._gc_released_pin(s, v)
 
     # ---- listing / metadata / GC ----
     def list_symbols(self, snapshot_name: str | None = None,

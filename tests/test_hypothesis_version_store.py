@@ -178,6 +178,58 @@ class VersionStoreMachine(RuleBasedStateMachine):
             self.lib.delete_snapshot(name)
             self._release(self.snaps.pop(name))
 
+    @rule(name=st.sampled_from(["snapA", "snapB"]),
+          sym=st.sampled_from(_SYMS))
+    def add_latest_to_snapshot(self, name, sym):
+        """Round-9 extension (reference test_snapshot.py:349
+        test_add_to_snapshot_replace): the entry is REPLACED and the
+        displaced pin released — snapshot GC applies as in
+        delete_snapshot."""
+        if name not in self.snaps:
+            return
+        v = self.latest.get(sym)
+        if v is None:
+            self.lib.add_to_snapshot(name, sym)  # unresolvable: no effect
+            return
+        self.lib.add_to_snapshot(name, sym)
+        old = self.snaps[name].get(sym)
+        self.snaps[name][sym] = v
+        if old is not None and old != v:
+            self._release({sym: old})
+
+    @rule(name=st.sampled_from(["snapA", "snapB"]),
+          sym=st.sampled_from(_SYMS))
+    def remove_sym_from_snapshot(self, name, sym):
+        """Round-9 extension (reference test_snapshot.py:447
+        test_remove_from_snapshot): the removed pin is released and
+        GC'd if it was the last one keeping a tombstoned version."""
+        if name not in self.snaps:
+            return
+        pinned = self.snaps[name].get(sym)
+        self.lib.remove_from_snapshot(name, sym)
+        if pinned is not None:
+            del self.snaps[name][sym]
+            self._release({sym: pinned})
+
+    @rule(sym=st.sampled_from(_SYMS), data=st.data())
+    def restore_version(self, sym, data):
+        """Round-9 extension (reference _store.py:2739 restore_version):
+        latest becomes a COPY of the chosen version under a new version
+        number; the source version's state is untouched."""
+        if self.latest.get(sym) is None:
+            return
+        pins = self._pins(sym)
+        readable = sorted(
+            v for v, stt in self.state.get(sym, {}).items()
+            if stt == LIVE or (stt == TOMB and v in pins))
+        if not readable:
+            return
+        v = data.draw(st.sampled_from(readable))
+        m = self.lib.restore_version(sym, v)
+        self.vals[sym][m.version] = self.vals[sym][v]
+        self.state[sym][m.version] = LIVE
+        self.latest[sym] = m.version
+
     def _release(self, pins):
         """Snapshot GC model: a tombstoned / symbol-deleted version whose
         LAST pin is released is purged (reference

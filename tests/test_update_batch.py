@@ -31,15 +31,19 @@ class TestUpdateUpsert:
         assert m.version == 0
         assert lib.read("fresh").count() == 2
 
-    def test_zero_row_update_is_noop(self, lib):
-        """Reference: zero-row data -> nothing done, no new version."""
-        lib.write("sym", _frame([1, 2, 3], "2024-01-01"))
+    def test_zero_row_update_bumps_version_only(self, lib):
+        """Reference test_update.py test_update_empty_frame_metadata /
+        test_empty_dataframe_increases_version: zero-row data leaves the
+        rows untouched but still commits a new version (metadata set
+        verbatim — None clears)."""
+        lib.write("sym", _frame([1, 2, 3], "2024-01-01"), metadata="v0")
         empty = pd.DataFrame({"ts": pd.to_datetime([]),
                               "a": np.array([], dtype="int64")})
         m = lib.update("sym", empty)
-        assert m.version == 0   # unchanged
-        assert [v["version"] for v in lib.list_versions("sym")] == [0]
+        assert m.version == 1
+        assert sorted(v["version"] for v in lib.list_versions("sym")) == [0, 1]
         assert lib.read("sym").count() == 3
+        assert lib.read_metadata("sym").metadata is None
 
     def test_update_prune_previous(self, lib):
         from arcticdb_spark.catalog import NoSuchVersionException
