@@ -355,7 +355,10 @@ def q_compact_roundtrip(spark, sf):
     n = len(ev)
     lib = Arctic(tempfile.mkdtemp(), spark).create_library(
         "compactlib", rows_per_file=max(n // 2, 1))
-    step = max(n // 5, 1)
+    # 4 slices (1 write + 3 appends) keep the fragmentation story (4
+    # files -> 2 after compaction) at ~0.5 s less fixed lifecycle cost
+    # than the previous 5-slice version (r8 verdict item 8)
+    step = max(n // 4, 1)
     lib.write("ev", ev.iloc[:step])
     for i in range(step, n, step):
         lib.append("ev", ev.iloc[i:i + step])

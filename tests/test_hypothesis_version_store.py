@@ -21,10 +21,15 @@ test_delete_snapshot_key_shared_with_another_snapshot, library.py:2677):
   than rolling back to them — test_snapshot.py:275
   ``test_read_symbol_with_ts_in_snapshot``).
 
-Simplifications vs the reference machine (documented scope): metadata
-payloads and batch reads are pinned by the deterministic suites
-(test_catalog*.py, test_batch_ops); this machine focuses on the version
-chain + snapshot GC semantics where interleaving order matters.
+Round-9 extensions: PRUNE physics above; restore_version /
+add_to_snapshot / remove_from_snapshot rules (release-GC of displaced
+pins); per-version VERBATIM metadata tracked through every rule with a
+read_metadata invariant.
+
+Simplifications vs the reference machine (documented scope): batch reads
+are pinned by the deterministic suites (test_catalog*.py,
+test_batch_ops); this machine focuses on the version chain + snapshot GC
+semantics where interleaving order matters.
 """
 
 import tempfile
@@ -63,6 +68,7 @@ class VersionStoreMachine(RuleBasedStateMachine):
         self.latest: dict = {}  # sym -> v | None
         self.gone: set = set()  # syms whose ref was removed (delete(sym))
         self.snaps: dict = {}   # name -> {sym: version}
+        self.meta: dict = {}    # sym -> {v: metadata} (per-version, verbatim)
 
     # ---- model helpers --------------------------------------------------
     def _pins(self, sym):
@@ -95,13 +101,16 @@ class VersionStoreMachine(RuleBasedStateMachine):
             self.state[sym][v] = TOMB if v in pins else PURGED
 
     # ---- rules ----------------------------------------------------------
-    @rule(sym=st.sampled_from(_SYMS), prune=st.booleans())
-    def write_version(self, sym, prune):
+    @rule(sym=st.sampled_from(_SYMS), prune=st.booleans(),
+          with_meta=st.booleans())
+    def write_version(self, sym, prune, with_meta):
         pdf = self._frame()
-        m = self.lib.write(sym, pdf, prune_previous=prune)
+        meta = {"n": self.counter} if with_meta else None
+        m = self.lib.write(sym, pdf, metadata=meta, prune_previous=prune)
         self.gone.discard(sym)
         self.vals.setdefault(sym, {})[m.version] = pdf["v"].tolist()
         self.state.setdefault(sym, {})[m.version] = LIVE
+        self.meta.setdefault(sym, {})[m.version] = meta
         self.latest[sym] = m.version
         if prune:
             self._prune_model(sym, m.version)
@@ -120,6 +129,10 @@ class VersionStoreMachine(RuleBasedStateMachine):
         m = self.lib.append(sym, pdf)
         self.vals[sym][m.version] = prev_vals + pdf["v"].tolist()
         self.state[sym][m.version] = LIVE
+        # metadata is per-version and set VERBATIM: an append without
+        # metadata clears it (round-9 parity, reference
+        # test_append_empty_frame_metadata)
+        self.meta[sym][m.version] = None
         self.latest[sym] = m.version
 
     @rule(sym=st.sampled_from(_SYMS))
@@ -228,6 +241,8 @@ class VersionStoreMachine(RuleBasedStateMachine):
         m = self.lib.restore_version(sym, v)
         self.vals[sym][m.version] = self.vals[sym][v]
         self.state[sym][m.version] = LIVE
+        # restore copies the manifest — including its metadata
+        self.meta[sym][m.version] = self.meta[sym].get(v)
         self.latest[sym] = m.version
 
     def _release(self, pins):
@@ -268,6 +283,16 @@ class VersionStoreMachine(RuleBasedStateMachine):
                     # reference test_delete_snapshot "Should not raise")
                     out = self.lib.read(sym, as_of=v, output_format="pandas")
                     assert out["v"].tolist() == self.vals[sym][v], (sym, v)
+
+    @invariant()
+    def metadata_matches(self):
+        for sym, states in self.state.items():
+            pins = self._pins(sym)
+            for v, stt in states.items():
+                if stt == LIVE or (stt == TOMB and v in pins):
+                    got = self.lib.read_metadata(sym, as_of=v)
+                    assert got.version == v
+                    assert got.metadata == self.meta[sym].get(v), (sym, v)
 
     @invariant()
     def snapshot_reads_match(self):
