@@ -2132,7 +2132,15 @@ class Library:
         here as a follow-up compaction version rather than the reference's
         single atomic version (documented deviation: one extra version
         number, same final data)."""
-        prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
+        try:
+            prev = self._load_manifest(symbol,
+                                       self._load_ref(symbol)["latest"])
+        except NoSuchVersionException:
+            # reference library.py:1379: "If append is called on a symbol
+            # that does not exist, it will create it"
+            return self.write(symbol, df, metadata=metadata,
+                              prune_previous=prune_previous_versions,
+                              validate_index=validate_index)
         if self._is_pickled(prev):
             raise ArcticException(f"cannot append to pickled symbol {symbol!r}")
         self._reject_categorical(prev, df, "append")

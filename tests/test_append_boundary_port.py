@@ -121,3 +121,34 @@ def test_append_partial_read_tz(lib, append_point, tsbounds, cols):
     exp = tf.loc[dtr[0]:dtr[1], list(cols)]
     assert [str(c) for c in got.columns] == list(cols)
     pd.testing.assert_frame_equal(got, exp, check_freq=False)
+
+
+# ------------------------------------------------ append creates symbol
+
+def test_append_missing_symbol_creates_it(lib):
+    """Reference library.py:1379: "If append is called on a symbol that
+    does not exist, it will create it" (v2 semantics; also
+    test_append.py test_symbol_list_key_added_on_upsert — append after a
+    delete re-creates the symbol)."""
+    df = pd.DataFrame({"a": [1, 2]})
+    m = lib.append("fresh", df)
+    assert m.version == 0
+    out = lib.read("fresh", output_format="pandas")
+    assert out["a"].tolist() == [1, 2]
+
+    lib.delete("fresh")
+    assert "fresh" not in lib.list_symbols()
+    lib.append("fresh", df)
+    assert lib.list_symbols() == ["fresh"]
+    assert lib.read("fresh", output_format="pandas")["a"].tolist() == [1, 2]
+
+
+def test_append_empty_after_delete_recreates_symbol(lib):
+    """Reference test_append.py test_symbol_list_key_added_on_upsert: even
+    an EMPTY append re-creates a deleted symbol's list entry."""
+    lib.write("s", pd.DataFrame({"col": [1]}))
+    lib.delete("s")
+    assert lib.list_symbols() == []
+    lib.append("s", pd.DataFrame({"col": np.arange(0)}))
+    assert lib.list_symbols() == ["s"]
+    assert len(lib.read("s", output_format="pandas")) == 0
