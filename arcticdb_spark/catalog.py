@@ -3817,8 +3817,16 @@ class Library:
         syms = [symbol] if symbol else self.list_symbols()
         out = []
         for s in syms:
-            deleted = set(self._load_ref(s).get("deleted", []))
             vers = self._list_version_numbers(s)
+            try:
+                deleted = set(self._load_ref(s).get("deleted", []))
+            except NoSuchVersionException:
+                # symbol ref gone (delete of the last live version): any
+                # manifests left are snapshot-pinned tombstones — listed
+                # with deleted=True while a pin remains, [] when none
+                # (reference test_deletion.py test_delete_version_basic:
+                # len(list_versions(sym)) == 0 after the last delete)
+                deleted = set(vers)
             if latest_only:
                 live = [v for v in vers if v not in deleted]
                 vers = live[-1:] if live else []
@@ -3955,10 +3963,17 @@ class Library:
         """Reference ``_store.py:2784`` single-symbol incomplete removal."""
         self.remove_incompletes([symbol])
 
-    def delete(self, symbol: str, versions=None) -> None:
+    def delete(self, symbol: str, versions=None, date_range=None) -> None:
         """Delete the whole symbol, or only specific ``versions`` (int or
-        iterable of ints). Missing symbol + versions=None is a no-op
-        (reference ``library.py:2672``)."""
+        iterable of ints), or — v2 ``library.py:3243`` — only the rows in
+        ``date_range`` (a new version without them). Missing symbol +
+        versions=None is a no-op (reference ``library.py:2672``)."""
+        if date_range is not None:
+            if versions is not None:
+                raise ArcticException(
+                    "delete: versions and date_range are mutually exclusive")
+            self.delete_data_in_range(symbol, date_range)
+            return
         if versions is not None:
             for v in ((versions,) if isinstance(versions, int) else versions):
                 self.delete_version(symbol, v)

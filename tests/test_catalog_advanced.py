@@ -965,3 +965,21 @@ def test_head_tail_lazy_and_compact_prune(spark, tmp_path):
     assert lib.read("s").count() == 10
     vl = lib.list_versions("s")
     assert len(vl) == 1 and vl[0]["version"] == n_versions_before
+
+
+def test_delete_date_range_kwarg(spark, tmp_path):
+    """v2 delete(symbol, date_range=...) (reference library.py:3243):
+    a new version without the covered rows; mutually exclusive with
+    versions."""
+    import pandas as pd
+    import pytest
+    from arcticdb_spark.catalog import Arctic, ArcticException
+    lib = Arctic(str(tmp_path), spark).create_library("deldr")
+    idx = pd.date_range("2024-01-01", periods=5)
+    lib.write("s", pd.DataFrame({"a": [1, 2, 3, 4, 5]}, index=idx))
+    lib.delete("s", date_range=(idx[1], idx[3]))
+    out = lib.read("s", output_format="pandas")
+    assert out["a"].tolist() == [1, 5]
+    assert lib.read_metadata("s").version == 1
+    with pytest.raises(ArcticException, match="mutually exclusive"):
+        lib.delete("s", versions=0, date_range=(idx[0], idx[1]))

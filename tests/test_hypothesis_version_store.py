@@ -142,16 +142,23 @@ class VersionStoreMachine(RuleBasedStateMachine):
         self.lib.prune_previous_versions(sym)
         self._prune_model(sym, self.latest[sym])
 
-    @rule(sym=st.sampled_from(_SYMS))
-    def delete_latest_version(self, sym):
-        v = self.latest.get(sym)
-        if v is None:
+    @rule(sym=st.sampled_from(_SYMS), data=st.data())
+    def delete_version(self, sym, data):
+        """Any LIVE version, not just the latest (reference
+        test_deletion.py test_delete_version_basic deletes middle
+        versions: they tombstone, reads by number raise, latest is
+        untouched unless it was the one deleted)."""
+        live = sorted(v for v, stt in self.state.get(sym, {}).items()
+                      if stt == LIVE)
+        if not live:
             return
+        v = data.draw(st.sampled_from(live))
         self.lib.delete_version(sym, v)
         self.state[sym][v] = TOMB
-        live = [k for k, stt in self.state[sym].items() if stt == LIVE]
-        if live:
-            self.latest[sym] = max(live)
+        remaining = [k for k in live if k != v]
+        if remaining:
+            if self.latest[sym] == v:
+                self.latest[sym] = max(remaining)
         else:
             # last live version: the library deletes the symbol (ref gone,
             # unpinned manifests purged, pinned survive)

@@ -120,3 +120,32 @@ def test_delete_last_live_with_pins_drops_symbol_keeps_pins(lib):
     lib.delete_snapshot("pin0")
     with pytest.raises(NoSuchVersionException):
         lib.read(sym, as_of=0)
+
+
+def test_delete_version_basic_middle(lib):
+    """test_deletion.py:68 test_delete_version_basic (idx=1 instance):
+    deleting a middle version tombstones it — its read-by-number raises,
+    the neighbours and latest are untouched; deleting the rest empties
+    the symbol."""
+    sym = "sym"
+    lib.write(sym, _frame(0))    # v0
+    lib.write(sym, _frame(10))   # v1
+    lib.write(sym, _frame(20))   # v2
+    assert len(lib.list_versions(sym)) == 3
+
+    lib.delete_version(sym, 1)
+    with pytest.raises(NoSuchVersionException):
+        lib.read(sym, as_of=1)
+    assert len(lib.list_versions(sym)) == 2
+    assert _vals(lib, sym) == [20, 21, 22]
+    assert _vals(lib, sym, as_of=0) == [0, 1, 2]
+    assert _vals(lib, sym, as_of=2) == [20, 21, 22]
+
+    lib.delete_version(sym, 2)
+    assert _vals(lib, sym) == [0, 1, 2]   # latest rolls back to v0
+    assert len(lib.list_versions(sym)) == 1
+
+    lib.delete_version(sym, 0)
+    assert len(lib.list_versions(sym)) == 0
+    with pytest.raises(NoSuchVersionException):
+        lib.read(sym)
