@@ -2522,8 +2522,13 @@ class Library:
             self.prune_previous_versions(symbol)
         return out
 
-    def delete_data_in_range(self, symbol: str, date_range: tuple) -> VersionManifest:
-        """(``library.py:2750``) — like update with no new rows."""
+    def delete_data_in_range(self, symbol: str, date_range: tuple,
+                             prune_previous_versions: bool = False
+                             ) -> VersionManifest:
+        """(``library.py:2750``) — like update with no new rows.
+        ``prune_previous_versions`` tombstones the pre-delete versions
+        (reference test_deletion.py
+        test_delete_date_range_with_prune_previous)."""
         import pandas as pd
         prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
         if self._is_pickled(prev) or self._is_recursive(prev):
@@ -2562,7 +2567,10 @@ class Library:
         m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(), idx,
                             prev.schema_json, _renumber(new_entries), prev.metadata,
                             norm_meta=prev.norm_meta)
-        return self._commit(m)
+        out = self._commit(m)
+        if prune_previous_versions:
+            self.prune_previous_versions(symbol)
+        return out
 
     # ---- read path ----
     def _resolve_version(self, symbol: str, as_of) -> VersionManifest:
@@ -3963,16 +3971,21 @@ class Library:
         """Reference ``_store.py:2784`` single-symbol incomplete removal."""
         self.remove_incompletes([symbol])
 
-    def delete(self, symbol: str, versions=None, date_range=None) -> None:
+    def delete(self, symbol: str, versions=None, date_range=None,
+               prune_previous_versions: bool = False) -> None:
         """Delete the whole symbol, or only specific ``versions`` (int or
-        iterable of ints), or — v2 ``library.py:3243`` — only the rows in
-        ``date_range`` (a new version without them). Missing symbol +
-        versions=None is a no-op (reference ``library.py:2672``)."""
+        iterable of ints), or only the rows in ``date_range`` — a new
+        version without them, optionally pruning the pre-delete versions
+        (reference v1 ``_store.py`` delete(date_range=,
+        prune_previous_versions=); v2 ``library.py`` delete(versions=)).
+        Missing symbol + versions=None is a no-op (``library.py:2672``)."""
         if date_range is not None:
             if versions is not None:
                 raise ArcticException(
                     "delete: versions and date_range are mutually exclusive")
-            self.delete_data_in_range(symbol, date_range)
+            self.delete_data_in_range(
+                symbol, date_range,
+                prune_previous_versions=prune_previous_versions)
             return
         if versions is not None:
             for v in ((versions,) if isinstance(versions, int) else versions):

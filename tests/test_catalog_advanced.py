@@ -983,3 +983,66 @@ def test_delete_date_range_kwarg(spark, tmp_path):
     assert lib.read_metadata("s").version == 1
     with pytest.raises(ArcticException, match="mutually exclusive"):
         lib.delete("s", versions=0, date_range=(idx[0], idx[1]))
+
+
+def test_delete_date_range_with_prune_previous(spark, tmp_path):
+    """Reference test_deletion.py:893: range-delete with
+    prune_previous_versions leaves exactly one live version; without it
+    the pre-delete version stays readable as_of=0."""
+    import pandas as pd
+    from arcticdb_spark.catalog import Arctic
+    idx = pd.date_range("1970-01-01", periods=20, freq="D")
+    df = pd.DataFrame({"a": [f"s{i}" for i in range(20)]}, index=idx)
+
+    for prune in (False, True):
+        lib = Arctic(str(tmp_path / f"p{prune}"), spark).create_library("d")
+        lib.write("sym", df)
+        lib.delete("sym", date_range=(idx[5], idx[9]),
+                   prune_previous_versions=prune)
+        out = lib.read("sym", output_format="pandas")
+        assert out["a"].tolist() == df.drop(df.index[5:10])["a"].tolist()
+        versions = [v["version"] for v in lib.list_versions("sym")]
+        if prune:
+            assert versions == [1]
+        else:
+            assert sorted(versions) == [0, 1]
+            old = lib.read("sym", as_of=0, output_format="pandas")
+            assert old["a"].tolist() == df["a"].tolist()
+
+
+def test_delete_date_range_remove_everything(spark, tmp_path):
+    """Reference test_deletion.py:924: deleting the full range leaves a
+    0-row version of the SAME symbol (not a deleted symbol)."""
+    import pandas as pd
+    from arcticdb_spark.catalog import Arctic
+    lib = Arctic(str(tmp_path), spark).create_library("d", rows_per_file=3)
+    idx = pd.date_range("1970-01-01", periods=10, freq="D")
+    lib.write("sym", pd.DataFrame({"a": [f"s{i}" for i in range(10)]},
+                                  index=idx))
+    lib.delete("sym", date_range=(idx[0], idx[-1]))
+    out = lib.read("sym", output_format="pandas")
+    assert len(out) == 0 and list(out.columns) == ["a"]
+    assert lib.list_symbols() == ["sym"]
+
+
+def test_delete_date_range_get_description_range(spark, tmp_path):
+    """Reference test_deletion.py:951 (get_info date_range shape): the
+    described date range tracks range deletes at both ends."""
+    import pandas as pd
+    from arcticdb_spark.catalog import Arctic
+    lib = Arctic(str(tmp_path), spark).create_library("d", rows_per_file=2)
+    idx = pd.date_range(pd.Timestamp(1000), freq="us", periods=5)
+    df = pd.DataFrame({"col_0": [0, 1, 2, 3, 4]}, index=idx)
+    lib.write("sym", df)
+    d0 = lib.get_description("sym")
+    assert d0.date_range[0] == idx[0] and d0.date_range[1] == idx[-1]
+
+    lib.delete("sym", date_range=(pd.Timestamp(4000), pd.Timestamp(5000)))
+    out = lib.read("sym", output_format="pandas")
+    assert out["col_0"].tolist() == [0, 1, 2]
+    assert lib.get_description("sym").date_range[1] == idx[2]
+
+    lib.delete("sym", date_range=(pd.Timestamp(1000), pd.Timestamp(2000)))
+    out = lib.read("sym", output_format="pandas")
+    assert out["col_0"].tolist() == [2]
+    assert lib.get_description("sym").date_range[0] == idx[2]
