@@ -3859,6 +3859,20 @@ class Library:
                              version=m.version, metadata=m.metadata,
                              timestamp=m.created_ns)
 
+    def update_time(self, symbol: str, as_of=None):
+        """Creation timestamp of the resolved version (reference v1
+        ``NativeVersionStore.update_time``, test_basic_version_store.py
+        test_update_time: accepts version numbers, negatives and snapshot
+        names; missing symbol/version raises)."""
+        import pandas as pd
+        return pd.Timestamp(self._resolve_version(symbol, as_of).created_ns)
+
+    def update_times(self, symbols: list, as_ofs: list | None = None
+                     ) -> list:
+        """Per-symbol ``update_time`` (reference v1 update_times)."""
+        as_ofs = as_ofs or [None] * len(symbols)
+        return [self.update_time(s, a) for s, a in zip(symbols, as_ofs)]
+
     def column_names(self, symbol: str, as_of=None) -> list[str]:
         """Reference ``_store.py:3441``: column names of a version straight
         from the manifest — no data scan."""

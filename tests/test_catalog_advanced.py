@@ -1046,3 +1046,39 @@ def test_delete_date_range_get_description_range(spark, tmp_path):
     out = lib.read("sym", output_format="pandas")
     assert out["col_0"].tolist() == [2]
     assert lib.get_description("sym").date_range[0] == idx[2]
+
+
+def test_update_time_and_times(spark, tmp_path):
+    """Reference test_basic_version_store.py:1151/1172: update_time(s)
+    return per-version creation timestamps; version numbers, negatives
+    and snapshot names resolve; missing symbol/version raises."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    from arcticdb_spark.catalog import Arctic, NoSuchVersionException
+    lib = Arctic(str(tmp_path), spark).create_library("ut")
+    lib.write("sym1", np.arange(5, dtype="float32"))
+    lib.write("sym1", pd.Series(np.arange(5, dtype="int64"), name="numbers"))
+    lib.snapshot("snap")
+    lib.write("sym1", pd.DataFrame(
+        {"col1": np.arange(10)},
+        index=pd.date_range(pd.Timestamp(0), periods=10)))
+
+    assert lib.update_time("sym1") == lib.update_time("sym1", -1) \
+        == lib.update_time("sym1", 2)
+    assert lib.update_time("sym1", 1) == lib.update_time("sym1", -2) \
+        == lib.update_time("sym1", "snap")
+    assert lib.update_time("sym1", 0) == lib.update_time("sym1", -3)
+    assert lib.update_time("sym1") > lib.update_time("sym1", 1) \
+        > lib.update_time("sym1", 0)
+    with pytest.raises(NoSuchVersionException):
+        lib.update_time("sym12")
+    with pytest.raises(NoSuchVersionException):
+        lib.update_time("sym1", 11)
+
+    lib.write("sym2", pd.DataFrame({"col1": np.arange(3)}))
+    default = lib.update_times(["sym1", "sym2"])
+    assert len(default) == 2 and default[0] < default[1]
+    versioned = lib.update_times(["sym1", "sym1", "sym2"],
+                                 as_ofs=[0, 1, None])
+    assert versioned[0] < versioned[1] < versioned[2]
