@@ -4060,6 +4060,12 @@ class Library:
             if d.startswith(prefix):
                 self.delete(d)
 
+    def delete_versions(self, symbol: str, versions) -> None:
+        """Delete a set of versions (reference v1
+        ``NativeVersionStore.delete_versions``; other versions are
+        unaffected — test_basic_version_store.py:1388)."""
+        self.delete(symbol, versions=versions)
+
     def delete_version(self, symbol: str, version: int) -> None:
         ref = self._load_ref(symbol)
         ref.setdefault("deleted", []).append(version)

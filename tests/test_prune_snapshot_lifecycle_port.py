@@ -149,3 +149,56 @@ def test_delete_version_basic_middle(lib):
     assert len(lib.list_versions(sym)) == 0
     with pytest.raises(NoSuchVersionException):
         lib.read(sym)
+
+
+def test_list_versions_deleted_flag(lib):
+    """test_basic_version_store.py:1388: the deleted flag and snapshot
+    annotations per row; deleting a set of versions leaves the others."""
+    for md in (1, 2, 3):
+        lib.write("symbol", _frame(md * 10), metadata=md)
+    lib.snapshot("snapshot")
+    lib.write("symbol", _frame(40), metadata=4)
+
+    versions = sorted(lib.list_versions("symbol"),
+                      key=lambda v: v["version"])
+    assert len(versions) == 4
+    assert not versions[2]["deleted"]
+    assert versions[2]["snapshots"] == ["snapshot"]
+
+    lib.delete_version("symbol", 2)
+    versions = sorted(lib.list_versions("symbol"),
+                      key=lambda v: v["version"])
+    assert len(versions) == 4
+    assert [v["deleted"] for v in versions] == [False, False, True, False]
+    assert versions[2]["snapshots"] == ["snapshot"]
+    assert not versions[0]["snapshots"] and not versions[3]["snapshots"]
+
+    lib.delete_versions("symbol", [0, 1])
+    versions = sorted(lib.list_versions("symbol"),
+                      key=lambda v: v["version"])
+    assert len(versions) == 2
+    assert versions[0]["version"] == 2 and versions[0]["deleted"]
+    assert versions[0]["snapshots"] == ["snapshot"]
+    assert versions[1]["version"] == 3 and not versions[1]["deleted"]
+
+
+def test_list_versions_with_snapshots(lib):
+    """test_basic_version_store.py:1429: snapshot annotations across
+    several symbols and snapshots."""
+    lib.write("a", _frame(0))
+    lib.write("b", _frame(0))
+    lib.snapshot("snap1")
+    lv1 = lib.list_versions()
+    assert len(lv1) == 2
+    assert all(v["snapshots"] == ["snap1"] for v in lv1)
+    lib.write("a", _frame(1))
+    lib.write("b", _frame(1))
+    lib.write("c", _frame(0))
+    lib.snapshot("snap2")
+    lib.snapshot("snap3")
+    items_for_a = lib.list_versions("a")
+    assert len(items_for_a) == 2
+    assert set([v["snapshots"] for v in items_for_a
+                if v["version"] == 0][0]) == {"snap1"}
+    assert set([v["snapshots"] for v in items_for_a
+                if v["version"] == 1][0]) == {"snap2", "snap3"}
