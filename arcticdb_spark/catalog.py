@@ -4464,6 +4464,126 @@ class Library:
             one, delete_requests,
             lambda r: r.symbol if isinstance(r, DeleteRequest) else r)
 
+    # ---- v1 NativeVersionStore batch/utility aliases (_store.py) ----
+
+    def batch_read(self, symbols: list, as_ofs: list | None = None,
+                   date_ranges: list | None = None,
+                   row_ranges: list | None = None,
+                   columns: list | None = None,
+                   query_builder=None, **kwargs) -> dict:
+        """v1 ``_store.py`` batch_read: parallel reads keyed by SYMBOL
+        (a dict of VersionedItem with pandas ``data``, unlike the v2
+        ``read_batch`` list). Duplicate symbols are rejected (dict
+        result)."""
+        if len(set(symbols)) != len(symbols):
+            raise ArcticException("batch_read: duplicate symbols")
+        n = len(symbols)
+        as_ofs = as_ofs or [None] * n
+        date_ranges = date_ranges or [None] * n
+        row_ranges = row_ranges or [None] * n
+        columns = columns or [None] * n
+        qbs = (query_builder if isinstance(query_builder, list)
+               else [query_builder] * n)
+
+        def one(t):
+            s, a, dr, rr, c, q = t
+            m = self._resolve_version(s, a)
+            data = self.read(s, as_of=a, date_range=dr, row_range=rr,
+                             columns=c, query_builder=q,
+                             output_format="pandas")
+            return s, VersionedItem(symbol=s, library=self.name, data=data,
+                                    version=m.version, metadata=m.metadata,
+                                    timestamp=m.created_ns)
+        return dict(self._pmap(one, list(zip(symbols, as_ofs, date_ranges,
+                                             row_ranges, columns, qbs))))
+
+    def batch_read_metadata(self, symbols: list, as_ofs: list | None = None,
+                            **kwargs) -> dict:
+        """v1 batch_read_metadata (``_store.py:1659``): missing symbols /
+        versions are simply absent from the result dict."""
+        as_ofs = as_ofs or [None] * len(symbols)
+
+        def one(t):
+            s, a = t
+            try:
+                return s, self.read_metadata(s, as_of=a)
+            except NoSuchVersionException:
+                return None
+        out = self._pmap(one, list(zip(symbols, as_ofs)))
+        return dict(x for x in out if x is not None)
+
+    def batch_write(self, symbols: list, data_vector: list,
+                    metadata_vector: list | None = None,
+                    prune_previous_version: bool = False,
+                    validate_index: bool = True, **kwargs) -> list:
+        """v1 batch_write: positional vectors instead of payloads."""
+        metas = metadata_vector or [None] * len(symbols)
+        return self.write_batch(
+            list(zip(symbols, data_vector, metas)),
+            prune_previous_versions=prune_previous_version,
+            validate_index=validate_index)
+
+    def batch_append(self, symbols: list, data_vector: list,
+                     metadata_vector: list | None = None,
+                     write_if_missing: bool = True, **kwargs) -> list:
+        """v1 batch_append; ``write_if_missing=False`` turns a missing
+        symbol into a per-item DataError instead of creating it."""
+        metas = metadata_vector or [None] * len(symbols)
+
+        def one(t):
+            s, d, md = t
+            if not write_if_missing and not self.has_symbol(s):
+                raise NoSuchVersionException(
+                    f"symbol {s!r} does not exist (write_if_missing=False)")
+            return self.append(s, d, metadata=md)
+        return self._pmap_errors(one, list(zip(symbols, data_vector, metas)),
+                                 lambda t: t[0])
+
+    def batch_write_metadata(self, symbols: list, metadata_vector: list
+                             ) -> list:
+        """v1 batch_write_metadata: metadata-only versions per symbol."""
+        return self._pmap_errors(
+            lambda t: self.write_metadata(t[0], t[1]),
+            list(zip(symbols, metadata_vector)), lambda t: t[0])
+
+    def batch_delete_symbols(self, symbols: list) -> list:
+        """v1 ``_store.py:3348``: List[Optional[DataError]] — None per
+        successful delete."""
+        out = self._pmap_errors(lambda s: self.delete(s), symbols,
+                                lambda s: s)
+        return [x if isinstance(x, DataError) else None for x in out]
+
+    def batch_delete_versions(self, symbols: list, versions: list) -> list:
+        """v1 ``_store.py:3316``: versions[i] is the list of versions to
+        delete for symbols[i]."""
+        out = self._pmap_errors(
+            lambda t: self.delete_versions(t[0], t[1]),
+            list(zip(symbols, versions)), lambda t: t[0])
+        return [x if isinstance(x, DataError) else None for x in out]
+
+    def get_timerange_for_symbol(self, symbol: str, version=None, **kwargs):
+        """v1 ``_store.py:3721``: (earliest, latest) index timestamp of the
+        resolved version."""
+        return self.get_description(symbol, as_of=version).date_range
+
+    def compact_incomplete(self, symbol: str, append: bool,
+                           convert_int_to_float: bool = False,
+                           via_iteration: bool = True, sparsify: bool = False,
+                           metadata: Any = None,
+                           prune_previous_version: bool | None = None,
+                           validate_index: bool = False,
+                           delete_staged_data_on_failure: bool = False,
+                           stage_results=None) -> VersionManifest:
+        """v1 ``_store.py:2797`` name for finalize_staged_data
+        (convert_int_to_float / via_iteration / sparsify are codec-level
+        knobs with no Spark/Parquet counterpart — accepted, ignored)."""
+        return self.finalize_staged_data(
+            symbol, mode="append" if append else "write", metadata=metadata,
+            validate_index=validate_index,
+            prune_previous_versions=bool(prune_previous_version),
+            delete_staged_data_on_failure=delete_staged_data_on_failure,
+            stage_results=stage_results)
+
     def read_batch_and_join(self, symbols: list[str], query_builder,
                             as_of=None) -> DataFrame:
         """(``library.py:2348``) concat N symbols then run remaining clauses."""
