@@ -3619,20 +3619,52 @@ class Library:
 
     def snapshot(self, snapshot_name: str, metadata: Any = None,
                  skip_symbols: list | None = None,
-                 versions: dict[str, int] | None = None) -> None:
+                 versions: dict[str, int] | None = None,
+                 allow_partial_snapshot: bool = False) -> None:
         """Named cross-symbol consistent version set (``library.py:2626``).
         ``skip_symbols`` and ``versions`` are mutually exclusive, as in the
-        reference."""
+        reference. Snapshot names are unique
+        (``version_store_api.cpp:612``); an explicit ``versions`` pair
+        naming a missing or tombstoned version raises
+        NoSuchVersionException ``sym:ver`` (reference test_snapshot.py
+        test_snapshot_not_accept_tombstoned_key) unless
+        ``allow_partial_snapshot`` keeps the resolvable pairs; an empty
+        library cannot be snapshotted (``_store.py:3156``)."""
+        from arcticdb_spark.exceptions import InternalException
         _verify_name("snapshot name", snapshot_name)
         if skip_symbols and versions:
             raise ArcticException(
                 "Only one of skip_symbols and versions can be set")
+        if self._fs.exists(self._snap_path(snapshot_name)):
+            raise InternalException(
+                f"Snapshot with name {snapshot_name} already exists")
         if versions is None:
             skip = set(skip_symbols or ())
             versions = {}
             for sym in self.list_symbols():
                 if sym not in skip:
                     versions[sym] = self._load_ref(sym)["latest"]
+            if not versions:
+                raise NoSuchVersionException(
+                    "snapshot: no symbols exist in the library")
+        else:
+            resolved: dict[str, int] = {}
+            for sym, v in versions.items():
+                try:
+                    dead = set(self._load_ref(sym).get("deleted", []))
+                    ok = (v in self._list_version_numbers(sym)
+                          and v not in dead)
+                except NoSuchVersionException:
+                    ok = False
+                if ok:
+                    resolved[sym] = v
+                elif not allow_partial_snapshot:
+                    raise NoSuchVersionException(f"{sym}:{v}")
+            if not resolved:
+                raise NoSuchVersionException(
+                    f"snapshot {snapshot_name!r}: none of the requested "
+                    "symbol-version pairs exist")
+            versions = resolved
         self._fs.write_json_atomic(self._snap_path(snapshot_name),
                                    {"symbols": versions, "metadata": metadata,
                                     "created_ns": time.time_ns()})

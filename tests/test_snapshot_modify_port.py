@@ -210,3 +210,44 @@ def test_add_replace_releases_displaced_tombstoned_pin(lib):
     assert _val(lib, "s1", as_of="snap") == 2
     with pytest.raises(NoSuchVersionException):
         lib.read("s1", as_of=0)
+
+
+def test_snapshot_name_must_be_unique(lib):
+    """Reference version_store_api.cpp:612: "Snapshot with name {} already
+    exists"."""
+    from arcticdb_spark.exceptions import InternalException
+    lib.write("s1", _frame(1))
+    lib.snapshot("snap")
+    with pytest.raises(InternalException, match="already exists"):
+        lib.snapshot("snap")
+
+
+def test_snapshot_empty_library_raises(lib):
+    """Reference _store.py:3156: NoSuchVersionException when no symbol
+    exists in the library."""
+    with pytest.raises(NoSuchVersionException):
+        lib.snapshot("empty")
+
+
+def test_snapshot_not_accept_tombstoned_key(lib):
+    """Reference test_snapshot.py:498: snapshot(versions={sym: tombstoned})
+    raises NoSuchVersionException naming sym:ver."""
+    lib.write("s1", _frame(1))             # v0
+    lib.write("s1", _frame(2), prune_previous=True)   # v0 tombstoned+purged
+    with pytest.raises(NoSuchVersionException, match="s1:0"):
+        lib.snapshot("snap", versions={"s1": 0})
+
+
+def test_snapshot_allow_partial(lib):
+    """Reference _store.py:3167 allow_partial_snapshot: keep the
+    resolvable pairs; raise when none resolve."""
+    lib.write("s1", _frame(1))
+    lib.write("s2", _frame(2))
+    lib.snapshot("snap", versions={"s1": 0, "ghost": 3},
+                 allow_partial_snapshot=True)
+    assert lib.list_symbols(snapshot_name="snap") == ["s1"]
+    with pytest.raises(NoSuchVersionException):
+        lib.snapshot("snap2", versions={"ghost": 3},
+                     allow_partial_snapshot=True)
+    with pytest.raises(NoSuchVersionException, match="ghost:3"):
+        lib.snapshot("snap3", versions={"s2": 0, "ghost": 3})
