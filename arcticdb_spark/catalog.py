@@ -1325,11 +1325,20 @@ class Library:
                 # the reference index is int64 ns (types.hpp:73), and a µs
                 # TIMESTAMP physical would truncate sub-µs tick data.
                 name = pdf.index.name or "ts"
-                pdf = pdf.rename_axis(name).reset_index()
-                meta = {"index_type": "datetime", "physical": str(name),
-                        "fake_name": pdf.columns[0] == "ts"
+                phys = str(name)
+                if phys in {str(c) for c in pdf.columns}:
+                    # an index NAMED like a data column (reference
+                    # test_get_info index_name="col1"): the flat physical
+                    # schema needs a distinct name; the original comes
+                    # back on pandas output via orig_name
+                    phys = f"__idx__{phys}"
+                pdf = pdf.rename_axis(phys).reset_index()
+                meta = {"index_type": "datetime", "physical": phys,
+                        "fake_name": phys == "ts"
                                      and df.index.name is None}
-                if _demote_ns(pdf, str(name), tzs):
+                if phys != str(name):
+                    meta["orig_name"] = str(name)
+                if _demote_ns(pdf, phys, tzs):
                     meta["index_ns"] = True
             elif isinstance(pdf.index, pd.RangeIndex):
                 # reference RangeIndex normalization
@@ -1345,9 +1354,13 @@ class Library:
                             "name": None if ri.name is None else str(ri.name)}
                 pdf = pdf.reset_index(drop=True)
             elif pdf.index.name is not None:
-                pdf = pdf.reset_index()
-                meta = {"index_type": "named",
-                        "physical": str(pdf.columns[0])}
+                phys = str(pdf.index.name)
+                meta = {"index_type": "named", "physical": phys}
+                if phys in {str(c) for c in pdf.columns}:
+                    phys = f"__idx__{phys}"
+                    meta = {"index_type": "named", "physical": phys,
+                            "orig_name": str(pdf.index.name)}
+                pdf = pdf.rename_axis(phys).reset_index()
             else:
                 pdf = pdf.reset_index(drop=True)  # positional index: dropped
             # tz-aware datetime columns (including demoted index levels):
@@ -3062,6 +3075,10 @@ class Library:
                 pdf = pdf.set_index(norm_meta["physical"])
                 if norm_meta.get("fake_name"):
                     pdf.index.name = None
+                elif norm_meta.get("orig_name"):
+                    # physical name was disambiguated from a like-named
+                    # data column — restore the user's index name
+                    pdf.index.name = norm_meta["orig_name"]
             # rebuild a non-default RangeIndex from recorded start/step —
             # rows arrive in write order (ROW_ID restore), so position i is
             # original row i
@@ -3981,23 +3998,77 @@ class Library:
             date_range=date_range)
 
     def get_info(self, symbol: str, version=None) -> dict:
-        """Reference ``_store.py:3882`` get_info: descriptive dict with the
-        reference's field names (col_names/dtype/rows/date_range/...)."""
+        """Reference ``_store.py:3882`` get_info, shape pinned by
+        test_basic_version_store.py:978-1150: ``type`` is pandasdf /
+        pandasseries / ndarray / pickled / recursive, ``index_type`` is
+        "index" or "NA", ``col_names`` splits the ORIGINAL index level
+        names (None for unnamed) from the data columns, ``date_range`` is
+        (NaT, NaT) unless the symbol has an ASCENDING timestamp index,
+        and a pickled symbol reports rows=None / sorted=UNKNOWN /
+        input_type=msg_pack_frame. ``dtype`` uses this engine's type
+        vocabulary (e.g. ``timestamp_ns``) over the full physical schema."""
+        import numpy as np
+        import pandas as pd
         m = self._resolve_version(symbol, version)
+        nat = np.datetime64("NaT")
+        if self._is_pickled(m):
+            return {
+                "col_names": {"columns": ["bytes"], "index": []},
+                "dtype": [], "rows": None,
+                "last_update": pd.Timestamp(m.created_ns),
+                "input_type": "msg_pack_frame", "index_type": "NA",
+                "normalization_metadata": m.norm_meta, "type": "pickled",
+                "date_range": (nat, nat), "sorted": "UNKNOWN"}
+        nm = m.norm_meta if isinstance(m.norm_meta, dict) else {}
+        nm = nm or {}
         fields = self._user_schema(m).get("fields", [])
-        typ = ("pickled" if self._is_pickled(m)
-               else "recursive" if self._is_recursive(m) else "dataframe")
+        typ = ("recursive" if self._is_recursive(m)
+               else "pandasseries" if nm.get("series")
+               else "ndarray" if nm.get("index_type") == "ndarray"
+               else "pandasdf")
+        it = nm.get("index_type")
+        if it == "multiindex":
+            idx_phys = list(nm.get("physical", []))
+            idx_names = list(nm.get("level_names", []))
+        elif it in ("datetime", "named"):
+            idx_phys = [nm.get("physical")]
+            idx_names = [None if nm.get("fake_name")
+                         else nm.get("orig_name", nm.get("physical"))]
+        elif m.index_column is not None:
+            idx_phys = [m.index_column]
+            idx_names = [m.index_column]
+        else:
+            idx_phys, idx_names = [], []
+        if nm.get("series"):
+            # upstream quirk (test_get_info_series): a NAMED series index
+            # leaks into columns, col_names.index is [] and index_type NA
+            fake = nm.get("fake_name") and nm.get("physical")
+            cols = [f["name"] for f in fields if f["name"] != fake]
+            col_names = {"columns": cols, "index": []}
+            index_type = "NA"
+        else:
+            col_names = {"columns": [f["name"] for f in fields
+                                     if f["name"] not in idx_phys],
+                         "index": idx_names}
+            index_type = "index" if idx_phys else "NA"
+        if (m.index_column is not None and m.sorted == "ASCENDING"
+                and m.ts_min is not None):
+            date_range = (np.datetime64(m.ts_min, "ns"),
+                          np.datetime64(m.ts_max, "ns"))
+        else:
+            # rowcount / unsorted / empty: NaT pair (reference
+            # test_get_info_unsorted_timestamp_index_date_range etc.)
+            date_range = (nat, nat)
         return {
-            "col_names": {"columns": [f["name"] for f in fields],
-                          "index": [m.index_column] if m.index_column else []},
+            "col_names": col_names,
             "dtype": [f["type"] for f in fields],
             "rows": m.total_rows,
-            "last_update": m.created_ns,
+            "last_update": pd.Timestamp(m.created_ns),
             "input_type": "dataframe",
-            "index_type": m.index_column or "NA",
+            "index_type": index_type,
             "normalization_metadata": m.norm_meta,
             "type": typ,
-            "date_range": (m.ts_min, m.ts_max),
+            "date_range": date_range,
             "sorted": m.sorted,
         }
 

@@ -1082,3 +1082,73 @@ def test_update_time_and_times(spark, tmp_path):
     versioned = lib.update_times(["sym1", "sym1", "sym2"],
                                  as_ofs=[0, 1, None])
     assert versioned[0] < versioned[1] < versioned[2]
+
+
+def test_get_info_reference_shape(spark, tmp_path):
+    """Reference test_basic_version_store.py:978-1150 get_info contract:
+    pandasdf/pandasseries types, index_type index/NA, original (possibly
+    None) index names, NaT date_range for rowcount/unsorted/pickled,
+    pickled rows=None."""
+    import numpy as np
+    import pandas as pd
+    from arcticdb_spark.catalog import Arctic
+    lib = Arctic(str(tmp_path), spark).create_library("gi")
+
+    for index_name in ("blah", None, "col1"):
+        df = pd.DataFrame({"col1": np.arange(10)},
+                          index=pd.date_range(pd.Timestamp(0), periods=10))
+        df.index.name = index_name
+        lib.write("sym", df)
+        info = lib.get_info("sym")
+        assert int(info["rows"]) == 10
+        assert info["type"] == "pandasdf"
+        assert info["col_names"]["columns"] == ["col1"]
+        assert info["col_names"]["index"] == [index_name]
+        assert info["index_type"] == "index"
+        lib.delete("sym")
+
+    # series: named index leaks into columns (upstream quirk)
+    for index_name in ("blah", None):
+        ser = pd.Series(np.arange(10), name="col1",
+                        index=pd.date_range(pd.Timestamp(0), periods=10))
+        ser.index.name = index_name
+        lib.write("ser", ser)
+        info = lib.get_info("ser")
+        assert info["type"] == "pandasseries"
+        assert info["col_names"]["columns"] == (
+            [index_name, "col1"] if index_name else ["col1"])
+        assert info["col_names"]["index"] == []
+        assert info["index_type"] == "NA"
+        lib.delete("ser")
+
+    # date_range: versioned, equals get_timerange_for_symbol
+    df = pd.DataFrame({"col1": np.arange(10)},
+                      index=pd.date_range(pd.Timestamp(0), periods=10))
+    lib.write("dr", df)
+    lib.write("dr", pd.DataFrame(
+        {"col1": np.arange(20)},
+        index=pd.date_range(pd.Timestamp(0), periods=20)))
+    info0, info1 = lib.get_info("dr", version=0), lib.get_info("dr")
+    assert info0["rows"] == 10 and info1["rows"] == 20
+    assert info1["last_update"] > info0["last_update"]
+    tr1 = lib.get_timerange_for_symbol("dr")
+    assert info1["date_range"][0] == tr1[0]
+    assert info1["date_range"][1] == tr1[1]
+
+    # rowcount + unsorted ts index -> NaT
+    lib.write("rc", pd.DataFrame({"col": [1, 2, 3]}))
+    assert np.isnat(lib.get_info("rc")["date_range"][0])
+    lib.write("us", pd.DataFrame(
+        {"col": [1, 2, 3]},
+        index=pd.DatetimeIndex(["2024-01-01", "2024-01-03", "2024-01-02"])),
+        validate_index=False)
+    info = lib.get_info("us")
+    assert np.isnat(info["date_range"][0]) and np.isnat(info["date_range"][1])
+
+    # pickled
+    lib.write_pickle("pk", {"x": 1})
+    info = lib.get_info("pk")
+    assert info["col_names"]["columns"] == ["bytes"]
+    assert info["input_type"] == "msg_pack_frame"
+    assert np.isnat(info["date_range"][0])
+    assert info["sorted"] == "UNKNOWN" and info["rows"] is None

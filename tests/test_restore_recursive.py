@@ -231,9 +231,9 @@ def test_recursive_none_and_ndarray_leaves(tmp_lib):
 def test_get_info_and_batch(tmp_lib):
     tmp_lib.write("s", _pdf([1.0, 2.0]))
     info = tmp_lib.get_info("s")
-    assert info["rows"] == 2 and info["type"] == "dataframe"
+    assert info["rows"] == 2 and info["type"] == "pandasdf"
     assert "v" in info["col_names"]["columns"]
-    assert info["index_type"] == "ts" and info["sorted"] == "ASCENDING"
+    assert info["index_type"] == "index" and info["sorted"] == "ASCENDING"
     tmp_lib.write_pickle("p", {"x": 1})
     assert tmp_lib.get_info("p")["type"] == "pickled"
     out = tmp_lib.batch_get_info(["s", "p", "ghost"])
