@@ -3939,7 +3939,14 @@ class Library:
         return m.total_rows
 
     def write_metadata(self, symbol: str, metadata) -> VersionManifest:
-        prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
+        """New version carrying only new metadata; a MISSING symbol is
+        created at v0 with None data (reference test_arctic.py:346
+        test_write_metadata_with_none)."""
+        try:
+            prev = self._load_manifest(symbol,
+                                       self._load_ref(symbol)["latest"])
+        except NoSuchVersionException:
+            return self.write_pickle(symbol, None, metadata=metadata)
         m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(),
                             prev.index_column, prev.schema_json, prev.files,
                             metadata, prev.sorted, prev.norm_meta)
@@ -4105,7 +4112,20 @@ class Library:
                 prune_previous_versions=prune_previous_versions)
             return
         if versions is not None:
-            for v in ((versions,) if isinstance(versions, int) else versions):
+            vs = ([versions] if isinstance(versions, int)
+                  else list(versions))
+            # validate the WHOLE request before mutating: a missing or
+            # already-deleted version fails the call atomically (reference
+            # test_arctic.py test_delete_version_that_does_not_exist —
+            # after the raise, the good versions are still live)
+            ref = self._load_ref(symbol)
+            dead = set(ref.get("deleted", []))
+            existing = set(self._list_version_numbers(symbol))
+            for v in vs:
+                if v in dead or v not in existing:
+                    raise NoSuchVersionException(
+                        f"{symbol!r} has no live version {v}")
+            for v in vs:
                 self.delete_version(symbol, v)
             return
         pinned = set()
@@ -4171,6 +4191,12 @@ class Library:
 
     def delete_version(self, symbol: str, version: int) -> None:
         ref = self._load_ref(symbol)
+        if (version in ref.get("deleted", [])
+                or version not in self._list_version_numbers(symbol)):
+            # missing or already-tombstoned (reference raises rather than
+            # tombstoning twice — test_arctic.py:705)
+            raise NoSuchVersionException(
+                f"{symbol!r} has no live version {version}")
         ref.setdefault("deleted", []).append(version)
         if ref["latest"] == version:
             live = [v for v in self._list_version_numbers(symbol)

@@ -202,3 +202,45 @@ def test_list_versions_with_snapshots(lib):
                 if v["version"] == 0][0]) == {"snap1"}
     assert set([v["snapshots"] for v in items_for_a
                 if v["version"] == 1][0]) == {"snap2", "snap3"}
+
+
+def test_delete_version_that_does_not_exist(lib):
+    """test_arctic.py:705: missing symbol / missing version /
+    already-deleted version all raise, atomically (good versions stay
+    live after a failed mixed request)."""
+    with pytest.raises(NoSuchVersionException):
+        lib.delete("symbol", versions=0)
+    with pytest.raises(NoSuchVersionException):
+        lib.delete("symbol", versions=[1, 2])
+
+    lib.write("symbol", _frame(0))
+    with pytest.raises(NoSuchVersionException):
+        lib.delete("symbol", versions=1)
+
+    lib.write("symbol", _frame(10))
+    lib.delete("symbol", versions=0)
+    with pytest.raises(NoSuchVersionException):
+        lib.delete("symbol", versions=0)       # already deleted
+    with pytest.raises(NoSuchVersionException):
+        lib.delete("symbol", versions=[0, 1])  # one bad -> nothing happens
+    lib.delete("symbol", versions=1)           # ...so 1 is still live here
+    with pytest.raises(NoSuchVersionException):
+        lib.delete("symbol", versions=1)
+
+
+def test_delete_version_empty_list_is_noop(lib):
+    """test_arctic.py:612"""
+    for i in range(3):
+        lib.write("symbol", _frame(i))
+    lib.delete("symbol", versions=[])
+    assert len(lib.list_versions("symbol")) == 3
+
+
+def test_write_metadata_missing_symbol_creates_v0(lib):
+    """test_arctic.py:346 test_write_metadata_with_none"""
+    meta = {"meta_symbol": 0}
+    m = lib.write_metadata("symbol", meta)
+    assert m.version == 0
+    got = lib.read_metadata("symbol")
+    assert got.metadata == meta and got.version == 0
+    assert lib.read("symbol") is None   # metadata-only symbol: None data
