@@ -307,10 +307,16 @@ class UpdatePayload:
 class DataError:
     """Per-item failure marker returned by batch APIs instead of raising
     (reference ``arcticdb_ext.version_store.DataError``): one bad symbol
-    doesn't abort the whole batch."""
+    doesn't abort the whole batch. ``error_code``/``error_category`` carry
+    the reference enums when the failure maps onto one (ErrorCode.
+    E_NO_SUCH_VERSION etc.), so reference-style handlers comparing against
+    them work unchanged."""
     symbol: str
-    error_code: str | None = None
+    error_code: Any = None
     exception_string: str = ""
+    error_category: Any = None
+    version_request_type: Any = None
+    version_request_data: Any = None
 
     def __bool__(self):  # truthiness mirrors "is this an error"
         return True
@@ -678,6 +684,24 @@ def _index_undecided(m) -> bool:
     nm = nm or {}
     return (m.total_rows == 0 and m.index_column is None
             and not nm.get("index_type") and not nm.get("categoricals"))
+
+
+def _map_error_enums(e):
+    """Exception -> (reference ErrorCode, ErrorCategory) when it maps
+    (error_code.hpp:57-120); (None, category) otherwise. Lazy import —
+    exceptions.py imports from this module."""
+    from arcticdb_spark.exceptions import ErrorCategory, ErrorCode
+    if isinstance(e, NoSuchVersionException):
+        return ErrorCode.E_NO_SUCH_VERSION, ErrorCategory.MISSING_DATA
+    if isinstance(e, UnsortedDataException):
+        return ErrorCode.E_UNSORTED_DATA, ErrorCategory.SORTING
+    if isinstance(e, SortingException):
+        return None, ErrorCategory.SORTING
+    if isinstance(e, SchemaException):
+        return ErrorCode.E_DESCRIPTOR_MISMATCH, ErrorCategory.SCHEMA
+    if isinstance(e, UserInputException):
+        return ErrorCode.E_INVALID_USER_ARGUMENT, ErrorCategory.USER_INPUT
+    return None, ErrorCategory.INTERNAL
 
 
 def _pandas_nrows(df):
@@ -4477,8 +4501,11 @@ class Library:
             try:
                 return fn(x)
             except Exception as e:
-                return DataError(sym_of(x), error_code=type(e).__name__,
-                                 exception_string=str(e))
+                code, cat = _map_error_enums(e)
+                return DataError(sym_of(x),
+                                 error_code=code or type(e).__name__,
+                                 exception_string=str(e),
+                                 error_category=cat)
         return self._pmap(safe, items)
 
     @staticmethod

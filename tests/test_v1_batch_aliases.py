@@ -98,3 +98,14 @@ def test_compact_incomplete_alias(lib):
     out = lib.read("s", output_format="pandas")
     assert out["a"].tolist() == [1.0, 2.0, 3.0, 4.0]
     assert lib.read_metadata("s").metadata == {"done": True}
+
+
+def test_data_error_carries_reference_enums(lib):
+    """Reference DataError contract (test_arctic_batch.py style): the
+    error_code/error_category enums compare against the reference's."""
+    from arcticdb_spark.exceptions import ErrorCategory, ErrorCode
+    out = lib.read_batch(["ghost"])
+    assert isinstance(out[0], DataError)
+    assert out[0].error_code == ErrorCode.E_NO_SUCH_VERSION
+    assert out[0].error_category == ErrorCategory.MISSING_DATA
+    assert out[0].symbol == "ghost"
