@@ -686,6 +686,17 @@ def _index_undecided(m) -> bool:
             and not nm.get("index_type") and not nm.get("categoricals"))
 
 
+def _pytz_utc():
+    """pytz.UTC when available (the reference's get_description pins
+    ``last_update_time.tz == pytz.UTC``), else the stdlib UTC."""
+    try:
+        import pytz
+        return pytz.UTC
+    except ImportError:  # pragma: no cover
+        import datetime as _dt
+        return _dt.timezone.utc
+
+
 def _map_error_enums(e):
     """Exception -> (reference ErrorCode, ErrorCategory) when it maps
     (error_code.hpp:57-120); (None, category) otherwise. Lazy import —
@@ -3998,22 +4009,40 @@ class Library:
         schema = self._user_schema(m)
         fields = schema.get("fields", [])
         nm = m.norm_meta if isinstance(m.norm_meta, dict) else {}
-        idx_names = []
-        if m.index_column is not None:
-            idx_names = [m.index_column]
-            if nm.get("index_type") == "multiindex":
-                phys = nm.get("physical") or []
-                idx_names = list(phys) if isinstance(phys, list) else [phys]
+        nm = nm or {}
+        # physical index columns + their DISPLAY names (original, possibly
+        # None — reference test_get_description_unnamed_index /
+        # test_get_description_multiindex: names come back as written)
+        it = nm.get("index_type")
+        if it == "multiindex":
+            phys = list(nm.get("physical") or [])
+            display = list(nm.get("level_names") or phys)
+        elif it in ("datetime", "named"):
+            phys = [nm.get("physical")]
+            display = [None if nm.get("fake_name")
+                       else nm.get("orig_name", nm.get("physical"))]
+        elif m.index_column is not None:
+            phys = [m.index_column]
+            display = [m.index_column]
+        else:
+            phys, display = [], []
         by_name = {f["name"]: f["type"] for f in fields}
-        index = tuple(NameWithDType(n, by_name.get(n, "datetime64[ns]"))
-                      for n in idx_names)
+        index = tuple(NameWithDType(disp, by_name.get(p, "datetime64[ns]"))
+                      for p, disp in zip(phys, display))
         columns = tuple(NameWithDType(f["name"], f["type"]) for f in fields
-                        if f["name"] not in set(idx_names))
-        index_type = ("NA" if not idx_names
-                      else "multi_index" if len(idx_names) > 1 else "index")
+                        if f["name"] not in set(phys))
+        index_type = ("NA" if not phys
+                      else "multi_index" if len(phys) > 1 else "index")
         if (m.index_column is not None and m.sorted == "ASCENDING"
                 and m.ts_min is not None):
             date_range = (pd.Timestamp(m.ts_min), pd.Timestamp(m.ts_max))
+            tz = (nm.get("tzs") or {}).get(m.index_column)
+            if tz:
+                # tz-aware index: the described range carries the zone so
+                # it compares equal to the original timestamps (reference
+                # test_get_description_date_range_tz)
+                date_range = tuple(t.tz_localize("UTC").tz_convert(tz)
+                                   for t in date_range)
         else:
             date_range = (pd.NaT, pd.NaT)
         return SymbolDescription(
@@ -4024,8 +4053,7 @@ class Library:
             ts_min=m.ts_min, ts_max=m.ts_max,
             sorted=m.sorted,
             columns=columns, index=index, index_type=index_type,
-            last_update_time=_dt.datetime.fromtimestamp(
-                m.created_ns / 1e9, tz=_dt.timezone.utc),
+            last_update_time=pd.Timestamp(m.created_ns, tz=_pytz_utc()),
             date_range=date_range)
 
     def get_info(self, symbol: str, version=None) -> dict:

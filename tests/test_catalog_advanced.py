@@ -1152,3 +1152,56 @@ def test_get_info_reference_shape(spark, tmp_path):
     assert info["input_type"] == "msg_pack_frame"
     assert np.isnat(info["date_range"][0])
     assert info["sorted"] == "UNKNOWN" and info["rows"] is None
+
+
+def test_get_description_reference_cases(spark, tmp_path):
+    """Reference test_arctic.py:1206-1268: original (possibly None) index
+    names incl. multiindex levels, pytz-UTC last_update_time, tz-aware
+    date_range comparing equal to the written index."""
+    import numpy as np
+    import pandas as pd
+    import pytz
+    from arcticdb_spark.catalog import Arctic
+    lib = Arctic(str(tmp_path), spark).create_library("gdesc")
+
+    df = pd.DataFrame({"column": [1, 2, 3, 4]},
+                      index=pd.date_range("1/1/2018", "1/4/2018"))
+    df.index.rename("named_index", inplace=True)
+    lib.write("symbol", df)
+    ta = pd.DataFrame({"column": [5, 6]},
+                      index=pd.date_range("1/5/2018", "1/6/2018"))
+    ta.index.rename("named_index", inplace=True)
+    lib.append("symbol", ta)
+    info = lib.get_description("symbol")
+    original = lib.get_description("symbol", as_of=0)
+    assert [c[0] for c in info.columns] == ["column"]
+    assert info.date_range == (pd.Timestamp(2018, 1, 1),
+                               pd.Timestamp(2018, 1, 6))
+    assert info.index[0].name == "named_index"
+    assert info.index_type == "index"
+    assert info.row_count == 6 and original.row_count == 4
+    assert info.last_update_time > original.last_update_time
+    assert info.last_update_time.tz == pytz.UTC
+    assert info.sorted == original.sorted == "ASCENDING"
+
+    lib.write("u", pd.DataFrame({"col": [0]}, index=[pd.Timestamp(0)]))
+    ii = lib.get_description("u").index
+    assert len(ii) == 1 and ii[0].name is None
+
+    for names in (None, ["top-level", "second-level"]):
+        sym = f"mi_{names is None}"
+        lib.write(sym, pd.DataFrame(
+            {"col": [0]}, index=pd.MultiIndex.from_arrays([[0], [1]],
+                                                          names=names)))
+        ii = lib.get_description(sym).index
+        assert len(ii) == 2
+        assert ii[0].name == (names[0] if names else None)
+        assert ii[1].name == (names[1] if names else None)
+
+    for tz in ("UTC", "Europe/Amsterdam"):
+        idx = pd.date_range(pd.Timestamp(0), periods=10, tz=tz)
+        lib.write(f"tz_{tz[:3]}", pd.DataFrame(
+            {"col1": np.arange(10)}, index=idx))
+        start_ts, end_ts = lib.get_description(f"tz_{tz[:3]}").date_range
+        assert isinstance(start_ts, pd.Timestamp)
+        assert start_ts == idx[0] and end_ts == idx[-1]
