@@ -35,6 +35,7 @@ import tempfile
 import time
 import uuid
 from dataclasses import dataclass, field
+from enum import Enum
 from typing import Any
 
 import pyarrow.parquet as pq
@@ -361,6 +362,33 @@ class MissingKeysInStageResultsError(ArcticException):
     def __init__(self, msg: str, records: list):
         super().__init__(msg)
         self.stage_results_with_missing_keys = records
+
+
+class VersionRequestType(Enum):
+    """Reference ``arcticdb_ext.version_store.VersionRequestType``
+    (version/python_bindings.cpp:295): how a batch item addressed the
+    version — reported on DataError."""
+    SNAPSHOT = 1
+    TIMESTAMP = 2
+    SPECIFIC = 3
+    LATEST = 4
+
+
+def _version_request_of(as_of):
+    """(VersionRequestType, data) for an as_of (DataError reporting —
+    python_bindings.cpp:318: SPECIFIC carries the version number,
+    TIMESTAMP the ns epoch, SNAPSHOT the name, LATEST None)."""
+    import datetime as _dt
+    if as_of is None:
+        return VersionRequestType.LATEST, None
+    if isinstance(as_of, int):
+        return VersionRequestType.SPECIFIC, as_of
+    if isinstance(as_of, str):
+        return VersionRequestType.SNAPSHOT, as_of
+    if isinstance(as_of, _dt.datetime):
+        import pandas as pd
+        return VersionRequestType.TIMESTAMP, pd.Timestamp(as_of).value
+    return None, as_of
 
 
 @dataclass
@@ -4585,10 +4613,23 @@ class Library:
         return self._pmap_errors(one, payloads, self._sym_of_payload)
 
     def read_metadata_batch(self, symbols: list) -> list:
-        return self._pmap(
-            lambda s: (self.read_metadata(s.symbol, as_of=s.as_of)
-                       if isinstance(s, ReadInfoRequest)
-                       else self.read_metadata(s)), symbols)
+        """Per-item DataError capture with the version request echoed on
+        failures (reference test_arctic_batch.py:195-264:
+        version_request_type/data + ErrorCode enums)."""
+        def one(s):
+            sym, a = ((s.symbol, s.as_of) if isinstance(s, ReadInfoRequest)
+                      else (s, None))
+            try:
+                return self.read_metadata(sym, as_of=a)
+            except Exception as e:
+                code, cat = _map_error_enums(e)
+                vt, vd = _version_request_of(a)
+                return DataError(sym, error_code=code or type(e).__name__,
+                                 exception_string=str(e),
+                                 error_category=cat,
+                                 version_request_type=vt,
+                                 version_request_data=vd)
+        return self._pmap(one, symbols)
 
     def admin_tools(self) -> "AdminTools":
         """Reference ``library.py:3521``: storage-size breakdowns."""

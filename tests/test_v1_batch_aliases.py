@@ -109,3 +109,29 @@ def test_data_error_carries_reference_enums(lib):
     assert out[0].error_code == ErrorCode.E_NO_SUCH_VERSION
     assert out[0].error_category == ErrorCategory.MISSING_DATA
     assert out[0].symbol == "ghost"
+
+
+def test_read_metadata_batch_data_errors(lib):
+    """Reference test_arctic_batch.py:222-264: per-item DataError with
+    version_request_type/data and the reference error enums."""
+    from arcticdb_spark import ReadInfoRequest, VersionRequestType
+    from arcticdb_spark.exceptions import ErrorCategory, ErrorCode
+    lib.write("s1", _frame(1), metadata={"meta1": 0})
+
+    batch = lib.read_metadata_batch(["s1", "s2"])
+    assert not isinstance(batch[0], DataError)
+    assert batch[0].metadata == {"meta1": 0}
+    assert isinstance(batch[1], DataError)
+    assert batch[1].symbol == "s2"
+    assert batch[1].version_request_type == VersionRequestType.LATEST
+    assert batch[1].version_request_data is None
+    assert batch[1].error_code == ErrorCode.E_NO_SUCH_VERSION
+    assert batch[1].error_category == ErrorCategory.MISSING_DATA
+
+    batch = lib.read_metadata_batch([ReadInfoRequest("s1", as_of=0),
+                                     ReadInfoRequest("s1", as_of=1)])
+    assert not isinstance(batch[0], DataError)
+    assert isinstance(batch[1], DataError)
+    assert batch[1].version_request_type == VersionRequestType.SPECIFIC
+    assert batch[1].version_request_data == 1
+    assert batch[1].error_code == ErrorCode.E_NO_SUCH_VERSION
