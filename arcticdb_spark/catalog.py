@@ -4539,9 +4539,20 @@ class Library:
             # collect() time, e.g. NoSuchVersionException)
             from arcticdb_spark.lazy import LazyDataFrameCollection
             return LazyDataFrameCollection([one(s) for s in symbols])
-        return self._pmap_errors(
-            one, symbols,
-            lambda s: s.symbol if isinstance(s, ReadRequest) else s)
+
+        def safe(s):
+            try:
+                return one(s)
+            except Exception as e:
+                sym, a = ((s.symbol, s.as_of) if isinstance(s, ReadRequest)
+                          else (s, None))
+                code, cat = _map_error_enums(e)
+                vt, vd = _version_request_of(a)
+                return DataError(sym, error_code=code or type(e).__name__,
+                                 exception_string=str(e), error_category=cat,
+                                 version_request_type=vt,
+                                 version_request_data=vd)
+        return self._pmap(safe, symbols)
 
     @staticmethod
     def _payload(p) -> tuple:
