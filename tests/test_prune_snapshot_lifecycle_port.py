@@ -244,3 +244,36 @@ def test_write_metadata_missing_symbol_creates_v0(lib):
     got = lib.read_metadata("symbol")
     assert got.metadata == meta and got.version == 0
     assert lib.read("symbol") is None   # metadata-only symbol: None data
+
+
+def test_read_ts(lib):
+    """test_basic_version_store.py:1451 test_read_ts: timestamp as_of
+    resolves the newest version created at or before the cutoff,
+    including the exact creation instant, the far future, and a
+    before-everything raise."""
+    import time as _time
+    lib.write("a", _frame(1))            # v0
+    _time.sleep(0.002)
+    lib.write("a", _frame(2))            # v1
+    _time.sleep(0.002)
+    lib.write("a", _frame(3))            # v2
+    lib.write("a", _frame(4))            # v3
+
+    rows = sorted((r for r in lib.list_versions() if r["symbol"] == "a"),
+                  key=lambda r: r["version"])
+    assert len(rows) == 4
+
+    ts_for_v1 = pd.Timestamp(rows[1]["date"])
+    got = lib.read("a", as_of=ts_for_v1, output_format="pandas")
+    assert got["v"].tolist() == [2, 3, 4]
+
+    ts_for_v0 = pd.Timestamp(rows[0]["date"])
+    got = lib.read("a", as_of=ts_for_v0, output_format="pandas")
+    assert got["v"].tolist() == [1, 2, 3]
+
+    with pytest.raises(NoSuchVersionException):
+        lib.read("a", as_of=pd.Timestamp(0))
+
+    brexit_almost_over = pd.Timestamp.max - pd.Timedelta(1, unit="day")
+    got = lib.read("a", as_of=brexit_almost_over, output_format="pandas")
+    assert got["v"].tolist() == [4, 5, 6]
