@@ -3871,10 +3871,21 @@ class Library:
 
     # ---- listing / metadata / GC ----
     def list_symbols(self, snapshot_name: str | None = None,
-                     regex: str | None = None) -> list[str]:
+                     regex: str | None = None,
+                     prefix: str | None = None,
+                     snapshot: str | None = None) -> list[str]:
         """Reference ``library.py:2803``: optionally the symbols pinned by
-        ``snapshot_name`` instead of the live set, optionally filtered by
-        ``regex`` (search semantics, like the reference)."""
+        ``snapshot_name`` (v1 spelling: ``snapshot``) instead of the live
+        set, optionally filtered by ``regex`` (search semantics) or the v1
+        ``prefix`` (test_basic_version_store.py:810)."""
+        if snapshot_name is None:
+            snapshot_name = snapshot
+        if prefix is not None:
+            if regex is not None:
+                raise ArcticException(
+                    "list_symbols: regex and prefix are mutually exclusive")
+            import re as _re
+            regex = "^" + _re.escape(prefix)
         if snapshot_name is not None:
             out = list(self._load_snapshot(snapshot_name)["symbols"])
             if regex is not None:

@@ -1205,3 +1205,23 @@ def test_get_description_reference_cases(spark, tmp_path):
         start_ts, end_ts = lib.get_description(f"tz_{tz[:3]}").date_range
         assert isinstance(start_ts, pd.Timestamp)
         assert start_ts == idx[0] and end_ts == idx[-1]
+
+
+def test_list_symbols_prefix_and_snapshot_kwarg(spark, tmp_path):
+    """Reference test_basic_version_store.py:795/810: the v1 ``prefix``
+    filter and the v1 ``snapshot=`` kwarg spelling."""
+    import itertools
+    import pandas as pd
+    from arcticdb_spark.catalog import Arctic
+    lib = Arctic(str(tmp_path), spark).create_library("lsp")
+    blahs = ["blah_asdf201901", "blah_asdf201802", "blah_asdf201803"]
+    nahs = ["nah_asdf201801", "nah_asdf201802"]
+    for sym in itertools.chain(blahs, nahs):
+        lib.write(sym, pd.DataFrame({"a": [1]}))
+    assert set(lib.list_symbols(prefix="blah_")) == set(blahs)
+    assert set(lib.list_symbols(prefix="nah_")) == set(nahs)
+    lib.snapshot("snap2")
+    assert "blah_asdf201901" in lib.list_symbols(snapshot="snap2",
+                                                 regex="201901")
+    assert "nah_asdf201801" not in lib.list_symbols(snapshot="snap2",
+                                                    regex="201901")
