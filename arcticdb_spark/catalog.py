@@ -3907,8 +3907,17 @@ class Library:
                 out.append(d)
         return sorted(out)
 
-    def has_symbol(self, symbol: str) -> bool:
-        return self._fs.exists(self._ref_path(symbol))
+    def has_symbol(self, symbol: str, as_of=None) -> bool:
+        """``as_of`` checks a specific version / snapshot / timestamp —
+        a deleted symbol still answers True through a snapshot that pins
+        it (reference test_arctic.py:1178 test_has_symbol)."""
+        if as_of is None:
+            return self._fs.exists(self._ref_path(symbol))
+        try:
+            self._resolve_version(symbol, as_of)
+            return True
+        except (NoSuchVersionException, ArcticException):
+            return False
 
     def __getitem__(self, symbol: str):
         """Reference ``library.py:918``: ``lib[symbol]`` reads latest."""

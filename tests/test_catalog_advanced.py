@@ -1225,3 +1225,21 @@ def test_list_symbols_prefix_and_snapshot_kwarg(spark, tmp_path):
                                                  regex="201901")
     assert "nah_asdf201801" not in lib.list_symbols(snapshot="snap2",
                                                     regex="201901")
+
+
+def test_has_symbol_as_of(spark, tmp_path):
+    """Reference test_arctic.py:1178 test_has_symbol: as_of checks a
+    snapshot — a deleted symbol still answers True through its pin."""
+    import pandas as pd
+    from arcticdb_spark.catalog import Arctic
+    lib = Arctic(str(tmp_path), spark).create_library("hs")
+    lib.write("symbol", pd.DataFrame({"x": [1]}))
+    lib.write("symbol", pd.DataFrame({"x": [2]}))
+    assert lib.has_symbol("symbol")
+    assert "symbol" in lib
+    lib.snapshot("snapshot")
+    lib.delete("symbol")
+    assert "symbol" not in lib
+    assert not lib.has_symbol("symbol")
+    assert lib.has_symbol("symbol", as_of="snapshot")
+    assert not lib.has_symbol("ghost", as_of="snapshot")
