@@ -2937,7 +2937,10 @@ class Library:
             if idx and (m.norm_meta or {}).get("index_ns"):
                 empty = _attach_ns_view(empty, idx)
             if columns:
-                empty = empty.select(columns)
+                keep = [c for c in columns if c in empty.columns]
+                if idx and idx in empty.columns and idx not in keep:
+                    keep = [idx] + keep
+                empty = empty.select(keep)
             out = query_builder.to_df(empty, idx) if query_builder else empty
             return self._format_output(out, output_format, m.norm_meta,
                                        undecided_index=_index_undecided(m))
@@ -2978,7 +2981,10 @@ class Library:
         if row_range is not None:
             df = df.filter((F.col(ROW_ID) >= start) & (F.col(ROW_ID) < end))
         if columns is not None:
-            keep = list(columns)
+            # requested columns intersect the stored fields — missing names
+            # are silently ignored like the reference
+            # (read_pipeline.hpp:125 generate_filtered_field_descriptors)
+            keep = [c for c in columns if c in df.columns]
             if idx and idx not in keep:
                 keep = [idx] + keep  # index force-included (version_core.cpp:1285)
             if index_ns:

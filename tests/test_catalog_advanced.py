@@ -1243,3 +1243,27 @@ def test_has_symbol_as_of(spark, tmp_path):
     assert not lib.has_symbol("symbol")
     assert lib.has_symbol("symbol", as_of="snapshot")
     assert not lib.has_symbol("ghost", as_of="snapshot")
+
+
+def test_read_missing_columns_ignored(spark, tmp_path):
+    """Reference read_pipeline.hpp:125: requested columns intersect the
+    stored fields — missing names are silently ignored, never a raw
+    engine error."""
+    import pandas as pd
+    from arcticdb_spark.catalog import Arctic
+    lib = Arctic(str(tmp_path), spark).create_library("mc")
+    idx = pd.date_range("2024-01-01", periods=3)
+    lib.write("s", pd.DataFrame({"a": [1, 2, 3], "b": [4.0, 5.0, 6.0]},
+                                index=idx))
+    out = lib.read("s", columns=["a", "nope"], output_format="pandas")
+    assert list(out.columns) == ["a"]
+    assert out["a"].tolist() == [1, 2, 3]
+    # all-missing selection: index-only frame
+    out = lib.read("s", columns=["nope"], output_format="pandas")
+    assert list(out.columns) == [] and len(out) == 3
+    # the no-files path (empty date_range) keeps the same schema shape
+    out = lib.read("s", columns=["a", "nope"],
+                   date_range=(pd.Timestamp("2030-01-01"),
+                               pd.Timestamp("2030-01-02")),
+                   output_format="pandas")
+    assert list(out.columns) == ["a"] and len(out) == 0
