@@ -34,6 +34,7 @@ from arcticdb_spark.catalog import (Arctic, ArcticDbNotYetImplemented,
                                     KeyType, OutputFormat, Size,
                                     NoSuchVersionException,
                                     ReadInfoRequest, ReadRequest,
+                                    StagedDataFinalizeMethod,
                                     VersionRequestType,
                                     SchemaException, SortingException,
                                     StageResult,
@@ -54,7 +55,7 @@ __version__ = "0.1.0"
 __all__ = ["get_spark", "QueryBuilder", "col", "where", "Arctic",
            "WritePayload", "UpdatePayload", "DataError", "DeleteRequest",
            "MergeStrategy", "ReadRequest", "ReadInfoRequest", "StageResult",
-           "VersionRequestType",
+           "VersionRequestType", "StagedDataFinalizeMethod",
            "ArcticException", "ArcticDbNotYetImplemented",
            "NoSuchVersionException", "SortingException",
            "SchemaException", "MissingKeysInStageResultsError",

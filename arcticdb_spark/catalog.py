@@ -364,6 +364,25 @@ class MissingKeysInStageResultsError(ArcticException):
         self.stage_results_with_missing_keys = records
 
 
+class StagedDataFinalizeMethod(Enum):
+    """Reference ``arcticdb.StagedDataFinalizeMethod`` — finalize mode."""
+    WRITE = "write"
+    APPEND = "append"
+
+
+def _normalize_finalize_mode(mode) -> str:
+    """enum / case-insensitive string -> "write"|"append"; anything else
+    raises like the reference (ArcticInvalidApiUsageException upstream,
+    test_arctic.py:366 test_staged_data_bad_mode)."""
+    if isinstance(mode, StagedDataFinalizeMethod):
+        return mode.value
+    if isinstance(mode, str) and mode.lower() in ("write", "append"):
+        return mode.lower()
+    raise ArcticInvalidApiUsageException(
+        f"finalize mode must be StagedDataFinalizeMethod or "
+        f"'write'/'append', got {mode!r}")
+
+
 class VersionRequestType(Enum):
     """Reference ``arcticdb_ext.version_store.VersionRequestType``
     (version/python_bindings.cpp:295): how a batch item addressed the
@@ -3429,7 +3448,11 @@ class Library:
         listing (stage_result_index, missing_key) pairs, and nothing is
         finalized (all-or-nothing, test_finalize_noop_if_any_missing_keys).
         ``stage_results`` is the reference's name for the same argument
-        (library.py:1747) — either spelling works."""
+        (library.py:1747) — either spelling works. ``mode`` accepts the
+        StagedDataFinalizeMethod enum or a case-insensitive string; any
+        other value raises (reference test_arctic.py:366
+        test_staged_data_bad_mode)."""
+        mode = _normalize_finalize_mode(mode)
         if staged_data is None:
             staged_data = stage_results
         if staged_data is not None:

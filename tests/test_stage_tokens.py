@@ -173,3 +173,27 @@ def test_stage_validate_and_sort_kwargs(tmp_lib):
     tmp_lib.stage("u", df, validate_index=False)
     tmp_lib.sort_and_finalize_staged_data("u")
     assert tmp_lib.read("u").count() == 3
+
+
+def test_finalize_mode_validation(tmp_lib):
+    """Reference test_arctic.py:366/384: bad mode raises
+    ArcticInvalidApiUsageException; the enum and case-insensitive
+    strings are accepted."""
+    import pandas as pd
+    import pytest
+    from arcticdb_spark import StagedDataFinalizeMethod
+    from arcticdb_spark.catalog import ArcticInvalidApiUsageException
+    tmp_lib.stage("fm", pd.DataFrame(
+        {"col": [1.0, 2.0]}, index=pd.date_range("2024-01-01", periods=2)))
+    with pytest.raises(ArcticInvalidApiUsageException):
+        tmp_lib.finalize_staged_data("fm", mode="bad_mode")
+    with pytest.raises(ArcticInvalidApiUsageException):
+        tmp_lib.sort_and_finalize_staged_data("fm", mode="bad_mode")
+    tmp_lib.finalize_staged_data("fm", mode="wRite")
+    assert tmp_lib.read("fm", output_format="pandas")["col"].tolist() == \
+        [1.0, 2.0]
+    tmp_lib.stage("fm", pd.DataFrame(
+        {"col": [3.0]}, index=[pd.Timestamp("2024-01-03")]))
+    tmp_lib.finalize_staged_data("fm", mode=StagedDataFinalizeMethod.APPEND)
+    assert tmp_lib.read("fm", output_format="pandas")["col"].tolist() == \
+        [1.0, 2.0, 3.0]
