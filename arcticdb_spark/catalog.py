@@ -1489,7 +1489,24 @@ class Library:
                     sdf = self.spark.createDataFrame(
                         pdf, schema=_schema_from_pandas_dtypes(pdf))
             else:
-                sdf = self.spark.createDataFrame(pdf)
+                # all-None OBJECT columns are EMPTY (NullType). The Arrow
+                # conversion produces that on its own, but a sibling column
+                # Arrow can't take (e.g. uint8) forces the non-Arrow
+                # fallback, whose inference dies on the Nones
+                # (CANNOT_DETERMINE_TYPE — hypothesis aggregation r9 case:
+                # all-None grouping column + uint8 agg column). Route void
+                # columns through an explicit NULL literal so either
+                # conversion path works and both yield the same schema.
+                void_obj = [c for c in pdf.columns
+                            if pdf[c].dtype == object and pdf[c].isna().all()]
+                if void_obj and len(void_obj) < len(pdf.columns):
+                    rest = pdf.drop(columns=void_obj)
+                    sdf = self.spark.createDataFrame(rest)
+                    for c in void_obj:
+                        sdf = sdf.withColumn(str(c), F.lit(None))
+                    sdf = sdf.select([str(c) for c in pdf.columns])
+                else:
+                    sdf = self.spark.createDataFrame(pdf)
             if u64:
                 # embed the uint64 marker in the Spark schema so the files'
                 # per-epoch schema_json records which LONG columns hold bit
