@@ -251,3 +251,27 @@ def test_snapshot_allow_partial(lib):
                      allow_partial_snapshot=True)
     with pytest.raises(NoSuchVersionException, match="ghost:3"):
         lib.snapshot("snap3", versions={"s2": 0, "ghost": 3})
+
+
+def test_metadata_with_snapshots(lib):
+    """test_basic_version_store.py:1630: a snapshot read returns the
+    PINNED version's metadata, and snapshot metadata lives separately."""
+    lib.write("symbol", _frame(1), metadata={"test": "data_meta"})
+    lib.snapshot("snap1", metadata={"test": "snap_meta"})
+    lib.write("symbol", _frame(2), metadata={"test": "should_not_be_returned"})
+
+    assert lib.read_metadata("symbol", as_of="snap1").metadata == \
+        {"test": "data_meta"}
+    assert lib.list_snapshots()["snap1"] == {"test": "snap_meta"}
+
+
+def test_snapshot_with_versions_dict_scopes_symbols(lib):
+    """test_snapshot.py:230 test_snapshot_with_versions_dict: a snapshot
+    built from an explicit versions dict contains ONLY those symbols."""
+    lib.write("a", _frame(1))
+    lib.write("b", _frame(2))
+    lib.snapshot("snap_a", versions={"a": 0})
+    lib.snapshot("snap_all")
+    with pytest.raises(NoSuchVersionException):
+        lib.read("b", as_of="snap_a")
+    assert _val(lib, "b", as_of="snap_all") == 2
