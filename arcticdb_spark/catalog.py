@@ -398,10 +398,13 @@ def _version_request_of(as_of):
     python_bindings.cpp:318: SPECIFIC carries the version number,
     TIMESTAMP the ns epoch, SNAPSHOT the name, LATEST None)."""
     import datetime as _dt
+    import numbers
     if as_of is None:
         return VersionRequestType.LATEST, None
-    if isinstance(as_of, int):
-        return VersionRequestType.SPECIFIC, as_of
+    # bool is an int subclass but is not a version number; numpy integers
+    # are Integral but not int — classify both correctly
+    if not isinstance(as_of, bool) and isinstance(as_of, numbers.Integral):
+        return VersionRequestType.SPECIFIC, int(as_of)
     if isinstance(as_of, str):
         return VersionRequestType.SNAPSHOT, as_of
     if isinstance(as_of, _dt.datetime):
@@ -1416,9 +1419,8 @@ class Library:
                     phys = f"__idx__{phys}"
                 pdf = pdf.rename_axis(phys).reset_index()
                 meta = {"index_type": "datetime", "physical": phys,
-                        "fake_name": phys == "ts"
-                                     and df.index.name is None}
-                if phys != str(name):
+                        "fake_name": df.index.name is None}
+                if phys != str(name) and df.index.name is not None:
                     meta["orig_name"] = str(name)
                 if _demote_ns(pdf, phys, tzs):
                     meta["index_ns"] = True
@@ -2686,6 +2688,10 @@ class Library:
 
     # ---- read path ----
     def _resolve_version(self, symbol: str, as_of) -> VersionManifest:
+        import numbers
+        if (isinstance(as_of, numbers.Integral)
+                and not isinstance(as_of, bool)):
+            as_of = int(as_of)  # numpy integer version requests
         if isinstance(as_of, str):
             # snapshot reads resolve WITHOUT the version ref: a deleted
             # symbol stays readable through a snapshot that pins it
@@ -3791,9 +3797,14 @@ class Library:
                     f"snapshot {snapshot_name!r}: none of the requested "
                     "symbol-version pairs exist")
             versions = resolved
-        self._fs.write_json_atomic(self._snap_path(snapshot_name),
-                                   {"symbols": versions, "metadata": metadata,
-                                    "created_ns": time.time_ns()})
+        # exclusive create: two racing snapshot() calls with the same name
+        # can both pass the exists() pre-check — the CAS decides the winner
+        if not self._fs.write_json_if_absent(
+                self._snap_path(snapshot_name),
+                {"symbols": versions, "metadata": metadata,
+                 "created_ns": time.time_ns()}):
+            raise InternalException(
+                f"Snapshot with name {snapshot_name} already exists")
 
     def list_snapshots(self, load_metadata: bool = True):
         """Reference ``library.py:2857``: a {name: metadata} dict by
@@ -4196,7 +4207,11 @@ class Library:
             # upstream quirk (test_get_info_series): a NAMED series index
             # leaks into columns, col_names.index is [] and index_type NA
             fake = nm.get("fake_name") and nm.get("physical")
-            cols = [f["name"] for f in fields if f["name"] != fake]
+            # a disambiguated physical index name (collision with the
+            # value column) reports as the user's original name
+            orig, phys_idx = nm.get("orig_name"), nm.get("physical")
+            cols = [orig if (orig and f["name"] == phys_idx) else f["name"]
+                    for f in fields if f["name"] != fake]
             col_names = {"columns": cols, "index": []}
             index_type = "NA"
         else:
@@ -4789,9 +4804,12 @@ class Library:
 
         def one(t):
             s, a, dr, rr, c, q = t
+            # resolve once and read by the resolved version number so a
+            # concurrent write cannot split metadata and data across
+            # different versions
             m = self._resolve_version(s, a)
-            data = self.read(s, as_of=a, date_range=dr, row_range=rr,
-                             columns=c, query_builder=q,
+            data = self.read(s, as_of=m.version, date_range=dr,
+                             row_range=rr, columns=c, query_builder=q,
                              output_format="pandas")
             return s, VersionedItem(symbol=s, library=self.name, data=data,
                                     version=m.version, metadata=m.metadata,
