@@ -371,6 +371,55 @@ def q_compact_roundtrip(spark, sf):
     assert not lib.compact_data_explain_plan("ev").will_do_work
     return lib.read("ev").select("event_id", "value")
 
+
+def q_dynamic_backfill(spark, sf):
+    """Dynamic-schema lifecycle through the QueryBuilder pipeline
+    (reference promotion table ``type_utils.hpp:40``; column add/backfill
+    ``test_column_type_changes.py``): write int32 columns, then appends
+    that ADD columns (int ``bonus``, float ``score``) and PROMOTE types
+    (``qty``/``bonus`` int32 -> int64), then read through a groupby-sum so
+    integer 0-backfill and float NaN-skip are exercised end-to-end.
+
+    Slices interleave on ``event_id % 3`` (sf-independent, SQL-replicable);
+    ``score`` values are multiples of 0.5 so float sums are order-exact.
+    In-code asserts pin the promoted read schema."""
+    import tempfile
+    import pandas as pd
+    from arcticdb_spark.catalog import Arctic
+    ev = (load_table(spark, sf, "events")
+          .filter(F.col("event_id") < 10000)
+          .select("event_id", "user_id").toPandas()
+          .sort_values("event_id").reset_index(drop=True))
+    eid, uid = ev["event_id"].to_numpy(), ev["user_id"].to_numpy()
+    base = pd.DataFrame({
+        "grp": (uid % 5).astype("int32"),
+        "qty": (eid % 97).astype("int32"),
+        "bonus": (eid % 11).astype("int32"),
+        "score": (eid % 7).astype("float64") * 0.5,
+        "_m": eid % 3})
+    s1 = base.loc[base._m == 0, ["grp", "qty"]].reset_index(drop=True)
+    s2 = base.loc[base._m == 1,
+                  ["grp", "qty", "bonus"]].reset_index(drop=True)
+    s2["qty"] = s2["qty"].astype("int64")      # promote int32 -> int64
+    s3 = base.loc[base._m == 2,
+                  ["grp", "qty", "bonus", "score"]].reset_index(drop=True)
+    s3["qty"] = s3["qty"].astype("int64")
+    s3["bonus"] = s3["bonus"].astype("int64")  # promote the ADDED column
+    lib = Arctic(tempfile.mkdtemp(), spark).create_library(
+        "dynlib", dynamic_schema=True)
+    lib.write("dyn", s1)
+    lib.append("dyn", s2)
+    lib.append("dyn", s3)
+    # the promoted physical schema is visible on a plain read
+    plain = dict(lib.read("dyn").dtypes)
+    assert plain["qty"] == "bigint" and plain["bonus"] == "bigint", plain
+    q = QueryBuilder().groupby("grp").agg({
+        "sum_qty": ("qty", "sum"),
+        "sum_bonus": ("bonus", "sum"),
+        "sum_score": ("score", "sum"),
+        "n": ("qty", "count")})
+    return lib.read("dyn", query_builder=q)
+
 # ---------------------------------------------------------------------------
 # joins & windows (extensions, SURVEY §2.3/2.6 gaps)
 # ---------------------------------------------------------------------------
@@ -1211,62 +1260,13 @@ def q_uint64_mixed_compare(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDERING POLICY (round 4+): least-recently-driver-verified first.
-        # The driver checks only the first ~50 entries per round. Round-9
-        # sort: the 33 queries whose last driver row is CORRECTNESS_r07
-        # (the stale half after the r8 run), then the 50 queries verified
-        # in CORRECTNESS_r08 in their r8 order.
-        # --- last driver row is r07 ---
-        "pack_chunks": q_pack_chunks,
-        "pii_scan": q_pii_scan,
-        "range_join": q_range_join,
-        "quality_repetition": q_quality_repetition,
-        "sample_split": q_sample_split,
-        "sample_stratified": q_sample_stratified,
-        "dedup_cluster": q_dedup_cluster,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_exact": q_dedup_exact,
-        "embedding_label_stats": q_embedding_label_stats,
-        "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
-        "rolling_mean": q_rolling_mean,
-        "text_stats": q_text_stats,
-        "text_langid": q_text_langid,
-        "ns_precision": q_ns_precision,
-        "text_fingerprint": q_text_fingerprint,
-        "multimodal_features": q_multimodal_features,
-        "dedup_jaccard": q_dedup_jaccard,
-        "semi_join_date_arith": q_semi_join_date_arith,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "similarity_bruteforce": q_similarity_bruteforce,
-        "similarity_lsh": q_similarity_lsh,
-        "similarity_ivf": q_similarity_ivf,
-        "json_extract": q_json_extract,
-        "approx_sketches": q_approx_sketches,
-        "filter_numeric": q_filter_numeric,
-        "filter_isin_regex": q_filter_isin_regex,
-        "filter_ternary": q_filter_ternary,
-        "project_arith": q_project_arith,
-        "groupby_single": q_groupby_single,
-        "groupby_first_last": q_groupby_first_last,
-        # --- green in CORRECTNESS_r08 on current code ---
-        "uint64_mixed_compare": q_uint64_mixed_compare,
-        "compact_roundtrip": q_compact_roundtrip,
-        "groupby_tpch_q1": q_groupby_tpch_q1,
-        "groupby_ts_minmax": q_groupby_ts_minmax,
-        "resample_weekly": q_resample_weekly,
-        "concat_three": q_concat_three,
-        "resample_1h": q_resample_1h,
-        "resample_ohlc": q_resample_ohlc,
-        "resample_closed_right": q_resample_closed_right,
-        "resample_offset": q_resample_offset,
-        "resample_std_median": q_resample_std_median,
-        "corpus_clean": q_corpus_clean,
-        "project_then_groupby": q_project_then_groupby,
-        "pipeline_filter_head": q_pipeline_filter_head,
-        "stream_resample": q_stream_resample,
-        "stream_sessionize": q_stream_sessionize,
-        "shuffle_shards": q_shuffle_shards,
+        # The driver checks only the first ~50 entries per round. Round-10
+        # sort: the NEW dynamic_backfill query (never driver-checked), then
+        # the 33 queries whose last driver row is CORRECTNESS_r08, then the
+        # 50 queries verified in CORRECTNESS_r09 in their r9 order.
+        # --- new this round ---
+        "dynamic_backfill": q_dynamic_backfill,
+        # --- last driver row is r08 ---
         "salted_join": q_salted_join,
         "simhash_dedup": q_simhash_dedup,
         "pii_redact": q_pii_redact,
@@ -1300,6 +1300,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot": q_unpivot,
         "skew_salted_agg": q_skew_salted_agg,
         "media_frame_sample": q_media_frame_sample,
+        # --- green in CORRECTNESS_r09 on current code ---
+        "pack_chunks": q_pack_chunks,
+        "pii_scan": q_pii_scan,
+        "range_join": q_range_join,
+        "quality_repetition": q_quality_repetition,
+        "sample_split": q_sample_split,
+        "sample_stratified": q_sample_stratified,
+        "dedup_cluster": q_dedup_cluster,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_exact": q_dedup_exact,
+        "embedding_label_stats": q_embedding_label_stats,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "rolling_mean": q_rolling_mean,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        "ns_precision": q_ns_precision,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_features": q_multimodal_features,
+        "dedup_jaccard": q_dedup_jaccard,
+        "semi_join_date_arith": q_semi_join_date_arith,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "similarity_bruteforce": q_similarity_bruteforce,
+        "similarity_lsh": q_similarity_lsh,
+        "similarity_ivf": q_similarity_ivf,
+        "json_extract": q_json_extract,
+        "approx_sketches": q_approx_sketches,
+        "filter_numeric": q_filter_numeric,
+        "filter_isin_regex": q_filter_isin_regex,
+        "filter_ternary": q_filter_ternary,
+        "project_arith": q_project_arith,
+        "groupby_single": q_groupby_single,
+        "groupby_first_last": q_groupby_first_last,
+        "uint64_mixed_compare": q_uint64_mixed_compare,
+        "compact_roundtrip": q_compact_roundtrip,
+        "groupby_tpch_q1": q_groupby_tpch_q1,
+        "groupby_ts_minmax": q_groupby_ts_minmax,
+        "resample_weekly": q_resample_weekly,
+        "concat_three": q_concat_three,
+        "resample_1h": q_resample_1h,
+        "resample_ohlc": q_resample_ohlc,
+        "resample_closed_right": q_resample_closed_right,
+        "resample_offset": q_resample_offset,
+        "resample_std_median": q_resample_std_median,
+        "corpus_clean": q_corpus_clean,
+        "project_then_groupby": q_project_then_groupby,
+        "pipeline_filter_head": q_pipeline_filter_head,
+        "stream_resample": q_stream_resample,
+        "stream_sessionize": q_stream_sessionize,
+        "shuffle_shards": q_shuffle_shards,
     }
 
 
@@ -1611,6 +1662,25 @@ def oracle_sql() -> dict[str, str]:
         # doubled column wraps mod 2^64 on both sides
         "compact_roundtrip": """
             SELECT event_id, value FROM events WHERE event_id < 10000
+        """,
+        "dynamic_backfill": """
+WITH base AS (
+  SELECT user_id % 5 AS grp,
+         event_id % 97 AS qty,
+         -- 'bonus' added on the 2nd append: int cells missing in earlier
+         -- segments backfill 0 (reference sparse_utils rule)
+         CASE WHEN event_id % 3 >= 1 THEN event_id % 11 ELSE 0 END AS bonus,
+         -- 'score' added on the 3rd append: float cells missing in earlier
+         -- segments are NaN and sum skips them (all-NaN would sum to 0)
+         CASE WHEN event_id % 3 = 2 THEN (event_id % 7) * 0.5
+              ELSE NULL END AS score
+  FROM events WHERE event_id < 10000)
+SELECT grp,
+       CAST(SUM(qty) AS BIGINT) AS sum_qty,
+       CAST(SUM(bonus) AS BIGINT) AS sum_bonus,
+       COALESCE(SUM(score), 0.0) AS sum_score,
+       COUNT(qty) AS n
+FROM base GROUP BY grp
         """,
         "uint64_mixed_compare": """
 WITH e AS (
