@@ -2627,9 +2627,11 @@ class Library:
                 f"unsupported MergeStrategy(matched={strategy.matched!r}, "
                 f"not_matched_by_target={strategy.not_matched_by_target!r})")
         files = self._write_data_files(symbol, self._drop_void(merged), idx)
+        # metadata is per-version VERBATIM (reference merge builds a fresh
+        # tsd from the call's user_meta, version_core.cpp:3141 — None
+        # clears, exactly like write/append/update)
         m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(), idx,
-                            merged.schema.json(), files,
-                            metadata if metadata is not None else prev.metadata,
+                            merged.schema.json(), files, metadata,
                             norm_meta=prev.norm_meta)
         out = self._commit(m)
         if prune_previous_versions:
@@ -3588,10 +3590,14 @@ class Library:
                 if overlap and validate_index:
                     raise UnsortedDataException(
                         "staged data overlaps existing index range")
+                # metadata is per-version VERBATIM: compact_incomplete
+                # builds a fresh tsd and only sets user_meta when given
+                # (reference collate_and_write, version_core.cpp:2261) —
+                # metadata=None clears, exactly like write/append/update
                 m = VersionManifest(
                     symbol, self._next_version(symbol), time.time_ns(), idx,
                     schema_json, _renumber(prev.files + new_files),
-                    metadata if metadata is not None else prev.metadata,
+                    metadata,
                     sorted=("UNSORTED" if (overlap
                                            or prev.sorted != "ASCENDING")
                             else "ASCENDING"),
