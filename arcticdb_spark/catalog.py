@@ -2728,8 +2728,7 @@ class Library:
                         f"{symbol!r} version {as_of - ref['latest'] - 1} "
                         "not found")
             if as_of in set(ref.get("deleted", [])):
-                if any(self._load_snapshot(n)["symbols"].get(symbol) == as_of
-                       for n in self.list_snapshots()):
+                if self._is_pinned(symbol, as_of):
                     return self._load_manifest(symbol, as_of)
                 raise NoSuchVersionException(
                     f"{symbol!r} version {as_of} was deleted")
@@ -3497,7 +3496,12 @@ class Library:
         else:
             seg_files = self._staged_segment_files(symbol)
         if not seg_files:
-            raise ArcticException(f"no staged data for {symbol!r}")
+            # reference E_NO_STAGED_SEGMENTS (version_core.cpp:2590):
+            # "Finalizing staged data is not allowed with empty staging
+            # area" — USER_INPUT category
+            raise UserInputException(
+                f"E_NO_STAGED_SEGMENTS Finalizing staged data is not "
+                f"allowed with empty staging area (symbol {symbol!r})")
         try:
             df = self.spark.read.option("mergeSchema", "true").parquet(*seg_files)
             sinfo = self._staged_index_info(seg_files) or {}
@@ -3755,6 +3759,53 @@ class Library:
         except FileNotFoundError:
             raise NoSuchVersionException(f"snapshot {name!r} does not exist")
 
+    # ---- reverse pin-index ----
+    # per-symbol sidecar {version(str): [snapshot names]} maintained by
+    # snapshot/add_to_snapshot/remove_from_snapshot/delete_snapshot, so
+    # prune-on-write and pin-release GC read ONE file instead of walking
+    # every snapshot manifest (the reference walks its snapshot map —
+    # O(#snapshots) metadata reads per prune; this is the O(1) variant a
+    # snapshot-heavy 100 TB library needs). Lives in the symbol dir, NOT
+    # the ref file, because a pinned symbol-delete removes the ref but
+    # must keep tracking the surviving pins.
+    def _pins_path(self, symbol):
+        return self._fs.join(self._sym_dir(symbol), "_pins.json")
+
+    def _load_pins(self, symbol) -> dict:
+        try:
+            return self._fs.read_json(self._pins_path(symbol))
+        except FileNotFoundError:
+            return {}
+
+    def _save_pins(self, symbol, pins: dict) -> None:
+        pins = {k: v for k, v in pins.items() if v}
+        p = self._pins_path(symbol)
+        if pins:
+            self._fs.write_json_atomic(p, pins)
+        elif self._fs.exists(p):
+            self._fs.remove(p)
+
+    def _pin(self, symbol: str, v: int, snap: str) -> None:
+        pins = self._load_pins(symbol)
+        lst = pins.setdefault(str(v), [])
+        if snap not in lst:
+            lst.append(snap)
+            lst.sort()
+            self._save_pins(symbol, pins)
+
+    def _unpin(self, symbol: str, v: int, snap: str) -> None:
+        pins = self._load_pins(symbol)
+        lst = pins.get(str(v), [])
+        if snap in lst:
+            lst.remove(snap)
+            self._save_pins(symbol, pins)
+
+    def _pinned_versions(self, symbol) -> set:
+        return {int(k) for k in self._load_pins(symbol)}
+
+    def _is_pinned(self, symbol, v) -> bool:
+        return bool(self._load_pins(symbol).get(str(v)))
+
     def snapshot(self, snapshot_name: str, metadata: Any = None,
                  skip_symbols: list | None = None,
                  versions: dict[str, int] | None = None,
@@ -3811,6 +3862,8 @@ class Library:
                  "created_ns": time.time_ns()}):
             raise InternalException(
                 f"Snapshot with name {snapshot_name} already exists")
+        for sym, v in versions.items():
+            self._pin(sym, v, snapshot_name)
 
     def list_snapshots(self, load_metadata: bool = True):
         """Reference ``library.py:2857``: a {name: metadata} dict by
@@ -3834,6 +3887,7 @@ class Library:
         snap = self._load_snapshot(name)
         self._fs.remove(self._snap_path(name))
         for sym, v in snap["symbols"].items():
+            self._unpin(sym, v, name)
             self._gc_released_pin(sym, v)
 
     def _gc_released_pin(self, sym: str, v: int) -> None:
@@ -3843,9 +3897,10 @@ class Library:
         shared by delete_snapshot / add_to_snapshot (displaced pin) /
         remove_from_snapshot (reference snapshot GC,
         test_delete_snapshot_key_shared_with_another_snapshot). At scale
-        this is what keeps snapshot churn from leaking segments."""
-        if any(self._load_snapshot(o)["symbols"].get(sym) == v
-               for o in self.list_snapshots(load_metadata=False)):
+        this is what keeps snapshot churn from leaking segments. Callers
+        must have already _unpin()ned their own released pin — the
+        remaining-pin check is ONE pin-index read, not a snapshot walk."""
+        if self._is_pinned(sym, v):
             return   # still pinned by another snapshot
         try:
             alive = v not in set(self._load_ref(sym).get("deleted", []))
@@ -3902,8 +3957,10 @@ class Library:
             if old is not None and old != m.version:
                 released.append((s, old))
             snap["symbols"][s] = m.version
+            self._pin(s, m.version, name)
         self._fs.write_json_atomic(self._snap_path(name), snap)
         for s, v in released:
+            self._unpin(s, v, name)
             self._gc_released_pin(s, v)
 
     def remove_from_snapshot(self, name: str, symbols, versions=None):
@@ -3930,6 +3987,7 @@ class Library:
                 released.append((s, v))
         self._fs.write_json_atomic(self._snap_path(name), snap)
         for s, v in released:
+            self._unpin(s, v, name)
             self._gc_released_pin(s, v)
 
     # ---- listing / metadata / GC ----
@@ -4012,14 +4070,13 @@ class Library:
                             "snapshots": [snapshot],
                             "deleted": v in set(self._load_ref(s).get("deleted", ()))})
             return VersionList(out)
-        by_ver: dict[tuple, list] = {}
-        if not skip_snapshots:
-            for name in self.list_snapshots():
-                for s, v in self._load_snapshot(name)["symbols"].items():
-                    by_ver.setdefault((s, v), []).append(name)
         syms = [symbol] if symbol else self.list_symbols()
         out = []
         for s in syms:
+            # one pin-index read per symbol replaces the global
+            # every-snapshot walk (O(#symbols) instead of O(#snapshots))
+            pins = self._load_pins(s) if not skip_snapshots else {}
+            by_ver = {int(k): v for k, v in pins.items()}
             vers = self._list_version_numbers(s)
             try:
                 deleted = set(self._load_ref(s).get("deleted", []))
@@ -4034,7 +4091,7 @@ class Library:
                 live = [v for v in vers if v not in deleted]
                 vers = live[-1:] if live else []
             for v in vers:
-                snaps = sorted(by_ver.get((s, v), []))
+                snaps = sorted(by_ver.get(v, []))
                 if v in deleted and not snaps:
                     continue
                 try:
@@ -4295,11 +4352,7 @@ class Library:
             for v in vs:
                 self.delete_version(symbol, v)
             return
-        pinned = set()
-        for name in self.list_snapshots():
-            v = self._load_snapshot(name)["symbols"].get(symbol)
-            if v is not None:
-                pinned.add(v)
+        pinned = self._pinned_versions(symbol)
         if pinned:
             # snapshot-pinned versions survive the delete (reference
             # library.py:2677): drop the ref (the symbol is logically gone
@@ -4340,9 +4393,38 @@ class Library:
                     (self._fs.rmtree if self._fs.isdir(p)
                      else self._fs.remove)(p)
         else:
-            self._fs.rmtree(self._sym_dir(symbol))
-            if not self.background_deletion:
-                shutil.rmtree(self._data_sym_dir(symbol), ignore_errors=True)
+            # staged chunks are a SEPARATE keyspace (reference APPEND_DATA
+            # keys): delete(symbol) removes the version chain, but
+            # unfinalized staged data survives until remove_incompletes /
+            # delete_staged_data / finalize. The staging dir may live
+            # under the metadata dir (same-root layout) or the data dir —
+            # prune both entry-by-entry around it.
+            sym_dir = self._sym_dir(symbol)
+            same_dir = (os.path.abspath(str(sym_dir))
+                        == os.path.abspath(self._data_sym_dir(symbol)))
+            if same_dir:
+                # same-root layout: metadata and data interleave — prune
+                # entry-by-entry around the staging dir
+                if self._fs.isdir(sym_dir):
+                    for entry in self._fs.listdir(sym_dir):
+                        if entry == "_staging":
+                            continue
+                        p = self._fs.join(sym_dir, entry)
+                        (self._fs.rmtree if self._fs.isdir(p)
+                         else self._fs.remove)(p)
+            else:
+                self._fs.rmtree(sym_dir)
+            if not self.background_deletion and not same_dir:
+                ddir = self._data_sym_dir(symbol)
+                if os.path.isdir(ddir):
+                    for entry in os.listdir(ddir):
+                        if entry == "_staging":
+                            continue
+                        p = os.path.join(ddir, entry)
+                        (shutil.rmtree(p, ignore_errors=True)
+                         if os.path.isdir(p) else os.remove(p))
+                    if not os.listdir(ddir):
+                        shutil.rmtree(ddir, ignore_errors=True)
         # recursive-normalizer leaves are exclusively owned by the parent —
         # GC them with it (they're invisible to list_symbols)
         prefix = f"_rec__{symbol}__"
@@ -4402,11 +4484,9 @@ class Library:
         keeping anything referenced by a snapshot (reference version GC)."""
         ref = self._load_ref(symbol)
         latest = ref["latest"]
-        snap_pins = set()
-        for name in self.list_snapshots():
-            v = self._load_snapshot(name)["symbols"].get(symbol)
-            if v is not None:
-                snap_pins.add(v)
+        # ONE pin-index read instead of walking every snapshot manifest —
+        # prune-on-write stays O(1) in #snapshots
+        snap_pins = self._pinned_versions(symbol)
         keep_versions = {latest} | snap_pins
         referenced = set()
         for v in keep_versions:
