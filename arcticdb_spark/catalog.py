@@ -4273,7 +4273,16 @@ class Library:
             # a disambiguated physical index name (collision with the
             # value column) reports as the user's original name
             orig, phys_idx = nm.get("orig_name"), nm.get("physical")
-            cols = [orig if (orig and f["name"] == phys_idx) else f["name"]
+            remap = {}
+            if nm.get("index_type") == "multiindex":
+                # multiindex series leak (test_get_info_series_multiindex):
+                # the reference's unnamed level-0 physical name is "index"
+                # (ours is "ts") — report the reference's
+                lvl0_phys = nm.get("physical", [None])[0]
+                lvl0_orig = (nm.get("level_names") or [None])[0]
+                remap[lvl0_phys] = lvl0_orig or "index"
+            cols = [orig if (orig and f["name"] == phys_idx)
+                    else remap.get(f["name"], f["name"])
                     for f in fields if f["name"] != fake]
             col_names = {"columns": cols, "index": []}
             index_type = "NA"

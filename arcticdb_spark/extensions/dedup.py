@@ -383,8 +383,7 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     path unconditionally. The ``df.count()`` fallback only runs when the
     caller provides neither.
     """
-    from arcticdb_spark.extensions.similarity import (_bucket_udf, _planes,
-                                                      cosine)
+    from arcticdb_spark.extensions.similarity import _bucket_udf, _planes
     if broadcast_bytes_max is None:   # resolve at CALL time (tests/probes
         broadcast_bytes_max = _BCAST_BYTES_MAX   # monkeypatch the global)
     n = n_rows if n_rows is not None else (0 if exact_below <= 0 else df.count())
@@ -392,9 +391,15 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     _gate("embedding_strategy", "exact" if n < exact_below else "lsh",
           n_rows=n, exact_below=exact_below)
     if n < exact_below:
-        a = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
-        b = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+        # exact all-pairs — but the non-equi self-join carries IDS ONLY
+        # (2 longs/row through the BNLJ, never the vectors), and the
+        # cosine runs against the same broadcast numpy matrix as the LSH
+        # rescore (n < exact_below rows x dim x 8 B — around a MB)
+        a = base.select(F.col("id").alias("id_a"))
+        b = base.select(F.col("id").alias("id_b"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        scored = _score_pairs_broadcast(base, pairs)
+        return scored.filter(F.col("cos") >= threshold)
     else:
         buckets = _bucket_udf([_planes(dim, n_planes, seed=7000 + t)
                                for t in range(n_tables)])
@@ -424,9 +429,6 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
             # relative to pairs) vector table back, then rescore per batch
             scored = _score_pairs_join(base, pairs)
         return scored.filter(F.col("cos") >= threshold)
-    scored = pairs.select("id_a", "id_b",
-                          F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
-    return scored.filter(F.col("cos") >= threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -62,11 +62,39 @@ class TestGetInfoSeriesCollision:
         assert isinstance(out, pd.Series)
         assert out.index.name == "col1"
         info = tmp_lib.get_info("s")
-        # upstream quirk: named series index leaks into columns — but as
-        # the ORIGINAL name, never the disambiguated physical one
-        cols = info["col_names"]["columns"]
-        assert "__idx__col1" not in cols
-        assert cols.count("col1") >= 1
+        # upstream quirk: named series index leaks into columns — as the
+        # ORIGINAL name, never the disambiguated physical one. Reference
+        # test_get_info_series with index_name="col1" expects the name
+        # TWICE: [index_name, value_name] == ["col1", "col1"]
+        assert info["col_names"]["columns"] == ["col1", "col1"]
+
+    def test_series_multiindex_leak(self, tmp_lib):
+        # reference test_get_info_series_multiindex: a multiindex series
+        # leaks the PHYSICAL level names — unnamed level 0 is "index",
+        # unnamed level i is "__fkidx__i"
+        dtidx = pd.date_range("2016-01-01", periods=5)
+        vals = np.arange(5, dtype="int64")
+        ser = pd.Series(np.arange(5), name="col1",
+                        index=pd.MultiIndex.from_arrays([dtidx, vals]))
+        tmp_lib.write("s", ser)
+        info = tmp_lib.get_info("s")
+        assert info["type"] == "pandasseries"
+        assert info["col_names"]["columns"] == ["index", "__fkidx__1",
+                                                "col1"]
+        assert info["col_names"]["index"] == []
+        assert info["index_type"] == "NA"
+
+    def test_batch_get_info_pickled(self, tmp_lib):
+        # reference test_batch_get_info_pickled: the batch variant matches
+        # the single-symbol pickled shape
+        tmp_lib.write_pickle("pk", 1)
+        info = tmp_lib.batch_get_info(["pk"])[0]
+        assert info["col_names"]["columns"] == ["bytes"]
+        assert info["input_type"] == "msg_pack_frame"
+        assert np.isnat(info["date_range"][0])
+        assert np.isnat(info["date_range"][1])
+        assert info["sorted"] == "UNKNOWN"
+        assert info["rows"] is None
 
 
 class TestBatchReadSingleResolve:

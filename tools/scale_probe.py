@@ -13,17 +13,21 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as E
 from arcticdb_spark import get_spark
 
-QUERIES = ["filter_numeric", "groupby_tpch_q1", "resample_1h", "join_revenue",
-           "asof_join", "dedup_exact", "dedup_minhash", "dedup_cluster",
-           "quality_repetition", "embedding_kmeans",
-           "similarity_bruteforce",
-           "decontaminate", "pack_chunks", "dup_ngram_fraction", "pii_scan",
-           # r7 newcomers (VERDICT r7 item 7): the uint64 library queries
-           # and the streaming gate lines. stream_resample pays the shared
-           # one-pass gate runtime for the sf_dir; stream_sessionize then
-           # reads the cached result — the pair shows both costs.
-           "uint64_filter_agg", "uint64_mixed_compare",
-           "stream_resample", "stream_sessionize"]
+# FULL registry sweep (VERDICT r9 item 5): every queries() entry, so a
+# job-floor-masked compute regression in ANY operator surfaces in the
+# marginal-cost column, not just the historical headline subset.
+# ``--quick`` restricts to the headline list for fast iteration.
+HEADLINE = ["filter_numeric", "groupby_tpch_q1", "resample_1h",
+            "join_revenue", "asof_join", "dedup_exact", "dedup_minhash",
+            "dedup_cluster", "quality_repetition", "embedding_kmeans",
+            "similarity_bruteforce", "decontaminate", "pack_chunks",
+            "dup_ngram_fraction", "pii_scan",
+            # stream_resample pays the shared one-pass gate runtime for
+            # the sf_dir; stream_sessionize then reads the cached result
+            # — the pair shows both costs.
+            "uint64_filter_agg", "uint64_mixed_compare",
+            "stream_resample", "stream_sessionize"]
+QUERIES = list(E.queries().keys())
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
 
@@ -223,10 +227,11 @@ def probe_forced_join_gates(spark) -> list[str]:
 def main():
     spark = get_spark("scale_probe")
     qs = E.queries()
+    names = HEADLINE if "--quick" in sys.argv else QUERIES
     # warm up
     qs["filter_numeric"](spark, SFS[0]).count()
     rows = {}
-    for name in QUERIES:
+    for name in names:
         rows[name] = []
         for sf in SFS:
             t0 = time.perf_counter()
@@ -250,6 +255,18 @@ def main():
     lines.append("")
     lines.append("Lineitem rows: 6k / 60k / 600k; events 1k / 10k / 100k; "
                  "documents 50 / 500 / 5000.")
+    hot = [(n, ts) for n, ts in rows.items()
+           if ts[1] > 0 and ts[2] / ts[1] > 2.0 and ts[2] > 0.5]
+    lines.append("")
+    if hot:
+        lines.append("**Marginal-cost outliers (>2.0x for the last 10x "
+                     "AND >0.5 s absolute — job-floor jitter excluded):** "
+                     + ", ".join(f"{n} ({ts[2] / ts[1]:.2f}x, {ts[2]:.2f}s)"
+                                 for n, ts in hot))
+    else:
+        lines.append("**No marginal-cost outliers**: every query is "
+                     "either <=2.0x for the last 10x of data or <=0.5 s "
+                     "absolute at sf0.1.")
     if "--stress" in sys.argv:
         lines.extend(stress_dedup_cluster(spark))
     if "--sf1" in sys.argv:
