@@ -372,6 +372,52 @@ def q_compact_roundtrip(spark, sf):
     return lib.read("ev").select("event_id", "value")
 
 
+def q_staged_finalize(spark, sf):
+    """stage() / sort_and_finalize_staged_data through the versioned
+    library (reference compact_incomplete + sort_merge,
+    ``version_core.cpp:2546,2400``): four interleaved out-of-order staged
+    chunks k-way merge into ONE ascending version; the finalized read must
+    be byte-identical to the source rows. The merge is one Spark range
+    shuffle — no driver-side chunk concatenation."""
+    import tempfile
+    from arcticdb_spark.catalog import Arctic
+    ev = (load_table(spark, sf, "events")
+          .filter(F.col("event_id") < 8000)
+          .select("ts", "event_id", "value").toPandas())
+    ev = ev.set_index("ts").sort_index()
+    lib = Arctic(tempfile.mkdtemp(), spark).create_library("stglib")
+    for r in range(4):
+        # each chunk internally ts-sorted (validate_index), but chunks
+        # interleave across the full time range — the adversarial shape
+        # for the k-way merge
+        lib.stage("ev", ev[ev["event_id"] % 4 == r])
+    lib.sort_and_finalize_staged_data("ev", "write")
+    assert lib._load_ref("ev")["latest"] == 0
+    return lib.read("ev").select("ts", "event_id", "value")
+
+
+def q_snapshot_asof(spark, sf):
+    """Version travel through a snapshot pin surviving prune (reference
+    snapshot GC, ``library.py:2642``; pin-index ``catalog.py _pins``):
+    write v0, snapshot it, overwrite with doubled values and
+    prune_previous=True — v0 is tombstoned-but-pinned; the snapshot read
+    must return v0 exactly. In-code asserts pin the lifecycle physics."""
+    import tempfile
+    from arcticdb_spark.catalog import Arctic
+    ev = (load_table(spark, sf, "events")
+          .filter(F.col("event_id") < 6000)
+          .select("event_id", "value").toPandas()
+          .sort_values("event_id").reset_index(drop=True))
+    lib = Arctic(tempfile.mkdtemp(), spark).create_library("snaplib")
+    lib.write("ev", ev)
+    lib.snapshot("pin0")
+    lib.write("ev", ev.assign(value=ev["value"] * 2), prune_previous=True)
+    ref = lib._load_ref("ev")
+    assert ref["latest"] == 1 and ref.get("deleted") == [0]  # tombstoned
+    assert lib._pinned_versions("ev") == {0}                 # but pinned
+    return lib.read("ev", as_of="pin0").select("event_id", "value")
+
+
 def q_dynamic_backfill(spark, sf):
     """Dynamic-schema lifecycle through the QueryBuilder pipeline
     (reference promotion table ``type_utils.hpp:40``; column add/backfill
@@ -1266,6 +1312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50 queries verified in CORRECTNESS_r09 in their r9 order.
         # --- new this round ---
         "dynamic_backfill": q_dynamic_backfill,
+        "staged_finalize": q_staged_finalize,
+        "snapshot_asof": q_snapshot_asof,
         # --- last driver row is r08 ---
         "salted_join": q_salted_join,
         "simhash_dedup": q_simhash_dedup,
@@ -1662,6 +1710,13 @@ def oracle_sql() -> dict[str, str]:
         # doubled column wraps mod 2^64 on both sides
         "compact_roundtrip": """
             SELECT event_id, value FROM events WHERE event_id < 10000
+        """,
+        "staged_finalize": """
+            SELECT CAST(ts AS TIMESTAMP) AS ts, event_id, value
+            FROM events WHERE event_id < 8000
+        """,
+        "snapshot_asof": """
+            SELECT event_id, value FROM events WHERE event_id < 6000
         """,
         "dynamic_backfill": """
 WITH base AS (
