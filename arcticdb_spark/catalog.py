@@ -4413,7 +4413,8 @@ class Library:
                         == os.path.abspath(self._data_sym_dir(symbol)))
             if same_dir:
                 # same-root layout: metadata and data interleave — prune
-                # entry-by-entry around the staging dir
+                # entry-by-entry around the staging dir, and drop the
+                # now-empty dir itself when no staged data survived
                 if self._fs.isdir(sym_dir):
                     for entry in self._fs.listdir(sym_dir):
                         if entry == "_staging":
@@ -4421,6 +4422,8 @@ class Library:
                         p = self._fs.join(sym_dir, entry)
                         (self._fs.rmtree if self._fs.isdir(p)
                          else self._fs.remove)(p)
+                    if not self._fs.listdir(sym_dir):
+                        self._fs.rmtree(sym_dir)
             else:
                 self._fs.rmtree(sym_dir)
             if not self.background_deletion and not same_dir:
