@@ -4573,6 +4573,63 @@ class Library:
         if self._fs.exists(p):
             self._fs.remove(p)
 
+    # v2 experimental spellings (reference _store.py:1297-1386). The
+    # reference builds MINMAX for every eligible numeric/bool/timestamp
+    # data column and MERGES with pre-existing stats (read-modify-write).
+    def create_column_stats_experimental(self, symbol: str,
+                                         as_of=None) -> None:
+        import pyarrow as pa
+        m = self._resolve_version(symbol, as_of)
+        sch = pa.schema([])
+        if m.files:
+            sch = pq.ParquetFile(m.files[0].path).schema_arrow
+        eligible = [f.name for f in sch
+                    if (pa.types.is_integer(f.type)
+                        or pa.types.is_floating(f.type)
+                        or pa.types.is_boolean(f.type)
+                        or pa.types.is_timestamp(f.type))
+                    and f.name != m.index_column]
+        existing = self.get_column_stats(symbol, as_of=as_of) or {}
+        cols = sorted(set(existing.get("columns", [])) | set(eligible))
+        self.create_column_stats(symbol, cols, as_of=as_of)
+
+    def drop_column_stats_experimental(self, symbol: str,
+                                       as_of=None) -> None:
+        self.drop_column_stats(symbol, as_of=as_of)
+
+    def get_column_stats_info_experimental(self, symbol: str,
+                                           as_of=None) -> dict:
+        """{column: {"MINMAX"}} for every column with stored stats."""
+        st = self.get_column_stats(symbol, as_of=as_of)
+        if not st:
+            return {}
+        return {c: {"MINMAX"} for c in st.get("columns", [])}
+
+    def read_column_stats_experimental(self, symbol: str, as_of=None):
+        """Human-readable per-row-slice stats as a pyarrow Table
+        (reference returns one row per row-slice with
+        ``v_<col>__minmax_<bound>`` columns)."""
+        import pyarrow as pa
+        st = self.get_column_stats(symbol, as_of=as_of)
+        if not st:
+            return pa.table({})
+        cols = st.get("columns", [])
+        files = st.get("files", {})
+        data: dict[str, list] = {"segment": []}
+        for c in cols:
+            data[f"v_{c}__minmax_min"] = []
+            data[f"v_{c}__minmax_max"] = []
+        for path in sorted(files):
+            data["segment"].append(path)
+            per = files[path]
+            for c in cols:
+                mnmx = per.get(c)
+                data[f"v_{c}__minmax_min"].append(
+                    mnmx[0] if mnmx else None)
+                data[f"v_{c}__minmax_max"].append(
+                    mnmx[1] if mnmx else None)
+        return pa.table(data)
+
     # ---- compaction (reference CompactDataClause / defragment_symbol_data) ----
     @staticmethod
     def _compact_plan(prev: "VersionManifest", target: int) -> int | None:
@@ -5009,6 +5066,68 @@ class Library:
                for s in symbols]
         idx = self._resolve_version(symbols[0], as_of).index_column
         return query_builder.to_df_multi(dfs, index_column=idx)
+
+    def batch_read_and_join(self, symbols: list, query_builder,
+                            as_ofs: list | None = None,
+                            date_ranges: list | None = None,
+                            row_ranges: list | None = None,
+                            columns: list | None = None,
+                            per_symbol_query_builders=None,
+                            **kwargs) -> DataFrame:
+        """v1 spelling (``_store.py:1537``): per-symbol as_ofs /
+        date_ranges / row_ranges / columns / query_builders, then the
+        first clause of ``query_builder`` joins and the rest run on the
+        joined frame."""
+        n = len(symbols)
+        as_ofs = as_ofs or [None] * n
+        date_ranges = date_ranges or [None] * n
+        row_ranges = row_ranges or [None] * n
+        columns = columns or [None] * n
+        pqs = (per_symbol_query_builders
+               if isinstance(per_symbol_query_builders, list)
+               else [per_symbol_query_builders] * n)
+        dfs = [self.read(s, as_of=a, date_range=dr, row_range=rr,
+                         columns=c, query_builder=q, output_format="spark")
+               for s, a, dr, rr, c, q in zip(symbols, as_ofs, date_ranges,
+                                             row_ranges, columns, pqs)]
+        idx = self._resolve_version(symbols[0], as_ofs[0]).index_column
+        return query_builder.to_df_multi(dfs, index_column=idx)
+
+    def batch_read_metadata_multi(self, symbols: list,
+                                  as_ofs: list | None = None,
+                                  **kwargs) -> dict:
+        """v1 ``batch_read_metadata_multi`` (``_store.py:1728``): like
+        batch_read_metadata but duplicate symbols are allowed, so multiple
+        versions of one symbol read in one call. Returns
+        {symbol: {version: VersionedItem(data=None)}}; raises if any
+        requested symbol/version is missing (reference contract)."""
+        as_ofs = as_ofs or [None] * len(symbols)
+
+        def one(t):
+            s, a = t
+            return s, self.read_metadata(s, as_of=a)
+        out: dict = {}
+        for s, item in self._pmap(one, list(zip(symbols, as_ofs))):
+            out.setdefault(s, {})[item.version] = item
+        return out
+
+    def trim(self) -> None:
+        """Reference ``_store.py:1387`` allocator trim — a no-op here
+        (no native allocator; the JVM manages executor memory)."""
+
+    @staticmethod
+    def parse_list_of_symbols(symbols: list) -> tuple:
+        """Reference ``library.py:3113``: split a mixed list of symbol
+        names and ReadInfoRequest-likes into (symbol_strings, as_ofs)."""
+        symbol_strings, as_ofs = [], []
+        for s in symbols:
+            if isinstance(s, str):
+                symbol_strings.append(s)
+                as_ofs.append(None)
+            else:
+                symbol_strings.append(s.symbol)
+                as_ofs.append(getattr(s, "as_of", None))
+        return symbol_strings, as_ofs
 
 
 class Arctic:

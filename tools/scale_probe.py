@@ -230,13 +230,18 @@ def main():
     names = HEADLINE if "--quick" in sys.argv else QUERIES
     # warm up
     qs["filter_numeric"](spark, SFS[0]).count()
-    rows = {}
-    for name in names:
-        rows[name] = []
-        for sf in SFS:
-            t0 = time.perf_counter()
-            qs[name](spark, sf).count()
-            rows[name].append(time.perf_counter() - t0)
+    # min-of-2 passes (same practice as bench.py): a single cold pass
+    # conflates a query's cost with Python-worker spawn / codegen /
+    # first-touch caching, which is exactly the noise that fakes
+    # marginal-cost outliers at sub-second absolutes
+    rows = {name: [float("inf")] * len(SFS) for name in names}
+    for _pass in range(2):
+        for name in names:
+            for i, sf in enumerate(SFS):
+                t0 = time.perf_counter()
+                qs[name](spark, sf).count()
+                rows[name][i] = min(rows[name][i],
+                                    time.perf_counter() - t0)
     lines = [
         "# SCALING — wall-clock across a 100x data range (local[32])",
         "",
@@ -255,18 +260,28 @@ def main():
     lines.append("")
     lines.append("Lineitem rows: 6k / 60k / 600k; events 1k / 10k / 100k; "
                  "documents 50 / 500 / 5000.")
+    superlinear = [(n, ts) for n, ts in rows.items()
+                   if ts[1] > 0 and ts[2] / ts[1] > 10.0 and ts[2] > 0.5]
     hot = [(n, ts) for n, ts in rows.items()
-           if ts[1] > 0 and ts[2] / ts[1] > 2.0 and ts[2] > 0.5]
+           if ts[1] > 0 and 2.0 < ts[2] / ts[1] <= 10.0 and ts[2] > 0.5]
     lines.append("")
+    if superlinear:
+        lines.append("**SUPER-LINEAR growth (>10x time for the last 10x "
+                     "of data — a real scale hazard):** "
+                     + ", ".join(f"{n} ({ts[2] / ts[1]:.2f}x, {ts[2]:.2f}s)"
+                                 for n, ts in superlinear))
+    else:
+        lines.append("**No super-linear growth**: no query takes >10x "
+                     "longer for the last 10x of data — every plan's "
+                     "compute scales at-or-below linear.")
     if hot:
-        lines.append("**Marginal-cost outliers (>2.0x for the last 10x "
-                     "AND >0.5 s absolute — job-floor jitter excluded):** "
+        lines.append("")
+        lines.append("Compute emerging from the job floor (2-10x per 10x "
+                     "of data = sub-linear-to-linear, expected for "
+                     "compute-dominated queries; listed for watching, not "
+                     "failing): "
                      + ", ".join(f"{n} ({ts[2] / ts[1]:.2f}x, {ts[2]:.2f}s)"
                                  for n, ts in hot))
-    else:
-        lines.append("**No marginal-cost outliers**: every query is "
-                     "either <=2.0x for the last 10x of data or <=0.5 s "
-                     "absolute at sf0.1.")
     if "--stress" in sys.argv:
         lines.extend(stress_dedup_cluster(spark))
     if "--sf1" in sys.argv:
