@@ -29,6 +29,7 @@ requested positions before Spark ever sees a byte.
 from __future__ import annotations
 
 import json
+import numbers
 import os
 import shutil
 import tempfile
@@ -4350,8 +4351,15 @@ class Library:
             # validate the WHOLE request before mutating: a missing or
             # already-deleted version fails the call atomically (reference
             # test_arctic.py test_delete_version_that_does_not_exist —
-            # after the raise, the good versions are still live)
-            ref = self._load_ref(symbol)
+            # after the raise, the good versions are still live). A
+            # missing SYMBOL reports the first requested version
+            # (reference test_deletion_batch.py: "version 0" in message)
+            try:
+                ref = self._load_ref(symbol)
+            except NoSuchVersionException:
+                raise NoSuchVersionException(
+                    f"{symbol!r} has no live version "
+                    f"{vs[0] if vs else '?'} (symbol does not exist)")
             dead = set(ref.get("deleted", []))
             existing = set(self._list_version_numbers(symbol))
             for v in vs:
@@ -5030,7 +5038,29 @@ class Library:
 
     def batch_delete_versions(self, symbols: list, versions: list) -> list:
         """v1 ``_store.py:3316``: versions[i] is the list of versions to
-        delete for symbols[i]."""
+        delete for symbols[i]. Input contract per reference
+        test_deletion_batch.py: length mismatch raises UserInputException,
+        an empty per-symbol version list raises ValueError, non-str
+        symbols / non-int / negative versions raise TypeError — all
+        validated BEFORE any delete runs; per-symbol failures after that
+        come back as DataError entries."""
+        if len(symbols) != len(versions):
+            raise UserInputException(
+                f"batch_delete_versions: {len(symbols)} symbols but "
+                f"{len(versions)} version lists")
+        for s, vs in zip(symbols, versions):
+            if not isinstance(s, str):
+                raise TypeError(
+                    f"batch_delete_versions: symbol {s!r} is not a str")
+            if not vs:
+                raise ValueError(
+                    f"batch_delete_versions: empty version list for {s!r}")
+            for v in vs:
+                if (isinstance(v, bool)
+                        or not isinstance(v, numbers.Integral) or v < 0):
+                    raise TypeError(
+                        f"batch_delete_versions: invalid version {v!r} "
+                        f"for {s!r} (non-negative int required)")
         out = self._pmap_errors(
             lambda t: self.delete_versions(t[0], t[1]),
             list(zip(symbols, versions)), lambda t: t[0])
