@@ -1146,20 +1146,46 @@ class Library:
         self._fs.write_json_atomic(self._ref_path(manifest.symbol), ref)
         return manifest
 
+    def _write_chain_marker(self, symbol: str, last: int) -> None:
+        """Persist the version high-water mark across a full symbol delete
+        (the reference's tombstone-all key keeps the version chain:
+        test_list_versions.py test_tombstone_all — writes after delete
+        continue numbering). Written into the symbol dir, which a delete
+        leaves in place for exactly this marker (plus surviving pins /
+        staged data)."""
+        if last < 0 or symbol.startswith("_rec__"):
+            # recursive-normalizer leaves are internal, exclusively owned
+            # by their parent and fully recreated on each parent write —
+            # no chain to preserve (and the leaf dir should vanish)
+            return
+        self._fs.makedirs(self._sym_dir(symbol))
+        self._fs.write_json_atomic(
+            self._fs.join(self._sym_dir(symbol), "_chain.json"),
+            {"last": int(last)})
+
     def _next_version(self, symbol) -> int:
         """Version numbers strictly increase and are NEVER reused — after
         delete_version(latest) the ref's latest pointer rolls back, but the
         tombstoned manifest stays on disk, so the next number must clear
         both the ref and every existing/deleted manifest (reference
         test_version_chain.py: version chain is monotonic across
-        update/append/restore after a delete)."""
+        update/append/restore after a delete; test_tombstone_all: the
+        chain survives even a FULL delete via the _chain.json marker)."""
         try:
             ref = self._load_ref(symbol)
         except NoSuchVersionException:
             # deleted symbol: snapshot-pinned manifests may survive and
-            # their numbers must not be reused
+            # their numbers must not be reused; the _chain.json marker
+            # covers the fully-purged case
             existing = self._list_version_numbers(symbol)
-            return (existing[-1] + 1) if existing else 0
+            last = existing[-1] if existing else -1
+            try:
+                chain = self._fs.read_json(
+                    self._fs.join(self._sym_dir(symbol), "_chain.json"))
+                last = max(last, int(chain.get("last", -1)))
+            except FileNotFoundError:
+                pass
+            return last + 1
         tops = [ref.get("latest", -1)] + list(ref.get("deleted", []))
         existing = self._list_version_numbers(symbol)
         if existing:
@@ -4057,21 +4083,42 @@ class Library:
         snapshots containing that exact version and a ``deleted`` flag
         (deleted versions appear only while a snapshot still pins them).
         ``snapshot`` restricts to the versions that snapshot pins;
-        ``latest_only`` keeps the newest live version per symbol;
-        ``skip_snapshots`` skips the snapshot annotation (faster)."""
+        ``latest_only`` keeps the newest live version per symbol (no
+        effect combined with ``snapshot``, like the reference);
+        ``skip_snapshots`` skips the snapshot annotation (faster).
+        Output order is the reference's: symbol then version, both
+        DESCENDING (test_list_versions.py:52); rows additionally carry
+        ``rows`` (a documented extension).
+
+        With ``snapshot`` the ``deleted`` field is always False — the
+        reference's won't-fix bug 18286248854, documented on its API
+        (test_list_versions_with_snapshot_deleted_always_false)."""
         if snapshot is not None:
             snap = self._load_snapshot(snapshot)["symbols"]
             out = []
-            for s, v in sorted(snap.items()):
+            for s, v in sorted(snap.items(), reverse=True):
                 if symbol is not None and s != symbol:
                     continue
                 m = self._load_manifest(s, v)  # snapshot pins it -> exists
+                snaps = ([] if skip_snapshots
+                         else sorted(self._load_pins(s).get(str(v), [])))
                 out.append({"symbol": s, "version": v,
                             "date": m.created_ns, "rows": m.total_rows,
-                            "snapshots": [snapshot],
-                            "deleted": v in set(self._load_ref(s).get("deleted", ()))})
+                            "snapshots": snaps, "deleted": False})
             return VersionList(out)
         syms = [symbol] if symbol else self.list_symbols()
+        if symbol is None:
+            # fully-deleted symbols whose versions are still
+            # snapshot-pinned list their tombstone rows too (reference
+            # test_list_versions_default_args: sym0's pinned v0 survives
+            # delete_versions of its only version)
+            live = set(syms)
+            for d in self._fs.listdir(self.root):
+                if d.startswith("_") or d in live:
+                    continue
+                if self._fs.exists(self._fs.join(self._sym_dir(d),
+                                                 "_pins.json")):
+                    syms.append(d)
         out = []
         for s in syms:
             # one pin-index read per symbol replaces the global
@@ -4102,6 +4149,7 @@ class Library:
                 out.append({"symbol": s, "version": v,
                             "date": m.created_ns, "rows": m.total_rows,
                             "snapshots": snaps, "deleted": v in deleted})
+        out.sort(key=lambda r: (r["symbol"], r["version"]), reverse=True)
         return VersionList(out)
 
     def read_metadata(self, symbol: str, as_of=None) -> "VersionedItem":
@@ -4369,6 +4417,21 @@ class Library:
             for v in vs:
                 self.delete_version(symbol, v)
             return
+        # version numbers are NEVER reused, even across a full symbol
+        # delete (reference tombstone-all key keeps the chain:
+        # test_list_versions.py test_tombstone_all — writes after a
+        # delete of v0,v1 continue at v2). Record the high-water mark in
+        # a _chain.json marker that survives the delete.
+        chain_last = -1
+        nums = self._list_version_numbers(symbol)
+        if nums:
+            chain_last = nums[-1]
+        try:
+            _r = self._load_ref(symbol)
+            chain_last = max([chain_last, _r.get("latest", -1),
+                              *_r.get("deleted", [])])
+        except NoSuchVersionException:
+            pass
         pinned = self._pinned_versions(symbol)
         if pinned:
             # snapshot-pinned versions survive the delete (reference
@@ -4394,6 +4457,7 @@ class Library:
                 self._fs.remove(self._ver_path(symbol, v))
             if self._fs.exists(self._ref_path(symbol)):
                 self._fs.remove(self._ref_path(symbol))
+            self._write_chain_marker(symbol, chain_last)
             return
         if self.background_deletion and self.data_root == self.root:
             # background_deletion (EnterpriseLibraryOptions): remove the
@@ -4445,6 +4509,7 @@ class Library:
                          if os.path.isdir(p) else os.remove(p))
                     if not os.listdir(ddir):
                         shutil.rmtree(ddir, ignore_errors=True)
+        self._write_chain_marker(symbol, chain_last)
         # recursive-normalizer leaves are exclusively owned by the parent —
         # GC them with it (they're invisible to list_symbols)
         prefix = f"_rec__{symbol}__"

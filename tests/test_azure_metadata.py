@@ -148,7 +148,7 @@ class TestAzureCatalog:
         az_lib.append("sym", later)
         assert az_lib.read("sym", as_of=0).count() == 100
         assert az_lib.read("sym").count() == 150
-        assert [v["version"] for v in az_lib.list_versions("sym")] == [0, 1]
+        assert [v["version"] for v in az_lib.list_versions("sym")] == [1, 0]
 
     def test_concurrent_version_commit_cas(self, az_lib, spark, tmp_path,
                                            az_client):

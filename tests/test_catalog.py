@@ -32,7 +32,7 @@ def test_versioning_and_as_of(tmp_lib):
     assert tmp_lib.read("sym").count() == 20
     assert tmp_lib.read("sym", as_of=0).count() == 10
     versions = tmp_lib.list_versions("sym")
-    assert [v["version"] for v in versions] == [0, 1]
+    assert [v["version"] for v in versions] == [1, 0]  # reference order: version DESC
 
 
 def test_append_reuses_files_and_validates(tmp_lib):

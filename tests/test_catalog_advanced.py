@@ -857,12 +857,13 @@ def test_list_versions_reference_dict_access(tmp_lib):
     tmp_lib.write("s", pd.DataFrame({"a": [1, 2]}))
     tmp_lib.snapshot("sn")
     vl = tmp_lib.list_versions("s")
-    assert [r["version"] for r in vl] == [0, 1]        # original shape
+    # reference order: symbol then version, both DESC (test_list_versions)
+    assert [r["version"] for r in vl] == [1, 0]        # original shape
     info = vl["s", 1]                                  # upstream shape
     assert info.snapshots == ["sn"] and not info.deleted
     assert isinstance(info.date, dt.datetime) and info.date.tzinfo
     assert ("s", 0) in vl and ("s", 9) not in vl
-    assert [k.version for k in vl.keys()] == [0, 1]
+    assert [k.version for k in vl.keys()] == [1, 0]
     assert [v.deleted for v in vl.values()] == [False, False]
     assert dict(vl.items())[("s", 0)].snapshots == []
 

@@ -155,7 +155,7 @@ class TestGCSCatalog:
         gcs_lib.append("sym", later)
         assert gcs_lib.read("sym", as_of=0).count() == 100
         assert gcs_lib.read("sym").count() == 150
-        assert [v["version"] for v in gcs_lib.list_versions("sym")] == [0, 1]
+        assert [v["version"] for v in gcs_lib.list_versions("sym")] == [1, 0]
 
     def test_concurrent_version_commit_cas(self, gcs_lib, spark, tmp_path,
                                            gcs_client):

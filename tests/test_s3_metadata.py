@@ -81,7 +81,7 @@ class TestS3Catalog:
         s3_lib.append("sym", later)
         assert s3_lib.read("sym", as_of=0).count() == 100
         assert s3_lib.read("sym").count() == 150
-        assert [v["version"] for v in s3_lib.list_versions("sym")] == [0, 1]
+        assert [v["version"] for v in s3_lib.list_versions("sym")] == [1, 0]
 
     def test_concurrent_version_commit_cas(self, s3_lib, spark, tmp_path,
                                            s3_client):
