@@ -375,6 +375,8 @@ def _normalize_finalize_mode(mode) -> str:
     """enum / case-insensitive string -> "write"|"append"; anything else
     raises like the reference (ArcticInvalidApiUsageException upstream,
     test_arctic.py:366 test_staged_data_bad_mode)."""
+    if mode is None:
+        return "write"   # reference default (test_api.py:107: None -> WRITE)
     if isinstance(mode, StagedDataFinalizeMethod):
         return mode.value
     if isinstance(mode, str) and mode.lower() in ("write", "append"):

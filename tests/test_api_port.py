@@ -62,3 +62,21 @@ def test_get_num_rows(tmp_lib):
 def test_get_num_rows_pickled(tmp_lib):
     tmp_lib.write_pickle("s", 1)
     assert tmp_lib.get_num_rows("s") is None
+
+
+def test_finalize_staged_data_mode_none_is_write(tmp_lib):
+    # reference test_api.py test_finalize_staged_data: mode=None -> WRITE
+    tmp_lib.write("s", _one_col())
+    tmp_lib.stage("s", _two_col())
+    tmp_lib.finalize_staged_data("s", None)
+    assert tmp_lib.column_names("s") == ["x", "y"]
+    assert tmp_lib.get_num_rows("s") == 10
+
+
+@pytest.mark.parametrize("input_mode", ["something", 3])
+def test_finalize_staged_data_incorrect_args(tmp_lib, input_mode):
+    from arcticdb_spark.catalog import ArcticInvalidApiUsageException
+    tmp_lib.write("s", _one_col())
+    tmp_lib.stage("s", _two_col())
+    with pytest.raises(ArcticInvalidApiUsageException):
+        tmp_lib.finalize_staged_data("s", input_mode)
