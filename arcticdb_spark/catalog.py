@@ -1368,6 +1368,15 @@ class Library:
             # test_write_bool_named_columns which expects the raise). int
             # names stringify for the physical schema with the original
             # kind recorded for pandas-output restore (norm meta is_int).
+            if (not isinstance(pdf.index, pd.MultiIndex)
+                    and isinstance(pdf.index.name, bool)):
+                # a bool-NAMED single index is rejected like a bool column
+                # (reference test_write_bool_named_index; bool MULTIINDEX
+                # level names instead stringify, handled below)
+                raise SchemaException(
+                    "Column and index names must be of type str or int, "
+                    f"received {pdf.index.name!r} of type "
+                    f"{type(pdf.index.name)}")
             renamed = None
             if any(not isinstance(c, str) for c in pdf.columns):
                 renamed = []
@@ -1413,7 +1422,11 @@ class Library:
             meta: dict | None = None
             tzs: dict[str, str] = {}
             if isinstance(pdf.index, pd.MultiIndex):
-                names = list(pdf.index.names)
+                # bool level names normalize to strings (reference
+                # test_write_bool_named_multi_index: True -> "True");
+                # bool COLUMN/single-index names are rejected below
+                names = [str(nm) if isinstance(nm, bool) else nm
+                         for nm in pdf.index.names]
                 phys = []
                 for i, nm in enumerate(names):
                     if i == 0:
@@ -1912,7 +1925,10 @@ class Library:
             index_column = None
         index_column = self._resolve_index_column_arg(df, index_column)
         sorted_flag = self._input_sortedness(df)
-        if validate_index and sorted_flag != "ASCENDING":
+        if validate_index and sorted_flag in ("DESCENDING", "UNSORTED"):
+            # UNKNOWN (non-timestamp index) never raises — the reference
+            # only validates datetime indexes (test_write_non_timestamp_
+            # index writes unsorted int indexes with validate_index=True)
             raise UnsortedDataException(
                 "E_UNSORTED_DATA write requires a monotonically increasing "
                 f"datetime index (input is {sorted_flag}); pass "
@@ -1965,7 +1981,12 @@ class Library:
             norm_meta = {**(norm_meta or {}), "custom": _custom_meta}
         m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(),
                             idx, sdf.schema.json(), files, metadata,
-                            sorted=sorted_flag, norm_meta=norm_meta)
+                            # no index column = no order claim (reference
+                            # test_write_non_timestamp_index: range/int64
+                            # indexed symbols report UNKNOWN)
+                            sorted=("UNKNOWN" if idx is None
+                                    else sorted_flag),
+                            norm_meta=norm_meta)
         self._commit(m)
         if prune_previous:
             self.prune_previous_versions(symbol)
@@ -1978,9 +1999,13 @@ class Library:
         test_read_unsorted_date_range_dataframe and test_append.py's
         DESCENDING state machine): monotonic-decreasing input is tracked as
         DESCENDING, other non-monotonic input as UNSORTED — both stored
-        as-given, never silently re-ordered. Spark-frame inputs are
-        ts-sorted on write (the engine's sorted-on-write invariant), so
-        they report ASCENDING."""
+        as-given, never silently re-ordered. A NON-timestamp index (range /
+        int64 / rowcount) reports UNKNOWN regardless of its actual order,
+        and validate_index never raises for it (reference test_write.py
+        test_write_non_timestamp_index / test_write_ascending_sorted_
+        dataframe: int-indexed writes are "UNKNOWN"). Spark-frame inputs
+        report ASCENDING when a ts index is detected later (they are
+        ts-sorted on write — the engine's sorted-on-write invariant)."""
         import pandas as pd
         if isinstance(df, (pd.DataFrame, pd.Series)):
             lvl0 = (df.index.get_level_values(0)
@@ -2380,10 +2405,12 @@ class Library:
                         f"({type(idx).__name__}) is not a range index and "
                         "cannot extend a row-count-indexed symbol")
         chunk_sorted = self._input_sortedness(df)
-        if validate_index and (prev.sorted != "ASCENDING"
-                               or chunk_sorted != "ASCENDING"):
-            # reference UnsortedDataException: appending to/with data that
-            # is not sorted ascending requires validate_index=False
+        if (validate_index
+                and (prev.sorted in ("DESCENDING", "UNSORTED")
+                     or chunk_sorted in ("DESCENDING", "UNSORTED"))):
+            # reference UnsortedDataException: appending to/with datetime
+            # data that is not sorted ascending requires
+            # validate_index=False (UNKNOWN = non-ts index, never raises)
             raise UnsortedDataException(
                 f"append to {symbol!r}: existing or new data is "
                 f"{prev.sorted if prev.sorted != 'ASCENDING' else chunk_sorted}"
@@ -2420,7 +2447,9 @@ class Library:
         # test_append_mix_*): ASC+ASC (no overlap) -> ASC; DESC+DESC ->
         # DESC (per-chunk status merge — the reference does NOT recheck
         # the global sequence); any mix or UNSORTED side -> UNSORTED
-        if (prev.sorted == "ASCENDING" and chunk_sorted == "ASCENDING"
+        if idx is None:
+            out_sorted = "UNKNOWN"   # rowcount symbols have no order claim
+        elif (prev.sorted == "ASCENDING" and chunk_sorted == "ASCENDING"
                 and not overlap):
             out_sorted = "ASCENDING"
         elif prev.sorted == "DESCENDING" and chunk_sorted == "DESCENDING":
@@ -3360,7 +3389,8 @@ class Library:
                         df.index.name = None
                 else:
                     df = df.sort_values(by, kind="mergesort")
-            if validate_index and self._input_sortedness(df) != "ASCENDING":
+            if (validate_index and self._input_sortedness(df)
+                    in ("DESCENDING", "UNSORTED")):
                 raise UnsortedDataException(
                     "E_UNSORTED_DATA staged chunk has an unsorted datetime "
                     "index; pass validate_index=False, sort_on_index=True, "
