@@ -3129,8 +3129,9 @@ class Library:
             # the library's default output format is
             base = self.read(symbol, as_of=as_of, output_format="spark")
         if seg_files:
-            inc = self.spark.read.option("mergeSchema", "true") \
-                .parquet(*seg_files)
+            inc = (self.spark.read.option("mergeSchema", "true")
+                   .parquet(*seg_files)
+                   .drop("__stage_seq__", "__stage_pos__"))
             sinfo = self._staged_index_info(seg_files) or {}
             # staged uint64 bit-pattern columns: marked like committed
             # reads, so the union keeps unsigned semantics and pandas
@@ -3398,9 +3399,21 @@ class Library:
             index_column = False      # pandas chunks keep their own index
         sdf, nmeta = self._normalize(
             df, self._resolve_index_column_arg(df, index_column or None))
-        out = os.path.join(self._staging_dir(symbol), uuid.uuid4().hex)
+        # time-prefixed chunk dir: lexicographic listing = stage order, so
+        # un-sorted finalize concatenates in arrival order (reference
+        # via_iteration key order); uuid suffix keeps parallel stagers
+        # collision-free
+        out = os.path.join(self._staging_dir(symbol),
+                           f"{time.time_ns():020d}{uuid.uuid4().hex[:8]}")
         os.makedirs(os.path.dirname(out), exist_ok=True)
-        self._drop_void(sdf).write.mode("overwrite").parquet(out)
+        # per-row order helpers: finalize's k-way merge is STABLE on them
+        # (reference compact preserves within-segment row order under
+        # equal timestamps — test_sort.py test_stage_finalize); dropped
+        # before the finalized version materializes
+        sdf = (self._drop_void(sdf)
+               .withColumn("__stage_seq__", F.lit(time.time_ns()))
+               .withColumn("__stage_pos__", F.monotonically_increasing_id()))
+        sdf.write.mode("overwrite").parquet(out)
         nm = nmeta or {}
         side: dict = {}
         if nm.get("index_ns"):
@@ -3476,7 +3489,8 @@ class Library:
         ref_file = None
         for f in seg_files:
             sch = {fld.name: str(fld.type)
-                   for fld in pq.ParquetFile(f).schema_arrow}
+                   for fld in pq.ParquetFile(f).schema_arrow
+                   if fld.name not in ("__stage_seq__", "__stage_pos__")}
             if ref_schema is None:
                 ref_schema, ref_file = sch, f
             elif sch != ref_schema:
@@ -3625,13 +3639,28 @@ class Library:
                 from pyspark.sql import types as T
                 fills = [c for f in df.schema.fields
                          for c in [f.name]
-                         if c != idx and isinstance(
+                         if c != idx
+                         and c not in ("__stage_seq__", "__stage_pos__")
+                         and isinstance(
                              f.dataType, (T.ByteType, T.ShortType,
                                           T.IntegerType, T.LongType,
                                           T.BooleanType))]
                 for c in fills:
                     df = df.withColumn(c, F.coalesce(
                         F.col(c), _default_backfill_lit(df.schema[c].dataType)))
+            # STABLE merge: the k-way sort tiebreaks on the per-row stage
+            # helpers, so within equal timestamps each chunk's row order
+            # survives the finalize (reference compact preserves
+            # within-segment order — test_sort.py test_stage_finalize);
+            # the helpers are dropped before the version materializes
+            helpers = [c for c in ("__stage_seq__", "__stage_pos__")
+                       if c in df.columns]
+            if helpers:
+                if sort and idx is not None:
+                    df = (df.repartitionByRange(F.col(idx))
+                            .sortWithinPartitions(idx, *helpers))
+                    sort = False   # already range-sorted (stably)
+                df = df.drop(*helpers)
             if mode == "append" and self.has_symbol(symbol):
                 prev = self._load_manifest(symbol,
                                            self._load_ref(symbol)["latest"])
