@@ -1378,26 +1378,49 @@ class Library:
                     f"received {pdf.index.name!r} of type "
                     f"{type(pdf.index.name)}")
             renamed = None
-            if any(not isinstance(c, str) for c in pdf.columns):
+            cols = list(pdf.columns)
+            # None and "None" are DISTINCT names (reference
+            # test_none_in_columns_names) — key on (is-None, str)
+            _keys = [(c is None, str(c)) for c in cols]
+            has_dupes = len(set(_keys)) != len(_keys)
+            if has_dupes and self.dynamic_schema:
+                # dynamic schema matches columns BY NAME across appends, so
+                # duplicate/None-collapsing names are rejected (reference
+                # test_columns_names_dynamic_schema raises); static schema
+                # is positional and supports them below
+                dupes = sorted({str(c) for c in cols
+                                if [str(x) for x in cols].count(str(c)) > 1})
+                raise ArcticException(
+                    "duplicate column names are unsupported with "
+                    f"dynamic_schema: {dupes}")
+            if any(not isinstance(c, str) for c in cols) or has_dupes:
+                # None / int / duplicate names: store under unique physical
+                # names and restore the originals positionally on pandas
+                # output (reference static schema supports None AND
+                # duplicate column names — test_none_in_columns_names,
+                # test_same_columns_names)
                 renamed = []
                 phys_cols = []
-                for c in pdf.columns:
-                    if isinstance(c, bool) or not isinstance(
-                            c, (str, int, np.integer)):
+                seen: dict[str, int] = {}
+                for c in cols:
+                    if isinstance(c, bool) or not (
+                            c is None or isinstance(c, (str, int,
+                                                        np.integer))):
                         raise SchemaException(
                             "Column and index names must be of type str or "
                             f"int, received {c!r} of type {type(c)}")
-                    phys_cols.append(str(c))
-                    kind = ("int" if isinstance(c, (int, np.integer))
+                    base = "__none__" if c is None else str(c)
+                    n = seen.get(base, 0)
+                    seen[base] = n + 1
+                    phys = base if n == 0 else f"{base}__dup{n}__"
+                    phys_cols.append(phys)
+                    kind = ("none" if c is None
+                            else "int" if isinstance(c, (int, np.integer))
                             else "str")
-                    renamed.append([str(c), kind])
+                    renamed.append([phys, kind, None if c is None
+                                    else str(c)])
                 pdf = pdf.copy(deep=False)
                 pdf.columns = phys_cols
-            if len(set(pdf.columns)) != len(pdf.columns):
-                dupes = sorted({c for c in pdf.columns
-                                if list(pdf.columns).count(c) > 1})
-                raise ArcticException(
-                    f"duplicate column names are unsupported: {dupes}")
             # object columns mixing strings with numbers would silently
             # stringify through Arrow fallback — the reference raises a
             # normalization error (test_string.py test_mixed_types_errors)
@@ -1451,8 +1474,12 @@ class Library:
                 # _normalization.py:450-463). Stored as exact LONG ns —
                 # the reference index is int64 ns (types.hpp:73), and a µs
                 # TIMESTAMP physical would truncate sub-µs tick data.
-                name = pdf.index.name or "ts"
+                name = pdf.index.name if pdf.index.name is not None else "ts"
                 phys = str(name)
+                if not phys:
+                    # empty-string index NAME is legal and round-trips
+                    # (reference test_roundtrip_index_name, name="")
+                    phys = "__idx__empty"
                 if phys in {str(c) for c in pdf.columns}:
                     # an index NAMED like a data column (reference
                     # test_get_info index_name="col1"): the flat physical
@@ -3246,9 +3273,10 @@ class Library:
                 pdf = pdf.set_index(norm_meta["physical"])
                 if norm_meta.get("fake_name"):
                     pdf.index.name = None
-                elif norm_meta.get("orig_name"):
-                    # physical name was disambiguated from a like-named
-                    # data column — restore the user's index name
+                elif "orig_name" in norm_meta:
+                    # physical name was disambiguated (like-named data
+                    # column, or the legal empty-string name) — restore
+                    # the user's index name verbatim
                     pdf.index.name = norm_meta["orig_name"]
             # rebuild a non-default RangeIndex from recorded start/step —
             # rows arrive in write order (ROW_ID restore), so position i is
@@ -3269,11 +3297,14 @@ class Library:
             ren = (norm_meta or {}).get("renamed_cols")
             if ren:
                 back = {}
-                for phys, kind in ren:
-                    back[phys] = (phys == "True" if kind == "bool"
-                                  else int(phys) if kind == "int"
-                                  else float(phys) if kind == "float"
-                                  else phys)
+                for entry in ren:
+                    phys, kind = entry[0], entry[1]
+                    orig = entry[2] if len(entry) > 2 else phys
+                    back[phys] = (None if kind == "none"
+                                  else phys == "True" if kind == "bool"
+                                  else int(orig) if kind == "int"
+                                  else float(orig) if kind == "float"
+                                  else orig)
                 pdf = pdf.rename(columns=back)
             s = (norm_meta or {}).get("series")
             if s and s["col"] in pdf.columns:
