@@ -151,10 +151,13 @@ def test_non_string_column_names(tmp_lib):
         with pytest.raises(ArcticException, match="str or int"):
             tmp_lib.write("bad", pd.DataFrame(bad))
     assert not tmp_lib.has_symbol("bad")
-    # duplicate names raise cleanly
+    # duplicate names round-trip in static schema (round 10, reference
+    # test_normalization.py test_same_columns_names)
     dup = pd.DataFrame([[1, 2]], columns=["x", "x"])
-    with pytest.raises(ArcticException, match="duplicate column"):
-        tmp_lib.write("d", dup)
+    tmp_lib.write("d", dup)
+    out = tmp_lib.read("d", output_format="pandas")
+    assert list(out.columns) == ["x", "x"]
+    assert out.values.tolist() == [[1, 2]]
 
 
 def test_mixed_type_object_column_rejected(tmp_lib):
