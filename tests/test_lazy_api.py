@@ -218,3 +218,43 @@ def test_lazy_concat_missing_symbol_raises_at_collect(tmp_lib):
     tmp_lib.delete("gone")
     with pytest.raises(NoSuchVersionException):
         concat(tmp_lib.read_batch(["s0", "gone"], lazy=True)).collect()
+
+
+def test_lazy_collect_multiple_times(tmp_lib):
+    # reference test_lazy_collect_multiple_times: collect() is idempotent,
+    # and a clause added BETWEEN collects applies only to later collects
+    import numpy as np
+    import pandas as pd
+    idx = pd.DatetimeIndex(np.array([0, 1, 2, 3, 1000, 1001],
+                                    dtype="datetime64[ns]"), name="ts")
+    df = pd.DataFrame({"col": np.arange(6, dtype=np.int64)}, index=idx)
+    tmp_lib.write("s", df)
+    lazy_df = tmp_lib.read("s", lazy=True).resample("us").agg(
+        {"col": ("col", "sum")})
+    r0 = lazy_df.collect().toPandas().sort_values("ts").reset_index(drop=True)
+    r1 = lazy_df.collect().toPandas().sort_values("ts").reset_index(drop=True)
+    pd.testing.assert_frame_equal(r0, r1)
+    assert r0["col"].tolist() == [6, 9]
+    lazy_df["new_col"] = lazy_df["col"] * 3
+    r2 = lazy_df.collect().toPandas().sort_values("ts").reset_index(drop=True)
+    assert r2["new_col"].tolist() == [18, 27]
+    assert "new_col" not in r0.columns
+
+
+def test_lazy_collect_twice_with_date_range(tmp_lib):
+    # reference test_lazy_collect_twice_with_date_range: the read kwargs
+    # survive across collects
+    import numpy as np
+    import pandas as pd
+    df = pd.DataFrame({"col1": np.arange(10, dtype=np.int64),
+                       "col2": np.arange(100, 110, dtype=np.int64)},
+                      index=pd.date_range("2000-01-01", periods=10,
+                                          name="ts"))
+    tmp_lib.write("s", df)
+    dr = (pd.Timestamp("2000-01-03"), pd.Timestamp("2000-01-07"))
+    lazy_df = tmp_lib.read("s", date_range=dr, lazy=True)
+    expected = tmp_lib.read("s", date_range=dr, output_format="pandas")
+    for _ in range(2):
+        got = lazy_df.collect()
+        pdf = got.toPandas().set_index("ts").sort_index()
+        assert pdf["col1"].tolist() == expected["col1"].tolist()
