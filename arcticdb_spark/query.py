@@ -65,9 +65,48 @@ class QueryBuilder:
         if isinstance(item, str):
             return ColumnRef(item)
         if isinstance(item, ExpressionNode):
-            self._clauses.append(("filter", {"expr": item}))
-            return self
+            # filtering returns a COPY — the receiver is untouched
+            # (reference test_querybuilder_getitem_idempotency: two names
+            # aliasing one builder diverge on their first filters). Shallow
+            # object copy + fresh clause list: expression nodes are
+            # immutable once built, and a LazyDataFrame's library handle
+            # must be shared, never deep-copied.
+            import copy as _copy
+            new = _copy.copy(self)
+            new._clauses = list(self._clauses) + [("filter",
+                                                   {"expr": item})]
+            return new
         raise TypeError(f"QueryBuilder[{type(item).__name__}] unsupported")
+
+    @staticmethod
+    def _canon(v):
+        """Structural key for equality: expression nodes canonicalize to
+        (type, sorted attrs) tuples recursively."""
+        if isinstance(v, ExpressionNode):
+            return (type(v).__name__,
+                    tuple((k, QueryBuilder._canon(x))
+                          for k, x in sorted(vars(v).items())))
+        if isinstance(v, dict):
+            return tuple((k, QueryBuilder._canon(x))
+                         for k, x in sorted(v.items()))
+        if isinstance(v, (list, tuple)):
+            return tuple(QueryBuilder._canon(x) for x in v)
+        return repr(v)
+
+    def _eq_key(self):
+        return (self._canon(self._clauses), repr(self._index_column),
+                self._canon(self._pending_groupby),
+                self._canon(self._pending_resample))
+
+    def __eq__(self, other):
+        """Reference test_query_builder_equality_checks: builders with the
+        same clause chains compare equal."""
+        if not isinstance(other, QueryBuilder):
+            return NotImplemented
+        return self._eq_key() == other._eq_key()
+
+    def __hash__(self):
+        return hash(self._eq_key())
 
     def __setitem__(self, name: str, expr) -> None:
         """``q["c"] = q["a"] * 2`` — sugar for ``apply`` (reference

@@ -158,3 +158,50 @@ def test_query_builder_setitem_getattr_sugar(spark, lineitem):
     assert q2.to_df(lineitem).count() == out.count()
     q3 = copy.deepcopy(q)
     assert str(q3) == str(q)
+
+
+def test_query_builder_equality_checks():
+    # reference test_query_builder.py: same clause chains compare equal
+    import pandas as pd
+    q1, q2 = QueryBuilder(), QueryBuilder()
+    q1 = q1[q1["date"] >= pd.Timestamp("2020-01-01")]
+    q2 = q2[q2["date"] >= pd.Timestamp("2020-01-01")]
+    assert q1 == q2
+    q2 = QueryBuilder()
+    q2 = q2[q2["date"] >= pd.Timestamp("2021-01-01")]
+    assert q1 != q2
+
+
+def test_querybuilder_getitem_idempotency(tmp_lib):
+    # reference: two names aliasing one builder diverge on their first
+    # filters — getitem returns a copy
+    import pandas as pd
+    df = pd.DataFrame({"a": [0, 1]})
+    tmp_lib.write("s", df)
+    q = QueryBuilder()
+    q_copy = q
+    q = q[q["a"] == 1]
+    q_copy = q_copy[q_copy["a"] == 0]
+    out = tmp_lib.read("s", query_builder=q, output_format="pandas")
+    out_copy = tmp_lib.read("s", query_builder=q_copy,
+                            output_format="pandas")
+    assert out["a"].tolist() == [1]
+    assert out_copy["a"].tolist() == [0]
+
+
+def test_reuse_querybuilder(tmp_lib):
+    # reference test_reuse_querybuilder: extending a used builder applies
+    # the union of clauses on the next read
+    import numpy as np
+    import pandas as pd
+    df = pd.DataFrame({"col1": np.arange(10, dtype=np.int64),
+                       "col2": np.arange(100, 110, dtype=np.int64)})
+    tmp_lib.write("s", df)
+    q = QueryBuilder()
+    q = q[q["col1"].isin(2, 3, 7)]
+    out = tmp_lib.read("s", query_builder=q, output_format="pandas")
+    assert sorted(out["col1"].tolist()) == [2, 3, 7]
+    q = q.apply("new_col", (q["col1"] * q["col2"]) + 13)
+    out = tmp_lib.read("s", query_builder=q, output_format="pandas")
+    assert sorted(out["new_col"].tolist()) == sorted(
+        [(c1 * c2) + 13 for c1, c2 in [(2, 102), (3, 103), (7, 107)]])
