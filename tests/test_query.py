@@ -205,3 +205,31 @@ def test_reuse_querybuilder(tmp_lib):
     out = tmp_lib.read("s", query_builder=q, output_format="pandas")
     assert sorted(out["new_col"].tolist()) == sorted(
         [(c1 * c2) + 13 for c1, c2 in [(2, 102), (3, 103), (7, 107)]])
+
+
+def test_querybuilder_pickle_roundtrip():
+    # reference test_querybuilder_pickle: the clause chain serializes
+    import pickle
+    q = QueryBuilder()
+    q = q[q["a"].isin(2, 3)].apply("n", q["a"] * 2)
+    q2 = pickle.loads(pickle.dumps(q))
+    assert q == q2
+
+
+def test_querybuilder_filter_datetime_with_timezone(tmp_lib):
+    # reference test_querybuilder_filter_datetime_with_timezone: filters
+    # and date_range over a tz-aware index, tz restored on output
+    import numpy as np
+    import pandas as pd
+    df = pd.DataFrame({"col": np.arange(10, dtype=np.int64)},
+                      index=pd.date_range("2024-01-01", periods=10,
+                                          tz="America/New_York"))
+    tmp_lib.write("s", df)
+    q = QueryBuilder()
+    q = q[q["col"] > 3]
+    out = tmp_lib.read("s", query_builder=q, output_format="pandas")
+    assert len(out) == 6 and str(out.index.tz) == "America/New_York"
+    dr = (pd.Timestamp("2024-01-03", tz="America/New_York"),
+          pd.Timestamp("2024-01-06", tz="America/New_York"))
+    out = tmp_lib.read("s", date_range=dr, output_format="pandas")
+    assert len(out) == 4
