@@ -78,6 +78,14 @@ class QueryBuilder:
             return new
         raise TypeError(f"QueryBuilder[{type(item).__name__}] unsupported")
 
+    def __copy__(self):
+        # bypass pickling hooks (LazyDataFrame's __getstate__ reduces the
+        # library handle for serialization — a same-process copy must
+        # SHARE it instead)
+        new = object.__new__(type(self))
+        new.__dict__.update(self.__dict__)
+        return new
+
     @staticmethod
     def _canon(v):
         """Structural key for equality: expression nodes canonicalize to
