@@ -14,17 +14,24 @@ from __future__ import annotations
 from typing import Any
 
 from arcticdb_spark.expr import (BinaryOp, ColumnRef, Constant,
-                                 ExpressionNode)
+                                 ExpressionNode, IsInOp)
 
 _OPS = {"EQ", "LT", "LE", "GT", "GE"}
 
 
 def extract_conjuncts(node: ExpressionNode) -> list[tuple[str, str, Any]]:
     """Flatten AND-trees into [(column, op, literal)] triples; anything not
-    of that shape contributes nothing (conservative)."""
+    of that shape contributes nothing (conservative). ISIN/ISNOTIN emit
+    the whole value set (reference per-element stats pruning,
+    test_column_stats_isin.py)."""
     out: list[tuple[str, str, Any]] = []
 
     def walk(n):
+        if isinstance(n, IsInOp) and isinstance(n.child, ColumnRef):
+            out.append((n.child.name,
+                        "ISNOTIN" if n.negate else "ISIN",
+                        list(n.values)))
+            return
         if isinstance(n, BinaryOp):
             if n.op == "AND":
                 walk(n.left)
@@ -41,6 +48,13 @@ def extract_conjuncts(node: ExpressionNode) -> list[tuple[str, str, Any]]:
     return out
 
 
+def _is_nanlike(v) -> bool:
+    try:
+        return v is None or v != v
+    except Exception:
+        return True
+
+
 def range_can_match(op: str, lit, mn, mx) -> bool:
     """Kleene 'maybe': True unless the file's [mn, mx] range PROVES no row
     can satisfy ``col <op> lit``."""
@@ -55,6 +69,22 @@ def range_can_match(op: str, lit, mn, mx) -> bool:
             return mx > lit
         if op == "GE":
             return mx >= lit
+        if op == "ISIN":
+            # per-element (reference test_column_stats_isin): the file
+            # survives iff ANY set element can fall in [mn, mx]. A
+            # NaN/None element is conservatively "maybe" (minmax stats
+            # skip NaN, so they cannot disprove its presence). An empty
+            # set matches nothing -> prune.
+            if any(_is_nanlike(v) for v in lit):
+                return True
+            return any(mn <= v <= mx for v in lit)
+        if op == "ISNOTIN":
+            # prunable only when the file is single-valued (mn == mx) and
+            # that value is excluded — every non-null row fails, and null
+            # rows fail any filter under Kleene logic anyway
+            if any(_is_nanlike(v) for v in lit):
+                return True
+            return not (mn == mx and any(v == mn for v in lit))
     except TypeError:  # incomparable types -> keep
         return True
     return True
