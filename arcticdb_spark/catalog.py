@@ -1197,12 +1197,20 @@ class Library:
     # ---- write paths ----
     def _write_data_files(self, symbol: str, df: DataFrame,
                           index_column: str | None, sort: bool = True,
-                          tiebreak_cols: list[str] | None = None
+                          tiebreak_cols: list[str] | None = None,
+                          rows_hint: int | None = None,
+                          exact_slices: bool = True
                           ) -> list[FileEntry]:
         """Materialize df as Parquet under data/<uuid>/, ts-sorted, and return
         footer-derived FileEntries in index order. ``tiebreak_cols`` extend
         the within-partition sort (MultiIndex levels >= 1) so roundtrips are
-        deterministic under equal timestamps."""
+        deterministic under equal timestamps.
+
+        ``rows_hint`` (known for free on pandas inputs) enforces the
+        reference's segment_row_size contract: no slice exceeds
+        ``rows_per_file`` rows (``ceil(rows/target)`` range partitions).
+        Without a hint Spark's partitioning stands — a Spark-frame write
+        is already sized by the cluster's partitioning."""
         out_dir = os.path.join(self._data_sym_dir(symbol), "data", uuid.uuid4().hex)
         os.makedirs(os.path.dirname(out_dir), exist_ok=True)
         if not df.columns:
@@ -1214,8 +1222,38 @@ class Library:
             # away and the void columns NULL-backfill as usual)
             df = df.select(F.lit(0).cast("tinyint").alias("__void_fill__"))
         if index_column and sort:
-            df = (df.repartitionByRange(F.col(index_column))
-                    .sortWithinPartitions(index_column, *(tiebreak_cols or [])))
+            if (rows_hint is not None and exact_slices
+                    and rows_hint > self.rows_per_file):
+                # EXACT segment_row_size slicing (reference contract: the
+                # leading slices hold exactly rows_per_file rows — the
+                # defrag utilities key off it). The global row_number is
+                # fine here: exact_slices is only passed for
+                # driver-bounded pandas inputs; cluster-scale Spark-frame
+                # writes take the quantile path below.
+                from pyspark.sql import Window
+                n_parts = -(-rows_hint // self.rows_per_file)
+                w = Window.orderBy(F.col(index_column),
+                                   *[F.col(c) for c in (tiebreak_cols or [])])
+                df = (df.withColumn(
+                          "__slice__",
+                          F.floor((F.row_number().over(w) - F.lit(1))
+                                  / F.lit(self.rows_per_file)))
+                        .repartitionByRange(n_parts, F.col("__slice__"))
+                        .sortWithinPartitions("__slice__", index_column,
+                                              *(tiebreak_cols or []))
+                        .drop("__slice__"))
+            elif rows_hint is not None and rows_hint > self.rows_per_file:
+                # approximate (quantile) slicing sized to the target —
+                # the scale path (staged finalize of arbitrarily large
+                # chunk sets)
+                n_parts = -(-rows_hint // self.rows_per_file)
+                df = (df.repartitionByRange(n_parts, F.col(index_column))
+                        .sortWithinPartitions(index_column,
+                                              *(tiebreak_cols or [])))
+            else:
+                df = (df.repartitionByRange(F.col(index_column))
+                        .sortWithinPartitions(index_column,
+                                              *(tiebreak_cols or [])))
         df.write.mode("overwrite").parquet(out_dir)
         entries = []
         for fn in sorted(os.listdir(out_dir)):
@@ -1978,9 +2016,11 @@ class Library:
         tiebreak = (norm_meta["physical"][1:]
                     if norm_meta and norm_meta.get("index_type") == "multiindex"
                     else None)
-        files = self._write_data_files(symbol, self._drop_void(sdf), idx,
-                                       sort=(sorted_flag == "ASCENDING"),
-                                       tiebreak_cols=tiebreak)
+        files = self._write_data_files(
+            symbol, self._drop_void(sdf), idx,
+            sort=(sorted_flag == "ASCENDING"), tiebreak_cols=tiebreak,
+            rows_hint=(len(df) if isinstance(df, (pd.DataFrame, pd.Series))
+                       else None))
         if dedup:
             self._content_hashes(files)
             try:
@@ -2460,8 +2500,12 @@ class Library:
         else:
             schema_json = self._validate_static_schema(prev.schema_json,
                                                        sdf.schema, "append")
-        new_files = self._write_data_files(symbol, self._drop_void(sdf), idx,
-                                           sort=(chunk_sorted == "ASCENDING"))
+        import pandas as _pd
+        new_files = self._write_data_files(
+            symbol, self._drop_void(sdf), idx,
+            sort=(chunk_sorted == "ASCENDING"),
+            rows_hint=(len(df) if isinstance(df, (_pd.DataFrame, _pd.Series))
+                       else None))
         overlap = False
         if idx and new_files and prev.ts_max is not None:
             mins = [f.ts_min for f in new_files if f.ts_min is not None]
@@ -2646,7 +2690,11 @@ class Library:
             new_entries += self._write_data_files(
                 symbol, phys.filter(F.col(idx) > _idx_bound(phys, idx, hi)),
                 idx)
-        new_entries += self._write_data_files(symbol, self._drop_void(sdf), idx)
+        import pandas as _pd
+        new_entries += self._write_data_files(
+            symbol, self._drop_void(sdf), idx,
+            rows_hint=(len(df) if isinstance(df, (_pd.DataFrame, _pd.Series))
+                       else None))
         new_entries.sort(key=lambda e: (e.ts_min if e.ts_min is not None else 0, e.path))
         m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(), idx,
                             schema_json, _renumber(new_entries),
@@ -3684,6 +3732,9 @@ class Library:
             # survives the finalize (reference compact preserves
             # within-segment order — test_sort.py test_stage_finalize);
             # the helpers are dropped before the version materializes
+            # segment_row_size contract for the finalized version too:
+            # total staged rows from footers only (no data IO)
+            staged_rows = sum(_footer_stats(f, None)[0] for f in seg_files)
             helpers = [c for c in ("__stage_seq__", "__stage_pos__")
                        if c in df.columns]
             if helpers:
@@ -3705,7 +3756,10 @@ class Library:
                 else:
                     schema_json = self._validate_static_schema(
                         prev.schema_json, df.schema, "finalize_staged_data")
-                new_files = self._write_data_files(symbol, df, idx, sort=sort)
+                new_files = self._write_data_files(symbol, df, idx,
+                                                   sort=sort,
+                                                   rows_hint=staged_rows,
+                                                   exact_slices=False)
                 overlap = False
                 if idx and prev.ts_max is not None and new_files:
                     mins = [f.ts_min for f in new_files if f.ts_min is not None]
@@ -3730,7 +3784,9 @@ class Library:
             else:
                 # mode="append" on a missing symbol behaves like write
                 # (reference test_sort_merge.py test_append_to_missing_symbol)
-                files = self._write_data_files(symbol, df, idx, sort=sort)
+                files = self._write_data_files(symbol, df, idx, sort=sort,
+                                               rows_hint=staged_rows,
+                                               exact_slices=False)
                 nm_out: dict = {}
                 if index_ns:
                     nm_out["index_ns"] = True

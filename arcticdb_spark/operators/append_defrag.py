@@ -62,6 +62,29 @@ def generate_date_to_read_from(
     return None
 
 
+def defrag_timeseries(lib, sym: str) -> None:
+    """Compact an append-only symbol's fragmented TAIL (reference
+    ``arcticdb/util/defrag_timeseries.py``): skip the leading run of
+    already-full slices, read everything from the first non-full slice
+    onward (one row_range read) and splice it back via ``update`` — an
+    O(tail) rewrite that leaves full slices untouched. No-op when only
+    the final slice exists or nothing is fragmented."""
+    target = lib.rows_per_file
+    index = lib.read_index(sym)
+    row_counts = (index["end_row"] - index["start_row"]).tolist()
+    idx = 0
+    for row_count in row_counts:
+        if row_count == target:
+            idx += 1
+        else:
+            break
+    if idx < len(index) and index["start_row"].iloc[idx] != index["start_row"].iloc[-1]:
+        df = lib.read(sym, row_range=(int(index["start_row"].iloc[idx]),
+                                      int(index["end_row"].iloc[-1])),
+                      output_format="pandas")
+        lib.update(sym, df)
+
+
 def append_and_defrag_idempotent(lib, items: List[Tuple[str, pd.DataFrame]],
                                  factor: int, threshold: float = 0.9) -> None:
     """Append each (symbol, df) with inline exponential defragmentation

@@ -109,3 +109,60 @@ def test_bad_args(defrag_lib):
     with pytest.raises(ArcticException):
         append_and_defrag_idempotent(defrag_lib, [("s", df)], factor=2,
                                      threshold=0)
+
+
+# --- defrag_timeseries (reference util/defrag_timeseries.py) ---
+
+def _generic_defrag_test(lib, sym):
+    rows_per_slice = lib.rows_per_file
+    expected = lib.read(sym, output_format="pandas")
+    total_rows = len(expected)
+    from arcticdb_spark.operators.append_defrag import defrag_timeseries
+    defrag_timeseries(lib, sym)
+    out = lib.read(sym, output_format="pandas")
+    pd.testing.assert_frame_equal(expected, out, check_freq=False)
+    num_segments = len(lib.read_index(sym))
+    assert num_segments == ((total_rows // rows_per_slice)
+                            + (1 if total_rows % rows_per_slice else 0))
+
+
+def test_defrag_timeseries_basic(defrag_lib):
+    lib, sym = defrag_lib, "basic"
+    lib.write(sym, pd.DataFrame({"col": [0, 1]},
+                                index=pd.date_range("2025-01-01", periods=2)))
+    lib.append(sym, pd.DataFrame({"col": [2, 3]},
+                                 index=pd.date_range("2025-01-03", periods=2)))
+    _generic_defrag_test(lib, sym)
+
+
+def test_defrag_timeseries_partially_compacted(spark, tmp_path):
+    import random
+    lib = Arctic(str(tmp_path), spark).create_library("d", rows_per_file=10)
+    sym = "partial"
+    index_0 = pd.date_range("2025-01-01", periods=37)
+    lib.write(sym, pd.DataFrame(
+        {"col0": np.arange(37, dtype=np.int64)}, index=index_0))
+    start = index_0[-1] + pd.Timedelta(days=1)
+    rng = random.Random(7)
+    for _ in range(10):
+        n = rng.randint(1, 4)
+        lib.append(sym, pd.DataFrame(
+            {"col0": np.arange(n, dtype=np.int64)},
+            index=pd.date_range(start, periods=n)))
+        start += pd.Timedelta(days=n)
+    _generic_defrag_test(lib, sym)
+    # fully-compacted leading slices were never rewritten (still version 0
+    # files): the defrag touched only the tail
+    idx = lib.read_index(sym)
+    assert (idx["end_row"] - idx["start_row"]).iloc[:3].tolist() == [10, 10, 10]
+
+
+@pytest.mark.parametrize("num_rows", [37, 40])
+def test_defrag_timeseries_no_op(spark, tmp_path, num_rows):
+    lib = Arctic(str(tmp_path), spark).create_library("d", rows_per_file=10)
+    sym = "noop"
+    lib.write(sym, pd.DataFrame(
+        {"col0": np.arange(num_rows, dtype=np.int64)},
+        index=pd.date_range("2025-01-01", periods=num_rows)))
+    _generic_defrag_test(lib, sym)
+    assert lib.read_metadata(sym).version == 0  # no new version

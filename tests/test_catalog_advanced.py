@@ -606,12 +606,14 @@ def test_compact_never_increases_file_count(spark, tmp_path):
     idx = pd.date_range("2024-01-01", periods=9, freq="1min").rename("ts")
     pdf = pd.DataFrame({"v": list(range(9))}, index=idx)
     lib.write("sym", pdf.iloc[:3])
+    # a 6-row append with rows_per_file=4 slices at the segment size
+    # (round-10 segment_row_size contract): files are 3, 4, 2
     lib.append("sym", pdf.iloc[3:])
     pre = lib._resolve_version("sym", None)
-    assert len(pre.files) == 2
-    # ceil(9/4)=3 > 2 current files -> must be a no-op, not a split
+    assert [f.rows for f in pre.files] == [3, 4, 2]
+    # ceil(9/4)=3 == 3 current files -> must be a no-op, not a split
     m = lib.defragment_symbol_data("sym")
-    assert len(m.files) == 2
+    assert len(m.files) == 3
     assert m.version == pre.version            # no new version committed
     assert not lib.is_symbol_fragmented("sym")
     back = lib.read("sym", output_format="pandas")
