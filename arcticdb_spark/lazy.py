@@ -27,6 +27,12 @@ class LazyDataFrame(QueryBuilder):
         return (f"LazyDataFrame({self._symbol!r}, "
                 f"clauses={[k for k, _ in self._clauses]})")
 
+    __str__ = __repr__
+
+    def _collect_schema(self):
+        """Reference private spelling (test_lazy_dataframe.py uses it)."""
+        return self.collect_schema()
+
     # -- pickling (reference test_lazy_dataframe.py::test_lazy_pickling):
     # the clause chain and read params serialize; the Library handle is
     # re-opened on unpickle (local-fs libraries only — an object-store fs
@@ -85,6 +91,11 @@ class LazyDataFrameCollection:
 
     def __init__(self, lazy_dfs: list[LazyDataFrame]):
         self._dfs = list(lazy_dfs)
+
+    def __repr__(self):
+        return f"LazyDataFrameCollection({self._dfs!r})"
+
+    __str__ = __repr__
 
     def lazy_dataframes(self) -> list[LazyDataFrame]:
         return self._dfs
