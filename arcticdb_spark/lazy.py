@@ -167,7 +167,10 @@ class ConcatLazyFrame(QueryBuilder):
             elif m.index_column is None:
                 descs.append(("range", [], []))
             else:
-                descs.append(("ts", [m.index_column], [m.index_column]))
+                # display name: None when the symbol's index was unnamed
+                display = (None if nm.get("fake_name")
+                           else nm.get("orig_name", m.index_column))
+                descs.append(("ts", [m.index_column], [display]))
         kinds = {d[0] for d in descs}
         if len(kinds) > 1 or len({len(d[1]) for d in descs}) > 1:
             raise SchemaException(
@@ -183,9 +186,11 @@ class ConcatLazyFrame(QueryBuilder):
         merged_phys, merged_names = [], []
         for i in range(nlev):
             names_i = {d[1][i] for d in descs}
+            display_i = {d[2][i] for d in descs}
             if len(names_i) == 1:
                 merged_phys.append(descs[0][1][i])
-                merged_names.append(descs[0][2][i])
+                merged_names.append(descs[0][2][i]
+                                    if len(display_i) == 1 else None)
             else:
                 merged_phys.append("ts" if i == 0 else f"__fkidx__{i}")
                 merged_names.append(None)
@@ -203,9 +208,20 @@ class ConcatLazyFrame(QueryBuilder):
         fmt = output_format or "spark"
         if fmt == "spark":
             return out
-        norm = (None if kind != "multiindex" else
-                {"index_type": "multiindex", "physical": merged_phys,
-                 "level_names": merged_names})
+        if kind == "multiindex":
+            norm = {"index_type": "multiindex", "physical": merged_phys,
+                    "level_names": merged_names}
+        elif kind == "ts":
+            # pandas output re-promotes the datetime index like a single
+            # read would (reference assert_frame_equal against pd.concat
+            # with the index intact; unnamed when symbols disagree)
+            norm = {"index_type": "datetime", "physical": merged_phys[0],
+                    "fake_name": merged_names[0] is None}
+            if (merged_names[0] is not None
+                    and merged_names[0] != merged_phys[0]):
+                norm["orig_name"] = merged_names[0]
+        else:
+            norm = None
         from arcticdb_spark.catalog import Library
         return Library._format_output(out, fmt, norm)
 

@@ -40,11 +40,14 @@ def test_symbol_concat_inner_outer_columns(tmp_lib):
     lib.write("s1", _ts_df("2024-02-01", 3, ["col1", "col3"]))
     outer = concat(lib.read_batch(["s0", "s1"], lazy=True), "outer").collect(
         output_format="pandas")
-    assert set(outer.columns) == {"ts", "col1", "col2", "col3"}
+    # the ts index is re-promoted on pandas output (round 10, like a
+    # single read); data columns union/intersect
+    assert outer.index.name == "ts"
+    assert set(outer.columns) == {"col1", "col2", "col3"}
     assert outer["col2"].isna().sum() == 3
     inner = concat(lib.read_batch(["s0", "s1"], lazy=True), "inner").collect(
         output_format="pandas")
-    assert set(inner.columns) == {"ts", "col1"}
+    assert set(inner.columns) == {"col1"}
     assert len(inner) == 6
 
 
@@ -56,13 +59,14 @@ def test_symbol_concat_differently_named_ts_index(tmp_lib):
     lib.write("s1", _ts_df("2024-02-01", 2, ["col1"], name="t_b"))
     out = concat(lib.read_batch(["s0", "s1"], lazy=True)).collect(
         output_format="pandas")
-    assert "ts" in out.columns and "t_a" not in out.columns
+    # mismatched names: index restored UNNAMED (round 10)
+    assert out.index.name is None
     assert len(out) == 4
     # identical names survive
     lib.write("s2", _ts_df("2024-03-01", 2, ["col1"], name="t_a"))
     out = concat(lib.read_batch(["s0", "s2"], lazy=True)).collect(
         output_format="pandas")
-    assert "t_a" in out.columns
+    assert out.index.name == "t_a"
 
 
 def test_symbol_concat_differently_named_multiindexes(tmp_lib):
@@ -145,3 +149,66 @@ def test_symbol_concat_with_per_symbol_clauses(tmp_lib):
     l1 = l1[l1["col1"] < 5.0]
     out = concat([l0, l1]).collect(output_format="pandas")
     assert len(out) == 7 + 5
+
+
+def test_symbol_concat_non_existent_version_of_symbol(tmp_lib):
+    # reference test_symbol_concat_non_existent_version_of_symbol: a
+    # deleted version / wrong snapshot in any leg raises at collect()
+    from arcticdb_spark.catalog import ReadRequest
+    lib = tmp_lib
+    lib.write("s0", pd.DataFrame({"col": [0]}))
+    lib.snapshot("snap")
+    lib.write("del", pd.DataFrame({"col": [0]}))
+    lib.delete("del")
+    with pytest.raises(NoSuchVersionException):
+        concat(lib.read_batch(["s0", "del"], lazy=True)).collect()
+    lib.write("del", pd.DataFrame({"col": [0]}))
+    reqs = [ReadRequest("s0"), ReadRequest("del", as_of=0)]
+    with pytest.raises(NoSuchVersionException):
+        concat(lib.read_batch(reqs, lazy=True)).collect()
+    reqs = [ReadRequest("s0"), ReadRequest("del", as_of="snap")]
+    with pytest.raises(NoSuchVersionException):
+        concat(lib.read_batch(reqs, lazy=True)).collect()
+    reqs = [ReadRequest("s0"), ReadRequest("del", as_of="no-such-snap")]
+    with pytest.raises(NoSuchVersionException):
+        concat(lib.read_batch(reqs, lazy=True)).collect()
+
+
+def test_symbol_concat_type_promotion(tmp_lib):
+    # reference test_symbol_concat_type_promotion (sampled pairs)
+    # uint8 arrives as int64 (documented Arrow/Spark widening — see
+    # test_type_promotion.py header), so its concat promotion lands on
+    # int64 instead of the reference's int16
+    for first, second, want in [("int32", "int64", "int64"),
+                                ("int64", "float64", "float64"),
+                                ("uint8", "int16", "int64")]:
+        df0 = pd.DataFrame({"col": np.arange(1, dtype=np.dtype(first))})
+        df1 = pd.DataFrame({"col": np.arange(1, dtype=np.dtype(second))})
+        tmp_lib.write("p0", df0)
+        tmp_lib.write("p1", df1)
+        out = concat(tmp_lib.read_batch(["p0", "p1"], lazy=True)).collect(
+            output_format="pandas")
+        expected = pd.concat([df0, df1])
+        expected.index = pd.RangeIndex(len(expected))
+        assert out["col"].tolist() == expected["col"].tolist()
+        assert str(out["col"].dtype) == want, (first, second)
+
+
+def test_symbol_concat_empty_column_intersection(tmp_lib):
+    # reference test_symbol_concat_empty_column_intersection: inner join
+    # of disjoint column sets -> no columns; outer join -> union
+    idx = pd.date_range("2025-01-01", periods=5)
+    df0 = pd.DataFrame({c: np.arange(5, dtype=np.float64)
+                        for c in ("col1", "col2", "col3")}, index=idx)
+    df1 = pd.DataFrame({c: np.arange(5, dtype=np.float64)
+                        for c in ("col4", "col5", "col6")}, index=idx)
+    tmp_lib.write("e0", df0)
+    tmp_lib.write("e1", df1)
+    inner = concat(tmp_lib.read_batch(["e0", "e1"], lazy=True),
+                   join="inner").collect(output_format="pandas")
+    assert not len(inner.columns)
+    outer = concat(tmp_lib.read_batch(["e0", "e1"], lazy=True),
+                   join="outer").collect(output_format="pandas")
+    assert list(outer.columns) == ["col1", "col2", "col3",
+                                   "col4", "col5", "col6"]
+    assert len(outer) == 10
