@@ -124,3 +124,67 @@ def test_resample_non_epoch_origin_rejects_date_range(spark, tmp_path):
     for origin in ["epoch", pd.Timestamp("2025-01-03 12:00:00")]:
         q = QueryBuilder().resample("1D", origin=origin).agg({"col": "min"})
         assert lib.read("sym", query_builder=q, date_range=dr).count() == 2
+
+
+def test_resampling_timezones(spark, tmp_path):
+    # reference test_resampling_timezones: buckets are computed on the
+    # UTC instant (int64 ns), so DST transitions neither drop nor double
+    # rows — pandas agrees when resampling tz-aware data
+    import numpy as np
+    import pandas as pd
+    from arcticdb_spark.catalog import Arctic
+    from arcticdb_spark.query import QueryBuilder
+    lib = Arctic(str(tmp_path), spark).create_library("tz")
+    for start in ("2024-03-31T00:00:00", "2024-10-27T00:00:00"):
+        index = pd.date_range(start, freq="min", periods=240,
+                              tz="Europe/London")
+        df = pd.DataFrame({"col": np.arange(len(index), dtype="int64")},
+                          index=index)
+        lib.write("sym", df)
+        q = QueryBuilder().resample("1h").agg({"s": ("col", "sum")})
+        out = lib.read("sym", query_builder=q, output_format="pandas")
+        expected = df.resample("h").agg(s=("col", "sum"))
+        expected = expected[expected["s"].notna()]
+        assert sorted(out["s"].tolist()) == sorted(
+            expected["s"].astype("int64").tolist()), start
+
+
+def test_resample_infinity_elements(spark, tmp_path):
+    # reference test_max/min_with_one_infinity_element
+    import numpy as np
+    import pandas as pd
+    from arcticdb_spark.catalog import Arctic
+    from arcticdb_spark.query import QueryBuilder
+    lib = Arctic(str(tmp_path), spark).create_library("inf")
+    lib.write("mx", pd.DataFrame({"col": [np.inf]},
+                                 index=pd.DatetimeIndex(
+                                     [pd.Timestamp("2024-01-01")])))
+    q = QueryBuilder().resample("1min").agg({"col_max": ("col", "max")})
+    out = lib.read("mx", query_builder=q, output_format="pandas")
+    assert np.isinf(out["col_max"].iloc[0])
+    lib.write("mn", pd.DataFrame({"col": [-np.inf]},
+                                 index=pd.DatetimeIndex(
+                                     [pd.Timestamp("2024-01-01")])))
+    q = QueryBuilder().resample("1min").agg({"col_min": ("col", "min")})
+    out = lib.read("mn", query_builder=q, output_format="pandas")
+    assert np.isneginf(out["col_min"].iloc[0])
+
+
+def test_resample_date_range_outside_symbol_timerange(spark, tmp_path):
+    # reference test_date_range_outside_symbol_timerange: empty result,
+    # aggregated column set preserved
+    import numpy as np
+    import pandas as pd
+    from arcticdb_spark.catalog import Arctic
+    from arcticdb_spark.query import QueryBuilder
+    lib = Arctic(str(tmp_path), spark).create_library("dr")
+    lib.write("sym", pd.DataFrame(
+        {"col": np.arange(10, dtype="int64")},
+        index=pd.date_range("2025-01-01", periods=10)))
+    q = (QueryBuilder()
+         .date_range((pd.Timestamp("2025-02-01"),
+                      pd.Timestamp("2025-02-02")))
+         .resample("1min").agg({"col": ("col", "sum")}))
+    out = lib.read("sym", query_builder=q, output_format="pandas")
+    assert not len(out)
+    assert "col" in out.columns
