@@ -221,3 +221,74 @@ def test_group_pickled_symbol_raises(tmp_lib):
     q = QueryBuilder().groupby("grouping_column").agg({"to_mean": "mean"})
     with pytest.raises(ArcticException):
         tmp_lib.read("sym", query_builder=q)
+
+
+def test_sum_aggregation_bool(tmp_lib):
+    # reference test_sum_aggregation_bool: bool sums as the count of True
+    import pandas as pd
+    from arcticdb_spark.query import QueryBuilder
+    df = pd.DataFrame(
+        {"grouping_column": ["0", "0", "0", "1", "1", "2", "2", "3", "4"],
+         "to_sum": [True, False, True, True, True, False, False, True,
+                    False]})
+    tmp_lib.write("s", df)
+    q = QueryBuilder().groupby("grouping_column").agg(
+        {"to_sum": ("to_sum", "sum")})
+    out = (tmp_lib.read("s", query_builder=q, output_format="pandas")
+           .sort_values("grouping_column"))
+    assert out["to_sum"].tolist() == [2, 2, 0, 1, 0]
+
+
+def test_mean_aggregation_timestamp(tmp_lib):
+    # reference test_mean_aggregation_timestamp — µs-scale values (our
+    # datetime DATA columns are µs precision, documented ns->µs
+    # truncation; the ns-exact path is the index)
+    import pandas as pd
+    from arcticdb_spark.query import QueryBuilder
+    us = 1000  # microsecond in ns
+    df = pd.DataFrame(
+        {"grouping_column": ["0", "0", "1", "1"],
+         "to_mean": [pd.Timestamp(0), pd.Timestamp(4 * us),
+                     pd.Timestamp(10 * us), pd.Timestamp(20 * us)]})
+    tmp_lib.write("s", df)
+    q = QueryBuilder().groupby("grouping_column").agg(
+        {"to_mean": ("to_mean", "mean")})
+    out = (tmp_lib.read("s", query_builder=q, output_format="pandas")
+           .sort_values("grouping_column"))
+    assert out["to_mean"].tolist() == [pd.Timestamp(2 * us),
+                                       pd.Timestamp(15 * us)]
+
+
+def test_max_minus_one(tmp_lib):
+    import pandas as pd
+    from arcticdb_spark.query import QueryBuilder
+    tmp_lib.write("s", pd.DataFrame({"grouping_column": ["thing"],
+                                     "to_max": [-1]}))
+    q = QueryBuilder().groupby("grouping_column").agg(
+        {"to_max": ("to_max", "max")})
+    out = tmp_lib.read("s", query_builder=q, output_format="pandas")
+    assert out["to_max"].tolist() == [-1]
+
+
+def test_group_pickled_symbol_raises(tmp_lib):
+    import pytest as _pytest
+    from arcticdb_spark.catalog import ArcticException
+    from arcticdb_spark.query import QueryBuilder
+    tmp_lib.write_pickle("pk", list(range(100)))
+    q = QueryBuilder().groupby("grouping_column").agg(
+        {"to_mean": ("to_mean", "mean")})
+    with _pytest.raises(ArcticException):
+        tmp_lib.read("pk", query_builder=q)
+
+
+def test_group_column_not_present_raises(tmp_lib):
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+    from arcticdb_spark.expr import ExpressionError
+    from arcticdb_spark.query import QueryBuilder
+    tmp_lib.write("s", pd.DataFrame({"a": np.arange(2)}))
+    q = QueryBuilder().groupby("grouping_column").agg(
+        {"to_mean": ("a", "mean")})
+    with _pytest.raises(ExpressionError):
+        tmp_lib.read("s", query_builder=q)
