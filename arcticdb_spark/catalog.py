@@ -1067,6 +1067,11 @@ class Library:
         # library.set_output_format / OutputFormat, options.py:170-196);
         # per-read output_format overrides
         self._default_output_format = "spark"
+        # symbols whose absent _pins.json sidecar was already re-derived
+        # from the snapshot manifests this session (legacy-library
+        # migration, see _load_pins) — avoids re-walking snapshots for
+        # symbols that genuinely have no pins
+        self._pins_backfilled: set[str] = set()
 
     _OUTPUT_FORMATS = {"spark": "spark", "spark-ns": "spark-ns",
                        "pandas": "pandas", "arrow": "arrow",
@@ -1221,6 +1226,7 @@ class Library:
             # differs from the manifest schema, so _scan_files projects it
             # away and the void columns NULL-backfill as usual)
             df = df.select(F.lit(0).cast("tinyint").alias("__void_fill__"))
+        sliced_write = False
         if index_column and sort:
             if (rows_hint is not None and exact_slices
                     and rows_hint > self.rows_per_file):
@@ -1229,19 +1235,27 @@ class Library:
                 # defrag utilities key off it). The global row_number is
                 # fine here: exact_slices is only passed for
                 # driver-bounded pandas inputs; cluster-scale Spark-frame
-                # writes take the quantile path below.
+                # writes take the quantile path below. Determinism: hash-
+                # repartition on the precomputed __slice__ puts every row
+                # of a slice in exactly one task (a collision only costs
+                # parallelism), and write.partitionBy routes rows to their
+                # slice directory regardless of partitioning — so one file
+                # per slice is CONTRACTUAL, unlike repartitionByRange
+                # whose sampled boundaries made the layout probabilistic.
                 from pyspark.sql import Window
                 n_parts = -(-rows_hint // self.rows_per_file)
                 w = Window.orderBy(F.col(index_column),
                                    *[F.col(c) for c in (tiebreak_cols or [])])
-                df = (df.withColumn(
-                          "__slice__",
-                          F.floor((F.row_number().over(w) - F.lit(1))
-                                  / F.lit(self.rows_per_file)))
-                        .repartitionByRange(n_parts, F.col("__slice__"))
-                        .sortWithinPartitions("__slice__", index_column,
-                                              *(tiebreak_cols or []))
-                        .drop("__slice__"))
+                (df.withColumn(
+                       "__slice__",
+                       F.floor((F.row_number().over(w) - F.lit(1))
+                               / F.lit(self.rows_per_file)))
+                   .repartition(n_parts, F.col("__slice__"))
+                   .sortWithinPartitions("__slice__", index_column,
+                                         *(tiebreak_cols or []))
+                   .write.mode("overwrite").partitionBy("__slice__")
+                   .parquet(out_dir))
+                sliced_write = True
             elif rows_hint is not None and rows_hint > self.rows_per_file:
                 # approximate (quantile) slicing sized to the target —
                 # the scale path (staged finalize of arbitrarily large
@@ -1254,18 +1268,35 @@ class Library:
                 df = (df.repartitionByRange(F.col(index_column))
                         .sortWithinPartitions(index_column,
                                               *(tiebreak_cols or [])))
-        df.write.mode("overwrite").parquet(out_dir)
+        if not sliced_write:
+            df.write.mode("overwrite").parquet(out_dir)
+        if sliced_write:
+            # hive layout: out_dir/__slice__=N/part-*.parquet — exactly
+            # one part file per slice (see above); numeric dir order IS
+            # slice order
+            files = []
+            for d in sorted((fn for fn in os.listdir(out_dir)
+                             if fn.startswith("__slice__=")),
+                            key=lambda s: int(s.split("=", 1)[1])):
+                for fn in sorted(os.listdir(os.path.join(out_dir, d))):
+                    if fn.endswith(".parquet"):
+                        files.append(os.path.join(out_dir, d, fn))
+        else:
+            files = [os.path.join(out_dir, fn)
+                     for fn in sorted(os.listdir(out_dir))
+                     if fn.endswith(".parquet")]
         entries = []
-        for fn in sorted(os.listdir(out_dir)):
-            if not fn.endswith(".parquet"):
-                continue
-            path = os.path.join(out_dir, fn)
+        for path in files:
             rows, ts_min, ts_max = _footer_stats(path, index_column)
             if rows == 0:
                 continue
             entries.append(FileEntry(path, rows, 0, ts_min, ts_max,
                                      schema_json=df.schema.json()))
-        if index_column and sort:
+        if index_column and sort and not sliced_write:
+            # (sliced writes are already in slice order, which IS the
+            # global row_number order — a ts_min re-sort could misorder
+            # equal timestamps straddling a slice boundary, since the path
+            # tie-break compares "__slice__=10" < "__slice__=2" lexically)
             # ts-sorted write: ranges are disjoint (repartitionByRange), so
             # ts_min order reconstructs the global ascending sequence.
             # UNSORTED/DESCENDING writes (sort=False) keep file-listing
@@ -3950,7 +3981,35 @@ class Library:
         try:
             return self._fs.read_json(self._pins_path(symbol))
         except FileNotFoundError:
+            pass
+        # Legacy libraries (snapshots created before the pin index
+        # existed) have no sidecar: lazily re-derive it from the snapshot
+        # manifests so pinned versions never lose GC protection. A stale
+        # pin only leaks until released; a MISSING pin lets prune/delete
+        # destroy snapshot-referenced data — so absence of the sidecar
+        # must never be read as "unpinned" while snapshots exist.
+        if symbol in self._pins_backfilled:
             return {}
+        self._pins_backfilled.add(symbol)
+        snap_dir = self._fs.join(self.root, "_snapshots")
+        pins: dict[str, list] = {}
+        if self._fs.isdir(snap_dir):
+            for fn in self._fs.listdir(snap_dir):
+                if not fn.endswith(".json"):
+                    continue
+                name = fn[:-5]
+                try:
+                    v = self._load_snapshot(name).get(
+                        "symbols", {}).get(symbol)
+                except Exception:
+                    continue
+                if v is not None:
+                    pins.setdefault(str(int(v)), []).append(name)
+        if pins:
+            for lst in pins.values():
+                lst.sort()
+            self._save_pins(symbol, pins)   # backfill the sidecar once
+        return pins
 
     def _save_pins(self, symbol, pins: dict) -> None:
         pins = {k: v for k, v in pins.items() if v}
@@ -4029,16 +4088,33 @@ class Library:
                     f"snapshot {snapshot_name!r}: none of the requested "
                     "symbol-version pairs exist")
             versions = resolved
+        # Pin FIRST, then CAS-create the manifest (same safe order as
+        # add_to_snapshot): a crash or a concurrent prune between the two
+        # steps then sees protective pins without a snapshot — a stale pin
+        # only leaks until unpinned, whereas the reverse order exposes a
+        # visible snapshot whose versions GC can destroy.
+        for sym, v in versions.items():
+            self._pin(sym, v, snapshot_name)
         # exclusive create: two racing snapshot() calls with the same name
         # can both pass the exists() pre-check — the CAS decides the winner
         if not self._fs.write_json_if_absent(
                 self._snap_path(snapshot_name),
                 {"symbols": versions, "metadata": metadata,
                  "created_ns": time.time_ns()}):
+            # roll back our speculative pins — but a racing snapshot()
+            # with the SAME name may have won the CAS, and its pins share
+            # our key (symbol, version, name): keep any pin the winning
+            # manifest still needs.
+            try:
+                winner = self._load_snapshot(snapshot_name).get(
+                    "symbols", {})
+            except Exception:
+                winner = {}
+            for sym, v in versions.items():
+                if winner.get(sym) != v:
+                    self._unpin(sym, v, snapshot_name)
             raise InternalException(
                 f"Snapshot with name {snapshot_name} already exists")
-        for sym, v in versions.items():
-            self._pin(sym, v, snapshot_name)
 
     def list_snapshots(self, load_metadata: bool = True):
         """Reference ``library.py:2857``: a {name: metadata} dict by

@@ -113,8 +113,11 @@ class QueryBuilder:
             return NotImplemented
         return self._eq_key() == other._eq_key()
 
-    def __hash__(self):
-        return hash(self._eq_key())
+    # Mutable builder (apply/groupby/resample mutate in place, only
+    # __getitem__ copies): defining __hash__ would let a dict/set key's
+    # hash drift after further chaining. The reference defines __eq__
+    # only (processing.py:1129), making builders unhashable — match it.
+    __hash__ = None
 
     def __setitem__(self, name: str, expr) -> None:
         """``q["c"] = q["a"] * 2`` — sugar for ``apply`` (reference
