@@ -375,10 +375,12 @@ def q_compact_roundtrip(spark, sf):
 def q_staged_finalize(spark, sf):
     """stage() / sort_and_finalize_staged_data through the versioned
     library (reference compact_incomplete + sort_merge,
-    ``version_core.cpp:2546,2400``): four interleaved out-of-order staged
+    ``version_core.cpp:2546,2400``): two interleaved out-of-order staged
     chunks k-way merge into ONE ascending version; the finalized read must
     be byte-identical to the source rows. The merge is one Spark range
-    shuffle — no driver-side chunk concatenation."""
+    shuffle — no driver-side chunk concatenation. (2 chunks instead of 4
+    per the r10 verdict: same merge semantics at ~half the fixed staging
+    cost — every timestamp region still interleaves both chunks.)"""
     import tempfile
     from arcticdb_spark.catalog import Arctic
     ev = (load_table(spark, sf, "events")
@@ -386,11 +388,11 @@ def q_staged_finalize(spark, sf):
           .select("ts", "event_id", "value").toPandas())
     ev = ev.set_index("ts").sort_index()
     lib = Arctic(tempfile.mkdtemp(), spark).create_library("stglib")
-    for r in range(4):
+    for r in range(2):
         # each chunk internally ts-sorted (validate_index), but chunks
         # interleave across the full time range — the adversarial shape
         # for the k-way merge
-        lib.stage("ev", ev[ev["event_id"] % 4 == r])
+        lib.stage("ev", ev[ev["event_id"] % 2 == r])
     lib.sort_and_finalize_staged_data("ev", "write")
     assert lib._load_ref("ev")["latest"] == 0
     return lib.read("ev").select("ts", "event_id", "value")
@@ -421,12 +423,14 @@ def q_snapshot_asof(spark, sf):
 def q_stats_prune_filter(spark, sf):
     """Column-stats zone-map pruning through the versioned read path
     (reference ColumnStats MINMAX, ``column_stats.hpp:19``; per-element
-    isin pruning ``test_column_stats_isin.py``): events written as 4
-    value-disjoint slices, MINMAX stats created, then a filter + isin
-    read that can only touch some files. In-code asserts pin that the
-    plan scanned FEWER files than the manifest holds (the 100 TB story:
-    arbitrary-column predicates prune at plan time from footer-sized
-    metadata); the returned rows let DuckDB verify values exactly."""
+    isin pruning ``test_column_stats_isin.py``): events written as 2
+    value-disjoint slices (2 instead of 4 per the r10 verdict — the
+    prune assert only needs scanned < manifest), MINMAX stats created,
+    then a filter read that can only touch some files. In-code asserts
+    pin that the plan scanned FEWER files than the manifest holds (the
+    100 TB story: arbitrary-column predicates prune at plan time from
+    footer-sized metadata); the returned rows let DuckDB verify values
+    exactly."""
     import tempfile
     from arcticdb_spark.catalog import Arctic
     ev = (load_table(spark, sf, "events")
@@ -435,8 +439,8 @@ def q_stats_prune_filter(spark, sf):
           .sort_values("event_id").reset_index(drop=True))
     n = len(ev)
     lib = Arctic(tempfile.mkdtemp(), spark).create_library(
-        "statslib", rows_per_file=max(n // 4, 1))
-    step = max(n // 4, 1)
+        "statslib", rows_per_file=max(n // 2, 1))
+    step = max(n // 2, 1)
     lib.write("ev", ev.iloc[:step])
     for i in range(step, n, step):
         lib.append("ev", ev.iloc[i:i + step])   # event_id-disjoint slices
@@ -1339,64 +1343,13 @@ def q_uint64_mixed_compare(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # ORDERING POLICY (round 4+): least-recently-driver-verified first.
-        # The driver checks only the first ~50 entries per round. Round-10
-        # sort: the NEW dynamic_backfill query (never driver-checked), then
-        # the 33 queries whose last driver row is CORRECTNESS_r08, then the
-        # 50 queries verified in CORRECTNESS_r09 in their r9 order.
-        # --- new this round ---
-        "dynamic_backfill": q_dynamic_backfill,
-        "staged_finalize": q_staged_finalize,
-        "snapshot_asof": q_snapshot_asof,
-        "stats_prune_filter": q_stats_prune_filter,
-        # --- last driver row is r08 ---
-        "salted_join": q_salted_join,
-        "simhash_dedup": q_simhash_dedup,
-        "pii_redact": q_pii_redact,
-        "categorical_roundtrip": q_categorical_roundtrip,
-        "date_range": q_date_range,
-        "head": q_head,
-        "tail": q_tail,
-        "row_range": q_row_range,
-        "concat_outer": q_concat_outer,
-        "concat_inner": q_concat_inner,
-        "merge_update_upsert": q_merge_update_upsert,
-        "update_range_surgery": q_update_range_surgery,
-        "join_revenue": q_join_revenue,
-        "anti_join": q_anti_join,
-        "except_users": q_except_users,
-        "topk_per_group": q_topk_per_group,
-        "window_lag_lead": q_window_lag_lead,
-        "uint64_filter_agg": q_uint64_filter_agg,
-        "embedding_kmeans": q_embedding_kmeans,
-        "embedding_centroids": q_embedding_centroids,
-        "ngram_top": q_ngram_top,
-        "token_frequencies": q_token_frequencies,
-        "dup_ngram_fraction": q_dup_ngram_fraction,
-        "decontaminate": q_decontaminate,
-        "cumulative_sum": q_cumulative_sum,
-        "distinct_agg": q_distinct_agg,
-        "pivot": q_pivot,
-        "percentiles": q_percentiles,
-        "set_ops": q_set_ops,
-        "rollup": q_rollup,
-        "unpivot": q_unpivot,
-        "skew_salted_agg": q_skew_salted_agg,
-        "media_frame_sample": q_media_frame_sample,
-        # --- green in CORRECTNESS_r09 on current code ---
-        "pack_chunks": q_pack_chunks,
-        "pii_scan": q_pii_scan,
-        "range_join": q_range_join,
-        "quality_repetition": q_quality_repetition,
-        "sample_split": q_sample_split,
-        "sample_stratified": q_sample_stratified,
-        "dedup_cluster": q_dedup_cluster,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_exact": q_dedup_exact,
-        "embedding_label_stats": q_embedding_label_stats,
-        "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
-        "rolling_mean": q_rolling_mean,
+        # ORDERING POLICY (round 4+): least-recently-driver-verified
+        # first. The driver checks only the first ~50 entries per
+        # round. Round-11 sort: the 37 queries whose last driver row
+        # is CORRECTNESS_r09, then the 50 verified in
+        # CORRECTNESS_r10 in their r10 order — r11 ∪ r10 covers the
+        # full registry with nothing older than one round.
+        # --- last driver row is r09 ---
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "ns_precision": q_ns_precision,
@@ -1434,6 +1387,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_resample": q_stream_resample,
         "stream_sessionize": q_stream_sessionize,
         "shuffle_shards": q_shuffle_shards,
+        # --- green in CORRECTNESS_r10 on current code ---
+        "dynamic_backfill": q_dynamic_backfill,
+        "staged_finalize": q_staged_finalize,
+        "snapshot_asof": q_snapshot_asof,
+        "stats_prune_filter": q_stats_prune_filter,
+        "salted_join": q_salted_join,
+        "simhash_dedup": q_simhash_dedup,
+        "pii_redact": q_pii_redact,
+        "categorical_roundtrip": q_categorical_roundtrip,
+        "date_range": q_date_range,
+        "head": q_head,
+        "tail": q_tail,
+        "row_range": q_row_range,
+        "concat_outer": q_concat_outer,
+        "concat_inner": q_concat_inner,
+        "merge_update_upsert": q_merge_update_upsert,
+        "update_range_surgery": q_update_range_surgery,
+        "join_revenue": q_join_revenue,
+        "anti_join": q_anti_join,
+        "except_users": q_except_users,
+        "topk_per_group": q_topk_per_group,
+        "window_lag_lead": q_window_lag_lead,
+        "uint64_filter_agg": q_uint64_filter_agg,
+        "embedding_kmeans": q_embedding_kmeans,
+        "embedding_centroids": q_embedding_centroids,
+        "ngram_top": q_ngram_top,
+        "token_frequencies": q_token_frequencies,
+        "dup_ngram_fraction": q_dup_ngram_fraction,
+        "decontaminate": q_decontaminate,
+        "cumulative_sum": q_cumulative_sum,
+        "distinct_agg": q_distinct_agg,
+        "pivot": q_pivot,
+        "percentiles": q_percentiles,
+        "set_ops": q_set_ops,
+        "rollup": q_rollup,
+        "unpivot": q_unpivot,
+        "skew_salted_agg": q_skew_salted_agg,
+        "media_frame_sample": q_media_frame_sample,
+        "pack_chunks": q_pack_chunks,
+        "pii_scan": q_pii_scan,
+        "range_join": q_range_join,
+        "quality_repetition": q_quality_repetition,
+        "sample_split": q_sample_split,
+        "sample_stratified": q_sample_stratified,
+        "dedup_cluster": q_dedup_cluster,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_exact": q_dedup_exact,
+        "embedding_label_stats": q_embedding_label_stats,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "rolling_mean": q_rolling_mean,
     }
 
 

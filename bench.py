@@ -108,6 +108,9 @@ def _write_bench(spark, sf_dir: str) -> dict:
     basic_functions.py / finalize_staged_data.py): full lineitem write,
     strictly-after append of the last events day, and a 10-chunk staged
     write + sort_and_finalize. Temp-library backed; never fails the bench.
+    min-of-2 like the query suite — the r10→r11 bisect showed a single-shot
+    write swinging ±30% (1.28–1.80 s) while the profiled steady state was
+    byte-identical across rounds.
     """
     import shutil
     import tempfile
@@ -115,35 +118,46 @@ def _write_bench(spark, sf_dir: str) -> dict:
     from arcticdb_spark.catalog import Arctic
     from arcticdb_spark.sources import tables as _tables
     out: dict[str, float] = {}
-    root = tempfile.mkdtemp(prefix="arctic_bench_")
-    try:
-        lib = Arctic(root, spark).create_library("bench")
-        li = _tables.load_table(spark, sf_dir, "lineitem")
-        t0 = time.perf_counter()
-        lib.write("li", li, index_column="l_shipdate")
-        out["write_lineitem"] = round(time.perf_counter() - t0, 4)
 
-        ev = _tables.load_table(spark, sf_dir, "events")
-        import pandas as pd
-        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
-        cut_ts = pd.Timestamp(lo) + (pd.Timestamp(hi) - pd.Timestamp(lo)) * 0.8
-        lib.write("ev", ev.filter(F.col("ts") < cut_ts), index_column="ts")
-        tail = ev.filter(F.col("ts") >= cut_ts)
-        t0 = time.perf_counter()
-        lib.append("ev", tail)
-        out["append_events"] = round(time.perf_counter() - t0, 4)
+    def _keep(name, t0):
+        dt = round(time.perf_counter() - t0, 4)
+        if name not in out or dt < out[name]:
+            out[name] = dt
 
-        chunks = ev.withColumn("__c", F.pmod(F.col("event_id"), F.lit(10)))
-        t0 = time.perf_counter()
-        for i in range(10):
-            lib.stage("staged", chunks.filter(F.col("__c") == i).drop("__c"))
-        lib.sort_and_finalize_staged_data("staged")
-        out["finalize_staged_10"] = round(time.perf_counter() - t0, 4)
-    except Exception as e:
-        print(f"# write bench failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    for _pass in range(2):
+        root = tempfile.mkdtemp(prefix="arctic_bench_")
+        try:
+            lib = Arctic(root, spark).create_library("bench")
+            li = _tables.load_table(spark, sf_dir, "lineitem")
+            t0 = time.perf_counter()
+            lib.write("li", li, index_column="l_shipdate")
+            _keep("write_lineitem", t0)
+
+            ev = _tables.load_table(spark, sf_dir, "events")
+            import pandas as pd
+            lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+            cut_ts = (pd.Timestamp(lo)
+                      + (pd.Timestamp(hi) - pd.Timestamp(lo)) * 0.8)
+            lib.write("ev", ev.filter(F.col("ts") < cut_ts),
+                      index_column="ts")
+            tail = ev.filter(F.col("ts") >= cut_ts)
+            t0 = time.perf_counter()
+            lib.append("ev", tail)
+            _keep("append_events", t0)
+
+            chunks = ev.withColumn("__c",
+                                   F.pmod(F.col("event_id"), F.lit(10)))
+            t0 = time.perf_counter()
+            for i in range(10):
+                lib.stage("staged",
+                          chunks.filter(F.col("__c") == i).drop("__c"))
+            lib.sort_and_finalize_staged_data("staged")
+            _keep("finalize_staged_10", t0)
+        except Exception as e:
+            print(f"# write bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
     return out
 
 
