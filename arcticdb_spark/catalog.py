@@ -3075,15 +3075,30 @@ class Library:
         # column_stats_filter.cpp Kleene evaluation)
         if query_builder is not None:
             clauses = getattr(query_builder, "_clauses", [])
-            first_non_dr = next(
-                (c for c in clauses if c[0] != "date_range"), None)
-            if first_non_dr is not None and first_non_dr[0] == "filter":
+            # AND-merge the LEADING run of FilterClauses (reference
+            # query_planner.cpp:32-58 and_filter_expression_contexts merges
+            # adjacent filters before stats evaluation) so q[a][b] prunes
+            # on BOTH conjuncts. date_range clauses interleave freely —
+            # they only remove rows, never change column semantics; the
+            # merge stops at the first row-shape/projection clause.
+            lead_filter_exprs = []
+            for kind_c, args_c in clauses:
+                if kind_c == "date_range":
+                    continue
+                if kind_c == "filter":
+                    lead_filter_exprs.append(args_c["expr"])
+                    continue
+                break
+            if lead_filter_exprs:
                 stats = self.get_column_stats(symbol, as_of=as_of)
                 if stats:
+                    from arcticdb_spark.expr import BinaryOp
                     from arcticdb_spark.plans.stats_prune import \
                         prune_files_by_stats
-                    files = prune_files_by_stats(files, stats,
-                                                 first_non_dr[1]["expr"])
+                    merged = lead_filter_exprs[0]
+                    for e in lead_filter_exprs[1:]:
+                        merged = BinaryOp("AND", merged, e)
+                    files = prune_files_by_stats(files, stats, merged)
             # positional pruning for a LEADING head/tail/row_range clause:
             # cumulative row offsets identify the files containing the
             # requested positions (reference RowRangeClause
