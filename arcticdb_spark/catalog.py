@@ -1256,18 +1256,33 @@ class Library:
                    .write.mode("overwrite").partitionBy("__slice__")
                    .parquet(out_dir))
                 sliced_write = True
-            elif rows_hint is not None and rows_hint > self.rows_per_file:
-                # approximate (quantile) slicing sized to the target —
-                # the scale path (staged finalize of arbitrarily large
-                # chunk sets)
-                n_parts = -(-rows_hint // self.rows_per_file)
+            elif rows_hint is not None:
+                # approximate (quantile) slicing sized to the target — the
+                # scale path (staged finalize of arbitrarily large chunk
+                # sets). n_parts=1 for sub-segment inputs: a chunk smaller
+                # than rows_per_file is ONE segment (reference
+                # segment_row_size contract) — without the explicit count,
+                # repartitionByRange inherits shuffle.partitions and a
+                # 125-row append fragments into 32 four-row files, a 32x
+                # tiny-file/footer amplification at scale
+                n_parts = max(1, -(-rows_hint // self.rows_per_file))
                 df = (df.repartitionByRange(n_parts, F.col(index_column))
                         .sortWithinPartitions(index_column,
                                               *(tiebreak_cols or [])))
             else:
+                # no hint (cluster-scale Spark-frame input): the cluster's
+                # own partitioning stands
                 df = (df.repartitionByRange(F.col(index_column))
                         .sortWithinPartitions(index_column,
                                               *(tiebreak_cols or [])))
+        elif rows_hint is not None:
+            # rowcount / UNSORTED / DESCENDING writes preserve input row
+            # order, so no shuffle — but still size segments: coalesce
+            # (order-preserving, reduce-only) to the rows_per_file target,
+            # else createDataFrame's default parallelism fragments a
+            # 125-row chunk into 32 four-row files (tiny-file/footer
+            # amplification measured by tools/scale_probe prune section)
+            df = df.coalesce(max(1, -(-rows_hint // self.rows_per_file)))
         if not sliced_write:
             df.write.mode("overwrite").parquet(out_dir)
         if sliced_write:

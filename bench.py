@@ -71,6 +71,7 @@ def main():
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     recall = _ann_recall(spark, sf_dir)
     writes = _write_bench(spark, sf_dir)
+    asv = _asv_qb_bench(spark)
     duck = _duckdb_head_to_head(entry_mod, sf_dir)
     # full payload (DuckDB head-to-head detail) goes to BENCH_DETAIL.json;
     # stdout gets ONE compact line (3-decimal, no spaces, ~1.4 kB) because
@@ -81,6 +82,7 @@ def main():
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "ann_recall": recall,
         "write": writes,
+        "asv_qb": asv,
         "duckdb": duck,
         "duckdb_total": round(sum(t for t in duck.values() if t >= 0), 4),
     }
@@ -98,6 +100,7 @@ def main():
         "sf": detail["sf"],
         "ann_recall": recall,
         "write": {n: round(t, 2) for n, t in writes.items()},
+        "asv_qb": {n: round(t, 2) for n, t in asv.items()},
         "duckdb_total": detail["duckdb_total"],
     }
     print(json.dumps(compact, separators=(",", ":")))
@@ -158,6 +161,70 @@ def _write_bench(spark, sf_dir: str) -> dict:
                   file=sys.stderr)
         finally:
             shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _asv_qb_bench(spark) -> dict:
+    """Reference db-benchmark-shaped ASV scenario as a LOCAL perf pin
+    (reference ``python/benchmarks/query_builder.py:86-199`` QueryBuilder
+    queries, datagen ``python/benchmarks/common.py:60-79``
+    generate_benchmark_df): a 9-column frame at 1M rows written once, then
+    q1 / q3 / q4 / adv-q2 through our QueryBuilder with pandas
+    materialization (the reference asserts on ``result.data``). This is a
+    STABLE apples-to-apples series across rounds — registry churn and the
+    lifecycle queries can't distort it. min-of-3 (ASV rounds=3).
+    Deterministic rng seed so every round times the same bytes."""
+    import shutil
+    import tempfile
+    import numpy as np
+    import pandas as pd
+    from arcticdb_spark.catalog import Arctic
+    from arcticdb_spark.query import QueryBuilder
+
+    n = 1_000_000
+    k = n // 10
+    rng = np.random.default_rng(42)
+    dt = pd.DataFrame({
+        "id1": rng.choice([f"id{str(i).zfill(3)}" for i in range(1, k + 1)], n),
+        "id2": rng.choice([f"id{str(i).zfill(3)}" for i in range(1, k + 1)], n),
+        "id3": rng.choice([f"id{str(i).zfill(10)}"
+                           for i in range(1, n // k + 1)], n),
+        "id4": rng.choice(range(1, k + 1), n),
+        "id5": rng.choice(range(1, k + 1), n),
+        "id6": rng.choice(range(1, n // k + 1), n),
+        "v1": rng.choice(range(1, 6), n),
+        "v2": rng.choice(range(1, 16), n),
+        "v3": np.round(rng.uniform(0, 100, n), 6),
+    }, index=pd.date_range(end="1/1/2023", periods=n, freq="min"))
+
+    # same queries, same names as https://duckdblabs.github.io/db-benchmark/
+    scenarios = {
+        "qb_query_1": ("id1", {"v1": "sum"}),
+        "qb_query_3": ("id3", {"v1": "sum", "v3": "sum"}),
+        "qb_query_4": ("id6", {"v1": "sum", "v2": "sum"}),
+        "qb_adv_query_2": ("id3", {"v1": "max", "v2": "min"}),
+    }
+    out: dict[str, float] = {}
+    root = tempfile.mkdtemp(prefix="arctic_asv_")
+    try:
+        lib = Arctic(root, spark).create_library("asv")
+        lib.write("sym-1000000", dt)
+        for _round in range(3):
+            for name, (col, aggs) in scenarios.items():
+                q = QueryBuilder()
+                q = q.groupby(col).agg(aggs)
+                t0 = time.perf_counter()
+                res = lib.read("sym-1000000", query_builder=q,
+                               output_format="pandas")
+                dtt = round(time.perf_counter() - t0, 4)
+                assert not res.empty
+                if name not in out or dtt < out[name]:
+                    out[name] = dtt
+    except Exception as e:
+        print(f"# asv qb bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return out
 
 

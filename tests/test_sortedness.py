@@ -216,12 +216,16 @@ def test_sort_index_repairs_descending(tmp_lib):
     assert out.count() == 4
 
 
-def test_unsorted_multifile_write_preserves_original_row_order(tmp_lib):
+def test_unsorted_multifile_write_preserves_original_row_order(spark, tmp_path):
     """Reference keeps INPUT row order for unsorted data across segment
     boundaries (test_append.py mix-order cases): a multi-file unsorted
     write must read back in exactly the order given, not ts-of-file order.
-    2000 rows shuffled deterministically spread over many part files on
-    local[32]."""
+    rows_per_file=500 forces 4 segments for 2000 rows (segment sizing is
+    contractual since the coalesce fix — fragmentation is no longer an
+    accident of default parallelism)."""
+    from arcticdb_spark.catalog import Arctic
+    tmp_lib = Arctic(str(tmp_path), spark).create_library(
+        "sortlib", rows_per_file=500)
     rng = np.random.default_rng(11)
     n = 2000
     perm = rng.permutation(n)
@@ -236,7 +240,10 @@ def test_unsorted_multifile_write_preserves_original_row_order(tmp_lib):
     assert list(back.index) == list(df.index)
 
 
-def test_descending_multifile_write_preserves_original_row_order(tmp_lib):
+def test_descending_multifile_write_preserves_original_row_order(spark, tmp_path):
+    from arcticdb_spark.catalog import Arctic
+    tmp_lib = Arctic(str(tmp_path), spark).create_library(
+        "sortlib", rows_per_file=500)
     n = 2000
     idx = pd.date_range("2024-01-01", periods=n, freq="1min",
                         name="ts")[::-1]
