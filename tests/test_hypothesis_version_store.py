@@ -80,6 +80,7 @@ class VersionStoreMachine(RuleBasedStateMachine):
         self.meta: dict = {}    # sym -> {v: metadata} (per-version, verbatim)
         self.staged: dict = {}  # sym -> [chunk frames] (unfinalized)
         self.kind: dict = {}    # sym -> {v: "row" | "dt"} (index kind)
+        self.col_stats: dict = {}  # sym -> {v} with a stats sidecar
 
     # ---- model helpers --------------------------------------------------
     def _pins(self, sym):
@@ -320,6 +321,26 @@ class VersionStoreMachine(RuleBasedStateMachine):
         self.latest[sym] = m.version
         self.staged[sym] = []
 
+    @rule(sym=st.sampled_from(_SYMS))
+    def create_stats(self, sym):
+        """Round-11 extension (r10 verdict item 6): MINMAX column stats
+        on the latest version, interleaved with every lifecycle rule. The
+        sidecar is keyed per-version (catalog.py _stats/v{version}.json),
+        which makes stale-stats mispruning after write/append/restore
+        structurally impossible — the invariants below encode that so a
+        refactor can't lose it."""
+        if self.latest.get(sym) is None:
+            return
+        self.lib.create_column_stats(sym, ["v"])
+        self.col_stats.setdefault(sym, set()).add(self.latest[sym])
+
+    @rule(sym=st.sampled_from(_SYMS))
+    def drop_stats(self, sym):
+        if self.latest.get(sym) is None:
+            return
+        self.lib.drop_column_stats(sym)
+        self.col_stats.get(sym, set()).discard(self.latest[sym])
+
     def _release(self, pins):
         """Snapshot GC model: a tombstoned / symbol-deleted version whose
         LAST pin is released is purged (reference
@@ -388,6 +409,41 @@ class VersionStoreMachine(RuleBasedStateMachine):
                     expect.setdefault(str(snap[sym]), []).append(name)
             got = self.lib._load_pins(sym)
             assert got == {k: sorted(v) for k, v in expect.items()}, sym
+
+    @invariant()
+    def stats_keyed_per_version(self):
+        # a version's stats sidecar exists for EXACTLY the versions where
+        # create_column_stats ran: a new write/append/restore never
+        # inherits the previous version's stats (per-version keying), and
+        # drop removes only its own version's sidecar
+        for sym, states in self.state.items():
+            pins = self._pins(sym)
+            have = self.col_stats.get(sym, set())
+            for v, stt in states.items():
+                if stt == PURGED or (stt == TOMB and v not in pins):
+                    continue   # unreadable: resolve raises before stats
+                got = self.lib.get_column_stats(sym, as_of=v)
+                assert (got is not None) == (v in have), (sym, v)
+
+    @invariant()
+    def pruned_reads_equal_unpruned(self):
+        # zone-map pruning must be invisible in results: a filtered read
+        # of a stats-bearing version equals the model (= unpruned truth)
+        from arcticdb_spark.query import QueryBuilder
+        for sym, have in self.col_stats.items():
+            pins = self._pins(sym)
+            for v in have:
+                stt = self.state.get(sym, {}).get(v)
+                if stt == PURGED or (stt == TOMB and v not in pins):
+                    continue
+                vals = self.vals[sym][v]
+                cut = sorted(vals)[len(vals) // 2]
+                q = QueryBuilder()
+                q = q[q["v"] >= cut]
+                out = self.lib.read(sym, as_of=v, query_builder=q,
+                                    output_format="pandas")
+                assert out["v"].tolist() == [x for x in vals
+                                             if x >= cut], (sym, v)
 
     @invariant()
     def snapshot_reads_match(self):
