@@ -4370,8 +4370,11 @@ class Library:
             for d in self._fs.listdir(self.root):
                 if d.startswith("_") or d in live:
                     continue
-                if self._fs.exists(self._fs.join(self._sym_dir(d),
-                                                 "_pins.json")):
+                # _load_pins (not a raw sidecar-existence check) so a
+                # legacy library's snapshot-pinned deleted symbols are
+                # re-derived from the snapshot manifests and still listed
+                if (self._fs.isdir(self._sym_dir(d))
+                        and self._load_pins(d)):
                     syms.append(d)
         out = []
         for s in syms:

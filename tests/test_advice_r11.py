@@ -123,6 +123,22 @@ class TestLegacyPinBackfill:
         lib.delete("s")
         assert lib.read("s", as_of="legacy", output_format="pandas")["a"].tolist() == [7]
 
+    def test_list_versions_shows_legacy_pinned_deleted_symbol(self,
+                                                              tmp_lib):
+        tmp_lib.write("s", pd.DataFrame({"a": [1]}, index=_dtidx(1)))
+        tmp_lib.snapshot("legacy")
+        tmp_lib.delete("s")
+        # strip explicitly: "s" is no longer in list_symbols after delete
+        p = tmp_lib._pins_path("s")
+        assert tmp_lib._fs.exists(p)
+        tmp_lib._fs.remove(p)
+        # the deleted-but-pinned symbol dir has no sidecar; list_versions
+        # must still surface its tombstone row via the lazy backfill
+        lib = self._reopen(tmp_lib)
+        rows = lib.list_versions()
+        assert [(r["symbol"], r["version"], r["deleted"]) for r in rows] \
+            == [("s", 0, True)]
+
     def test_no_snapshots_no_walk_cost(self, tmp_lib):
         # a symbol in no snapshot stays pin-free and the walk result is
         # memoized (second call hits the session memo, not the fs)
