@@ -445,8 +445,12 @@ def q_stats_prune_filter(spark, sf):
     for i in range(step, n, step):
         lib.append("ev", ev.iloc[i:i + step])   # event_id-disjoint slices
     lib.create_column_stats("ev", ["event_id"])
+    # top-quarter cut, data-relative so the prune assert holds at EVERY
+    # sf (event_id is dense 0..n-1; a fixed 6000 matched nothing at
+    # sf0.001 and pruned ALL files, leaving no parquet scan to assert on)
+    cut = 3 * n // 4
     q = QueryBuilder()
-    q = q[q["event_id"] >= 6000]
+    q = q[q["event_id"] >= cut]
     out = lib.read("ev", query_builder=q)
     total = len(lib._load_manifest("ev", lib._load_ref("ev")["latest"]).files)
     import re as _re
@@ -1758,8 +1762,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value FROM events WHERE event_id < 6000
         """,
         "stats_prune_filter": """
+            -- same data-relative top-quarter cut as the Spark side
+            -- (event_id is dense 0..n-1, so 3*count//4 = the cut value)
             SELECT event_id, value FROM events
-            WHERE event_id >= 6000 AND event_id < 8000
+            WHERE event_id < 8000
+              AND event_id >= (SELECT (3 * COUNT(*)) // 4
+                               FROM events WHERE event_id < 8000)
         """,
         "dynamic_backfill": """
 WITH base AS (
