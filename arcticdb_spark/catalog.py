@@ -3179,8 +3179,10 @@ class Library:
                     keep = [idx] + keep
                 empty = empty.select(keep)
             out = query_builder.to_df(empty, idx) if query_builder else empty
-            return self._format_output(out, output_format, m.norm_meta,
-                                       undecided_index=_index_undecided(m))
+            return self._format_output(
+                out, output_format, m.norm_meta,
+                undecided_index=_index_undecided(m),
+                group_index_cols=self._groupby_index_cols(query_builder))
 
         # scan with the manifest's schema, grouped by schema epoch
         # (_scan_files): files written before a dynamic-schema widening are
@@ -3236,7 +3238,9 @@ class Library:
                 df = df.orderBy(ROW_ID)
             if not with_row_ids:
                 df = df.drop(ROW_ID)
-        return self._format_output(df, output_format, m.norm_meta)
+        return self._format_output(
+            df, output_format, m.norm_meta,
+            group_index_cols=self._groupby_index_cols(query_builder))
 
     def _read_with_incompletes(self, symbol: str, as_of=None,
                                date_range: tuple | None = None,
@@ -3308,11 +3312,29 @@ class Library:
             df = df.select([c for c in keep if c in df.columns])
         if query_builder is not None:
             df = query_builder.to_df(df, idx)
-        return self._format_output(df, output_format, norm_meta)
+        return self._format_output(
+            df, output_format, norm_meta,
+            group_index_cols=self._groupby_index_cols(query_builder))
+
+    @staticmethod
+    def _groupby_index_cols(query_builder) -> list | None:
+        """Reference groupby presentation: the grouping column becomes the
+        pandas-output INDEX (reference pipeline sets the output index to
+        the group key — test_query_builder_sparse.py test_groupby compares
+        against ``df.groupby(col).agg(...)`` directly). The LAST
+        groupby_agg in the clause chain decides; multi-key (extension)
+        restores a MultiIndex."""
+        keys = None
+        for kind_c, args_c in getattr(query_builder, "_clauses", None) or []:
+            if kind_c == "groupby_agg":
+                k = args_c["keys"]
+                keys = [k] if isinstance(k, str) else list(k)
+        return keys
 
     @staticmethod
     def _format_output(df: DataFrame, output_format: str, norm_meta=None,
-                       undecided_index: bool = False):
+                       undecided_index: bool = False,
+                       group_index_cols: list | None = None):
         if norm_meta and norm_meta.get("index_type") == "ndarray":
             # reference NdArrayNormalizer.denormalize: reshape the flat
             # column back to the stored shape — for every output format
@@ -3415,6 +3437,13 @@ class Library:
                                   else float(orig) if kind == "float"
                                   else orig)
                 pdf = pdf.rename(columns=back)
+            if (group_index_cols
+                    and all(c in pdf.columns for c in group_index_cols)):
+                # groupby output: the group key(s) become the index like
+                # the reference (and pandas groupby().agg())
+                pdf = pdf.set_index(group_index_cols
+                                    if len(group_index_cols) > 1
+                                    else group_index_cols[0])
             s = (norm_meta or {}).get("series")
             if s and s["col"] in pdf.columns:
                 # reference SeriesNormalizer.denormalize: back to a Series
@@ -3575,12 +3604,53 @@ class Library:
             # problem as the ns index — record them so finalize carries
             # the marker into the manifest and incomplete reads restore
             side["uint64"] = list(nm["uint64"])
+        if nm.get("tzs"):
+            # tz-aware datetime columns/index levels are stored UTC-naive
+            # (like write); the zone map must ride the chunk sidecar or
+            # finalize would lose it (reference compact keeps the staged
+            # segments' index_norm.tz — test_query_builder_sparse.py
+            # stages tz-aware UTC frames and reads them back tz-aware)
+            side["tzs"] = dict(nm["tzs"])
         if side:
             with open(os.path.join(out, "_asdb_staged_meta.json"), "w") as fh:
                 json.dump(side, fh)
         segs = sorted(os.path.join(out, fn) for fn in os.listdir(out)
                       if fn.endswith(".parquet"))
         return StageResult(symbol, segs)
+
+    def _read_staged_promoting(self, seg_files: list[str]) -> DataFrame:
+        """Dynamic-schema staged union with numeric PROMOTION (reference
+        compact under dynamic schema widens types like append does,
+        test_query_builder_sparse_dynamic_schema_type_change): group the
+        segments by physical schema, fold the groups through the same
+        promotion table as append's dynamic widening (_merge_schema /
+        promote_types), cast each group to the merged schema, and
+        unionByName with NULL backfill for added columns. Spark's
+        mergeSchema alone cannot do this — it rejects FLOAT vs DOUBLE."""
+        from pyspark.sql import types as T
+        groups: dict[str, list[str]] = {}
+        schemas: dict[str, T.StructType] = {}
+        for f in seg_files:
+            sch = self.spark.read.parquet(f).schema   # footer-only, lazy
+            key = sch.json()
+            groups.setdefault(key, []).append(f)
+            schemas[key] = sch
+        keys = list(groups)
+        merged_json = keys[0]
+        for k in keys[1:]:
+            merged_json = self._merge_schema(merged_json, schemas[k])
+        merged = T.StructType.fromJson(json.loads(merged_json))
+        out = None
+        for k in keys:
+            part = self.spark.read.schema(schemas[k]).parquet(*groups[k])
+            have = {f.name for f in schemas[k].fields}
+            part = part.select(*[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in have else
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in merged.fields])
+            out = part if out is None else out.unionByName(part)
+        return out
 
     def _staged_segment_files(self, symbol: str) -> list[str]:
         stg = self._staging_dir(symbol)
@@ -3602,6 +3672,7 @@ class Library:
         out: dict = {}
         u64: set = set()
         fakes: list[bool] = []
+        tzs: dict = {}
         for d in sorted({os.path.dirname(f) for f in seg_files}):
             p = os.path.join(d, "_asdb_staged_meta.json")
             if os.path.exists(p):
@@ -3610,12 +3681,18 @@ class Library:
                 u64 |= set(data.pop("uint64", []))
                 if "fake_name" in data:
                     fakes.append(bool(data.pop("fake_name")))
+                for c, tz in (data.pop("tzs", None) or {}).items():
+                    # first chunk's zone wins on disagreement (values are
+                    # stored UTC either way; only the display zone varies)
+                    tzs.setdefault(c, tz)
                 out.update(data)
         if u64:
             out["uint64"] = sorted(u64)
         if fakes:
             # the restored index is unnamed only if EVERY chunk's was
             out["fake_name"] = all(fakes)
+        if tzs:
+            out["tzs"] = tzs
         return out or None
 
     @staticmethod
@@ -3716,19 +3793,26 @@ class Library:
                 f"E_NO_STAGED_SEGMENTS Finalizing staged data is not "
                 f"allowed with empty staging area (symbol {symbol!r})")
         try:
-            df = self.spark.read.option("mergeSchema", "true").parquet(*seg_files)
+            if not self.dynamic_schema:
+                # static schema: chunks with drifted column sets/types are
+                # rejected like the reference's E_DESCRIPTOR_MISMATCH
+                # (hypothesis test_sort_merge.py assert_staged_columns_are_
+                # incompatible) — BEFORE the read, so a type drift raises
+                # SchemaException instead of Spark's CANNOT_MERGE_SCHEMAS
+                self._validate_staged_static_schemas(seg_files)
+                df = self.spark.read.option("mergeSchema",
+                                            "true").parquet(*seg_files)
+            else:
+                # dynamic schema: Spark's mergeSchema only unions ADDED
+                # columns, it cannot promote numeric types (a float32
+                # chunk + float64 chunk fails) — widen through the
+                # engine's promotion table instead
+                df = self._read_staged_promoting(seg_files)
             sinfo = self._staged_index_info(seg_files) or {}
             u64_cols = set(sinfo.get("uint64") or [])
             self._staged_uint64_check(seg_files, u64_cols)
             idx = self._detect_index(df, index_column
                                      or sinfo.get("index_column"))
-            if not self.dynamic_schema:
-                # static schema: chunks with drifted column sets/types are
-                # rejected like the reference's E_DESCRIPTOR_MISMATCH
-                # (hypothesis test_sort_merge.py assert_staged_columns_are_
-                # incompatible) — the mergeSchema union above would
-                # otherwise silently NULL-pad
-                self._validate_staged_static_schemas(seg_files)
             if not sort and validate_index and idx is not None:
                 # non-sorting finalize requires the staged segments to be
                 # ordered and non-overlapping among themselves (reference
@@ -3853,6 +3937,8 @@ class Library:
                     nm_out["index_ns"] = True
                 if u64_cols:
                     nm_out["uint64"] = sorted(u64_cols)
+                if sinfo.get("tzs"):
+                    nm_out["tzs"] = sinfo["tzs"]
                 if idx and sinfo.get("index_type") == "datetime":
                     # pandas-staged chunks: restore the DatetimeIndex on
                     # pandas output like a direct write would

@@ -165,10 +165,10 @@ class TestDynamicSchemaAggregation:
             "g": ["a", "b", "c"], "v": [1.0, 2.0, 3.0]}))
         q = QueryBuilder().groupby("g").agg({"v": "sum"})
         out = (lib.read("sym", query_builder=q, output_format="pandas")
-               .sort_values("g"))
+               .sort_index())   # group key is the index like the reference
         # group "a": one real value 1.0 + one NULL-backfilled row -> 1.0;
         # sum-of-nothing stays 0 per the reference's SumAggregator default
-        assert out["g"].tolist() == ["a", "b", "c"]
+        assert out.index.tolist() == ["a", "b", "c"]
         assert out["v"].tolist() == [1.0, 2.0, 3.0]
 
     def test_sum_group_with_no_values_is_zero(self, spark, tmp_path):
@@ -182,7 +182,7 @@ class TestDynamicSchemaAggregation:
             "g": ["real"], "v": [7.0]}))
         q = QueryBuilder().groupby("g").agg({"v": "sum"})
         out = (lib.read("sym", query_builder=q, output_format="pandas")
-               .sort_values("g").reset_index(drop=True))
+               .sort_index())   # group key is the index like the reference
         assert out["v"].tolist() == [0.0, 7.0]
 
 

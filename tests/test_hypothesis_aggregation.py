@@ -68,10 +68,9 @@ _AGGS = {"mean": ("agg_column", "mean"), "sum": ("agg_column", "sum"),
 
 def _run_engine(lib, symbol):
     q = QueryBuilder().groupby("grouping_column").agg(dict(_AGGS))
+    # pandas output puts the group key on the INDEX like the reference
     out = lib.read(symbol, query_builder=q, output_format="pandas")
-    return (out.set_index("grouping_column")
-            .reindex(columns=sorted(c for c in out.columns
-                                    if c != "grouping_column"))
+    return (out.reindex(columns=sorted(out.columns))
             .sort_index())
 
 
@@ -123,7 +122,7 @@ def test_aggregation_strings(data):
     q = QueryBuilder().groupby("grouping_column").agg(
         {"count": ("agg_column", "count")})
     out = (lib.read("sym", query_builder=q, output_format="pandas")
-           .set_index("grouping_column").sort_index())
+           .sort_index())
     expected = pdf.groupby("grouping_column").agg(
         None, count=("agg_column", "count")).sort_index()
     assert out["count"].astype("int64").tolist() == \
