@@ -234,12 +234,52 @@ class ExpressionNode:
     def __ge__(self, other): return BinaryOp("GE", self, _wrap(other))
 
     # -- boolean --
-    def __and__(self, other):  return BinaryOp("AND", self, _wrap(other))
-    def __rand__(self, other): return BinaryOp("AND", _wrap(other), self)
-    def __or__(self, other):   return BinaryOp("OR", self, _wrap(other))
-    def __ror__(self, other):  return BinaryOp("OR", _wrap(other), self)
-    def __xor__(self, other):  return BinaryOp("XOR", self, _wrap(other))
-    def __rxor__(self, other): return BinaryOp("XOR", _wrap(other), self)
+    # plain-bool operands SHORT-CIRCUIT at build time exactly like the
+    # reference (processing.py:152-173): `expr & True` is `expr`,
+    # `expr & False` collapses to the literal False (which QueryBuilder
+    # refuses to filter by), `expr | True` to True, `expr ^ True` to
+    # `~expr` — pinned by the ported test_filter_bool_short_circuiting.
+    def __and__(self, other):
+        if other is True:
+            return self
+        if other is False:
+            return False
+        return BinaryOp("AND", self, _wrap(other))
+
+    def __rand__(self, other):
+        if other is True:
+            return self
+        if other is False:
+            return False
+        return BinaryOp("AND", _wrap(other), self)
+
+    def __or__(self, other):
+        if other is True:
+            return True
+        if other is False:
+            return self
+        return BinaryOp("OR", self, _wrap(other))
+
+    def __ror__(self, other):
+        if other is True:
+            return True
+        if other is False:
+            return self
+        return BinaryOp("OR", _wrap(other), self)
+
+    def __xor__(self, other):
+        if other is True:
+            return UnaryOp("NOT", self)
+        if other is False:
+            return self
+        return BinaryOp("XOR", self, _wrap(other))
+
+    def __rxor__(self, other):
+        if other is True:
+            return UnaryOp("NOT", self)
+        if other is False:
+            return self
+        return BinaryOp("XOR", _wrap(other), self)
     def __invert__(self):      return UnaryOp("NOT", self)
 
     def __bool__(self):

@@ -76,6 +76,14 @@ class QueryBuilder:
             new._clauses = list(self._clauses) + [("filter",
                                                    {"expr": item})]
             return new
+        if isinstance(item, bool):
+            # a short-circuited constant filter (expr & False, expr | True)
+            # reaches here as a plain bool — the reference refuses it
+            # (ArcticNativeException on q[True]/q[False])
+            from arcticdb_spark.exceptions import InternalException
+            raise InternalException(
+                "Filtering by a constant boolean is not supported (a "
+                "boolean short-circuit collapsed the expression)")
         raise TypeError(f"QueryBuilder[{type(item).__name__}] unsupported")
 
     def __copy__(self):
