@@ -45,6 +45,8 @@ from pyspark.sql import functions as F
 
 from arcticdb_spark.plans.rowid import ROW_ID
 
+ORIG_POS = "__orig_pos__"
+
 
 class ArcticException(Exception):
     pass
@@ -3173,10 +3175,15 @@ class Library:
             empty = _attach_uint64_marker(empty, m.norm_meta)
             if idx and (m.norm_meta or {}).get("index_ns"):
                 empty = _attach_ns_view(empty, idx)
-            if columns:
+            if columns is not None:   # columns=[] = index only (reference)
                 keep = [c for c in columns if c in empty.columns]
-                if idx and idx in empty.columns and idx not in keep:
-                    keep = [idx] + keep
+                nm_r = m.norm_meta or {}
+                idx_cols = (nm_r.get("physical")
+                            if nm_r.get("index_type") == "multiindex"
+                            else ([idx] if idx else []))
+                for c in reversed(idx_cols or []):
+                    if c in empty.columns and c not in keep:
+                        keep = [c] + keep
                 empty = empty.select(keep)
             out = query_builder.to_df(empty, idx) if query_builder else empty
             return self._format_output(
@@ -3224,22 +3231,54 @@ class Library:
             # are silently ignored like the reference
             # (read_pipeline.hpp:125 generate_filtered_field_descriptors)
             keep = [c for c in columns if c in df.columns]
-            if idx and idx not in keep:
-                keep = [idx] + keep  # index force-included (version_core.cpp:1285)
+            # index force-included (version_core.cpp:1285) — for a
+            # MultiIndex that is EVERY demoted level column, so
+            # columns=[] still restores the full index (reference
+            # test_read_index.py TestBasicReadIndex)
+            nm_r = m.norm_meta or {}
+            idx_cols = (nm_r.get("physical")
+                        if nm_r.get("index_type") == "multiindex"
+                        else ([idx] if idx else []))
+            for c in reversed(idx_cols or []):
+                if c in df.columns and c not in keep:
+                    keep = [c] + keep
             if index_ns:
                 keep.append(ns_shadow_col(idx))
             if need_row_id:
                 keep.append(ROW_ID)
             df = df.select(keep)
+        # positional slicing of a RangeIndex symbol restores ORIGINAL
+        # positions (reference test_read_index.py: row_range/head/tail
+        # with columns=[] gives df.iloc[a:b].index, start offset and step
+        # preserved) — carried in a dedicated column because the tail
+        # kernel REBASES ROW_ID for clause chaining; a FILTER re-numbers
+        # instead (the reference resets the rowcount index on filtered
+        # reads, test_filtering generic_filter_test).
+        qb_clauses = getattr(query_builder, "_clauses", []) \
+            if query_builder is not None else []
+        range_positions = (
+            output_format == "pandas" and not with_row_ids
+            and (m.norm_meta or {}).get("index_type") in (None, "range")
+            and not (m.norm_meta or {}).get("series")
+            and idx is None
+            and ROW_ID in df.columns
+            and (row_range is not None
+                 or any(k in ("head", "tail", "row_range")
+                        for k, _ in qb_clauses))
+            and not any(k in ("filter", "groupby_agg", "resample_agg")
+                        for k, _ in qb_clauses))
+        if range_positions:
+            df = df.withColumn(ORIG_POS, F.col(ROW_ID))
         if query_builder is not None:
             df = query_builder.to_df(df, idx)
         if ROW_ID in df.columns:
-            if order_out:
+            if order_out or range_positions:
                 df = df.orderBy(ROW_ID)
             if not with_row_ids:
                 df = df.drop(ROW_ID)
         return self._format_output(
             df, output_format, m.norm_meta,
+            range_positions=range_positions,
             group_index_cols=self._groupby_index_cols(query_builder))
 
     def _read_with_incompletes(self, symbol: str, as_of=None,
@@ -3334,7 +3373,8 @@ class Library:
     @staticmethod
     def _format_output(df: DataFrame, output_format: str, norm_meta=None,
                        undecided_index: bool = False,
-                       group_index_cols: list | None = None):
+                       group_index_cols: list | None = None,
+                       range_positions: bool = False):
         if norm_meta and norm_meta.get("index_type") == "ndarray":
             # reference NdArrayNormalizer.denormalize: reshape the flat
             # column back to the stored shape — for every output format
@@ -3412,6 +3452,20 @@ class Library:
             # rebuild a non-default RangeIndex from recorded start/step —
             # rows arrive in write order (ROW_ID restore), so position i is
             # original row i
+            elif (range_positions and ORIG_POS in pdf.columns
+                    and (norm_meta or {}).get("index_type") in (None,
+                                                                "range")):
+                # positional slice of a RangeIndex/rowcount symbol: map
+                # each surviving physical row id back to its ORIGINAL
+                # index value (start + pos*step; the default 0..n index
+                # records no meta) — reference test_read_index.py
+                # row_range/head/tail preserve df.iloc positions
+                nm_rng = norm_meta or {}
+                pos = pdf[ORIG_POS].to_numpy()
+                pdf = pdf.drop(columns=[ORIG_POS])
+                pdf.index = pd.Index(
+                    nm_rng.get("start", 0) + pos * nm_rng.get("step", 1),
+                    name=nm_rng.get("name"))
             elif norm_meta and norm_meta.get("index_type") == "range":
                 pdf.index = pd.RangeIndex(
                     norm_meta["start"],
