@@ -161,16 +161,17 @@ class ConcatLazyFrame(QueryBuilder):
                     f"{sym!r} holds pickled/recursive data and cannot be "
                     "concatenated")
             nm = m.norm_meta or {}
+            tzs = dict(nm.get("tzs") or {})
             if nm.get("index_type") == "multiindex":
                 descs.append(("multiindex", list(nm["physical"]),
-                              list(nm["level_names"])))
+                              list(nm["level_names"]), tzs))
             elif m.index_column is None:
-                descs.append(("range", [], []))
+                descs.append(("range", [], [], tzs))
             else:
                 # display name: None when the symbol's index was unnamed
                 display = (None if nm.get("fake_name")
                            else nm.get("orig_name", m.index_column))
-                descs.append(("ts", [m.index_column], [display]))
+                descs.append(("ts", [m.index_column], [display], tzs))
         kinds = {d[0] for d in descs}
         if len(kinds) > 1 or len({len(d[1]) for d in descs}) > 1:
             raise SchemaException(
@@ -195,9 +196,28 @@ class ConcatLazyFrame(QueryBuilder):
                 merged_phys.append("ts" if i == 0 else f"__fkidx__{i}")
                 merged_names.append(None)
 
+        # timezone merge (reference test_symbol_concat_timezone_handling /
+        # _multiindex_timezone_handling): a column keeps its zone only when
+        # EVERY symbol stores the same zone for it; any disagreement (or a
+        # naive participant) demotes to naive UTC values
+        all_tzs = []
+        for d in descs:
+            ren = dict(zip(d[1], merged_phys))
+            all_tzs.append({ren.get(c, c): tz for c, tz in d[3].items()})
+        merged_tzs = {}
+        for c in set().union(*all_tzs) if all_tzs else set():
+            zones = {t.get(c) for t in all_tzs}
+            if len(zones) == 1 and None not in zones:
+                merged_tzs[c] = zones.pop()
+
         frames = []
         for ldf, d in zip(self._dfs, descs):
-            df = ldf.collect()
+            # intermediate frames are ALWAYS Spark (the library's default
+            # output format must not leak pandas frames into the union)
+            kw = dict(ldf._read_kwargs)
+            kw["query_builder"] = ldf
+            kw["output_format"] = "spark"
+            df = ldf._lib.read(ldf._symbol, **kw)
             for old, new in zip(d[1], merged_phys):
                 if old != new:
                     df = df.withColumnRenamed(old, new)
@@ -205,7 +225,8 @@ class ConcatLazyFrame(QueryBuilder):
         out = _concat(frames, join=self._join, index_cols=merged_phys)
         idx_col = merged_phys[0] if merged_phys else None
         out = self._run(out, idx_col)
-        fmt = output_format or "spark"
+        fmt = output_format or getattr(
+            self._dfs[0]._lib, "_default_output_format", "spark")
         if fmt == "spark":
             return out
         if kind == "multiindex":
@@ -222,6 +243,8 @@ class ConcatLazyFrame(QueryBuilder):
                 norm["orig_name"] = merged_names[0]
         else:
             norm = None
+        if merged_tzs:
+            norm = {**(norm or {}), "tzs": merged_tzs}
         from arcticdb_spark.catalog import Library
         return Library._format_output(out, fmt, norm)
 
