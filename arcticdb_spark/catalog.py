@@ -5426,6 +5426,13 @@ class Library:
         columns = columns or [None] * n
         qbs = (query_builder if isinstance(query_builder, list)
                else [query_builder] * n)
+        if len(qbs) != n:
+            # reference test_filter_batch_incorrect_query_count: a
+            # query_builder LIST must match the symbol count exactly —
+            # silent zip-truncation would drop symbols
+            from arcticdb_spark.exceptions import InternalException
+            raise InternalException(
+                f"batch_read: {n} symbols but {len(qbs)} query builders")
 
         def one(t):
             s, a, dr, rr, c, q = t
