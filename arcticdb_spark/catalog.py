@@ -3115,7 +3115,10 @@ class Library:
                     merged = lead_filter_exprs[0]
                     for e in lead_filter_exprs[1:]:
                         merged = BinaryOp("AND", merged, e)
-                    files = prune_files_by_stats(files, stats, merged)
+                    files = prune_files_by_stats(
+                        files, stats, merged,
+                        uint64_cols=frozenset(
+                            (m.norm_meta or {}).get("uint64") or ()))
             # positional pruning for a LEADING head/tail/row_range clause:
             # cumulative row offsets identify the files containing the
             # requested positions (reference RowRangeClause

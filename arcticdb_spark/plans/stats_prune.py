@@ -90,9 +90,35 @@ def range_can_match(op: str, lit, mn, mx) -> bool:
     return True
 
 
+_U64_WRAP = 1 << 64
+
+
+def _unsigned_range(mn, mx):
+    """Map a uint64 column's SIGNED bit-pattern footer [mn, mx] to the
+    unsigned domain. Possible only when both bounds share a sign: a
+    mixed-sign pattern range means the file holds values straddling
+    2^63, and signed min/max do not bound the unsigned set (pattern
+    {5, -10} has signed range [-10, 5] but unsigned range
+    [5, 2^64-10]) — return None to keep the file (Kleene 'maybe')."""
+    try:
+        if mn < 0 <= mx:
+            return None
+    except TypeError:
+        return None
+    return (mn + _U64_WRAP if mn < 0 else mn,
+            mx + _U64_WRAP if mx < 0 else mx)
+
+
 def prune_files_by_stats(files: list, stats: dict | None,
-                         filter_expr: ExpressionNode | None) -> list:
-    """Drop FileEntries whose stored column ranges cannot satisfy the filter."""
+                         filter_expr: ExpressionNode | None,
+                         uint64_cols=frozenset()) -> list:
+    """Drop FileEntries whose stored column ranges cannot satisfy the
+    filter. ``uint64_cols`` names columns stored as int64 BIT PATTERNS
+    (full-range uint64 support): their footer stats are signed patterns
+    while the filter literal lives in the unsigned domain — compare in
+    unsigned space, or keep the file when the pattern range straddles
+    the sign bit (a signed comparison there silently mispruned real
+    rows: filter > 2**62 dropped a segment of >2^63 values)."""
     if not stats or filter_expr is None:
         return files
     conjuncts = extract_conjuncts(filter_expr)
@@ -110,6 +136,17 @@ def prune_files_by_stats(files: list, stats: dict | None,
             if col not in ranges:
                 continue
             mn, mx = ranges[col]
+            if col in uint64_cols:
+                u = _unsigned_range(mn, mx)
+                if u is None:
+                    continue   # straddles 2^63: cannot bound — keep
+                mn, mx = u
+                if op in ("LT", "LE", "GT", "GE", "EQ"):
+                    try:
+                        if lit < 0:
+                            continue   # negative literal vs unsigned: keep
+                    except TypeError:
+                        continue
             if not range_can_match(op, lit, mn, mx):
                 ok = False
                 break
