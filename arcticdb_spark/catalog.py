@@ -1775,7 +1775,11 @@ class Library:
                 if f.name == idx_name:
                     tbl = tbl.set_column(i, pa.field(f.name, pa.int64()),
                                          ints)
-                    meta = {"index_ns": True, "physical": f.name}
+                    # index_type datetime: pandas output re-promotes the
+                    # arrow-written index to a named DatetimeIndex like a
+                    # pandas write would (reference arrow/pandas interop)
+                    meta = {"index_ns": True, "physical": f.name,
+                            "index_type": "datetime", "fake_name": False}
                 else:
                     # ns DATA column: sentinel -> null; Spark then stores
                     # it at µs (documented PARITY deviation)
@@ -1785,7 +1789,8 @@ class Library:
                 # µs/ms/s index: exact upcast to ns ints
                 ints = col.cast(pa.timestamp("ns")).cast(pa.int64())
                 tbl = tbl.set_column(i, pa.field(f.name, pa.int64()), ints)
-                meta = {"index_ns": True, "physical": f.name}
+                meta = {"index_ns": True, "physical": f.name,
+                        "index_type": "datetime", "fake_name": False}
         return tbl, meta
 
     # -- EMPTY (all-None) columns: reference ValueType::EMPTY (types.hpp:85-93)
