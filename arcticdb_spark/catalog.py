@@ -3234,6 +3234,19 @@ class Library:
             df = _attach_ns_view(df, idx)
         if row_range is not None:
             df = df.filter((F.col(ROW_ID) >= start) & (F.col(ROW_ID) < end))
+        post_select = None
+        if columns is not None and query_builder is not None:
+            # with a pipeline, selection applies to the OUTPUT — a
+            # requested column may be PROJECTED by the pipeline, and the
+            # pipeline may reference stored columns the user did not ask
+            # for (reference test_column_select_projected_column /
+            # test_filter_synthetic_column_and_select_on_disk_column).
+            # Deferring costs nothing physically: Catalyst's column
+            # pruning narrows the parquet ReadSchema to what the plan
+            # actually uses — the Spark analog of the reference reading
+            # only the needed column slices.
+            post_select = list(columns)
+            columns = None
         if columns is not None:
             # requested columns intersect the stored fields — missing names
             # are silently ignored like the reference
@@ -3279,6 +3292,24 @@ class Library:
             df = df.withColumn(ORIG_POS, F.col(ROW_ID))
         if query_builder is not None:
             df = query_builder.to_df(df, idx)
+        if post_select is not None:
+            # pipeline-output column selection (see the deferral above):
+            # requested names that survived (stored OR projected), plus the
+            # index / restore helper columns
+            keep = [c for c in post_select if c in df.columns]
+            nm_r = m.norm_meta or {}
+            idx_cols = (nm_r.get("physical")
+                        if nm_r.get("index_type") == "multiindex"
+                        else ([idx] if idx else []))
+            for c in reversed(idx_cols or []):
+                if c in df.columns and c not in keep:
+                    keep = [c] + keep
+            if index_ns and ns_shadow_col(idx) in df.columns:
+                keep.append(ns_shadow_col(idx))
+            for helper in (ROW_ID, ORIG_POS):
+                if helper in df.columns:
+                    keep.append(helper)
+            df = df.select(keep)
         if ROW_ID in df.columns:
             if order_out or range_positions:
                 df = df.orderBy(ROW_ID)
