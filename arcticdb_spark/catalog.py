@@ -922,10 +922,13 @@ def _attach_uint64_marker(df: DataFrame, norm_meta) -> DataFrame:
     if not isinstance(norm_meta, dict):
         return df
     cols = norm_meta.get("uint64") or []
-    from arcticdb_spark.expr import UINT64_META
+    from arcticdb_spark.expr import UINT64_META, UNSIGNED_META
     for c in cols:
         if c in df.columns:
             df = df.withMetadata(c, {UINT64_META: True})
+    for c in norm_meta.get("unsigned") or []:
+        if c in df.columns and c not in cols:
+            df = df.withMetadata(c, {UNSIGNED_META: True})
     return df
 
 
@@ -1601,7 +1604,19 @@ class Library:
                             "orig_name": str(pdf.index.name)}
                 pdf = pdf.rename_axis(phys).reset_index()
             else:
-                pdf = pdf.reset_index(drop=True)  # positional index: dropped
+                # unnamed NON-range index (e.g. pd.DataFrame(...,
+                # index=np.arange(n)) makes an int64 Index): the reference
+                # physically stores it under the fake name "index"
+                # (_normalize_single_index, _normalization.py:393-398 —
+                # index_names = ["index"], fake_name) — dropping it would
+                # lose the index VALUES. Restore gives an unnamed Index
+                # back via the named+fake_name path.
+                phys = "index"
+                if phys in {str(c) for c in pdf.columns}:
+                    phys = "__idx__index"
+                meta = {"index_type": "named", "physical": phys,
+                        "fake_name": True}
+                pdf = pdf.rename_axis(phys).reset_index()
             # tz-aware datetime columns (including demoted index levels):
             # store naive UTC (Spark/parquet timestamps are UTC instants),
             # record the original zone for pandas-output restore (reference
@@ -1632,6 +1647,27 @@ class Library:
                                  .view("int64"))
                 meta = dict(meta or {})
                 meta["uint64"] = [str(c) for c in u64]
+            # small unsigned ints (uint8/16/32) widen to the next signed
+            # Spark type via Arrow — exact in value, but the unsigned
+            # PROVENANCE is recorded so sum aggregation promotes to uint64
+            # and uint64<->small-uint appends are a legal unsigned widen
+            # (reference common_sum_aggregation_dtype / has_valid_common_type)
+            su = [c for c, dt in pdf.dtypes.items()
+                  if getattr(dt, "kind", None) == "u" and dt.itemsize < 8]
+            if su:
+                meta = dict(meta or {})
+                meta["unsigned"] = [str(c) for c in su]
+                # widen to int64 IN PANDAS (exact): Spark's Arrow path
+                # rejects unsigned types outright and the row-wise fallback
+                # is 10-100x slower AND lands on int64 anyway — pre-widening
+                # keeps the vectorized Arrow conversion with an identical
+                # stored schema
+                pdf = pdf.copy(deep=False)
+                for c in su:
+                    if isinstance(pdf.dtypes[c], np.dtype):
+                        pos = list(pdf.columns).index(c)
+                        pdf.isetitem(pos, pdf.iloc[:, pos]
+                                     .to_numpy().astype("int64"))
             if len(pdf) == 0:
                 # schema inference needs rows; map pandas dtypes explicitly
                 # (reference supports empty writes: test_empty_writes)
@@ -1703,7 +1739,9 @@ class Library:
         nm = prev.norm_meta if isinstance(prev.norm_meta, dict) else None
         stored = set((nm or {}).get("uint64") or [])
         incoming = set((inm or {}).get("uint64") or [])
-        if stored == incoming or not (stored | incoming):
+        stored_su = set((nm or {}).get("unsigned") or [])
+        in_su = set((inm or {}).get("unsigned") or [])
+        if stored == incoming and stored_su == in_su:
             return prev.norm_meta
         if isinstance(in_schema, T.StructType):
             in_types = {f.name: f.dataType for f in in_schema.fields}
@@ -1713,14 +1751,35 @@ class Library:
                       json.loads(prev.schema_json).get("fields", [])}
         widened: set[str] = set()
         flipped: set[str] = set()
+        u64_add: set[str] = set()
+        su_drop: set[str] = set()
         for c in (incoming & set(prev_types)) - stored:
-            if prev_types[c] in ("float", "double"):
+            if c in stored_su:
+                # small-uint column meets a uint64 epoch: promote to uint64
+                # (reference promote_types(uintN, uint64) = uint64; all
+                # stored values < 2^32 keep their int64 bit pattern)
+                if not self.dynamic_schema:
+                    raise SchemaException(
+                        f"{op} to {prev.symbol!r}: column {c!r} changes "
+                        "from a small unsigned type to uint64 (static "
+                        "schema rejects type changes)")
+                u64_add.add(c)
+                su_drop.add(c)
+            elif prev_types[c] in ("float", "double"):
                 widened.add(c)
             else:
                 flipped.add(c)
         for c in (stored & set(in_types)) - incoming:
             t = in_types.get(c)
-            if isinstance(t, (T.FloatType, T.DoubleType)):
+            if c in in_su:
+                # uint64 column meets a small-uint epoch: stays uint64
+                # (values widen exactly; reference promote_types)
+                if not self.dynamic_schema:
+                    raise SchemaException(
+                        f"{op} to {prev.symbol!r}: column {c!r} changes "
+                        "from uint64 to a small unsigned type (static "
+                        "schema rejects type changes)")
+            elif isinstance(t, (T.FloatType, T.DoubleType)):
                 widened.add(c)
             elif isinstance(t, T.NullType):
                 pass   # EMPTY has no opinion; the column stays uint64
@@ -1732,20 +1791,30 @@ class Library:
                 "uint64 and signed integers across versions (no common "
                 "type; reference entity/merge_descriptors.cpp:84 strict "
                 "has_valid_common_type)")
+        for c in (stored_su & set(in_types)) - in_su - incoming:
+            # small-uint column meets a signed/float epoch: the column's
+            # provenance is no longer purely unsigned (reference
+            # promote_types(uintN, intM) is SIGNED; sums then return int64)
+            t = in_types.get(c)
+            if t is not None and not isinstance(t, T.NullType):
+                su_drop.add(c)
         if widened and not self.dynamic_schema:
             # static schema still rejects the type change (reference
             # StreamDescriptorMismatch); let the descriptor check raise
             # with the full message
             widened = set()
         new_u64 = incoming - set(prev_types)
-        out_set = (stored | new_u64) - widened
-        if out_set == stored:
+        out_set = (stored | new_u64 | u64_add) - widened
+        out_su = ((stored_su | (in_su - set(prev_types))) - su_drop
+                  - out_set)
+        if out_set == stored and out_su == stored_su:
             return prev.norm_meta
         out = dict(nm or {})
-        if out_set:
-            out["uint64"] = sorted(out_set)
-        else:
-            out.pop("uint64", None)
+        for key, val in (("uint64", out_set), ("unsigned", out_su)):
+            if val:
+                out[key] = sorted(val)
+            else:
+                out.pop(key, None)
         return out
 
     @staticmethod
@@ -2056,6 +2125,14 @@ class Library:
         if nm.get("index_ns"):
             p = nm["physical"]
             idx = p[0] if isinstance(p, list) else p
+        elif isinstance(df, (pd.DataFrame, pd.Series)):
+            # pandas input: ONLY the frame's own index can become the
+            # symbol's index. A datetime64 DATA column on a RangeIndex
+            # frame stays a data column (the reference never re-interprets
+            # columns as the index for pandas input); timestamp-sniffing
+            # below applies to Spark/Arrow frames, whose convention is
+            # "first timestamp column = index".
+            idx = None
         else:
             idx = self._detect_index(sdf, index_column)
             if idx is not None and (_is_ts_type(sdf, idx)
@@ -2345,7 +2422,17 @@ class Library:
         for f in new_schema.fields:
             if f.name in merged:
                 was = merged[f.name]
-                merged[f.name] = promote_types(was, f.dataType)
+                try:
+                    merged[f.name] = promote_types(was, f.dataType)
+                except TypeError:
+                    # reference has_valid_common_type returns nullopt (e.g.
+                    # bool mixed with any numeric): dynamic schema still
+                    # rejects — E_DESCRIPTOR_MISMATCH, not a raw TypeError
+                    raise SchemaException(
+                        f"column {f.name!r} has no common type across "
+                        f"versions ({was.simpleString()} vs "
+                        f"{f.dataType.simpleString()}; reference "
+                        "has_valid_common_type returns nullopt)")
                 if merged[f.name] != was:
                     metas[f.name] = {}
             else:
@@ -2546,6 +2633,20 @@ class Library:
             raise SchemaException(
                 f"append to {symbol!r}: the stored index column {idx!r} is "
                 f"missing from the incoming frame (columns: {sdf.columns})")
+        phys_idx = rmeta.get("physical")
+        if idx is None and phys_idx:
+            # a physically-stored NON-timestamp index (named, or the fake
+            # "index" of an unnamed int/str pandas Index): the incoming
+            # frame's index must normalize to the same physical column(s) —
+            # the reference raises a descriptor mismatch otherwise instead
+            # of silently dropping the incoming index
+            plist = phys_idx if isinstance(phys_idx, list) else [phys_idx]
+            missing = [p for p in plist if p not in sdf.columns]
+            if missing:
+                raise SchemaException(
+                    f"append to {symbol!r}: E_INCOMPATIBLE_INDEX — the "
+                    f"stored index column(s) {missing} are missing from the "
+                    f"incoming frame (columns: {sdf.columns})")
         out_norm_meta = self._uint64_meta_for(prev, inm, sdf.schema, "append")
         sdf = self._align_index_phys(sdf, idx, prev)
         if self.dynamic_schema:
@@ -3354,8 +3455,10 @@ class Library:
             # staged uint64 bit-pattern columns: marked like committed
             # reads, so the union keeps unsigned semantics and pandas
             # output restores dtype (committed side is marked by read())
-            inc = _attach_uint64_marker(inc, {"uint64": sinfo.get("uint64")})
-            if idx is None:
+            inc = _attach_uint64_marker(
+                inc, {"uint64": sinfo.get("uint64"),
+                      "unsigned": sinfo.get("unsigned")})
+            if idx is None and not sinfo.get("no_index"):
                 idx = self._detect_index(inc, sinfo.get("index_column"))
             if idx is not None and _is_long_type(inc, idx) \
                     and (sinfo.get("index_ns") or (base is not None
@@ -3692,11 +3795,20 @@ class Library:
                 # index (fake_name = the index was unnamed)
                 side["index_type"] = "datetime"
                 side["fake_name"] = bool(nm.get("fake_name"))
+        elif isinstance(df, (pd.DataFrame, pd.Series)):
+            # pandas chunk with NO physically-stored datetime index
+            # (rowcount/named): finalize must not sniff a timestamp DATA
+            # column as the index (mirror of the write-path rule — the
+            # reference never re-interprets pandas data columns)
+            side["no_index"] = True
         if nm.get("uint64"):
             # uint64 bit-pattern columns: same LONG-indistinguishable
             # problem as the ns index — record them so finalize carries
             # the marker into the manifest and incomplete reads restore
             side["uint64"] = list(nm["uint64"])
+        if nm.get("unsigned"):
+            # small-uint provenance rides the sidecar too (sum dtype)
+            side["unsigned"] = list(nm["unsigned"])
         if nm.get("tzs"):
             # tz-aware datetime columns/index levels are stored UTC-naive
             # (like write); the zone map must ride the chunk sidecar or
@@ -3764,6 +3876,7 @@ class Library:
         column names, unioned across chunks)."""
         out: dict = {}
         u64: set = set()
+        su: set = set()
         fakes: list[bool] = []
         tzs: dict = {}
         for d in sorted({os.path.dirname(f) for f in seg_files}):
@@ -3772,6 +3885,7 @@ class Library:
                 with open(p) as fh:
                     data = json.load(fh)
                 u64 |= set(data.pop("uint64", []))
+                su |= set(data.pop("unsigned", []))
                 if "fake_name" in data:
                     fakes.append(bool(data.pop("fake_name")))
                 for c, tz in (data.pop("tzs", None) or {}).items():
@@ -3781,6 +3895,8 @@ class Library:
                 out.update(data)
         if u64:
             out["uint64"] = sorted(u64)
+        if su:
+            out["unsigned"] = sorted(su - u64)
         if fakes:
             # the restored index is unnamed only if EVERY chunk's was
             out["fake_name"] = all(fakes)
@@ -3904,8 +4020,13 @@ class Library:
             sinfo = self._staged_index_info(seg_files) or {}
             u64_cols = set(sinfo.get("uint64") or [])
             self._staged_uint64_check(seg_files, u64_cols)
-            idx = self._detect_index(df, index_column
-                                     or sinfo.get("index_column"))
+            explicit_idx = index_column or sinfo.get("index_column")
+            if sinfo.get("no_index") and not explicit_idx:
+                # pandas rowcount/named-index chunks: never sniff a
+                # timestamp DATA column as the index
+                idx = None
+            else:
+                idx = self._detect_index(df, explicit_idx)
             if not sort and validate_index and idx is not None:
                 # non-sorting finalize requires the staged segments to be
                 # ordered and non-overlapping among themselves (reference
@@ -4017,8 +4138,9 @@ class Library:
                                            or prev.sorted != "ASCENDING")
                             else "ASCENDING"),
                     norm_meta=self._uint64_meta_for(
-                        prev, {"uint64": sorted(u64_cols)}, df.schema,
-                        "finalize_staged_data"))
+                        prev, {"uint64": sorted(u64_cols),
+                               "unsigned": sinfo.get("unsigned") or []},
+                        df.schema, "finalize_staged_data"))
             else:
                 # mode="append" on a missing symbol behaves like write
                 # (reference test_sort_merge.py test_append_to_missing_symbol)
@@ -4030,6 +4152,8 @@ class Library:
                     nm_out["index_ns"] = True
                 if u64_cols:
                     nm_out["uint64"] = sorted(u64_cols)
+                if sinfo.get("unsigned"):
+                    nm_out["unsigned"] = list(sinfo["unsigned"])
                 if sinfo.get("tzs"):
                     nm_out["tzs"] = sinfo["tzs"]
                 if idx and sinfo.get("index_type") == "datetime":

@@ -56,6 +56,14 @@ _SPARK_KIND = {
 # (catalog write path sets it from norm_meta; flows through filters/selects)
 UINT64_META = "arcticdb:uint64"
 
+# StructField metadata key marking an integer column whose pandas source
+# dtype was a SMALL unsigned int (uint8/16/32, stored widened to the next
+# signed Spark type — exact in value). Only provenance: sum aggregation
+# promotes these to uint64 like the reference
+# (common_sum_aggregation_dtype: uint -> uint64, test.py:1178-1190) and
+# append promotion treats uint64 + small-uint as a legal unsigned widen.
+UNSIGNED_META = "arcticdb:unsigned"
+
 _U64_WRAP = 1 << 64
 _I64_MIN = -(1 << 63)
 

@@ -98,7 +98,8 @@ def nan_safe(c: Column, dtype: str | None) -> Column:
 
 def compile_agg(out_name: str, in_col: str, how: str, ts_col: str,
                 dtypes: dict[str, str],
-                u64: frozenset = frozenset()) -> Column:
+                u64: frozenset = frozenset(),
+                unsigned: frozenset = frozenset()) -> Column:
     """One resample/groupby aggregator -> Spark agg Column.
 
     Spark aggregates skip nulls natively; float inputs are nanvl-normalized
@@ -128,7 +129,7 @@ def compile_agg(out_name: str, in_col: str, how: str, ts_col: str,
             return _u64_flip(F.max(_u64_flip(c))).alias(out_name,
                                                         metadata=umeta)
         if how == "count":
-            return F.count(c).alias(out_name)
+            return F.count(c).alias(out_name, metadata=umeta)
         if how == "first":
             return F.min_by(c, F.when(c.isNotNull(), F.col(ts_col))) \
                     .alias(out_name, metadata=umeta)
@@ -156,10 +157,21 @@ def compile_agg(out_name: str, in_col: str, how: str, ts_col: str,
         # reference SumAggregator starts at 0 and skips missing: a group with
         # no valid values yields 0, not null (pandas matches; Spark gives
         # null) — get_default_value, unsorted_aggregation.hpp:76-88.
-        # Bools sum as ints (reference test_sum_aggregation_bool).
+        # Output dtype promotes to the LARGEST type of the input's category
+        # (common_sum_aggregation_dtype): signed -> int64, float -> float64,
+        # and bool / small-unsigned -> uint64 (the value is a non-negative
+        # long, so the uint64 marker is a pure dtype re-view on output).
         if dt == "boolean":
+            from arcticdb_spark.expr import UINT64_META
             return F.coalesce(F.sum(c.cast("long")),
-                              F.lit(0).cast("long")).alias(out_name)
+                              F.lit(0).cast("long")) \
+                    .alias(out_name, metadata={UINT64_META: True})
+        if in_col in unsigned and dt in ("tinyint", "smallint", "int",
+                                         "bigint"):
+            from arcticdb_spark.expr import UINT64_META
+            return F.coalesce(F.sum(c.cast("long")),
+                              F.lit(0).cast("long")) \
+                    .alias(out_name, metadata={UINT64_META: True})
         zero = F.lit(0).cast("long") if dt and dt in ("tinyint", "smallint",
                                                       "int", "bigint") \
             else F.lit(0.0)
@@ -176,12 +188,20 @@ def compile_agg(out_name: str, in_col: str, how: str, ts_col: str,
         if dt == "boolean":
             return F.avg(c.cast("long")).alias(out_name)
         return F.avg(c).alias(out_name)
+    # value-preserving aggregates keep the INPUT dtype (reference: min/max/
+    # first/last of float32 stay float32) — nan_safe upcast floats to
+    # double for NaN-skip, so cast the result back
+    keep_t = "float" if dt == "float" else None
     if how == "min":
-        return F.min(c).alias(out_name)
+        m = F.min(c)
+        return (m.cast(keep_t) if keep_t else m).alias(out_name)
     if how == "max":
-        return F.max(c).alias(out_name)
+        m = F.max(c)
+        return (m.cast(keep_t) if keep_t else m).alias(out_name)
     if how == "count":
-        return F.count(c).alias(out_name)  # non-null count, uint64 in ref
+        # non-null count; uint64 in the reference (processing.py:746)
+        from arcticdb_spark.expr import UINT64_META
+        return F.count(c).alias(out_name, metadata={UINT64_META: True})
     if how == "std":      # extension beyond the reference's 7 aggregators
         return F.stddev_samp(c).alias(out_name)
     if how == "var":
@@ -190,9 +210,11 @@ def compile_agg(out_name: str, in_col: str, how: str, ts_col: str,
         return F.median(c).alias(out_name)
     if how == "first":
         # earliest-by-timestamp non-null value; shuffle-safe
-        return F.min_by(c, F.when(c.isNotNull(), F.col(ts_col))).alias(out_name)
+        m = F.min_by(c, F.when(c.isNotNull(), F.col(ts_col)))
+        return (m.cast(keep_t) if keep_t else m).alias(out_name)
     if how == "last":
-        return F.max_by(c, F.when(c.isNotNull(), F.col(ts_col))).alias(out_name)
+        m = F.max_by(c, F.when(c.isNotNull(), F.col(ts_col)))
+        return (m.cast(keep_t) if keep_t else m).alias(out_name)
     raise ValueError(f"unsupported aggregator {how!r} (supported: {_SORTED_AGGS})")
 
 
@@ -256,9 +278,12 @@ def resample(df: DataFrame, ts_col: str, rule: str, aggregations: dict,
     bucket = F.timestamp_micros(label_us).alias(ts_col)
 
     dtypes = dict(df.dtypes)
-    from arcticdb_spark.expr import UINT64_META
+    from arcticdb_spark.expr import UINT64_META, UNSIGNED_META
     u64 = frozenset(f.name for f in df.schema.fields
                     if (f.metadata or {}).get(UINT64_META))
-    aggs = [compile_agg(o, i, h, ts_col, dtypes, u64) for (o, i, h) in specs]
+    unsigned = frozenset(f.name for f in df.schema.fields
+                         if (f.metadata or {}).get(UNSIGNED_META))
+    aggs = [compile_agg(o, i, h, ts_col, dtypes, u64, unsigned)
+            for (o, i, h) in specs]
     out = df.groupBy(bucket).agg(*aggs)
     return out.orderBy(ts_col)

@@ -351,10 +351,23 @@ class QueryBuilder:
             cond = c if cond is None else (cond & c)
         specs = normalize_agg_spec(args["aggs"])
         ts = self._ts_col(idx)
-        from arcticdb_spark.expr import UINT64_META
+        if (any(h in ("first", "last") for (_, _, h) in specs)
+                and (ts is None or ts not in df.columns)):
+            # rowcount/named-index symbols have no timestamp order column:
+            # first/last are by ROW ORDER (reference first/last use segment
+            # row order) — attach the exact distributed row-id and order by
+            # it; it never reaches the output (groupBy keeps keys + aggs)
+            if ROW_ID not in df.columns:
+                df = with_row_id(df)
+            ts = ROW_ID
+            dtypes = dict(df.dtypes)
+        from arcticdb_spark.expr import UINT64_META, UNSIGNED_META
         u64 = frozenset(f.name for f in df.schema.fields
                         if (f.metadata or {}).get(UINT64_META))
-        aggs = [compile_agg(o, i, h, ts, dtypes, u64) for (o, i, h) in specs]
+        unsigned = frozenset(f.name for f in df.schema.fields
+                             if (f.metadata or {}).get(UNSIGNED_META))
+        aggs = [compile_agg(o, i, h, ts, dtypes, u64, unsigned)
+                for (o, i, h) in specs]
         return df.filter(cond).groupBy(*key_cols).agg(*aggs)
 
     def _apply_resample_agg(self, df, args, idx):

@@ -34,10 +34,13 @@ def static_lib(spark, tmp_path):
 
 
 def _frame(dtype, values, start="2024-01-01", periods=None):
+    # a real DatetimeIndex named "ts" (the reference never re-interprets a
+    # pandas DATA column as the index — round-11 fix; updates require a
+    # timestamp-indexed symbol)
     periods = periods or len(values)
-    return pd.DataFrame({
-        "ts": pd.date_range(start, periods=periods, freq="D"),
-        "col": np.array(values, dtype=dtype)})
+    return pd.DataFrame(
+        {"col": np.array(values, dtype=dtype)},
+        index=pd.date_range(start, periods=periods, freq="D", name="ts"))
 
 
 # ---------------------------------------------------------------- static
@@ -99,16 +102,17 @@ class TestStaticSchemaRejectsTypeChange:
         """Reference test_changing_string_type / _fixed_string_width: string
         width/storage flavour is not a logical type; append+update succeed in
         static mode."""
-        static_lib.write("sym", pd.DataFrame({
-            "ts": pd.date_range("2024-01-01", periods=3, freq="D"),
-            "col": ["a", "bb", "ccc"]}))
-        static_lib.append("sym", pd.DataFrame({
-            "ts": pd.date_range("2024-01-04", periods=1),
-            "col": ["dddd"]}))
-        static_lib.update("sym", pd.DataFrame({
-            "ts": pd.date_range("2024-01-02", periods=1),
-            "col": ["XXXX"]}))
-        out = static_lib.read("sym", output_format="pandas").sort_values("ts")
+        static_lib.write("sym", pd.DataFrame(
+            {"col": ["a", "bb", "ccc"]},
+            index=pd.date_range("2024-01-01", periods=3, freq="D",
+                                name="ts")))
+        static_lib.append("sym", pd.DataFrame(
+            {"col": ["dddd"]},
+            index=pd.date_range("2024-01-04", periods=1, name="ts")))
+        static_lib.update("sym", pd.DataFrame(
+            {"col": ["XXXX"]},
+            index=pd.date_range("2024-01-02", periods=1, name="ts")))
+        out = static_lib.read("sym", output_format="pandas").sort_index()
         assert out["col"].tolist() == ["a", "XXXX", "ccc", "dddd"]
 
 
@@ -247,17 +251,18 @@ class TestSparseAndUnicodeStrings:
         """Multibyte/unicode strings through write/append/update (reference
         test_normalization unicode cases)."""
         vals = ["héllo", "世界", "🚀🚀🚀", "Ωμέγα", "ß"]
-        dyn_lib.write("sym", pd.DataFrame({
-            "ts": pd.date_range("2024-01-01", periods=5, freq="D"),
-            "col": vals}))
-        dyn_lib.append("sym", pd.DataFrame({
-            "ts": pd.date_range("2024-01-06", periods=1),
-            "col": ["ünïcode-appended"]}))
-        dyn_lib.update("sym", pd.DataFrame({
-            "ts": pd.date_range("2024-01-03", periods=1),
-            "col": ["中文替换"]}))
+        dyn_lib.write("sym", pd.DataFrame(
+            {"col": vals},
+            index=pd.date_range("2024-01-01", periods=5, freq="D",
+                                name="ts")))
+        dyn_lib.append("sym", pd.DataFrame(
+            {"col": ["ünïcode-appended"]},
+            index=pd.date_range("2024-01-06", periods=1, name="ts")))
+        dyn_lib.update("sym", pd.DataFrame(
+            {"col": ["中文替换"]},
+            index=pd.date_range("2024-01-03", periods=1, name="ts")))
         out = (dyn_lib.read("sym", output_format="pandas")
-               .sort_values("ts").reset_index(drop=True))
+               .sort_index().reset_index(drop=True))
         assert out["col"].tolist() == [
             "héllo", "世界", "中文替换", "Ωμέγα", "ß",
             "ünïcode-appended"]
