@@ -162,16 +162,24 @@ class FileEntry:
     # cast (Spark's parquet reader only widens some combinations itself).
     # Wire format dedupes these into a manifest-level "schemas" list.
     schema_json: str | None = None
+    # version that physically WROTE this file (reference: the version_id of
+    # the data key, surfaced by read_index — _store.py:2712). Carried-over
+    # entries (append/update/compact reuse) keep their original writer;
+    # None means "stamped at the next commit" (fresh files) or a legacy
+    # manifest predating the field.
+    version_id: int | None = None
 
     def to_json(self):
         return {"path": self.path, "rows": self.rows, "row_start": self.row_start,
                 "ts_min": self.ts_min, "ts_max": self.ts_max,
-                "content_hash": self.content_hash}
+                "content_hash": self.content_hash,
+                "version_id": self.version_id}
 
     @staticmethod
     def from_json(d):
         return FileEntry(d["path"], d["rows"], d["row_start"], d["ts_min"],
-                         d["ts_max"], d.get("content_hash"))
+                         d["ts_max"], d.get("content_hash"),
+                         version_id=d.get("version_id"))
 
 
 @dataclass
@@ -808,7 +816,8 @@ def _renumber(files: list[FileEntry]) -> list[FileEntry]:
     out = []
     for fe in files:
         out.append(FileEntry(fe.path, fe.rows, acc, fe.ts_min, fe.ts_max,
-                             fe.content_hash, fe.schema_json))
+                             fe.content_hash, fe.schema_json,
+                             version_id=fe.version_id))
         acc += fe.rows
     return out
 
@@ -1143,6 +1152,11 @@ class Library:
         compare-and-swap; on S3 this is a conditional PUT If-None-Match)."""
         sym_dir = self._sym_dir(manifest.symbol)
         self._fs.makedirs(self._fs.join(sym_dir, "_versions"))
+        # stamp the writing version on fresh files; carried-over entries
+        # (append/update/compact reuse) already hold their original writer
+        for fe in manifest.files:
+            if fe.version_id is None:
+                fe.version_id = manifest.version
         vpath = self._ver_path(manifest.symbol, manifest.version)
         if not self._fs.write_json_if_absent(vpath, manifest.to_json()):
             raise ArcticException(
@@ -4280,6 +4294,8 @@ class Library:
         rows = [{"start_row": fe.row_start,
                  "end_row": fe.row_start + fe.rows,
                  "rows": fe.rows,
+                 "version_id": (fe.version_id
+                                if fe.version_id is not None else m.version),
                  "start_index": (pd.Timestamp(fe.ts_min, unit="ns")
                                  if fe.ts_min is not None else None),
                  "end_index": (pd.Timestamp(fe.ts_max, unit="ns")
@@ -5264,60 +5280,147 @@ class Library:
         return pa.table(data)
 
     # ---- compaction (reference CompactDataClause / defragment_symbol_data) ----
+    # Planning is reference-exact (plans/compact.py ports
+    # cpp/arcticdb/processing/clause_compact_data.cpp): every output slice
+    # lands within [2/3, 4/3] of rows_per_segment, groups that coincide with
+    # an already-in-bounds existing slice are carried VERBATIM (their files
+    # are not rewritten and keep their original writing version), and only
+    # the fragmented groups are read+rewritten — at 100 TB a compaction
+    # after a ragged append tail touches the tail's files, not the symbol.
+
     @staticmethod
-    def _compact_plan(prev: "VersionManifest", target: int) -> int | None:
-        """Projected post-compaction file count, or None if compaction would
-        be a no-op. Defragmentation only ever MERGES segments (reference
-        CompactDataClause, ``cpp/arcticdb/processing/clause.hpp:926-976``),
-        so the projected count is capped at the current count and a symbol
-        already at/below target density is left alone — except when its
-        files carry heterogeneous per-epoch schemas (dynamic-schema append
-        chain), where a same-count rewrite still buys back uniform schema
-        and full parquet filter pushdown."""
-        n_parts = max(1, -(-prev.total_rows // target))
-        hetero = len({fe.schema_json for fe in prev.files}) > 1
-        if n_parts >= len(prev.files) and not hetero:
-            return None
-        return min(n_parts, len(prev.files))
+    def _validate_rows_per_segment(rows_per_segment) -> None:
+        """Reference rejects non-positive rows_per_segment before touching
+        storage (test_compact_data.py test_compact_data_invalid_rows_per_
+        segment expects the error even for a missing symbol)."""
+        if rows_per_segment is not None and rows_per_segment < 1:
+            # ArcticNativeException is an alias of ArcticException
+            # (exceptions.py) — raise the base class directly
+            raise ArcticException(
+                f"rows_per_segment must be a positive integer, got "
+                f"{rows_per_segment}")
+
+    @staticmethod
+    def _compact_plan(prev: "VersionManifest", target: int):
+        """Reference-exact compaction plan (or None for a no-op) over the
+        manifest's row slices — see plans/compact.compact_plan."""
+        from arcticdb_spark.plans.compact import compact_plan
+        slices = [(fe.row_start, fe.row_start + fe.rows)
+                  for fe in prev.files]
+        return compact_plan(slices, target)
+
+    def _rewrite_group(self, prev: "VersionManifest",
+                       group_files: list, start: int,
+                       sizes: list[int]) -> list[FileEntry]:
+        """Rewrite ONE plan group: scan just its files (with the global
+        row-id so original row order — whatever the sortedness — survives),
+        route rows to exact-size slices, one parquet file per slice.
+        Heterogeneous schema epochs inside the group normalize to the
+        manifest schema via _scan_files' per-epoch cast (the reference
+        equally re-encodes processed segments to the promoted descriptor,
+        test_compact_data.py three_slices case)."""
+        from pyspark.sql import types as T
+        schema = T.StructType.fromJson(json.loads(prev.schema_json))
+        phys = T.StructType([f for f in schema.fields
+                             if f.name not in self._void_cols(schema)])
+        df = self._scan_files(prev, group_files, phys, need_row_id=True)
+        num = len(sizes)
+        base = sizes[0]
+        exact = num - sum(1 for s in sizes if s == base + 1)
+        rel = F.col(ROW_ID) - F.lit(start)
+        # ReslicingInfo layout: first `exact` slices have `base` rows, the
+        # rest base+1 (column_reslicer.hpp:42-44)
+        slice_expr = F.when(
+            rel < F.lit(exact * base), F.floor(rel / F.lit(base))
+        ).otherwise(
+            F.lit(exact) + F.floor((rel - F.lit(exact * base))
+                                   / F.lit(base + 1)))
+        out_dir = os.path.join(self._data_sym_dir(prev.symbol), "data",
+                               uuid.uuid4().hex)
+        os.makedirs(os.path.dirname(out_dir), exist_ok=True)
+        written_schema = df.drop(ROW_ID).schema.json()
+        (df.withColumn("__slice__", slice_expr.cast("long"))
+           .repartition(num, F.col("__slice__"))
+           .sortWithinPartitions("__slice__", ROW_ID)
+           .drop(ROW_ID)
+           .write.mode("overwrite").partitionBy("__slice__")
+           .parquet(out_dir))
+        paths = []
+        for d in sorted((fn for fn in os.listdir(out_dir)
+                         if fn.startswith("__slice__=")),
+                        key=lambda s: int(s.split("=", 1)[1])):
+            for fn in sorted(os.listdir(os.path.join(out_dir, d))):
+                if fn.endswith(".parquet"):
+                    paths.append(os.path.join(out_dir, d, fn))
+        entries = []
+        for path in paths:
+            rows, ts_min, ts_max = _footer_stats(path, prev.index_column)
+            if rows == 0:
+                continue
+            entries.append(FileEntry(path, rows, 0, ts_min, ts_max,
+                                     schema_json=written_schema))
+        return entries
 
     def compact_symbol(self, symbol: str, target_rows_per_file: int | None = None
                        ) -> VersionManifest:
-        """Defragment: rewrite many small files into ~target-sized ones as a
-        new version (reference ``compact_data_explain_plan``/defragment).
-        One range-partitioned shuffle sized by total rows. Never increases
-        the file count; an already-compact symbol is returned unchanged
-        (no new version)."""
+        """Defragment to the reference CompactDataClause contract
+        (``clause_compact_data.cpp``): slices already within ±33% of the
+        target are untouched; fragmented/oversized runs are merged/split to
+        exact ReslicingInfo sizes. An already-compact symbol is returned
+        unchanged (no new version)."""
+        self._validate_rows_per_segment(target_rows_per_file)
         prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
         idx = prev.index_column
         target = target_rows_per_file or self.rows_per_file
-        n_parts = self._compact_plan(prev, target)
-        if n_parts is None:
+        plan = self._compact_plan(prev, target)
+        if plan is None:
             return prev
-        df = self._read_physical(prev)
-        if idx:
-            df = df.repartitionByRange(n_parts, F.col(idx)).sortWithinPartitions(idx)
-        else:
-            df = df.repartition(n_parts)
-        files = self._write_data_files(symbol, df, idx, sort=False)
-        m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(), idx,
-                            prev.schema_json, files, prev.metadata, prev.sorted,
-                            prev.norm_meta)
+        by_start = {fe.row_start: fe for fe in prev.files}
+        new_files: list[FileEntry] = []
+        for entry in plan:
+            if entry[0] == "keep":
+                new_files.append(by_start[entry[1]])
+            else:
+                _, s, e, sizes = entry
+                group = [fe for fe in prev.files if s <= fe.row_start < e]
+                new_files.extend(self._rewrite_group(prev, group, s, sizes))
+        m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(),
+                            idx, prev.schema_json, _renumber(new_files),
+                            prev.metadata, prev.sorted, prev.norm_meta)
         return self._commit(m)
 
     def is_symbol_fragmented(self, symbol: str,
                              segment_size: int | None = None) -> bool:
-        """True iff compact_data would actually reduce the segment count
+        """True iff compact_data would do any work
         (the two agree by construction — both consult ``_compact_plan``)."""
         m = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
         target = segment_size or self.rows_per_file
-        plan = self._compact_plan(m, target)
-        return plan is not None and plan < len(m.files)
+        return self._compact_plan(m, target) is not None
+
+    def _compact_preflight(self, symbol: str, rows_per_segment) -> None:
+        """Shared compact_data / explain-plan argument + symbol checks,
+        reference error classes: non-positive rows_per_segment →
+        ArcticNativeException (before storage is touched), missing symbol →
+        StorageException naming the symbol, recursively-normalized symbol →
+        SchemaException (test_compact_data.py:224-237,582-591)."""
+        from arcticdb_spark.exceptions import StorageException
+        self._validate_rows_per_segment(rows_per_segment)
+        try:
+            m = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
+        except NoSuchVersionException:
+            raise StorageException(
+                f"Cannot compact data: symbol {symbol!r} does not exist")
+        if self._is_recursive(m):
+            raise SchemaException(
+                f"Cannot compact data for recursively normalized symbol "
+                f"{symbol!r}")
 
     def compact_data(self, symbol: str,
                      rows_per_segment: int | None = None,
                      prune_previous_versions: bool = False) -> VersionManifest:
         """Reference ``library.py:3258`` — name-compatible alias of
         compact_symbol."""
+        self._compact_preflight(symbol, rows_per_segment)
         out = self.compact_symbol(symbol, target_rows_per_file=rows_per_segment)
         if prune_previous_versions:
             self.prune_previous_versions(symbol)
@@ -5327,37 +5430,46 @@ class Library:
                                   rows_per_segment: int | None = None
                                   ) -> "CompactDataInfo":
         """Dry run of compact_data (``library.py:3202``): current vs projected
-        segment layout, purely from manifest row counts — no data touched.
-        Returns a dict that also exposes the reference CompactDataInfo
-        attributes (row_slices_before/after, num_row_slices_before/after,
-        version_id_before/after, will_do_work)."""
+        segment layout, purely from manifest row counts — no data keys read
+        and nothing written (the reference pins this with query-stats
+        counters). Returns a dict that also exposes the reference
+        CompactDataInfo attributes (row_slices_before/after,
+        num_row_slices_before/after, version_id_before/after,
+        will_do_work)."""
+        self._compact_preflight(symbol, rows_per_segment)
         m = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
         target = rows_per_segment or self.rows_per_file
         plan = self._compact_plan(m, target)
-        after = len(m.files) if plan is None else plan
         before_slices = [0] + [fe.row_start + fe.rows for fe in m.files]
         if plan is None:
             after_slices = list(before_slices)
+            after_version = m.version
         else:
-            # repartitionByRange yields near-even ranges; the projection is
-            # the even split the physical write targets
-            base, rem = divmod(m.total_rows, after)
-            after_slices, acc = [0], 0
-            for i in range(after):
-                acc += base + (1 if i < rem else 0)
-                after_slices.append(acc)
+            after_slices = [0]
+            for entry in plan:
+                if entry[0] == "keep":
+                    after_slices.append(after_slices[-1]
+                                        + (entry[2] - entry[1]))
+                else:
+                    for sz in entry[3]:
+                        after_slices.append(after_slices[-1] + sz)
+            # the version compaction WILL write — not blindly before+1:
+            # after delete_version(latest) the counter has moved past the
+            # tombstone (test_compact_data_newest_version_deleted: v2
+            # deleted, compacting v1 writes v3)
+            after_version = self._next_version(symbol)
         return CompactDataInfo(
             symbol=symbol,
             total_rows=m.total_rows,
             segments_before=len(m.files),
-            segments_after=after,
+            segments_after=max(len(after_slices) - 1, 0),
             would_compact=plan is not None,
             rows_per_segment=target,
-            is_fragmented=self.is_symbol_fragmented(symbol, target),
+            is_fragmented=plan is not None,
             row_slices_before=before_slices,
             row_slices_after=after_slices,
             version_id_before=m.version,
-            version_id_after=m.version + (1 if plan is not None else 0))
+            version_id_after=after_version)
 
     # ---- batch ops (reference library.py:2161,1241,1469,1643,2506) ----
     # Each symbol's work is independent; the reference runs batches on its

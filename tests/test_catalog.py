@@ -9,11 +9,14 @@ from arcticdb_spark.query import QueryBuilder
 
 
 def _ts_frame(start, periods, value_offset=0, freq="1h"):
+    # a real DatetimeIndex: pandas datetime DATA columns are no longer
+    # index-sniffed (reference parity — the pandas index IS the index),
+    # so timeseries semantics (sortedness validation, date_range, update)
+    # require the index itself to be the timestamps
     return pd.DataFrame({
-        "ts": pd.date_range(start, periods=periods, freq=freq),
         "v": [float(i + value_offset) for i in range(periods)],
         "k": [f"k{i % 3}" for i in range(periods)],
-    })
+    }, index=pd.date_range(start, periods=periods, freq=freq, name="ts"))
 
 
 def test_write_read_roundtrip(tmp_lib):
@@ -80,7 +83,8 @@ def test_read_with_query_and_pruning(tmp_lib):
     dr = tmp_lib.read("sym", date_range=(pd.Timestamp("2024-01-02"),
                                          pd.Timestamp("2024-01-03"))).toPandas()
     p = _ts_frame("2024-01-01", 100)
-    assert len(dr) == len(p[(p.ts >= "2024-01-02") & (p.ts <= "2024-01-03")])
+    assert len(dr) == len(p[(p.index >= "2024-01-02")
+                            & (p.index <= "2024-01-03")])
     cols = tmp_lib.read("sym", columns=["v"]).columns
     assert cols == ["ts", "v"]  # index force-included
 
@@ -135,8 +139,10 @@ def test_staged_ingestion_sort_and_finalize(tmp_lib):
     # unsorted, overlapping chunks (FIXTURES F7 shape)
     c1 = _ts_frame("2024-01-01", 20).sample(frac=1.0, random_state=1)
     c2 = _ts_frame("2024-01-01 10:00", 20, value_offset=100).sample(frac=1.0, random_state=2)
-    tmp_lib.stage("sym", c1)
-    tmp_lib.stage("sym", c2)
+    # unsorted datetime-indexed chunks need validate_index=False at stage
+    # time (reference library.py:952); the sorted finalize orders them
+    tmp_lib.stage("sym", c1, validate_index=False)
+    tmp_lib.stage("sym", c2, validate_index=False)
     tmp_lib.finalize_staged_data("sym", mode="write", sort=True)
     out = tmp_lib.read("sym").toPandas()
     assert len(out) == 40

@@ -622,19 +622,23 @@ def test_compact_never_increases_file_count(spark, tmp_path):
 
 def test_explain_plan_agrees_with_compaction(spark, tmp_path):
     """compact_data_explain_plan's projected counts must match what
-    compact_data actually does — both the merge case and the no-op case."""
+    compact_data actually does — both the merge case and the no-op case.
+    1-row appends sit below the reference acceptance window
+    [2/3*rps, 4/3*rps] (clause_compact_data.cpp:34-37), so compaction
+    merges them; slices already inside the window are a no-op."""
     import pandas as pd
     from arcticdb_spark.catalog import Arctic
     lib = Arctic(str(tmp_path), spark).create_library("frag", rows_per_file=4)
     idx = pd.date_range("2024-01-01", periods=12, freq="1min").rename("ts")
     pdf = pd.DataFrame({"v": list(range(12))}, index=idx)
-    lib.write("sym", pdf.iloc[:3])
-    for lo in (3, 6, 9):
-        lib.append("sym", pdf.iloc[lo:lo + 3])
-    plan = lib.compact_data_explain_plan("sym")          # 12 rows, 4 files
-    assert plan["segments_before"] == 4 and plan["would_compact"]
+    lib.write("sym", pdf.iloc[:1])
+    for lo in range(1, 12):
+        lib.append("sym", pdf.iloc[lo:lo + 1])
+    plan = lib.compact_data_explain_plan("sym")          # 12 rows, 12 files
+    assert plan["segments_before"] == 12 and plan["would_compact"]
     m = lib.compact_data("sym")
-    assert len(m.files) == plan["segments_after"] == 3   # ceil(12/4)
+    assert len(m.files) == plan["segments_after"] == 3   # greedy ~rps groups
+    assert plan["row_slices_after"] == [0, 4, 8, 12]
     plan2 = lib.compact_data_explain_plan("sym")
     assert not plan2["would_compact"] and not plan2["is_fragmented"]
     assert plan2["segments_after"] == plan2["segments_before"] == len(m.files)
@@ -955,10 +959,12 @@ def test_head_tail_lazy_and_compact_prune(spark, tmp_path):
     lib = Arctic(str(tmp_path), spark).create_library("htc", rows_per_file=4)
     idx = pd.date_range("2024-01-01", periods=4, name="ts")
     lib.write("s", pd.DataFrame({"a": [1, 2, 3, 4]}, index=idx))
-    for i in range(4, 10, 2):
+    # 1-row appends sit below the reference acceptance window
+    # [2/3*rps, 4/3*rps], so compact_data has real work to do
+    for i in range(4, 10):
         lib.append("s", pd.DataFrame(
-            {"a": [i + 1, i + 2]},
-            index=pd.date_range("2024-01-01", periods=i + 2, name="ts")[-2:]))
+            {"a": [i + 1]},
+            index=pd.date_range("2024-01-01", periods=i + 1, name="ts")[-1:]))
     lz = lib.head("s", 3, lazy=True)
     assert isinstance(lz, LazyDataFrame)
     assert lz.collect().count() == 3
