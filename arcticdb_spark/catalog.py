@@ -1247,6 +1247,16 @@ class Library:
             df = df.select(F.lit(0).cast("tinyint").alias("__void_fill__"))
         sliced_write = False
         if index_column and sort:
+            # STABLE sort: equal index values keep INPUT row order (the
+            # reference never reorders within a timestamp — its write
+            # pipeline slices the frame as-is; test_append_compact_data.py
+            # test_multiindex pins original-order roundtrips). The id is
+            # computed BEFORE any exchange, so it reflects the incoming
+            # partition-major row order; explicit tiebreak_cols (the
+            # sort_index repair contract, which sorts by all MultiIndex
+            # levels like pandas sort_index) still take precedence.
+            df = df.withColumn("__ipos__", F.monotonically_increasing_id())
+            order_tail = [*(tiebreak_cols or []), "__ipos__"]
             if (rows_hint is not None and exact_slices
                     and rows_hint > self.rows_per_file):
                 # EXACT segment_row_size slicing (reference contract: the
@@ -1264,14 +1274,15 @@ class Library:
                 from pyspark.sql import Window
                 n_parts = -(-rows_hint // self.rows_per_file)
                 w = Window.orderBy(F.col(index_column),
-                                   *[F.col(c) for c in (tiebreak_cols or [])])
+                                   *[F.col(c) for c in order_tail])
                 (df.withColumn(
                        "__slice__",
                        F.floor((F.row_number().over(w) - F.lit(1))
                                / F.lit(self.rows_per_file)))
                    .repartition(n_parts, F.col("__slice__"))
                    .sortWithinPartitions("__slice__", index_column,
-                                         *(tiebreak_cols or []))
+                                         *order_tail)
+                   .drop("__ipos__")
                    .write.mode("overwrite").partitionBy("__slice__")
                    .parquet(out_dir))
                 sliced_write = True
@@ -1286,14 +1297,14 @@ class Library:
                 # tiny-file/footer amplification at scale
                 n_parts = max(1, -(-rows_hint // self.rows_per_file))
                 df = (df.repartitionByRange(n_parts, F.col(index_column))
-                        .sortWithinPartitions(index_column,
-                                              *(tiebreak_cols or [])))
+                        .sortWithinPartitions(index_column, *order_tail)
+                        .drop("__ipos__"))
             else:
                 # no hint (cluster-scale Spark-frame input): the cluster's
                 # own partitioning stands
                 df = (df.repartitionByRange(F.col(index_column))
-                        .sortWithinPartitions(index_column,
-                                              *(tiebreak_cols or [])))
+                        .sortWithinPartitions(index_column, *order_tail)
+                        .drop("__ipos__"))
         elif rows_hint is not None:
             # rowcount / UNSORTED / DESCENDING writes preserve input row
             # order, so no shuffle — but still size segments: coalesce
@@ -2157,12 +2168,13 @@ class Library:
                 # type IS int64 ns, types.hpp:73)
                 sdf = self._index_to_ns_long(sdf, idx)
                 norm_meta = {**nm, "index_ns": True}
-        tiebreak = (norm_meta["physical"][1:]
-                    if norm_meta and norm_meta.get("index_type") == "multiindex"
-                    else None)
+        # equal timestamps keep INPUT row order (the reference never
+        # reorders within a ts value — MultiIndex level values do NOT
+        # participate in the write sort; _write_data_files' __ipos__
+        # stability column makes the layout deterministic instead)
         files = self._write_data_files(
             symbol, self._drop_void(sdf), idx,
-            sort=(sorted_flag == "ASCENDING"), tiebreak_cols=tiebreak,
+            sort=(sorted_flag == "ASCENDING"),
             rows_hint=(len(df) if isinstance(df, (pd.DataFrame, pd.Series))
                        else None))
         if dedup:
@@ -2517,10 +2529,10 @@ class Library:
         library.py:1361): appends normalize the incoming chunk against the
         STORED index column, so the hint is redundant here.
         ``compact_data=True`` (reference library.py:1361 append kwarg)
-        defragments the symbol after the append when it is fragmented —
-        here as a follow-up compaction version rather than the reference's
-        single atomic version (documented deviation: one extra version
-        number, same final data)."""
+        compacts fragmented existing slices together with the appended
+        frame inside the SAME version (reference append_internal inline
+        CompactDataClause, version_core.cpp:3155-3320): the frame counts
+        as one row slice, in-bounds existing slices stay untouched."""
         try:
             prev = self._load_manifest(symbol,
                                        self._load_ref(symbol)["latest"])
@@ -2566,6 +2578,12 @@ class Library:
                 symbol, self._next_version(symbol), time.time_ns(),
                 prev.index_column, prev.schema_json, prev.files,
                 metadata, sorted=prev.sorted, norm_meta=prev.norm_meta)
+            if compact_data:
+                # an empty append with compact_data=True still compacts the
+                # EXISTING data inside this version (reference
+                # test_append_compact_data.py
+                # test_append_empty_frame_compacts_existing_data)
+                m = self._apply_append_compaction(prev, m, 0)
             out = self._commit(m)
             if prune_previous_versions:
                 self.prune_previous_versions(symbol)
@@ -2700,14 +2718,44 @@ class Library:
                             metadata,  # per-version, verbatim (None clears;
                             # reference test_append_empty_frame_metadata)
                             sorted=out_sorted, norm_meta=out_norm_meta)
+        if compact_data:
+            # inline compaction is part of the SAME version (reference
+            # append_internal — test_append_compact_data.py pins
+            # vit.version == 1 after write + append(compact_data=True))
+            m = self._apply_append_compaction(
+                prev, m, sum(f.rows for f in new_files))
         out = self._commit(m)
         if prune_previous_versions:
             self.prune_previous_versions(symbol)
-        if compact_data and self.is_symbol_fragmented(symbol):
-            out = self.compact_symbol(symbol)
-            if prune_previous_versions:
-                self.prune_previous_versions(symbol)
         return out
+
+    def _apply_append_compaction(self, prev: "VersionManifest",
+                                 m: "VersionManifest",
+                                 frame_rows: int) -> "VersionManifest":
+        """Rewrite the uncommitted append manifest per append_compact_plan
+        (plans/compact.py): the appended frame counts as ONE row slice, the
+        boundary group absorbs its leading rows, the remainder is resliced
+        by ReslicingInfo — so the committed layout matches the reference's
+        inline CompactDataClause (version_core.cpp:3155-3320)."""
+        from arcticdb_spark.plans.compact import append_compact_plan
+        slices = [(fe.row_start, fe.row_start + fe.rows)
+                  for fe in prev.files]
+        plan = append_compact_plan(slices, frame_rows, self.rows_per_file)
+        if plan is None:
+            return m
+        by_start = {fe.row_start: fe for fe in m.files}
+        out_files: list[FileEntry] = []
+        for entry in plan:
+            if entry[0] == "keep":
+                out_files.append(by_start[entry[1]])
+            else:
+                _, s, e, sizes = entry
+                group = [fe for fe in m.files
+                         if fe.row_start < e and fe.row_start + fe.rows > s]
+                out_files.extend(self._rewrite_group(m, group, s, sizes,
+                                                     end=e))
+        m.files = _renumber(out_files)
+        return m
 
     def _append_ndarray(self, symbol: str, prev: "VersionManifest", arr,
                         metadata) -> "VersionManifest":
@@ -5311,19 +5359,25 @@ class Library:
 
     def _rewrite_group(self, prev: "VersionManifest",
                        group_files: list, start: int,
-                       sizes: list[int]) -> list[FileEntry]:
+                       sizes: list[int],
+                       end: int | None = None) -> list[FileEntry]:
         """Rewrite ONE plan group: scan just its files (with the global
         row-id so original row order — whatever the sortedness — survives),
         route rows to exact-size slices, one parquet file per slice.
         Heterogeneous schema epochs inside the group normalize to the
         manifest schema via _scan_files' per-epoch cast (the reference
         equally re-encodes processed segments to the promoted descriptor,
-        test_compact_data.py three_slices case)."""
+        test_compact_data.py three_slices case). ``end`` bounds the scan
+        when a file straddles the group boundary (inline append-compaction
+        cuts the appended frame mid-file)."""
         from pyspark.sql import types as T
         schema = T.StructType.fromJson(json.loads(prev.schema_json))
         phys = T.StructType([f for f in schema.fields
                              if f.name not in self._void_cols(schema)])
         df = self._scan_files(prev, group_files, phys, need_row_id=True)
+        if end is not None:
+            df = df.filter((F.col(ROW_ID) >= F.lit(start))
+                           & (F.col(ROW_ID) < F.lit(end)))
         num = len(sizes)
         base = sizes[0]
         exact = num - sum(1 for s in sizes if s == base + 1)

@@ -107,3 +107,63 @@ def compact_plan(slices: list[tuple[int, int]], rows_per_segment: int
             any_work = True
             plan.append(("rewrite", s, e, reslice_sizes(e - s, max_rps)))
     return plan if any_work else None
+
+
+def append_compact_plan(slices: list[tuple[int, int]], frame_rows: int,
+                        rows_per_segment: int) -> list[tuple] | None:
+    """Plan for ``append(..., compact_data=True)``: the appended frame is
+    treated as ONE row slice regardless of the slicing policy
+    (clause_compact_data.cpp:115-124), the processed group whose existing
+    data ends at the frame offset absorbs just enough leading frame rows to
+    complete its ReslicingInfo layout (add_segment_from_frame,
+    clause_compact_data.cpp:245-275), and the frame REMAINDER is sliced by
+    ``ReslicingInfo(remaining, max)`` — not the library policy
+    (slice_and_write_frame_remainder, version_core.cpp:3228-3266).
+
+    Returns ``None`` for a plain append (everything already acceptable, or
+    no existing slice needs rewriting — the reference's
+    "ranges_and_keys empty after erasure" short-circuit), else keep/rewrite
+    entries covering [0, off + frame_rows).
+    """
+    min_rps, max_rps = compact_bounds(rows_per_segment)
+    off = slices[-1][1] if slices else 0
+    end = off + frame_rows
+    ranges = list(slices)
+    if frame_rows > 0:
+        ranges.append((off, end))
+    if not ranges:
+        return None
+    if all(min_rps <= e - s <= max_rps for s, e in ranges):
+        return None
+    groups = structure_row_ranges(ranges, rows_per_segment, min_rps, max_rps)
+    existing = set(slices)
+    plan: list[tuple] = []
+    disk_work = False
+    remainder_start = off
+    for s, e in groups:
+        if (s, e) in existing and (e - s) <= max_rps:
+            plan.append(("keep", s, e))
+            continue
+        if s >= off:
+            continue  # pure-frame group: handled as remainder
+        disk_work = True
+        disk_end = min(e, off)
+        if disk_end == off and frame_rows > 0:
+            # boundary group: disk rows d plus the frame, cut at the first
+            # ReslicingInfo(d + frame_rows, max) boundary past the disk
+            d = off - s
+            c = 0
+            for sz in reslice_sizes(d + frame_rows, max_rps):
+                c += sz
+                if c > d:
+                    break
+            plan.append(("rewrite", s, s + c, reslice_sizes(c, max_rps)))
+            remainder_start = s + c
+        else:
+            plan.append(("rewrite", s, e, reslice_sizes(e - s, max_rps)))
+    if not disk_work:
+        return None
+    if remainder_start < end:
+        plan.append(("rewrite", remainder_start, end,
+                     reslice_sizes(end - remainder_start, max_rps)))
+    return plan

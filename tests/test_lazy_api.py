@@ -5,8 +5,10 @@ import pytest
 
 
 def _frame(start, periods, off=0):
-    return pd.DataFrame({"ts": pd.date_range(start, periods=periods, freq="1h"),
-                         "v": [float(i + off) for i in range(periods)]})
+    # DatetimeIndex frame (ts DATA columns are no longer index-sniffed)
+    return pd.DataFrame(
+        {"v": [float(i + off) for i in range(periods)]},
+        index=pd.date_range(start, periods=periods, freq="1h", name="ts"))
 
 
 def test_lazy_read_chain(tmp_lib):

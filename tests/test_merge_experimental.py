@@ -15,15 +15,18 @@ def lib(spark, tmp_path):
 
 
 def _target():
-    return pd.DataFrame({
-        "ts": pd.date_range("2024-01-01", periods=5, freq="D"),
-        "price": [10.0, 20.0, 30.0, 40.0, 50.0]})
+    # DatetimeIndex frames: the ts DATA column is no longer index-sniffed
+    # (reference parity) and merge keys on the symbol's real index
+    return pd.DataFrame(
+        {"price": [10.0, 20.0, 30.0, 40.0, 50.0]},
+        index=pd.date_range("2024-01-01", periods=5, freq="D", name="ts"))
 
 
 def _source(days, prices):
-    return pd.DataFrame({
-        "ts": pd.to_datetime([f"2024-01-{d:02d}" for d in days]),
-        "price": prices})
+    return pd.DataFrame(
+        {"price": prices},
+        index=pd.DatetimeIndex(
+            pd.to_datetime([f"2024-01-{d:02d}" for d in days]), name="ts"))
 
 
 def _read(lib):
@@ -87,14 +90,15 @@ class TestMergeLifecycle:
     def test_on_columns_compound_key(self, lib):
         """Matching on index + an `on` column: same timestamp, different
         instrument keys stay distinct."""
-        lib.write("sym", pd.DataFrame({
-            "ts": pd.to_datetime(["2024-01-01", "2024-01-01", "2024-01-02"]),
-            "k": ["a", "b", "a"],
-            "price": [1.0, 2.0, 3.0]}))
+        lib.write("sym", pd.DataFrame(
+            {"k": ["a", "b", "a"], "price": [1.0, 2.0, 3.0]},
+            index=pd.DatetimeIndex(pd.to_datetime(
+                ["2024-01-01", "2024-01-01", "2024-01-02"]), name="ts")))
         lib.merge_experimental(
             "sym",
-            pd.DataFrame({"ts": pd.to_datetime(["2024-01-01"]),
-                          "k": ["b"], "price": [20.0]}),
+            pd.DataFrame({"k": ["b"], "price": [20.0]},
+                         index=pd.DatetimeIndex(
+                             pd.to_datetime(["2024-01-01"]), name="ts")),
             on=["k"],
             strategy=MergeStrategy(matched="update",
                                    not_matched_by_target="do_nothing"))

@@ -109,17 +109,17 @@ def test_date_range_then_filter_then_resample_managed(spark, tmp_path):
     from arcticdb_spark.catalog import Arctic
     lib = Arctic(str(tmp_path), spark).create_library("chain")
     n = 500
-    pdf = pd.DataFrame({
-        "ts": pd.date_range("2024-01-01", periods=n, freq="7min"),
-        "v": np.arange(n, dtype="float64")})
+    pdf = pd.DataFrame(
+        {"v": np.arange(n, dtype="float64")},
+        index=pd.date_range("2024-01-01", periods=n, freq="7min", name="ts"))
     lib.write("sym", pdf)
     q = QueryBuilder()
     q = q[q["v"] > 40.0].resample("1h").agg({"v": "mean"})
     lo, hi = pd.Timestamp("2024-01-01 05:00"), pd.Timestamp("2024-01-02 01:00")
     out = (lib.read("sym", date_range=(lo, hi), query_builder=q,
-                    output_format="pandas").sort_values("ts"))
-    sub = pdf[(pdf.ts >= lo) & (pdf.ts <= hi) & (pdf.v > 40.0)]
-    exp = sub.set_index("ts").resample("1h").mean().dropna()
+                    output_format="pandas").sort_index())
+    sub = pdf[(pdf.index >= lo) & (pdf.index <= hi) & (pdf.v > 40.0)]
+    exp = sub.resample("1h").mean().dropna()
     assert len(out) == len(exp)
     assert np.allclose(out["v"].to_numpy(), exp["v"].to_numpy())
 

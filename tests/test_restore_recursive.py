@@ -12,9 +12,12 @@ from arcticdb_spark.catalog import ArcticException, DataError
 
 
 def _pdf(vals):
-    return pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=len(vals),
-                                             freq="1h"),
-                         "v": vals})
+    # DatetimeIndex frame (pandas ts DATA columns are no longer sniffed
+    # as the index — reference parity; update/date_range need the index)
+    return pd.DataFrame(
+        {"v": vals},
+        index=pd.date_range("2024-01-01", periods=len(vals), freq="1h",
+                            name="ts"))
 
 
 # ---------------------------------------------------------------------------
@@ -159,12 +162,12 @@ def test_version_chain_increasing(tmp_lib, operation):
     if operation == "write":
         m = tmp_lib.write("sym", df)
     elif operation == "update":
-        upd = pd.DataFrame({"ts": [pd.Timestamp("2024-01-01 01:00")],
-                            "v": [9.0]})
+        upd = pd.DataFrame({"v": [9.0]}, index=pd.DatetimeIndex(
+            [pd.Timestamp("2024-01-01 01:00")], name="ts"))
         m = tmp_lib.update("sym", upd)
     elif operation == "append":
-        app = pd.DataFrame({"ts": [pd.Timestamp("2024-01-01 03:00")],
-                            "v": [9.0]})
+        app = pd.DataFrame({"v": [9.0]}, index=pd.DatetimeIndex(
+            [pd.Timestamp("2024-01-01 03:00")], name="ts"))
         m = tmp_lib.append("sym", app)
     elif operation == "delete_range":
         m = tmp_lib.delete_data_in_range(

@@ -19,9 +19,12 @@ from arcticdb_spark.plans.rowid import ROW_ID
 
 
 def _mk_ts_frame(n=1000, start="2024-01-01", freq="37min"):
-    idx = pd.date_range(start, periods=n, freq=freq)
-    return pd.DataFrame({"ts": idx, "v": np.arange(n, dtype="int64"),
-                         "x": np.arange(n, dtype="float64") * 0.5})
+    # real DatetimeIndex (pandas ts DATA columns are no longer sniffed
+    # as the index — reference parity)
+    idx = pd.date_range(start, periods=n, freq=freq, name="ts")
+    return pd.DataFrame({"v": np.arange(n, dtype="int64"),
+                         "x": np.arange(n, dtype="float64") * 0.5},
+                        index=idx)
 
 
 # ---------------------------------------------------------------------------
@@ -32,31 +35,31 @@ class TestReadParamsWithPositionalClauses:
     def test_date_range_param_then_head(self, tmp_lib):
         pdf = _mk_ts_frame()
         tmp_lib.write("sym", pdf)
-        mid = pdf["ts"].iloc[500]
+        mid = pdf.index[500]
         q = QueryBuilder().head(5)
         out = tmp_lib.read("sym", date_range=(mid, None), query_builder=q,
                            output_format="pandas")
-        expected = pdf[pdf["ts"] >= mid].head(5).reset_index(drop=True)
+        expected = pdf[pdf.index >= mid].head(5)
         assert list(out["v"]) == list(expected["v"])
 
     def test_date_range_param_then_tail(self, tmp_lib):
         pdf = _mk_ts_frame()
         tmp_lib.write("sym", pdf)
-        mid = pdf["ts"].iloc[500]
+        mid = pdf.index[500]
         q = QueryBuilder().tail(7)
         out = tmp_lib.read("sym", date_range=(None, mid), query_builder=q,
                            output_format="pandas")
-        expected = pdf[pdf["ts"] <= mid].tail(7).reset_index(drop=True)
+        expected = pdf[pdf.index <= mid].tail(7)
         assert list(out["v"]) == list(expected["v"])
 
     def test_date_range_param_then_row_range(self, tmp_lib):
         pdf = _mk_ts_frame()
         tmp_lib.write("sym", pdf)
-        lo, hi = pdf["ts"].iloc[200], pdf["ts"].iloc[800]
+        lo, hi = pdf.index[200], pdf.index[800]
         q = QueryBuilder().row_range((10, 20))
         out = tmp_lib.read("sym", date_range=(lo, hi), query_builder=q,
                            output_format="pandas")
-        expected = pdf[(pdf["ts"] >= lo) & (pdf["ts"] <= hi)].iloc[10:20]
+        expected = pdf[(pdf.index >= lo) & (pdf.index <= hi)].iloc[10:20]
         assert list(out["v"]) == list(expected["v"])
 
     def test_row_range_param_then_head(self, tmp_lib):
@@ -78,12 +81,12 @@ class TestReadParamsWithPositionalClauses:
     def test_date_range_param_then_filter_unchanged(self, tmp_lib):
         pdf = _mk_ts_frame()
         tmp_lib.write("sym", pdf)
-        mid = pdf["ts"].iloc[500]
+        mid = pdf.index[500]
         q = QueryBuilder()
         q = q[q["v"] > 700]
         out = tmp_lib.read("sym", date_range=(mid, None), query_builder=q,
                            output_format="pandas")
-        expected = pdf[(pdf["ts"] >= mid) & (pdf["v"] > 700)]
+        expected = pdf[(pdf.index >= mid) & (pdf["v"] > 700)]
         assert sorted(out["v"]) == sorted(expected["v"])
 
 
@@ -123,35 +126,36 @@ class TestOpenEndedRanges:
     def test_update_open_upper(self, tmp_lib):
         pdf = _mk_ts_frame(200)
         tmp_lib.write("sym", pdf)
-        cut = pdf["ts"].iloc[150]
-        new = pd.DataFrame({"ts": [cut + pd.Timedelta("1s")],
-                            "v": [999_999], "x": [1.5]})
+        cut = pdf.index[150]
+        new = pd.DataFrame({"v": [999_999], "x": [1.5]},
+                           index=pd.DatetimeIndex([cut + pd.Timedelta("1s")],
+                                                  name="ts"))
         tmp_lib.update("sym", new, date_range=(cut, None))
-        out = tmp_lib.read("sym", output_format="pandas").sort_values("ts")
+        out = tmp_lib.read("sym", output_format="pandas").sort_index()
         # rows >= cut replaced by the single new row
-        assert (out["ts"] >= cut).sum() == 1
-        assert out[out["ts"] >= cut]["v"].iloc[0] == 999_999
-        assert (out["ts"] < cut).sum() == 150
+        assert (out.index >= cut).sum() == 1
+        assert out[out.index >= cut]["v"].iloc[0] == 999_999
+        assert (out.index < cut).sum() == 150
 
     def test_update_open_lower(self, tmp_lib):
         pdf = _mk_ts_frame(200)
         tmp_lib.write("sym", pdf)
-        cut = pdf["ts"].iloc[50]
-        new = pd.DataFrame({"ts": [pdf["ts"].iloc[0]],
-                            "v": [-1], "x": [0.0]})
+        cut = pdf.index[50]
+        new = pd.DataFrame({"v": [-1], "x": [0.0]},
+                           index=pd.DatetimeIndex([pdf.index[0]], name="ts"))
         tmp_lib.update("sym", new, date_range=(None, cut))
-        out = tmp_lib.read("sym", output_format="pandas").sort_values("ts")
-        assert (out["ts"] <= cut).sum() == 1
+        out = tmp_lib.read("sym", output_format="pandas").sort_index()
+        assert (out.index <= cut).sum() == 1
         assert out["v"].iloc[0] == -1
 
     def test_delete_data_in_range_open_upper(self, tmp_lib):
         pdf = _mk_ts_frame(200)
         tmp_lib.write("sym", pdf)
-        cut = pdf["ts"].iloc[120]
+        cut = pdf.index[120]
         tmp_lib.delete_data_in_range("sym", (cut, None))
         out = tmp_lib.read("sym", output_format="pandas")
         assert len(out) == 120
-        assert out["ts"].max() < cut
+        assert out.index.max() < cut
 
 
 # ---------------------------------------------------------------------------

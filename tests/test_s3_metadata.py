@@ -37,8 +37,8 @@ def s3_lib(spark, tmp_path, s3_client):
 
 
 def _frame(n=300):
-    idx = pd.date_range("2024-01-01", periods=n, freq="1h")
-    return pd.DataFrame({"ts": idx, "v": np.arange(n, dtype="int64")})
+    idx = pd.date_range("2024-01-01", periods=n, freq="1h", name="ts")
+    return pd.DataFrame({"v": np.arange(n, dtype="int64")}, index=idx)
 
 
 class TestS3FileSystem:
@@ -77,7 +77,7 @@ class TestS3Catalog:
     def test_versioning_and_as_of(self, s3_lib):
         s3_lib.write("sym", _frame(100))
         later = _frame(50)
-        later["ts"] = later["ts"] + pd.Timedelta(days=30)
+        later.index = later.index + pd.Timedelta(days=30)
         s3_lib.append("sym", later)
         assert s3_lib.read("sym", as_of=0).count() == 100
         assert s3_lib.read("sym").count() == 150
@@ -109,7 +109,7 @@ class TestS3Catalog:
     def test_update_and_delete_range(self, s3_lib):
         pdf = _frame(200)
         s3_lib.write("sym", pdf)
-        cut = pdf["ts"].iloc[150]
+        cut = pdf.index[150]
         s3_lib.delete_data_in_range("sym", (cut, None))
         assert s3_lib.read("sym").count() == 150
 

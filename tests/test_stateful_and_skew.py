@@ -89,9 +89,11 @@ def test_read_index_and_defragment(tmp_lib):
 
 
 def test_sort_and_finalize_alias(tmp_lib):
-    c = pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=10, freq="1h")[::-1],
-                      "v": list(range(10))})
-    tmp_lib.stage("s", c)
+    c = pd.DataFrame(
+        {"v": list(range(10))},
+        index=pd.date_range("2024-01-01", periods=10, freq="1h",
+                            name="ts")[::-1])
+    tmp_lib.stage("s", c, validate_index=False)
     m = tmp_lib.sort_and_finalize_staged_data("s")
     assert m.sorted == "ASCENDING"
     out = tmp_lib.read("s").toPandas()

@@ -375,8 +375,8 @@ def test_finalize_append_signed_onto_uint64_symbol_raises(tmp_lib):
     tmp_lib.write("s", pd.DataFrame(
         {"u": np.array([1, U64_MAX], dtype=np.uint64)}, index=idx))
     tmp_lib.stage("s", pd.DataFrame(
-        {"ts": pd.date_range("2024-02-01", periods=2, freq="1D"),
-         "u": np.array([5, 6], dtype=np.int64)}))
+        {"u": np.array([5, 6], dtype=np.int64)},
+        index=pd.date_range("2024-02-01", periods=2, freq="1D")))
     with pytest.raises(SchemaException, match="uint64"):
         tmp_lib.finalize_staged_data("s", mode="append")
 

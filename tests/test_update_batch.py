@@ -16,9 +16,11 @@ def lib(spark, tmp_path):
 
 
 def _frame(vals, start):
-    return pd.DataFrame({
-        "ts": pd.date_range(start, periods=len(vals), freq="D"),
-        "a": np.array(vals, dtype="int64")})
+    # real DatetimeIndex: pandas datetime DATA columns are no longer
+    # index-sniffed (reference parity), and update needs a ts index
+    return pd.DataFrame(
+        {"a": np.array(vals, dtype="int64")},
+        index=pd.date_range(start, periods=len(vals), freq="D", name="ts"))
 
 
 class TestUpdateUpsert:
@@ -37,8 +39,8 @@ class TestUpdateUpsert:
         rows untouched but still commits a new version (metadata set
         verbatim — None clears)."""
         lib.write("sym", _frame([1, 2, 3], "2024-01-01"), metadata="v0")
-        empty = pd.DataFrame({"ts": pd.to_datetime([]),
-                              "a": np.array([], dtype="int64")})
+        empty = pd.DataFrame({"a": np.array([], dtype="int64")},
+                             index=pd.DatetimeIndex([], name="ts"))
         m = lib.update("sym", empty)
         assert m.version == 1
         assert sorted(v["version"] for v in lib.list_versions("sym")) == [0, 1]
