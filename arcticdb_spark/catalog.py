@@ -811,6 +811,53 @@ def _schema_from_pandas_dtypes(pdf):
     return T.StructType(m)
 
 
+# Reference NativeVersionStore kwarg validation (_store.py:704-720 and the
+# per-method valid sets at its _validate_kwargs call sites): unknown keyword
+# arguments raise ArcticNativeException naming the method and the kwargs —
+# unless ARCTICDB_DISABLE_KWARG_VALIDATION=1, which downgrades to a warning.
+# Historic Arctic kwargs in each method's valid set are tolerated (accepted
+# and ignored where this engine has no equivalent knob).
+_VALID_READ_KWARGS = frozenset({
+    "iterate_snapshots_if_tombstoned", "force_string_to_object",
+    "optimise_string_memory", "output_format", "dynamic_schema", "set_tz",
+    "allow_sparse", "incomplete", "arrow_string_format_default",
+    "arrow_string_format_per_column",
+})
+
+
+def _check_extra_kwargs(method: str, valid: frozenset, extra: dict) -> None:
+    invalid = [k for k in extra if k not in valid]
+    if invalid:
+        msg = (f"{method} received invalid kwargs {invalid}. "
+               f"Supported kwargs are {sorted(valid)}")
+        if os.environ.get("ARCTICDB_DISABLE_KWARG_VALIDATION") == "1":
+            import warnings
+            warnings.warn(msg)
+        else:
+            raise ArcticException(msg)
+
+
+def _kwargs_contract(method: str, valid: frozenset = frozenset()):
+    """Decorator: absorb **kwargs beyond the method's real signature,
+    validating them against the reference's per-method valid set. Valid
+    historic kwargs are dropped (tolerated); anything else raises like the
+    reference (_store.py:704)."""
+    import functools
+    import inspect
+
+    def deco(fn):
+        own = set(inspect.signature(fn).parameters)
+
+        @functools.wraps(fn)
+        def wrapper(self, *args, **kwargs):
+            extra = {k: kwargs.pop(k) for k in list(kwargs) if k not in own}
+            if extra:
+                _check_extra_kwargs(method, valid, extra)
+            return fn(self, *args, **kwargs)
+        return wrapper
+    return deco
+
+
 def _renumber(files: list[FileEntry]) -> list[FileEntry]:
     acc = 0
     out = []
@@ -2063,6 +2110,7 @@ class Library:
         for e in entries:
             e.content_hash = by_path.get(e.path)
 
+    @_kwargs_contract("write", frozenset({"dynamic_strings", "parallel", "incomplete", "recursive_normalizers", "recursive_normalize_msgpack_no_pickle_fallback", "coerce_columns", "sparsify_floats", "norm_failure_options_msg", "pickle_on_failure", "prune_previous_version"}))
     def write(self, symbol: str, df, metadata: Any = None,
               index_column: str | None = None, prune_previous: bool = False,
               dedup: bool | None = None, staged: bool = False,
@@ -2422,6 +2470,7 @@ class Library:
             raise ArcticDbNotYetImplemented(
                 f"{op} with categorical columns is not supported")
 
+    @_kwargs_contract("is_symbol_pickled", _VALID_READ_KWARGS)
     def is_symbol_pickled(self, symbol: str, as_of=None) -> bool:
         """Reference ``library.py:2484`` is_symbol_pickled."""
         return self._is_pickled(self._resolve_version(symbol, as_of))
@@ -2514,6 +2563,7 @@ class Library:
             return json.dumps(promoted.jsonValue())
         return prev_schema_json
 
+    @_kwargs_contract("append", frozenset({"dynamic_strings", "coerce_columns", "write_if_missing", "incomplete", "prune_previous_version"}))
     def append(self, symbol: str, df, metadata: Any = None,
                validate_index: bool = True,
                prune_previous_versions: bool = False,
@@ -2797,6 +2847,7 @@ class Library:
                             metadata, norm_meta=nm)
         return self._commit(m)
 
+    @_kwargs_contract("update", frozenset({"dynamic_strings", "dynamic_schema", "coerce_columns", "prune_previous_version"}))
     def update(self, symbol: str, df, date_range: tuple | None = None,
                metadata: Any = None, upsert: bool = False,
                prune_previous_versions: bool = False,
@@ -3111,6 +3162,8 @@ class Library:
         return sorted(int(fn[1:-5]) for fn in self._fs.listdir(d)
                       if fn.startswith("v") and fn.endswith(".json"))
 
+    @_kwargs_contract("read", _VALID_READ_KWARGS
+                      | {"implement_read_index", "allow_secondary"})
     def read(self, symbol: str, as_of=None, date_range: tuple | None = None,
              row_range: tuple | None = None, columns: list[str] | None = None,
              query_builder=None, with_row_ids: bool = False,
@@ -3308,7 +3361,11 @@ class Library:
                     s0, e0 = args0["range"]
                     s0 = 0 if s0 is None else (s0 + total if s0 < 0 else s0)
                     e0 = total if e0 is None else (e0 + total if e0 < 0 else e0)
-                    lo_r, hi_r = s0, e0
+                    # clamp like pandas iloc: a beyond-the-start negative
+                    # (-15 on 10 rows) must become 0 here — the rewritten
+                    # clause is ABSOLUTE, and a still-negative bound would
+                    # be re-resolved against the pruned subtotal downstream
+                    lo_r, hi_r = max(0, s0), max(0, e0)
                 files = [fe for fe in files
                          if fe.row_start < hi_r and fe.row_start + fe.rows > lo_r]
                 # rewrite the clause with RESOLVED bounds: the pruned frame
@@ -3357,6 +3414,10 @@ class Library:
                         keep = [c] + keep
                 empty = empty.select(keep)
             out = query_builder.to_df(empty, idx) if query_builder else empty
+            if ROW_ID in out.columns and not with_row_ids:
+                # positional clauses attach the row id even on the pruned
+                # empty frame — same drop as the main return path
+                out = out.drop(ROW_ID)
             return self._format_output(
                 out, output_format, m.norm_meta,
                 undecided_index=_index_undecided(m),
@@ -3762,6 +3823,7 @@ class Library:
             tbl = tbl.remove_column(tbl.column_names.index(s))
         return tbl
 
+    @_kwargs_contract("head", _VALID_READ_KWARGS | {"implement_read_index"})
     def head(self, symbol: str, n: int = 5, as_of=None,
              columns: list[str] | None = None,
              output_format: str | None = None,
@@ -3770,6 +3832,7 @@ class Library:
                          columns=columns, output_format=output_format,
                          lazy=lazy)
 
+    @_kwargs_contract("tail", _VALID_READ_KWARGS | {"implement_read_index"})
     def tail(self, symbol: str, n: int = 5, as_of=None,
              columns: list[str] | None = None,
              output_format: str | None = None,
@@ -3787,6 +3850,7 @@ class Library:
     def _staging_dir(self, symbol):
         return os.path.join(self._data_sym_dir(symbol), "_staging")
 
+    @_kwargs_contract("stage", frozenset({"norm_failure_options_msg"}))
     def stage(self, symbol: str, df, validate_index: bool = True,
               sort_on_index: bool = False,
               sort_columns: list | None = None,
@@ -4324,6 +4388,8 @@ class Library:
             self.prune_previous_versions(symbol)
         return out
 
+    @_kwargs_contract("defragment_symbol_data",
+                      frozenset({"prune_previous_version"}))
     def defragment_symbol_data(self, symbol: str,
                                segment_size: int | None = None,
                                prune_previous_versions: bool = False
@@ -4334,6 +4400,7 @@ class Library:
             self.prune_previous_versions(symbol)
         return out
 
+    @_kwargs_contract("read_index", _VALID_READ_KWARGS)
     def read_index(self, symbol: str, as_of=None):
         """Index-structure introspection (reference ``_store.py:2712``):
         one row per data file with row/ts ranges — the manifest as a frame."""
@@ -4574,6 +4641,7 @@ class Library:
                     os.remove(fe.path)
         self._fs.remove(self._ver_path(sym, v))
 
+    @_kwargs_contract("add_to_snapshot", _VALID_READ_KWARGS)
     def add_to_snapshot(self, name: str, symbols, as_ofs=None,
                         version: int | None = None):
         """Add/replace snapshot entries (reference ``_store.py:3194``):
@@ -4776,6 +4844,7 @@ class Library:
         out.sort(key=lambda r: (r["symbol"], r["version"]), reverse=True)
         return VersionList(out)
 
+    @_kwargs_contract("read_metadata", _VALID_READ_KWARGS)
     def read_metadata(self, symbol: str, as_of=None) -> "VersionedItem":
         """Reference ``library.py:2485``: returns a VersionedItem whose
         ``data`` is None — callers use ``.metadata`` (and ``.version``)."""
@@ -4806,6 +4875,9 @@ class Library:
         schema = T.StructType.fromJson(json.loads(m.schema_json))
         return [f.name for f in schema.fields if f.name != m.index_column]
 
+    @_kwargs_contract("get_num_rows",
+                      frozenset({"iterate_snapshots_if_tombstoned",
+                                 "include_index_segment"}))
     def get_num_rows(self, symbol: str, as_of=None) -> int | None:
         """Reference ``_store.py:3758``: row count from the manifest;
         None for pickled symbols (their physical rows are chunk rows)."""
@@ -4897,6 +4969,7 @@ class Library:
             last_update_time=pd.Timestamp(m.created_ns, tz=_pytz_utc()),
             date_range=date_range)
 
+    @_kwargs_contract("get_info", _VALID_READ_KWARGS)
     def get_info(self, symbol: str, version=None) -> dict:
         """Reference ``_store.py:3882`` get_info, shape pinned by
         test_basic_version_store.py:978-1150: ``type`` is pandasdf /
@@ -5001,6 +5074,7 @@ class Library:
         """Reference ``_store.py:2784`` single-symbol incomplete removal."""
         self.remove_incompletes([symbol])
 
+    @_kwargs_contract("delete", _VALID_READ_KWARGS)
     def delete(self, symbol: str, versions=None, date_range=None,
                prune_previous_versions: bool = False) -> None:
         """Delete the whole symbol, or only specific ``versions`` (int or
@@ -5166,6 +5240,7 @@ class Library:
                 return
         self._fs.write_json_atomic(self._ref_path(symbol), ref)
 
+    @_kwargs_contract("restore_version", _VALID_READ_KWARGS)
     def restore_version(self, symbol: str, as_of=None) -> VersionManifest:
         """Make the latest version equal to the ``as_of`` version (reference
         ``_store.py:2739``: semantically ``write(sym, read(sym, as_of).data)``
@@ -5179,6 +5254,7 @@ class Library:
         m.created_ns = time.time_ns()
         return self._commit(m)
 
+    @_kwargs_contract("batch_restore_version", _VALID_READ_KWARGS)
     def batch_restore_version(self, symbols: list, as_ofs: list | None = None
                               ) -> list:
         """Per-symbol restore with DataError capture (reference
@@ -5737,6 +5813,8 @@ class Library:
 
     # ---- v1 NativeVersionStore batch/utility aliases (_store.py) ----
 
+    @_kwargs_contract("batch_read",
+                      _VALID_READ_KWARGS | {"implement_read_index"})
     def batch_read(self, symbols: list, as_ofs: list | None = None,
                    date_ranges: list | None = None,
                    row_ranges: list | None = None,
@@ -5778,6 +5856,7 @@ class Library:
         return dict(self._pmap(one, list(zip(symbols, as_ofs, date_ranges,
                                              row_ranges, columns, qbs))))
 
+    @_kwargs_contract("batch_read_metadata", _VALID_READ_KWARGS)
     def batch_read_metadata(self, symbols: list, as_ofs: list | None = None,
                             **kwargs) -> dict:
         """v1 batch_read_metadata (``_store.py:1659``): missing symbols /
@@ -5793,6 +5872,7 @@ class Library:
         out = self._pmap(one, list(zip(symbols, as_ofs)))
         return dict(x for x in out if x is not None)
 
+    @_kwargs_contract("batch_write", frozenset({"dynamic_strings", "parallel", "incomplete", "recursive_normalizers", "recursive_normalize_msgpack_no_pickle_fallback", "coerce_columns", "sparsify_floats", "norm_failure_options_msg", "pickle_on_failure", "prune_previous_version"}))
     def batch_write(self, symbols: list, data_vector: list,
                     metadata_vector: list | None = None,
                     prune_previous_version: bool = False,
@@ -5804,6 +5884,7 @@ class Library:
             prune_previous_versions=prune_previous_version,
             validate_index=validate_index)
 
+    @_kwargs_contract("batch_append", frozenset({"dynamic_strings", "coerce_columns", "write_if_missing", "incomplete", "prune_previous_version"}))
     def batch_append(self, symbols: list, data_vector: list,
                      metadata_vector: list | None = None,
                      write_if_missing: bool = True, **kwargs) -> list:
@@ -5864,6 +5945,7 @@ class Library:
             list(zip(symbols, versions)), lambda t: t[0])
         return [x if isinstance(x, DataError) else None for x in out]
 
+    @_kwargs_contract("get_timerange_for_symbol")
     def get_timerange_for_symbol(self, symbol: str, version=None, **kwargs):
         """v1 ``_store.py:3721``: (earliest, latest) index timestamp of the
         resolved version."""
@@ -5895,6 +5977,8 @@ class Library:
         idx = self._resolve_version(symbols[0], as_of).index_column
         return query_builder.to_df_multi(dfs, index_column=idx)
 
+    @_kwargs_contract("batch_read_and_join",
+                      _VALID_READ_KWARGS | {"implement_read_index"})
     def batch_read_and_join(self, symbols: list, query_builder,
                             as_ofs: list | None = None,
                             date_ranges: list | None = None,
@@ -5921,6 +6005,7 @@ class Library:
         idx = self._resolve_version(symbols[0], as_ofs[0]).index_column
         return query_builder.to_df_multi(dfs, index_column=idx)
 
+    @_kwargs_contract("batch_read_metadata_multi", _VALID_READ_KWARGS)
     def batch_read_metadata_multi(self, symbols: list,
                                   as_ofs: list | None = None,
                                   **kwargs) -> dict:

@@ -96,8 +96,8 @@ def az_lib(spark, tmp_path, az_client):
 
 
 def _frame(n=300):
-    idx = pd.date_range("2024-01-01", periods=n, freq="1h")
-    return pd.DataFrame({"ts": idx, "v": np.arange(n, dtype="int64")})
+    idx = pd.date_range("2024-01-01", periods=n, freq="1h", name="ts")
+    return pd.DataFrame({"v": np.arange(n, dtype="int64")}, index=idx)
 
 
 class TestAzureFileSystem:
@@ -144,7 +144,7 @@ class TestAzureCatalog:
     def test_versioning_and_as_of(self, az_lib):
         az_lib.write("sym", _frame(100))
         later = _frame(50)
-        later["ts"] = later["ts"] + pd.Timedelta(days=30)
+        later.index = later.index + pd.Timedelta(days=30)
         az_lib.append("sym", later)
         assert az_lib.read("sym", as_of=0).count() == 100
         assert az_lib.read("sym").count() == 150

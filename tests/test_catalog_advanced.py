@@ -124,9 +124,9 @@ def test_empty_frame_write_and_append(tmp_lib, spark):
     assert tmp_lib.read("sym").count() == 0
     assert tmp_lib.get_description("sym")["row_count"] == 0
     # appending real data to an empty symbol works (EMPTY-type promotion)
-    tmp_lib.append("sym", pd.DataFrame({
-        "ts": pd.date_range("2024-01-01", periods=3, freq="1h"),
-        "v": [1.0, 2.0, 3.0]}))
+    tmp_lib.append("sym", pd.DataFrame(
+        {"v": [1.0, 2.0, 3.0]},
+        index=pd.date_range("2024-01-01", periods=3, freq="1h", name="ts")))
     assert tmp_lib.read("sym").count() == 3
     # date_range over an empty prune result returns an empty, well-typed frame
     out = tmp_lib.read("sym", date_range=(pd.Timestamp("1990-01-01"),
