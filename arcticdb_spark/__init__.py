@@ -44,6 +44,7 @@ from arcticdb_spark.exceptions import ErrorCategory, ErrorCode
 from arcticdb_spark import exceptions
 from arcticdb_spark.lazy import (LazyDataFrame, LazyDataFrameCollection,
                                  concat)
+from arcticdb_spark.timeframe import TimeFrame
 from arcticdb_spark.normalizers import (CustomNormalizer,
                                         CustomNormalizerMeta,
                                         clear_registered_normalizers,
@@ -60,4 +61,4 @@ __all__ = ["get_spark", "QueryBuilder", "col", "where", "Arctic",
            "NoSuchVersionException", "SortingException",
            "SchemaException", "MissingKeysInStageResultsError",
            "LazyDataFrame", "LazyDataFrameCollection", "concat",
-           "__version__"]
+           "TimeFrame", "__version__"]

@@ -1430,6 +1430,18 @@ class Library:
             return df, None
         import numpy as np
         import pandas as pd
+        from arcticdb_spark.timeframe import TimeFrame
+        if isinstance(df, TimeFrame):
+            # reference TimeFrameNormalizer (_normalization.py:1478-1520):
+            # normalize through the DatetimeIndex path, tag the meta so
+            # pandas-style output denormalizes back to a TimeFrame
+            pdf = pd.DataFrame(
+                dict(zip(df.columns_names, df.columns_values)),
+                index=pd.DatetimeIndex(df.times))
+            sdf, meta = self._normalize(pdf)
+            meta = dict(meta or {})
+            meta["timeframe"] = True
+            return sdf, meta
         try:
             import pyarrow as pa
         except ImportError:  # pragma: no cover
@@ -1611,14 +1623,24 @@ class Library:
                 # bool COLUMN/single-index names are rejected below
                 names = [str(nm) if isinstance(nm, bool) else nm
                          for nm in pdf.index.names]
+                taken = {str(c) for c in pdf.columns}
                 phys = []
                 for i, nm in enumerate(names):
                     if i == 0:
-                        phys.append(nm or "ts")
+                        cand = nm or "ts"
                     elif nm is not None:
-                        phys.append(f"__idx__{nm}")
+                        cand = f"__idx__{nm}"
                     else:
-                        phys.append(f"__fkidx__{i}")
+                        cand = f"__fkidx__{i}"
+                    # a level named like a data column (or a duplicate
+                    # level name) needs a distinct PHYSICAL name —
+                    # reset_index would otherwise collide; outputs restore
+                    # the originals from level_names / the arrow naming
+                    # contract (reference supports both,
+                    # test_arrow_normalization.py:180-213)
+                    while cand in taken or cand in phys:
+                        cand = f"__idx__{cand}"
+                    phys.append(cand)
                 pdf = pdf.copy(deep=False)
                 pdf.index = pdf.index.set_names(phys)
                 pdf = pdf.reset_index()
@@ -3542,7 +3564,8 @@ class Library:
         return self._format_output(
             df, output_format, m.norm_meta,
             range_positions=range_positions,
-            group_index_cols=self._groupby_index_cols(query_builder))
+            group_index_cols=self._groupby_index_cols(query_builder),
+            sorted_flag=(m.sorted if query_builder is None else None))
 
     def _read_with_incompletes(self, symbol: str, as_of=None,
                                date_range: tuple | None = None,
@@ -3639,7 +3662,8 @@ class Library:
     def _format_output(df: DataFrame, output_format: str, norm_meta=None,
                        undecided_index: bool = False,
                        group_index_cols: list | None = None,
-                       range_positions: bool = False):
+                       range_positions: bool = False,
+                       sorted_flag: str | None = None):
         if norm_meta and norm_meta.get("index_type") == "ndarray":
             # reference NdArrayNormalizer.denormalize: reshape the flat
             # column back to the stored shape — for every output format
@@ -3763,6 +3787,13 @@ class Library:
                 pdf = pdf.set_index(group_index_cols
                                     if len(group_index_cols) > 1
                                     else group_index_cols[0])
+            if ((norm_meta or {}).get("timeframe")
+                    and isinstance(pdf.index, pd.DatetimeIndex)):
+                # TimeFrame symbols read back AS TimeFrame (reference
+                # TimeFrameNormalizer.denormalize, _normalization.py:1518)
+                from arcticdb_spark.timeframe import TimeFrame
+                return TimeFrame(pdf.index.values, list(pdf.columns),
+                                 [pdf[c].to_numpy() for c in pdf.columns])
             s = (norm_meta or {}).get("series")
             if s and s["col"] in pdf.columns:
                 # reference SeriesNormalizer.denormalize: back to a Series
@@ -3783,21 +3814,39 @@ class Library:
                 pdf.index = pd.DatetimeIndex([])
             return pdf
         if output_format == "arrow":
-            return Library._arrow_with_ns(df, shadows)
+            return Library._arrow_with_ns(df, shadows, norm_meta)
         if output_format == "polars":
             try:
                 import polars as pl
             except ImportError as e:
                 raise ArcticException(
                     "output_format='polars' requires the polars package") from e
-            return pl.from_arrow(Library._arrow_with_ns(df, shadows))
+            out = pl.from_arrow(Library._arrow_with_ns(df, shadows,
+                                                       norm_meta))
+            # reference test_polars_set_sorted.py: a sorted timeseries
+            # symbol's INDEX column carries the polars SORTED_ASC/DESC
+            # flag (from the manifest's SortedValue); value columns and
+            # rowcount symbols never do
+            itype = (norm_meta or {}).get("index_type")
+            if (sorted_flag in ("ASCENDING", "DESCENDING") and out.width
+                    and itype in ("datetime", "multiindex")):
+                first = out.columns[0]
+                if out.schema[first].is_temporal():
+                    out = out.with_columns(pl.col(first).set_sorted(
+                        descending=(sorted_flag == "DESCENDING")))
+            return out
         raise ArcticException(f"unknown output_format {output_format!r}")
 
     @staticmethod
-    def _arrow_with_ns(df: DataFrame, shadows: list[str]):
+    def _arrow_with_ns(df: DataFrame, shadows: list[str], norm_meta=None):
         """Collect to Arrow, rebuilding exact timestamp[ns] index columns
         from their LONG shadows (the reference's Arrow output is ns) and
-        bit-viewing uint64 columns back to uint64 (Arrow has the type)."""
+        bit-viewing uint64 columns back to uint64 (Arrow has the type).
+        Then applies the reference's Arrow output contract
+        (test_arrow_normalization.py): tz-aware columns come back as
+        timestamp[ns, tz], an unnamed index is exposed as ``__index__`` /
+        ``__index_level_N__``, and name clashes are disambiguated by
+        wrapping in underscores."""
         import pyarrow as pa
         import pyarrow.compute as pc
         u64_cols = _uint64_output_cols(df)
@@ -3821,6 +3870,82 @@ class Library:
                 tbl = tbl.set_column(i, pa.field(tgt, pa.timestamp("ns")),
                                      arr)
             tbl = tbl.remove_column(tbl.column_names.index(s))
+        return Library._arrow_apply_norm(tbl, norm_meta or {})
+
+    @staticmethod
+    def _arrow_apply_norm(tbl, nm: dict):
+        """Reference Arrow-output normalization
+        (test_arrow_normalization.py / ARROW OutputFormat denormalize):
+
+        - stored-naive tz-aware columns (incl. demoted index levels) cast
+          back to ``timestamp[ns, tz]`` (values are UTC instants — Arrow's
+          naive->tz cast attaches the zone without shifting);
+        - the index column keeps the user's name verbatim when named; an
+          UNNAMED index surfaces as ``__index__`` (single) /
+          ``__index_level_N__`` (MultiIndex level N), wrapped in
+          underscores while it clashes with a data column name;
+        - data columns restore their original (stringified) names in
+          order, each wrapped in underscores until unique — so duplicates
+          come back as ``col``, ``_col_``, ``__col__`` like the reference.
+        """
+        import pyarrow as pa
+        names = list(tbl.column_names)
+        # tz restore, keyed by physical column name (before renaming)
+        for phys, tz in (nm.get("tzs") or {}).items():
+            if phys in names:
+                i = names.index(phys)
+                f = tbl.schema.field(i)
+                # stored values are UTC instants: a naive column casts to
+                # tz-aware without shifting (Arrow treats naive as UTC),
+                # a [us, UTC] Spark column converts exactly to ns
+                if pa.types.is_timestamp(f.type) and f.type.tz in (None,
+                                                                   "UTC"):
+                    tbl = tbl.set_column(
+                        i, pa.field(phys, pa.timestamp("ns", tz)),
+                        tbl.column(i).cast(pa.timestamp("ns", tz)))
+        # desired name per physical column
+        index_desired: dict[str, tuple[str, bool]] = {}  # phys -> (name, unnamed)
+        itype = nm.get("index_type")
+        if itype in ("datetime", "named"):
+            phys = nm.get("physical")
+            if nm.get("fake_name"):
+                index_desired[phys] = ("__index__", True)
+            else:
+                index_desired[phys] = (nm.get("orig_name") or phys, False)
+        elif itype == "multiindex":
+            for i, phys in enumerate(nm.get("physical") or []):
+                lvl = (nm.get("level_names") or [None] * (i + 1))[i]
+                index_desired[phys] = (
+                    (str(lvl), False) if lvl is not None
+                    else (f"__index_level_{i}__", True))
+        orig_by_phys = {}
+        for entry in (nm.get("renamed_cols") or []):
+            phys, kind = entry[0], entry[1]
+            orig = entry[2] if len(entry) > 2 else phys
+            orig_by_phys[phys] = "None" if kind == "none" else str(orig)
+        data_desired = [(c, orig_by_phys.get(c, c)) for c in names
+                        if c not in index_desired]
+        raw_data_names = {d for _, d in data_desired}
+        if not index_desired and not orig_by_phys and not nm.get("tzs"):
+            return tbl
+        final: list[str] = []
+        taken: set[str] = set()
+        for c in names:
+            if c in index_desired:
+                name, unnamed = index_desired[c]
+                # a NAMED index keeps its name verbatim (clashing data
+                # columns wrap instead); unnamed placeholders and
+                # duplicate level names wrap until free
+                while (unnamed and name in raw_data_names) or name in taken:
+                    name = f"_{name}_"
+            else:
+                name = orig_by_phys.get(c, c)
+                while name in taken:
+                    name = f"_{name}_"
+            final.append(name)
+            taken.add(name)
+        if final != names:
+            tbl = tbl.rename_columns(final)
         return tbl
 
     @_kwargs_contract("head", _VALID_READ_KWARGS | {"implement_read_index"})

@@ -108,9 +108,11 @@ def test_ns_delete_data_in_range_sub_us(tmp_lib):
 def test_ns_arrow_output(tmp_lib):
     import pyarrow as pa
     tmp_lib.write("t", _ns_frame(4))
-    tbl = tmp_lib.read("t", output_format="arrow").sort_by("ts")
-    assert tbl.schema.field("ts").type == pa.timestamp("ns")
-    assert tbl.column("ts").cast("int64").to_pylist() == [
+    # an UNNAMED index surfaces as __index__ in arrow output (reference
+    # test_arrow_normalization.py contract)
+    tbl = tmp_lib.read("t", output_format="arrow").sort_by("__index__")
+    assert tbl.schema.field("__index__").type == pa.timestamp("ns")
+    assert tbl.column("__index__").cast("int64").to_pylist() == [
         BASE + i for i in range(4)]
 
 
