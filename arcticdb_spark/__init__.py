@@ -39,12 +39,15 @@ from arcticdb_spark.catalog import (Arctic, ArcticDbNotYetImplemented,
                                     SchemaException, SortingException,
                                     StageResult,
                                     UpdatePayload, WritePayload)
-from arcticdb_spark.catalog import UnsortedDataException, VersionedItem
+from arcticdb_spark.catalog import (UnsortedDataException, VersionedItem,
+                                    WriteMetadataPayload)
 from arcticdb_spark.exceptions import ErrorCategory, ErrorCode
 from arcticdb_spark import exceptions
 from arcticdb_spark.lazy import (LazyDataFrame, LazyDataFrameCollection,
                                  concat)
 from arcticdb_spark.timeframe import TimeFrame
+from arcticdb_spark.tools import set_config_from_env_vars
+from arcticdb_spark import catalog as library  # reference: arcticdb.library
 from arcticdb_spark.normalizers import (CustomNormalizer,
                                         CustomNormalizerMeta,
                                         clear_registered_normalizers,
@@ -61,4 +64,5 @@ __all__ = ["get_spark", "QueryBuilder", "col", "where", "Arctic",
            "NoSuchVersionException", "SortingException",
            "SchemaException", "MissingKeysInStageResultsError",
            "LazyDataFrame", "LazyDataFrameCollection", "concat",
-           "TimeFrame", "__version__"]
+           "TimeFrame", "WriteMetadataPayload",
+           "set_config_from_env_vars", "library", "__version__"]

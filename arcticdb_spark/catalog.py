@@ -48,7 +48,10 @@ from arcticdb_spark.plans.rowid import ROW_ID
 ORIG_POS = "__orig_pos__"
 
 
-class ArcticException(Exception):
+class ArcticException(RuntimeError):
+    # the reference's base exception subclasses RuntimeError
+    # (test_errors.py test_base_exception_is_runtimeerror), so callers
+    # catching RuntimeError keep working
     pass
 
 
@@ -293,6 +296,14 @@ class WritePayload:
     symbol: str
     data: Any
     metadata: Any = None
+
+
+@dataclass
+class WriteMetadataPayload:
+    """Batch write-metadata unit mirroring the singular ``write_metadata``
+    API (reference ``library.py:245``)."""
+    symbol: str
+    metadata: Any
 
 
 @dataclass
@@ -5902,9 +5913,14 @@ class Library:
                                         metadata=p[2] if len(p) > 2 else None),
             payloads)
 
-    def write_metadata_batch(self, payloads: list[tuple]) -> list[VersionManifest]:
-        """(``library.py:2568``) payloads = [(symbol, metadata), ...]."""
-        return self._pmap(lambda p: self.write_metadata(p[0], p[1]), payloads)
+    def write_metadata_batch(self, payloads: list) -> list[VersionManifest]:
+        """(``library.py:2568``) payloads: WriteMetadataPayload objects or
+        (symbol, metadata) tuples."""
+        def one(p):
+            if isinstance(p, WriteMetadataPayload):
+                return self.write_metadata(p.symbol, p.metadata)
+            return self.write_metadata(p[0], p[1])
+        return self._pmap(one, payloads)
 
     def get_description_batch(self, symbols: list) -> list[dict]:
         """(``library.py:3138``) — items may be ReadInfoRequest objects."""
