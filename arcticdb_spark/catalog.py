@@ -6211,9 +6211,13 @@ class Arctic:
 
     def __init__(self, uri: str, spark: SparkSession | None = None,
                  data_root: str | None = None, s3_client=None,
-                 azure_client=None, gcs_client=None):
+                 azure_client=None, gcs_client=None, output_format=None):
         from arcticdb_spark.session import get_spark
         self.spark = spark or get_spark()
+        # instance-level output-format default (reference arctic.py
+        # Arctic(output_format=...), test_arrow_api.py precedence:
+        # per-read override > library default > Arctic default)
+        self._default_output_format = output_format
         self.data_root = data_root
         self._orig_uri = uri
         if uri.startswith("s3://"):
@@ -6261,7 +6265,13 @@ class Arctic:
         _verify_library_name(name)
         kw.setdefault("fs", self.fs)
         kw.setdefault("data_root", self.data_root)
-        return Library(self.spark, self.uri, name, **kw)
+        # output-format precedence (reference test_arrow_api.py):
+        # library default wins over the Arctic instance default
+        of = kw.pop("output_format", None) or self._default_output_format
+        lib = Library(self.spark, self.uri, name, **kw)
+        if of is not None:
+            lib.set_output_format(of)
+        return lib
 
     def get_library(self, name: str, create_if_missing: bool = False,
                     library_options: "LibraryOptions | None" = None,
@@ -6289,8 +6299,9 @@ class Arctic:
                 raise MismatchingLibraryOptions(
                     f"{name!r} already exists with different options "
                     f"(requested {library_options!r})")
-        if output_format is not None:
-            lib.set_output_format(output_format)
+        of = output_format or self._default_output_format
+        if of is not None:
+            lib.set_output_format(of)
         return lib
 
     def list_libraries(self) -> list[str]:
