@@ -1070,10 +1070,16 @@ class Library:
                  fs=None, data_root: str | None = None,
                  library_options: "LibraryOptions | None" = None,
                  enterprise_library_options:
-                     "EnterpriseLibraryOptions | None" = None):
+                     "EnterpriseLibraryOptions | None" = None,
+                 prune_previous_version: bool = False):
         if library_options is not None:
             rows_per_file = library_options.rows_per_segment
             dynamic_schema = library_options.dynamic_schema
+        # library-level prune-on-write default (reference write_options
+        # prune_previous_version; precedence per resolve_defaults,
+        # _store.py:145-175: explicit arg > PRUNE_PREVIOUS_VERSION env
+        # var > this config > False) — see _resolve_prune
+        self.prune_previous_version = prune_previous_version
         self.spark = spark
         # results-affecting SQL confs (UTC, nanosAsLong, µs parquet output,
         # ansi=false so uint64 mod-2^64 long math wraps instead of
@@ -1161,6 +1167,18 @@ class Library:
                 f"unknown output_format {output_format!r}; expected one of "
                 f"{sorted(set(self._OUTPUT_FORMATS))}")
         self._default_output_format = self._OUTPUT_FORMATS[key]
+
+    def _resolve_prune(self, arg) -> bool:
+        """Reference resolve_defaults precedence for prune-previous
+        (_store.py:145-175, nonreg test_prune_previous_general): an
+        explicit True/False wins; else the PRUNE_PREVIOUS_VERSION env var;
+        else the library's prune_previous_version option."""
+        if arg is not None:
+            return bool(arg)
+        env = os.environ.get("PRUNE_PREVIOUS_VERSION")
+        if env is not None:
+            return env.strip().lower() in ("1", "true", "yes")
+        return self.prune_previous_version
 
     def _resolve_output_format(self, output_format):
         if output_format is None:
@@ -2145,7 +2163,7 @@ class Library:
 
     @_kwargs_contract("write", frozenset({"dynamic_strings", "parallel", "incomplete", "recursive_normalizers", "recursive_normalize_msgpack_no_pickle_fallback", "coerce_columns", "sparsify_floats", "norm_failure_options_msg", "pickle_on_failure", "prune_previous_version"}))
     def write(self, symbol: str, df, metadata: Any = None,
-              index_column: str | None = None, prune_previous: bool = False,
+              index_column: str | None = None, prune_previous: bool | None = None,
               dedup: bool | None = None, staged: bool = False,
               prune_previous_versions: bool | None = None,
               recursive_normalizers: bool = False,
@@ -2292,7 +2310,7 @@ class Library:
                                     else sorted_flag),
                             norm_meta=norm_meta)
         self._commit(m)
-        if prune_previous:
+        if self._resolve_prune(prune_previous):
             self.prune_previous_versions(symbol)
         return m
 
@@ -2327,7 +2345,7 @@ class Library:
     _PICKLE_CHUNK = 16 << 20
 
     def write_pickle(self, symbol: str, data: Any, metadata: Any = None,
-                     prune_previous: bool = False,
+                     prune_previous: bool | None = None,
                      custom_meta: dict | None = None) -> VersionManifest:
         """Arbitrary-object fallback (reference ``library.py:1166``
         write_pickle; ``_normalization.py:1359,1467`` msgpack/pickle
@@ -2351,7 +2369,7 @@ class Library:
                             None, sdf.schema.json(), files, metadata,
                             norm_meta=nm)
         self._commit(m)
-        if prune_previous:
+        if self._resolve_prune(prune_previous):
             self.prune_previous_versions(symbol)
         return m
 
@@ -2436,7 +2454,7 @@ class Library:
         m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(),
                             None, "{}", [], metadata, norm_meta=nm)
         self._commit(m)
-        if prune_previous:
+        if self._resolve_prune(prune_previous):
             self.prune_previous_versions(symbol)
         return m
 
@@ -2599,7 +2617,7 @@ class Library:
     @_kwargs_contract("append", frozenset({"dynamic_strings", "coerce_columns", "write_if_missing", "incomplete", "prune_previous_version"}))
     def append(self, symbol: str, df, metadata: Any = None,
                validate_index: bool = True,
-               prune_previous_versions: bool = False,
+               prune_previous_versions: bool | None = None,
                index_column: str | None = None,
                compact_data: bool = False) -> VersionManifest:
         """Rows strictly after the existing index range (``library.py:1361``).
@@ -2630,7 +2648,7 @@ class Library:
         self._reject_categorical(prev, df, "append")
         if (prev.norm_meta or {}).get("index_type") == "ndarray":
             out = self._append_ndarray(symbol, prev, df, metadata)
-            if prune_previous_versions:
+            if self._resolve_prune(prune_previous_versions):
                 self.prune_previous_versions(symbol)
             return out
         rmeta = (prev.norm_meta or {}) if isinstance(prev.norm_meta, dict) else {}
@@ -2668,7 +2686,7 @@ class Library:
                 # test_append_empty_frame_compacts_existing_data)
                 m = self._apply_append_compaction(prev, m, 0)
             out = self._commit(m)
-            if prune_previous_versions:
+            if self._resolve_prune(prune_previous_versions):
                 self.prune_previous_versions(symbol)
             return out
         if prev.total_rows == 0 and in_rows:
@@ -2808,7 +2826,7 @@ class Library:
             m = self._apply_append_compaction(
                 prev, m, sum(f.rows for f in new_files))
         out = self._commit(m)
-        if prune_previous_versions:
+        if self._resolve_prune(prune_previous_versions):
             self.prune_previous_versions(symbol)
         return out
 
@@ -2883,7 +2901,7 @@ class Library:
     @_kwargs_contract("update", frozenset({"dynamic_strings", "dynamic_schema", "coerce_columns", "prune_previous_version"}))
     def update(self, symbol: str, df, date_range: tuple | None = None,
                metadata: Any = None, upsert: bool = False,
-               prune_previous_versions: bool = False,
+               prune_previous_versions: bool | None = None,
                index_column: str | None = None) -> VersionManifest:
         """Range surgery (``version_core.cpp:587``): delete the index range
         covered by ``df`` (or the given range), splice the new rows in.
@@ -2921,7 +2939,7 @@ class Library:
                 prev.index_column, prev.schema_json, prev.files,
                 metadata, sorted=prev.sorted, norm_meta=prev.norm_meta)
             out = self._commit(m)
-            if prune_previous_versions:
+            if self._resolve_prune(prune_previous_versions):
                 self.prune_previous_versions(symbol)
             return out
         if prev.total_rows == 0 and in_rows:
@@ -3002,13 +3020,13 @@ class Library:
                             # reference test_update_empty_frame_metadata)
                             norm_meta=out_norm_meta)
         out = self._commit(m)
-        if prune_previous_versions:
+        if self._resolve_prune(prune_previous_versions):
             self.prune_previous_versions(symbol)
         return out
 
     def merge_experimental(self, symbol: str, source, strategy=None,
                            on: list | None = None, metadata: Any = None,
-                           prune_previous_versions: bool = False,
+                           prune_previous_versions: bool | None = None,
                            upsert: bool = False) -> VersionManifest:
         """SQL-MERGE into an existing symbol (reference ``library.py``
         merge_experimental; kernel ``clause_merge_update.cpp``): rows are
@@ -3067,12 +3085,12 @@ class Library:
                             merged.schema.json(), files, metadata,
                             norm_meta=prev.norm_meta)
         out = self._commit(m)
-        if prune_previous_versions:
+        if self._resolve_prune(prune_previous_versions):
             self.prune_previous_versions(symbol)
         return out
 
     def delete_data_in_range(self, symbol: str, date_range: tuple,
-                             prune_previous_versions: bool = False
+                             prune_previous_versions: bool | None = None
                              ) -> VersionManifest:
         """(``library.py:2750``) — like update with no new rows.
         ``prune_previous_versions`` tombstones the pre-delete versions
@@ -3117,7 +3135,7 @@ class Library:
                             prev.schema_json, _renumber(new_entries), prev.metadata,
                             norm_meta=prev.norm_meta)
         out = self._commit(m)
-        if prune_previous_versions:
+        if self._resolve_prune(prune_previous_versions):
             self.prune_previous_versions(symbol)
         return out
 
@@ -4220,7 +4238,7 @@ class Library:
                              metadata: Any = None, index_column: str | None = None,
                              sort: bool = True, staged_data=None,
                              validate_index: bool = True,
-                             prune_previous_versions: bool = False,
+                             prune_previous_versions: bool | None = None,
                              delete_staged_data_on_failure: bool = False,
                              stage_results=None) -> VersionManifest:
         """Compact staged chunks into one new version; ``sort=True`` is
@@ -4434,7 +4452,7 @@ class Library:
             raise
         self._commit(m)
         self._remove_segment_files(symbol, seg_files)
-        if prune_previous_versions:
+        if self._resolve_prune(prune_previous_versions):
             self.prune_previous_versions(symbol)
         return m
 
@@ -4457,7 +4475,7 @@ class Library:
 
     def sort_and_finalize_staged_data(self, symbol: str, mode: str = "write",
                                       metadata: Any = None, staged_data=None,
-                                      prune_previous_versions: bool = False,
+                                      prune_previous_versions: bool | None = None,
                                       delete_staged_data_on_failure: bool = False,
                                       stage_results=None) -> VersionManifest:
         """Reference ``library.py:1873``: k-way merge of unsorted staged
@@ -4490,7 +4508,7 @@ class Library:
             self.delete_staged_data(s)
 
     def sort_index(self, symbol: str, dynamic_schema: bool | None = None,
-                   prune_previous_versions: bool = False) -> VersionManifest:
+                   prune_previous_versions: bool | None = None) -> VersionManifest:
         """Rewrite the symbol with its index sorted ascending (reference
         ``version_store.sort_index``, pinned by test_append.py
         test_append_out_of_order_and_sort / test_sort_index): the repair
@@ -4520,7 +4538,7 @@ class Library:
                             idx, prev.schema_json, files, prev.metadata,
                             sorted="ASCENDING", norm_meta=prev.norm_meta)
         out = self._commit(m)
-        if prune_previous_versions:
+        if self._resolve_prune(prune_previous_versions):
             self.prune_previous_versions(symbol)
         return out
 
@@ -4528,11 +4546,11 @@ class Library:
                       frozenset({"prune_previous_version"}))
     def defragment_symbol_data(self, symbol: str,
                                segment_size: int | None = None,
-                               prune_previous_versions: bool = False
+                               prune_previous_versions: bool | None = None
                                ) -> VersionManifest:
         """Reference API name for compaction."""
         out = self.compact_symbol(symbol, target_rows_per_file=segment_size)
-        if prune_previous_versions:
+        if self._resolve_prune(prune_previous_versions):
             self.prune_previous_versions(symbol)
         return out
 
@@ -4549,11 +4567,21 @@ class Library:
                                 if fe.version_id is not None else m.version),
                  "start_index": (pd.Timestamp(fe.ts_min, unit="ns")
                                  if fe.ts_min is not None else None),
-                 "end_index": (pd.Timestamp(fe.ts_max, unit="ns")
+                 # END-EXCLUSIVE like the reference's index segment (data
+                 # key end_index = last ts + 1ns — nonreg
+                 # test_update_data_key_timestamps pins [1, 16, 21] for
+                 # slices ending at ts 0, 15, 20)
+                 "end_index": (pd.Timestamp(fe.ts_max + 1, unit="ns")
                                if fe.ts_max is not None else None),
                  "path": fe.path}
                 for fe in m.files]
-        return pd.DataFrame(rows)
+        out = pd.DataFrame(rows)
+        if m.index_column is not None and len(out) and \
+                out["start_index"].notna().all():
+            # ts-indexed symbols: the reference frame is INDEXED by
+            # start_index (denormalized index segment)
+            out = out.set_index("start_index")
+        return out
 
     # ---- snapshots ----
     def _snap_path(self, name):
@@ -5212,7 +5240,7 @@ class Library:
 
     @_kwargs_contract("delete", _VALID_READ_KWARGS)
     def delete(self, symbol: str, versions=None, date_range=None,
-               prune_previous_versions: bool = False) -> None:
+               prune_previous_versions: bool | None = None) -> None:
         """Delete the whole symbol, or only specific ``versions`` (int or
         iterable of ints), or only the rows in ``date_range`` — a new
         version without them, optionally pruning the pre-delete versions
@@ -5683,12 +5711,12 @@ class Library:
 
     def compact_data(self, symbol: str,
                      rows_per_segment: int | None = None,
-                     prune_previous_versions: bool = False) -> VersionManifest:
+                     prune_previous_versions: bool | None = None) -> VersionManifest:
         """Reference ``library.py:3258`` — name-compatible alias of
         compact_symbol."""
         self._compact_preflight(symbol, rows_per_segment)
         out = self.compact_symbol(symbol, target_rows_per_file=rows_per_segment)
-        if prune_previous_versions:
+        if self._resolve_prune(prune_previous_versions):
             self.prune_previous_versions(symbol)
         return out
 
@@ -5839,7 +5867,7 @@ class Library:
                 f"duplicate symbols in batch: {sorted(dups)}")
 
     def write_batch(self, payloads: list,
-                    prune_previous_versions: bool = False,
+                    prune_previous_versions: bool | None = None,
                     validate_index: bool = True) -> list:
         self._raise_if_duplicate_symbols(payloads)
         return self._pmap_errors(
@@ -5857,7 +5885,7 @@ class Library:
             payloads, self._sym_of_payload)
 
     def update_batch(self, payloads: list, upsert: bool = False,
-                     prune_previous_versions: bool = False) -> list:
+                     prune_previous_versions: bool | None = None) -> list:
         """Accepts ``UpdatePayload`` objects or (symbol, data[, metadata])
         tuples; a missing symbol is a DataError unless ``upsert=True``
         (reference ``library.py`` update_batch)."""

@@ -371,7 +371,15 @@ class QueryBuilder:
         return df.filter(cond).groupBy(*key_cols).agg(*aggs)
 
     def _apply_resample_agg(self, df, args, idx):
-        return _resample(df, self._ts_col(idx), args["rule"], args["aggs"],
+        ts_col = self._ts_col(idx)
+        if ts_col is None or ts_col not in df.columns:
+            # reference raises UserInputException for resampling a
+            # non-timeseries symbol (nonreg test_resampling_non_timeseries)
+            # instead of leaking an unresolved-column analysis error
+            raise ExpressionError(
+                "resample requires a datetime-indexed symbol; this symbol "
+                "has no datetime index")
+        return _resample(df, ts_col, args["rule"], args["aggs"],
                          closed=args["closed"], label=args["label"],
                          offset=args["offset"], origin=args["origin"])
 

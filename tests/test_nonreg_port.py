@@ -1,0 +1,238 @@
+"""Port of the reference's nonreg/test_nonreg_specific.py — regression
+cases distilled from real defects (GitHub issues cited per test)."""
+
+import datetime
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from arcticdb_spark.catalog import Arctic, ArcticException, SchemaException
+
+
+@pytest.fixture()
+def lib(spark, tmp_path):
+    return Arctic(str(tmp_path), spark).create_library("nr")
+
+
+@pytest.fixture()
+def dyn_lib(spark, tmp_path):
+    return Arctic(str(tmp_path), spark).create_library("nrd",
+                                                       dynamic_schema=True)
+
+
+@pytest.mark.parametrize("first,second", [
+    (np.float64(1.0), np.int64(2)),    # test_read_keys:32-45
+    (np.int64(2), np.float64(1.0)),    # test_update_int_float:49-62
+    (np.nan, np.int64(2)),             # test_update_nan_int:66-79
+    (np.int64(2), np.nan),             # test_update_int_nan:83-96
+])
+def test_update_mixed_numeric_types(dyn_lib, first, second):
+    """update with a different numeric dtype under dynamic schema widens
+    instead of failing; the upserted row lands before the original."""
+    data1 = pd.DataFrame({"a": [first]},
+                         index=[datetime.datetime(2019, 4, 9, 10, 5, 2, 1)])
+    data2 = pd.DataFrame({"a": [second]},
+                         index=[datetime.datetime(2019, 4, 8, 10, 5, 2, 1)])
+    expected = pd.concat((data1, data2)).sort_index()
+    dyn_lib.write("sym", data1)
+    dyn_lib.update("sym", data2)
+    result = dyn_lib.read("sym", output_format="pandas").sort_index()
+    pd.testing.assert_frame_equal(expected, result, check_dtype=False)
+
+
+def test_update_with_empty_series_or_dataframe(lib):
+    """Port of test_update_with_empty_series_or_dataframe:230-284
+    (issue #892): empty writes/appends/updates bump versions without
+    touching data."""
+    one_row = pd.DataFrame(
+        {"a": [1.0]},
+        index=pd.DatetimeIndex([datetime.datetime(2019, 4, 9, 10, 5, 2,
+                                                  1)]))
+    empty = pd.DataFrame({"a": np.array([], dtype=float)},
+                         index=pd.DatetimeIndex([]))
+    sym = "first"
+    assert lib.write(sym, empty).version == 0
+    assert lib.append(sym, empty).version == 1
+    assert lib.update(sym, one_row).version == 2
+    pd.testing.assert_frame_equal(
+        one_row, lib.read(sym, output_format="pandas"), check_freq=False)
+    sym = "second"
+    assert lib.write(sym, one_row).version == 0
+    assert lib.append(sym, empty).version == 1
+    assert lib.update(sym, empty).version == 2
+    pd.testing.assert_frame_equal(
+        one_row, lib.read(sym, output_format="pandas"), check_freq=False)
+
+
+def test_update_with_empty_datetime_series(lib):
+    """Port of test_update_with_empty_dataframe_with_index:287-297
+    (issue #940): reading back an empty datetime64 Series must not fail."""
+    lib.write("sym", pd.Series(dtype="datetime64[ns]"))
+    out = lib.read("sym", as_of=0, output_format="pandas")
+    assert isinstance(out, pd.Series) and len(out) == 0
+
+
+def test_date_range_multi_index_empty(lib):
+    """Port of test_date_range_multi_index:300-318 (issue #1122): a
+    non-overlapping date_range on a MultiIndex symbol returns an empty
+    frame with the MultiIndex shape and level names restored."""
+    df = pd.DataFrame(
+        {"col": [1, 2, 3]},
+        index=pd.MultiIndex.from_arrays(
+            [pd.date_range("2023-11-28", "2023-11-30", freq="D"),
+             ["a", "b", "c"]], names=["dt_level", "str_level"]))
+    lib.write("sym", df)
+    out = lib.read("sym", date_range=(pd.Timestamp("2099-01-01"),
+                                      pd.Timestamp("2099-01-02")),
+                   output_format="pandas")
+    assert len(out) == 0
+    assert isinstance(out.index, pd.MultiIndex)
+    assert list(out.index.names) == ["dt_level", "str_level"]
+    assert list(out.columns) == ["col"]
+
+
+@pytest.mark.parametrize("method", ["write", "append", "update"])
+@pytest.mark.parametrize("lib_config", [True, False])
+@pytest.mark.parametrize("env_var", [True, False])
+@pytest.mark.parametrize("arg", [True, False, None])
+def test_prune_previous_general(spark, tmp_path, monkeypatch, method,
+                                lib_config, env_var, arg):
+    """Port of test_prune_previous_general:337-363: explicit arg > env var
+    > library config."""
+    lib = Arctic(str(tmp_path), spark).create_library(
+        "pp", prune_previous_version=lib_config)
+    should_be_pruned = lib_config
+    if env_var:
+        monkeypatch.setenv("PRUNE_PREVIOUS_VERSION", "true")
+        should_be_pruned = True
+    if arg is not None:
+        should_be_pruned = arg
+    sym = "test_prune_previous_general"
+    df_0 = pd.DataFrame({"col": np.arange(10)},
+                        index=pd.date_range("2024-01-01", periods=10))
+    lib.write(sym, df_0, prune_previous_versions=False)
+    df_1 = pd.DataFrame({"col": np.arange(10)},
+                        index=pd.date_range("2024-01-11", periods=10))
+    getattr(lib, method)(sym, df_1, prune_previous_versions=arg)
+    live = [v for v in lib.list_versions(sym) if not v["deleted"]]
+    assert len(live) == (1 if should_be_pruned else 2), live
+
+
+def test_prune_previous_defragment(spark, tmp_path, monkeypatch):
+    """Port of test_prune_previous_defragment_symbol_data:417-438 (env
+    var drives the default when no arg is given)."""
+    lib = Arctic(str(tmp_path), spark).create_library("ppd",
+                                                      rows_per_file=4)
+    sym = "s"
+    idx = pd.date_range("2024-01-01", periods=12, name="ts")
+    lib.write(sym, pd.DataFrame({"col": np.arange(1)}, index=idx[:1]))
+    for i in range(1, 12):
+        lib.append(sym, pd.DataFrame({"col": np.arange(i, i + 1)},
+                                     index=idx[i:i + 1]))
+    monkeypatch.setenv("PRUNE_PREVIOUS_VERSION", "true")
+    lib.defragment_symbol_data(sym)
+    live = [v for v in lib.list_versions(sym) if not v["deleted"]]
+    assert len(live) == 1
+    assert lib.read(sym).count() == 12
+
+
+@pytest.mark.parametrize("index_start", range(0, 9, 2))
+def test_update_index_overlap_corner_cases(spark, tmp_path, index_start):
+    """Port of test_update_index_overlap_corner_cases:464-486: 1-2 ns
+    updates landing before/inside/between/after two tiny segments."""
+    lib = Arctic(str(tmp_path), spark).create_library(
+        f"uo{index_start}", rows_per_file=2)
+    sym = "sym"
+    index = [pd.Timestamp(index_start), pd.Timestamp(index_start + 1)]
+    initial_df = pd.DataFrame(
+        {"col": [1, 2, 3, 4]},
+        index=[pd.Timestamp(2), pd.Timestamp(3), pd.Timestamp(6),
+               pd.Timestamp(7)])
+    update_df = pd.DataFrame({"col": [100, 200]}, index=index)
+    lib.write(sym, initial_df)
+    lib.update(sym, update_df)
+    chunks = [initial_df[initial_df.index < index[0]], update_df,
+              initial_df[initial_df.index > index[1]]]
+    expected_df = pd.concat(chunks)
+    received_df = lib.read(sym, output_format="pandas")
+    pd.testing.assert_frame_equal(expected_df, received_df)
+
+
+def test_resampling_non_timeseries_raises(lib):
+    """Port of test_resampling_non_timeseries:499-516: resample on a
+    rowcount symbol raises a user-facing error (not a crash), with or
+    without a date_range clause."""
+    from arcticdb_spark.expr import ExpressionError
+    from arcticdb_spark.query import QueryBuilder
+    sym = "rowcount"
+    lib.write(sym, pd.DataFrame({"col": np.arange(10)}))
+    q = QueryBuilder().resample("1min").agg({"col": "sum"})
+    with pytest.raises((ArcticException, ExpressionError)):
+        lib.read(sym, query_builder=q)
+    q = (QueryBuilder()
+         .date_range((pd.Timestamp("2025-01-01"),
+                      pd.Timestamp("2025-02-01")))
+         .resample("1min").agg({"col": "sum"}))
+    with pytest.raises((ArcticException, ExpressionError)) as e:
+        lib.read(sym, query_builder=q)
+    assert "length_error" not in str(e.value)
+
+
+@pytest.mark.parametrize("date_range", [None, (pd.Timestamp(4),
+                                               pd.Timestamp(17))])
+def test_update_data_key_timestamps(lib, date_range):
+    """Port of test_update_data_key_timestamps:519-534: after an update
+    the index segment's per-slice time ranges are [start, last+1ns) —
+    end-EXCLUSIVE — and read_index is indexed by start_index."""
+    sym = "dk_ts"
+    initial_df = pd.DataFrame({"col": [0, 1, 2]},
+                              index=[pd.Timestamp(0), pd.Timestamp(10),
+                                     pd.Timestamp(20)])
+    lib.write(sym, initial_df)
+    update_df = pd.DataFrame({"col": [3, 4]},
+                             index=[pd.Timestamp(5), pd.Timestamp(15)])
+    lib.update(sym, update_df, date_range=date_range)
+    expected_df = pd.DataFrame(
+        {"col": [0, 3, 4, 2]},
+        index=[pd.Timestamp(0), pd.Timestamp(5), pd.Timestamp(15),
+               pd.Timestamp(20)])
+    pd.testing.assert_frame_equal(expected_df,
+                                  lib.read(sym, output_format="pandas"))
+    index_df = lib.read_index(sym)
+    assert (index_df.index.to_numpy()
+            == np.array([0, 5, 20], dtype="datetime64[ns]")).all()
+    assert (index_df["end_index"].to_numpy()
+            == np.array([1, 16, 21], dtype="datetime64[ns]")).all()
+
+
+@pytest.mark.parametrize("method", ["append", "update"])
+def test_dynamic_schema_incompatible_types_do_not_orphan_data_keys(
+        dyn_lib, method):
+    """Port of test_dynamic_schema_incompatible_types...:572-581: a failed
+    append/update leaves no new data files behind."""
+    sym = "no_orphans"
+    dyn_lib.write(sym, pd.DataFrame({"col": [0]},
+                                    index=[pd.Timestamp("2026-01-01")]))
+    m = dyn_lib._load_manifest(sym, 0)
+    data_dir = os.path.dirname(os.path.dirname(m.files[0].path))
+    n_before = sum(len(fs) for _, _, fs in os.walk(data_dir))
+    with pytest.raises(SchemaException):
+        getattr(dyn_lib, method)(
+            sym, pd.DataFrame({"col": ["hello"]},
+                              index=[pd.Timestamp("2026-01-02")]))
+    n_after = sum(len(fs) for _, _, fs in os.walk(data_dir))
+    assert n_after == n_before
+    assert len(dyn_lib._load_manifest(
+        sym, dyn_lib._load_ref(sym)["latest"]).files) == 1
+
+
+def test_write_metadata_version_number_when_no_live_versions(lib):
+    """Port of test_write_metadata_version_number...:588-596: after a full
+    delete, write_metadata continues the version chain (never resets)."""
+    sym = "meta_after_delete"
+    lib.write(sym, pd.DataFrame({"a": [1]}))
+    lib.delete(sym)
+    lib.write_metadata(sym, "metadata")
+    assert lib.read_metadata(sym).version == 1
