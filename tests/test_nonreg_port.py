@@ -236,3 +236,48 @@ def test_write_metadata_version_number_when_no_live_versions(lib):
     lib.delete(sym)
     lib.write_metadata(sym, "metadata")
     assert lib.read_metadata(sym).version == 1
+
+
+def test_resample_mean_large_arithmetic(lib):
+    """Port of test_nonreg_processing.py
+    test_resample_mean_large_arithmetic_error_repro:9-25: mean over
+    int64 extremes must not lose the bucket entirely."""
+    from arcticdb_spark.query import QueryBuilder
+    sym = "big_mean"
+    df = pd.DataFrame({"col_int": [-513, -9223372036854775808, -513,
+                                   9223372036649978369]}, dtype=np.int64)
+    df.index = pd.date_range("2025-01-01", periods=4, freq="s")
+    lib.write(sym, df)
+    q = (QueryBuilder().resample("1min", origin="start")
+         .agg({"col_int_mean": ("col_int", "mean")}))
+    out = lib.read(sym, query_builder=q, output_format="pandas")
+    expected = df.resample("1min", origin="start").agg(
+        col_int_mean=("col_int", "mean"))
+    assert len(out) == len(expected)
+    # int64 extremes lose precision in ANY float64 mean — the reference
+    # widened assert_dfs_approximate's tolerance for this exact repro, and
+    # pandas/Spark/the reference each accumulate differently at ±2^63
+    np.testing.assert_allclose(out["col_int_mean"].to_numpy(),
+                               expected["col_int_mean"].to_numpy(),
+                               rtol=1e-4)
+
+
+def test_staged_two_columns_with_different_dtypes(spark, tmp_path):
+    """Port of test_nonreg_sort_merge.py
+    test_two_columns_with_different_dtypes:6-21 (issue #1795): staged
+    chunks with different column sets/dtypes sort_and_finalize under
+    dynamic schema."""
+    lib = Arctic(str(tmp_path), spark).create_library("sm",
+                                                      dynamic_schema=True)
+    idx1 = pd.DatetimeIndex([pd.Timestamp("2024-01-02")])
+    df1 = pd.DataFrame({"a": np.array([1], dtype="float"),
+                        "b": np.array([2], dtype="int64")}, index=idx1)
+    idx = pd.DatetimeIndex([pd.Timestamp("2024-01-03"),
+                            pd.Timestamp("2024-01-01")])
+    df2 = pd.DataFrame({"b": np.array([3, 4], dtype="int64")}, index=idx)
+    lib.write("sym", df1, staged=True, validate_index=False)
+    lib.write("sym", df2, staged=True, validate_index=False)
+    lib.sort_and_finalize_staged_data("sym")
+    out = lib.read("sym", output_format="pandas")
+    assert out.index.is_monotonic_increasing
+    assert out["b"].tolist() == [4, 2, 3]
