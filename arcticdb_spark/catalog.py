@@ -4021,6 +4021,7 @@ class Library:
         ``sort_on_index``/``sort_columns`` sort it first (index primary,
         sort_columns secondary — reference semantics)."""
         import pandas as pd
+        chunk_sorted = None
         if isinstance(df, (pd.DataFrame, pd.Series)):
             if sort_on_index or sort_columns:
                 by = ([df.index.name or "__index__"] if sort_on_index else [])
@@ -4035,7 +4036,8 @@ class Library:
                         df.index.name = None
                 else:
                     df = df.sort_values(by, kind="mergesort")
-            if (validate_index and self._input_sortedness(df)
+            chunk_sorted = self._input_sortedness(df)
+            if (validate_index and chunk_sorted
                     in ("DESCENDING", "UNSORTED")):
                 raise UnsortedDataException(
                     "E_UNSORTED_DATA staged chunk has an unsorted datetime "
@@ -4096,6 +4098,13 @@ class Library:
             # segments' index_norm.tz — test_query_builder_sparse.py
             # stages tz-aware UTC frames and reads them back tz-aware)
             side["tzs"] = dict(nm["tzs"])
+        if chunk_sorted in ("DESCENDING", "UNSORTED"):
+            # recorded so a NON-sorting finalize can reject the chunk even
+            # under validate_index=False — the reference's compact raises
+            # E_UNSORTED_DATA for an internally-unsorted staged segment
+            # regardless (test_finalize_staged_data.py
+            # test_finalize_with_unsorted_indexes)
+            side["sorted"] = chunk_sorted
         if side:
             with open(os.path.join(out, "_asdb_staged_meta.json"), "w") as fh:
                 json.dump(side, fh)
@@ -4172,6 +4181,7 @@ class Library:
                     # first chunk's zone wins on disagreement (values are
                     # stored UTC either way; only the display zone varies)
                     tzs.setdefault(c, tz)
+                data.pop("sorted", None)   # finalize-time check only
                 out.update(data)
         if u64:
             out["uint64"] = sorted(u64)
@@ -4236,7 +4246,7 @@ class Library:
 
     def finalize_staged_data(self, symbol: str, mode: str = "write",
                              metadata: Any = None, index_column: str | None = None,
-                             sort: bool = True, staged_data=None,
+                             sort: bool | None = None, staged_data=None,
                              validate_index: bool = True,
                              prune_previous_versions: bool | None = None,
                              delete_staged_data_on_failure: bool = False,
@@ -4307,8 +4317,31 @@ class Library:
                 idx = None
             else:
                 idx = self._detect_index(df, explicit_idx)
-            if not sort and validate_index and idx is not None:
-                # non-sorting finalize requires the staged segments to be
+            # sort is tri-state: None (default) = the reference's plain
+            # finalize — staged segments must be internally sorted and
+            # (under validate_index) ordered/non-overlapping, and the
+            # output is the stable index-ordered merge; True =
+            # sort_and_finalize_staged_data (sorts anything); False =
+            # concatenate in arrival order with the same plain-finalize
+            # validation
+            if sort is not True and idx is not None:
+                # an INTERNALLY-unsorted staged chunk can never finalize
+                # without sorting, regardless of validate_index (reference
+                # compact E_UNSORTED_DATA,
+                # test_finalize_staged_data.py:253-281) — the chunk's
+                # sortedness was recorded at stage time
+                for d in sorted({os.path.dirname(f) for f in seg_files}):
+                    p = os.path.join(d, "_asdb_staged_meta.json")
+                    if os.path.exists(p):
+                        with open(p) as fh:
+                            if json.load(fh).get("sorted") in (
+                                    "DESCENDING", "UNSORTED"):
+                                raise UnsortedDataException(
+                                    "E_UNSORTED_DATA a staged segment has "
+                                    "an unsorted datetime index; use "
+                                    "sort_and_finalize_staged_data")
+            if sort is not True and validate_index and idx is not None:
+                # plain finalize requires the staged segments to be
                 # ordered and non-overlapping among themselves (reference
                 # library.py:1750 "All staged segments must be ordered and
                 # non-overlapping"; test_arctic.py
@@ -4376,6 +4409,7 @@ class Library:
             staged_rows = sum(_footer_stats(f, None)[0] for f in seg_files)
             helpers = [c for c in ("__stage_seq__", "__stage_pos__")
                        if c in df.columns]
+            sort = sort is not False   # None/True both merge index-ordered
             if helpers:
                 if sort and idx is not None:
                     df = (df.repartitionByRange(F.col(idx))
