@@ -637,12 +637,18 @@ class CompactDataInfo(dict):
 @dataclass
 class Size:
     """Compressed bytes + object count for one key type (reference
-    ``admin_tools.py``)."""
-    bytes: int
+    ``admin_tools.py:19-29`` — the field is named ``bytes_compressed``
+    there; ``bytes`` is kept as this engine's original alias)."""
+    bytes_compressed: int
     count: int
 
+    @property
+    def bytes(self) -> int:
+        return self.bytes_compressed
+
     def __add__(self, other: "Size") -> "Size":
-        return Size(self.bytes + other.bytes, self.count + other.count)
+        return Size(self.bytes_compressed + other.bytes_compressed,
+                    self.count + other.count)
 
 
 def sum_sizes(sizes) -> Size:
@@ -690,6 +696,10 @@ class AdminTools:
                 vb += len(json.dumps(lib._fs.read_json(lib._fs.join(vdir, f))))
                 vn += 1
             out["VERSION"] = Size(vb, vn)
+            # this engine's version manifest carries the file index inline,
+            # so each manifest IS the TABLE_INDEX key too (reference: one
+            # TABLE_INDEX key per version)
+            out["TABLE_INDEX"] = Size(vb, vn)
         ddir = os.path.join(lib._data_sym_dir(symbol), "data")
         if os.path.isdir(ddir):
             db = dn = 0
@@ -710,8 +720,21 @@ class AdminTools:
             out["APPEND_DATA"] = Size(sb, sn)
         return out
 
+    def _all_symbol_dirs(self) -> list[str]:
+        """Listed symbols plus symbols that only have STAGED data (an
+        uncommitted symbol has no version yet but its APPEND_DATA must
+        still be counted — reference test_get_sizes stages new_sym)."""
+        lib = self._lib
+        names = set(lib.list_symbols())
+        if os.path.isdir(lib.data_root):
+            for d in os.listdir(lib.data_root):
+                if not d.startswith("_") and os.path.isdir(
+                        os.path.join(lib.data_root, d, "_staging")):
+                    names.add(d)
+        return sorted(names)
+
     def get_sizes_by_symbol(self) -> dict:
-        return {s: self._sym_sizes(s) for s in self._lib.list_symbols()}
+        return {s: self._sym_sizes(s) for s in self._all_symbol_dirs()}
 
     def get_sizes_for_symbol(self, symbol: str) -> dict:
         """Reference ``admin_tools.py:150`` — cheapest per-symbol probe."""
