@@ -59,6 +59,12 @@ class NoSuchVersionException(ArcticException):
     pass
 
 
+class LibraryNotFound(ArcticException):
+    """Reference arcticdb.exceptions.LibraryNotFound: get_library /
+    Arctic[name] on a missing library."""
+    pass
+
+
 class SortingException(ArcticException):
     pass
 
@@ -5978,12 +5984,13 @@ class Library:
         """Reference ``library.py:3521``: storage-size breakdowns."""
         return AdminTools(self)
 
-    def options(self) -> dict:
-        """Persisted LibraryOptions (reference ``library.py`` options())."""
-        return {"rows_per_file": self.rows_per_file,
-                "dynamic_schema": self.dynamic_schema,
-                "dedup": self.dedup,
-                "columns_per_segment": self.columns_per_segment}
+    def options(self) -> "LibraryOptions":
+        """Persisted LibraryOptions (reference ``library.py`` options()
+        returns the LibraryOptions object; compare with ==)."""
+        return LibraryOptions(dynamic_schema=self.dynamic_schema,
+                              dedup=self.dedup,
+                              rows_per_segment=self.rows_per_file,
+                              columns_per_segment=self.columns_per_segment)
 
     def enterprise_options(self) -> EnterpriseLibraryOptions:
         """Reference ``library.py`` enterprise_options()."""
@@ -6348,6 +6355,10 @@ class Arctic:
 
     def create_library(self, name: str, **kw) -> Library:
         _verify_library_name(name)
+        if self.has_library(name):
+            # reference arctic.py create_library: "already exists" is a
+            # ValueError (test_library_creation_deletion)
+            raise ValueError(f"Library {name!r} already exists")
         kw.setdefault("fs", self.fs)
         kw.setdefault("data_root", self.data_root)
         # output-format precedence (reference test_arrow_api.py):
@@ -6365,10 +6376,16 @@ class Arctic:
         meaningful together with ``create_if_missing`` — when the library
         already exists, options differing from the stored configuration
         raise MismatchingLibraryOptions (never silently reconfigure)."""
+        if library_options is not None and not create_if_missing:
+            # reference arctic.py:200: options without create_if_missing is
+            # an invalid-usage error regardless of library existence
+            raise ArcticInvalidApiUsageException(
+                "In get_library, library_options must be falsey if "
+                "create_if_missing is falsey")
         path = self.fs.join(self.uri, name) if self.uri else name
         exists = self.fs.isdir(path)
         if not exists and not create_if_missing:
-            raise ArcticException(f"library {name!r} does not exist")
+            raise LibraryNotFound(f"library {name!r} does not exist")
         if not exists:
             lib = self.create_library(name, library_options=library_options)
         else:

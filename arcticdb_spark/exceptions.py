@@ -85,8 +85,8 @@ class LmdbMapFullError(StorageException):
     parity with lmdb:// URI users."""
 
 
-class LibraryNotFound(ArcticException):
-    pass
+from arcticdb_spark.catalog import LibraryNotFound  # noqa: E402 — the
+# canonical class lives in catalog (raised by Arctic.get_library)
 
 
 class MismatchingLibraryOptions(ArcticException):

@@ -45,7 +45,7 @@ def test_options_roundtrip_across_reopen(spark, tmp_path):
     assert lib2.rows_per_file == 123 and lib2.dynamic_schema
     assert lib2.dedup and lib2.replication and lib2.background_deletion
     opts = lib2.options()
-    assert opts["dedup"] and opts["columns_per_segment"] == 40
+    assert opts.dedup and opts.columns_per_segment == 40
 
 
 def test_modify_library_option_enums(spark, tmp_path):

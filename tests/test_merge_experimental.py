@@ -115,7 +115,8 @@ class TestMergeLifecycle:
             lib.read("sym", as_of=0)
 
     def test_options_roundtrip(self, lib):
-        assert lib.options() == {"rows_per_file": 1_000_000,
-                                 "dynamic_schema": False,
-                                 "dedup": False,
-                                 "columns_per_segment": 127}
+        from arcticdb_spark import LibraryOptions
+        assert lib.options() == LibraryOptions(rows_per_segment=1_000_000,
+                                               dynamic_schema=False,
+                                               dedup=False,
+                                               columns_per_segment=127)
