@@ -161,6 +161,34 @@ class VersionStoreMachine(RuleBasedStateMachine):
         self.lib.prune_previous_versions(sym)
         self._prune_model(sym, self.latest[sym])
 
+    @rule(sym=st.sampled_from(_SYMS), rps=st.sampled_from([2, 4, 100]))
+    def compact_data(self, sym, rps):
+        """Reference-exact compaction interleaved with the lifecycle: when
+        work happens a NEW version carries identical content and metadata,
+        post-compaction slice sizes sit in [2/3*rps, 4/3*rps], and a
+        follow-up compaction is a no-op (plans/compact.py invariants)."""
+        v = self.latest.get(sym)
+        if v is None:
+            return
+        from arcticdb_spark.plans.compact import compact_bounds
+        before = self.lib._load_ref(sym)["latest"]
+        m = self.lib.compact_data(sym, rows_per_segment=rps)
+        if m.version != before:
+            self.vals[sym][m.version] = self.vals[sym][before]
+            self.state[sym][m.version] = LIVE
+            self.kind[sym][m.version] = self.kind[sym][before]
+            # compaction carries the previous version's metadata verbatim
+            self.meta[sym][m.version] = self.meta[sym].get(before)
+            self.latest[sym] = m.version
+            idx_df = self.lib.read_index(sym)
+            counts = idx_df["end_row"] - idx_df["start_row"]
+            lo, hi = compact_bounds(rps)
+            assert int(counts.max()) <= hi, list(counts)
+            assert int(counts.min()) >= min(lo, int(counts.sum())), \
+                list(counts)
+        assert not self.lib.compact_data_explain_plan(
+            sym, rows_per_segment=rps).will_do_work
+
     @rule(sym=st.sampled_from(_SYMS), data=st.data())
     def delete_version(self, sym, data):
         """Any LIVE version, not just the latest (reference
