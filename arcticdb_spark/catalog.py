@@ -298,10 +298,17 @@ from arcticdb_spark.sources.filesystem import (AzureObjectFileSystem,
 @dataclass
 class WritePayload:
     """Batch-write unit mirroring the singular ``write`` API (reference
-    ``library.py:191``)."""
+    ``library.py:191``); iterable so ``lib.write(*payload)`` unpacks like
+    the reference (test_arctic.py test_write_with_unpacking)."""
     symbol: str
     data: Any
     metadata: Any = None
+
+    def __iter__(self):
+        yield self.symbol
+        yield self.data
+        if self.metadata is not None:
+            yield self.metadata
 
 
 @dataclass

@@ -1,0 +1,200 @@
+"""Port of remaining deciders from the reference's integration
+test_arctic.py (basic suite, delete-version variants, documented
+examples, WritePayload unpacking)."""
+
+from datetime import datetime
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from arcticdb_spark import Arctic, WritePayload
+from arcticdb_spark.catalog import NoSuchVersionException
+
+
+@pytest.fixture()
+def lib(spark, tmp_path):
+    return Arctic(str(tmp_path), spark).create_library("arc")
+
+
+def test_basic_metadata(lib):
+    """Port of test_basic_metadata:281-287."""
+    df = pd.DataFrame({"col1": [1, 2, 3], "col2": [4, 5, 6]})
+    lib.write("my_symbol", df, metadata={"fluffy": "muppets"})
+    assert lib.read_metadata("my_symbol").metadata == {"fluffy": "muppets"}
+
+
+def test_sorted_roundtrip(lib):
+    """Port of test_sorted_roundtrip:291-298."""
+    df = pd.DataFrame({"column": [1, 2, 3, 4]},
+                      index=pd.date_range(start="1/1/2018", end="1/4/2018"))
+    lib.write("sorted_test", df)
+    assert lib.get_description("sorted_test").sorted == "ASCENDING"
+
+
+def test_do_not_prune_previous_versions_by_default(lib):
+    """Port of test_do_not_prune_previous_versions_by_default:583-591."""
+    df = pd.DataFrame({"col1": [1, 2, 3]})
+    for _ in range(5):
+        lib.write("symbol", df)
+    assert len(lib.list_versions("symbol")) == 5
+
+
+@pytest.mark.parametrize("versions", [1, (1, 2)])
+def test_delete_version(lib, versions):
+    """Port of test_delete_version:595-608."""
+    df = pd.DataFrame({"col1": [1, 2, 3]})
+    lib.write("symbol", df, metadata={"very": "interesting"})
+    lib.write("symbol", df, metadata={"muy": "interesante"},
+              prune_previous_versions=False)
+    lib.write("symbol", df, metadata={"tres": "interessant"},
+              prune_previous_versions=False)
+    lib.delete("symbol", versions=versions)
+    if isinstance(versions, int):
+        assert lib.read_metadata("symbol").version == 2
+        assert lib.read_metadata("symbol").metadata == {
+            "tres": "interessant"}
+    else:
+        assert lib.read_metadata("symbol").version == 0
+        assert lib.read_metadata("symbol").metadata == {
+            "very": "interesting"}
+
+
+def test_delete_version_empty(lib):
+    """Port of test_delete_version_empty:612-620: versions=[] is a no-op."""
+    df = pd.DataFrame({"col1": [1, 2, 3]})
+    for _ in range(3):
+        lib.write("symbol", df, prune_previous_versions=False)
+    lib.delete("symbol", versions=[])
+    assert len(lib.list_versions("symbol")) == 3
+
+
+def test_list_versions_write_append_update(lib):
+    """Port of test_list_versions_write_append_update:623-638."""
+    index = pd.date_range(start="2000-01-01", freq="D", periods=3)
+    df = pd.DataFrame({"col1": [1, 2, 3], "col2": [4, 5, 6]}, index=index)
+    lib.write("symbol", df)
+    index_append = pd.date_range(start="2000-01-04", freq="D", periods=3)
+    df_append = pd.DataFrame({"col1": [7, 8, 9], "col2": [10, 11, 12]},
+                             index=index_append)
+    lib.append("symbol", df_append)
+    index_update = pd.DatetimeIndex(["2000-01-03", "2000-01-05"])
+    df_update = pd.DataFrame({"col1": [13, 14], "col2": [15, 16]},
+                             index=index_update)
+    lib.update("symbol", df_update)
+    expected = pd.concat([df.iloc[:-1], df_update, df_append.iloc[[2]]])
+    pd.testing.assert_frame_equal(
+        lib.read("symbol", output_format="pandas"), expected,
+        check_freq=False)
+    assert len(lib.list_versions("symbol")) == 3
+
+
+def test_delete_version_after_tombstone_all(lib):
+    """Port of test_delete_version_after_tombstone_all:743-763: deleting
+    already-tombstoned versions raises (all-or-nothing), live ones work."""
+    sym = "symbol_tombstone_all"
+    lib.write(sym, pd.DataFrame({"a": [1.0]}))
+    lib.write(sym, pd.DataFrame({"a": [1.0]}), prune_previous_versions=True)
+    lib.write(sym, pd.DataFrame({"a": [1.0]}),
+              prune_previous_versions=False)
+    assert len(lib.list_versions(sym)) == 2
+    assert len(lib.list_symbols()) == 1
+    with pytest.raises(NoSuchVersionException):
+        lib.delete(sym, versions=[0])
+    with pytest.raises(NoSuchVersionException):
+        lib.delete(sym, versions=[0, 1])
+    with pytest.raises(NoSuchVersionException):
+        lib.delete(sym, versions=[0, 1, 2])
+    lib.delete(sym, versions=[1, 2])
+    assert len(lib.list_versions(sym)) == 0
+    assert len(lib.list_symbols()) == 0
+
+
+def test_delete_date_range(lib):
+    """Port of test_delete_date_range:766-780."""
+    df = pd.DataFrame({"column": [5, 6, 7, 8]},
+                      index=pd.date_range(start="1/1/2018", end="1/4/2018"))
+    lib.write("symbol", df)
+    lib.delete_data_in_range("symbol", (datetime(2018, 1, 1),
+                                        datetime(2018, 1, 2)))
+    out = lib.read("symbol", output_format="pandas")
+    pd.testing.assert_frame_equal(
+        out, pd.DataFrame({"column": [7, 8]},
+                          index=pd.date_range(start="1/3/2018",
+                                              end="1/4/2018")),
+        check_freq=False)
+    assert lib.read_metadata("symbol").version == 1
+
+
+def test_write_with_unpacking(lib):
+    """Port of test_write_with_unpacking:896-914: lib.write(*payload)."""
+    df_1 = pd.DataFrame({"col1": [1, 2, 3], "col2": [4, 5, 6]})
+    df_2 = pd.DataFrame({"col1": [-1, -2, -3], "col2": [-4, -5, -6],
+                         "anothercol": [0, 0, 0]})
+    payload_1 = WritePayload("symbol_1", df_1)
+    payload_2 = WritePayload("symbol_2", df_2, metadata="great_metadata")
+    lib.write(*payload_1)
+    lib.write(*payload_2)
+    pd.testing.assert_frame_equal(
+        lib.read("symbol_1", columns=["col1"], output_format="pandas"),
+        df_1[["col1"]])
+    pd.testing.assert_frame_equal(
+        lib.read("symbol_2", columns=["anothercol"],
+                 output_format="pandas"), df_2[["anothercol"]])
+    assert lib.read_metadata("symbol_2").metadata == "great_metadata"
+
+
+def test_append_documented_example(lib):
+    """Port of test_append_documented_example:942-957."""
+    df = pd.DataFrame({"column": [1, 2, 3]},
+                      index=pd.date_range(start="1/1/2018", end="1/3/2018"))
+    lib.write("symbol", df)
+    to_append = pd.DataFrame({"column": [4, 5, 6]},
+                             index=pd.date_range(start="1/4/2018",
+                                                 end="1/6/2018"))
+    lib.append("symbol", to_append, prune_previous_versions=False)
+    expected = pd.DataFrame({"column": [1, 2, 3, 4, 5, 6]},
+                            index=pd.date_range(start="1/1/2018",
+                                                end="1/6/2018"))
+    pd.testing.assert_frame_equal(
+        lib.read("symbol", output_format="pandas"), expected,
+        check_freq=False)
+    versions = lib.list_versions("symbol")
+    assert len(versions) == 2
+    pd.testing.assert_frame_equal(
+        lib.read("symbol", as_of=0, output_format="pandas"), df,
+        check_freq=False)
+
+
+def test_append_prune_previous_versions(lib):
+    """Port of test_append_prune_previous_versions:960-974."""
+    df = pd.DataFrame({"column": [1, 2, 3]},
+                      index=pd.date_range(start="1/1/2018", end="1/3/2018"))
+    lib.write("symbol", df)
+    to_append = pd.DataFrame({"column": [4, 5, 6]},
+                             index=pd.date_range(start="1/4/2018",
+                                                 end="1/6/2018"))
+    lib.append("symbol", to_append, prune_previous_versions=True)
+    live = [v for v in lib.list_versions("symbol") if not v["deleted"]]
+    assert len(live) == 1 and live[0]["version"] == 1
+
+
+def test_update_documented_example(lib):
+    """Port of test_update_documented_example:977-999: rows inside the
+    patch's span but absent from it are REMOVED (range surgery)."""
+    df = pd.DataFrame({"column": [1, 2, 3, 4]},
+                      index=pd.date_range(start="1/1/2018", end="1/4/2018"))
+    lib.write("symbol", df)
+    update_df = pd.DataFrame({"column": [400, 40]},
+                             index=pd.date_range(start="1/1/2018",
+                                                 end="1/3/2018", freq="2D"))
+    lib.update("symbol", update_df, prune_previous_versions=False)
+    result = lib.read("symbol", output_format="pandas")
+    expected = pd.DataFrame(
+        {"column": [400, 40, 4]},
+        index=pd.to_datetime(["1/1/2018", "1/3/2018", "1/4/2018"]))
+    pd.testing.assert_frame_equal(result, expected, check_freq=False)
+    assert len(lib.list_versions("symbol")) == 2
+    pd.testing.assert_frame_equal(
+        lib.read("symbol", as_of=0, output_format="pandas"), df,
+        check_freq=False)
