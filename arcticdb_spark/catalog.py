@@ -5856,6 +5856,13 @@ class Library:
         (reference ``library.py:2161`` accepts Union[str, ReadRequest]).
         With ``lazy=True`` returns a ``LazyDataFrameCollection`` (reference
         read_batch lazy form; split()/collect()/concat() chain from it)."""
+        for s in symbols:
+            if not isinstance(s, (str, ReadRequest)):
+                # reference test_read_batch_unhandled_type: only str and
+                # ReadRequest are supported — eager invalid-usage raise
+                raise ArcticInvalidApiUsageException(
+                    f"Unsupported item in symbols: {s!r}; only str and "
+                    "ReadRequest are supported")
         if kw.get("query_builder") is not None:
             # reference library.py:2161 read_batch: a global query_builder
             # kwarg and a per-request one are mutually exclusive
@@ -5863,7 +5870,7 @@ class Library:
             # any per-symbol error capture
             for s in symbols:
                 if isinstance(s, ReadRequest) and s.query_builder is not None:
-                    raise ArcticException(
+                    raise ArcticInvalidApiUsageException(
                         "kwarg query_builder and per-symbol query builders "
                         f"cannot both be used but {s.symbol!r} had its own "
                         "query_builder specified")
