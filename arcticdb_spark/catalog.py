@@ -1816,6 +1816,11 @@ class Library:
             if su:
                 meta = dict(meta or {})
                 meta["unsigned"] = [str(c) for c in su]
+                # exact original widths so pandas/arrow outputs restore
+                # uint8/16/32 (reference round-trips the dtype); appends
+                # merge to the widest (see _uint64_meta_for)
+                meta["unsigned_dtypes"] = {str(c): str(pdf.dtypes[c])
+                                           for c in su}
                 # widen to int64 IN PANDAS (exact): Spark's Arrow path
                 # rejects unsigned types outright and the row-wise fallback
                 # is 10-100x slower AND lands on int64 anyway — pre-widening
@@ -1900,7 +1905,11 @@ class Library:
         incoming = set((inm or {}).get("uint64") or [])
         stored_su = set((nm or {}).get("unsigned") or [])
         in_su = set((inm or {}).get("unsigned") or [])
-        if stored == incoming and stored_su == in_su:
+        stored_w = (nm or {}).get("unsigned_dtypes") or {}
+        in_w = (inm or {}).get("unsigned_dtypes") or {}
+        if stored == incoming and stored_su == in_su and (
+                not in_w or all(stored_w.get(c) == in_w.get(c)
+                                for c in in_su)):
             return prev.norm_meta
         if isinstance(in_schema, T.StructType):
             in_types = {f.name: f.dataType for f in in_schema.fields}
@@ -1966,7 +1975,9 @@ class Library:
         out_set = (stored | new_u64 | u64_add) - widened
         out_su = ((stored_su | (in_su - set(prev_types))) - su_drop
                   - out_set)
-        if out_set == stored and out_su == stored_su:
+        if out_set == stored and out_su == stored_su and (
+                not in_w or all(stored_w.get(c) == in_w.get(c)
+                                for c in out_su)):
             return prev.norm_meta
         out = dict(nm or {})
         for key, val in (("uint64", out_set), ("unsigned", out_su)):
@@ -1974,6 +1985,16 @@ class Library:
                 out[key] = sorted(val)
             else:
                 out.pop(key, None)
+        out_w = {}
+        for c in out_su:
+            cand = [w for w in (stored_w.get(c), in_w.get(c)) if w]
+            if cand:
+                out_w[c] = max(cand,
+                               key=lambda w: int(w.replace("uint", "")))
+        if out_w:
+            out["unsigned_dtypes"] = out_w
+        else:
+            out.pop("unsigned_dtypes", None)
         return out
 
     @staticmethod
@@ -3765,6 +3786,16 @@ class Library:
             for c in u64_cols:
                 if c in pdf.columns and not pdf[c].isna().any():
                     pdf[c] = pdf[c].to_numpy(dtype="int64").view("uint64")
+            # small-uint restore: storage widened uint8/16/32 to int64; the
+            # recorded original width comes back when the values still fit
+            # (a dynamic-schema merge may have widened them legitimately)
+            for c, w in ((norm_meta or {}).get("unsigned_dtypes")
+                         or {}).items():
+                if (c in pdf.columns and pdf[c].dtype.kind == "i"
+                        and not pdf[c].isna().any()):
+                    info = np.iinfo(w)
+                    if pdf[c].between(info.min, info.max).all():
+                        pdf[c] = pdf[c].astype(w)
             # rebuild exact datetime64[ns] from the LONG shadows (bit-level
             # view: int64 min IS numpy's NaT) — before tz re-localization
             # and index restore, which operate on the rebuilt column
@@ -3955,6 +3986,19 @@ class Library:
         """
         import pyarrow as pa
         names = list(tbl.column_names)
+        # small-uint restore (like the pandas output): safe-cast back to
+        # the recorded original width; values a dynamic merge legitimately
+        # widened stay int64
+        for c, w in (nm.get("unsigned_dtypes") or {}).items():
+            if c in names:
+                i = names.index(c)
+                if pa.types.is_int64(tbl.schema.field(i).type):
+                    try:
+                        tbl = tbl.set_column(
+                            i, pa.field(c, getattr(pa, w)()),
+                            tbl.column(i).cast(getattr(pa, w)()))
+                    except pa.ArrowInvalid:
+                        pass
         # tz restore, keyed by physical column name (before renaming)
         for phys, tz in (nm.get("tzs") or {}).items():
             if phys in names:
@@ -4127,6 +4171,8 @@ class Library:
         if nm.get("unsigned"):
             # small-uint provenance rides the sidecar too (sum dtype)
             side["unsigned"] = list(nm["unsigned"])
+            if nm.get("unsigned_dtypes"):
+                side["unsigned_dtypes"] = dict(nm["unsigned_dtypes"])
         if nm.get("tzs"):
             # tz-aware datetime columns/index levels are stored UTC-naive
             # (like write); the zone map must ride the chunk sidecar or

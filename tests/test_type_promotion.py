@@ -439,3 +439,34 @@ class TestAppendNonesOntoTyped:
         assert tail["col"].tolist() == [0]
         head = dyn_lib.head("sym", n=1, output_format="pandas")
         assert head["col"].tolist() == [1]
+
+
+def test_small_uint_width_restores_exactly(spark, tmp_path):
+    """uint8/16/32 store widened to int64 (Spark has no unsigned types)
+    but the recorded width restores on pandas AND arrow output like the
+    reference; a dynamic-schema widening append upgrades the restored
+    width; values that outgrew the recorded width stay wide."""
+    import numpy as np
+    import pandas as pd
+    from arcticdb_spark.catalog import Arctic
+    lib = Arctic(str(tmp_path), spark).create_library("uw",
+                                                      dynamic_schema=True)
+    df = pd.DataFrame({"u8": np.arange(5, dtype=np.uint8),
+                       "u16": np.arange(5, dtype=np.uint16),
+                       "u32": np.arange(5, dtype=np.uint32)})
+    lib.write("s", df)
+    back = lib.read("s", output_format="pandas")
+    assert dict(back.dtypes.astype(str)) == {"u8": "uint8",
+                                             "u16": "uint16",
+                                             "u32": "uint32"}
+    tbl = lib.read("s", output_format="arrow")
+    assert [str(f.type) for f in tbl.schema] == ["uint8", "uint16",
+                                                 "uint32"]
+    # widening append: the u8 column now holds uint16 values
+    lib.append("s", pd.DataFrame({
+        "u8": np.array([300], dtype=np.uint16),
+        "u16": np.array([1], dtype=np.uint16),
+        "u32": np.array([1], dtype=np.uint32)}))
+    back2 = lib.read("s", output_format="pandas")
+    assert str(back2["u8"].dtype) == "uint16"
+    assert back2["u8"].tolist() == [0, 1, 2, 3, 4, 300]
