@@ -103,12 +103,13 @@ def append_and_defrag_idempotent(lib, items: List[Tuple[str, pd.DataFrame]],
         if lib.has_symbol(symbol):
             index = lib.read_index(symbol)
             # idempotency: never append data at or before the stored end
-            # (our end_index is the INCLUSIVE max timestamp)
+            # (end_index is END-EXCLUSIVE like the reference's index
+            # segment: last ts + 1ns — strictly-less means "<= max ts")
             start_new = append_df.index[0]
-            if start_new <= index["end_index"].iloc[-1]:
+            if start_new < index["end_index"].iloc[-1]:
                 continue
             ts_from = generate_date_to_read_from(
-                index["start_index"].to_list(),
+                list(index.index),   # read_index is start_index-indexed
                 index["start_row"].to_list(),
                 index["end_row"].to_list(),
                 len(append_df), levels, threshold)
