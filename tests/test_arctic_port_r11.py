@@ -198,3 +198,33 @@ def test_update_documented_example(lib):
     pd.testing.assert_frame_equal(
         lib.read("symbol", as_of=0, output_format="pandas"), df,
         check_freq=False)
+
+
+def test_update_date_range_exhaustive(lib):
+    """Port of integration test_basic_operations_scenarios.py
+    test_update_date_range_exhaustive:358-435: open-ended update ranges
+    bound the DELETION span; the patch's rows land regardless."""
+    from datetime import timedelta
+    init = pd.DataFrame({"value": range(10)},
+                        index=pd.date_range("2023-01-01", periods=10,
+                                            freq="D"))
+    upd = pd.DataFrame({"value": [999]},
+                       index=pd.date_range("2023-01-05", periods=1,
+                                           freq="D"))
+
+    def run(start, end):
+        lib.write("s", init)
+        lib.update("s", upd, date_range=(start, end))
+        out = lib.read("s", output_format="pandas")
+        return out
+
+    out = run(pd.Timestamp("2023-01-05"), None)
+    assert len(out) == 5 and out.iloc[4]["value"] == 999
+    out = run(upd.index[0] - timedelta(days=300), None)
+    assert len(out) == 1 and out.iloc[0]["value"] == 999
+    pd.testing.assert_frame_equal(upd, out, check_freq=False)
+    out = run(None, pd.Timestamp("2023-01-05"))
+    assert len(out) == 6 and out.iloc[0]["value"] == 999
+    out = run(None, None)
+    assert len(out) == 1
+    pd.testing.assert_frame_equal(upd, out, check_freq=False)
