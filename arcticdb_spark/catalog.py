@@ -905,6 +905,19 @@ def _kwargs_contract(method: str, valid: frozenset = frozenset()):
     return deco
 
 
+def _apply_coerce_columns(df, coerce_columns):
+    """Reference ``coerce_columns`` kwarg (_store.py write/append/update):
+    cast the named pandas columns to the given dtypes before
+    normalization — the escape hatch for object columns whose values are
+    coercible (test_basic_version_store.py test_coercion_to_float)."""
+    if not coerce_columns:
+        return df
+    import pandas as pd
+    if isinstance(df, pd.DataFrame):
+        return df.astype(coerce_columns)
+    return df
+
+
 def _renumber(files: list[FileEntry]) -> list[FileEntry]:
     acc = 0
     out = []
@@ -2225,6 +2238,7 @@ class Library:
               prune_previous_versions: bool | None = None,
               recursive_normalizers: bool = False,
               validate_index: bool = True,
+              coerce_columns: dict | None = None,
               _custom_meta: dict | None = None) -> VersionManifest:
         """New version from scratch (reference ``library.py:1013``).
 
@@ -2244,6 +2258,7 @@ class Library:
         test_write_not_sorted_exception); ``validate_index=False`` stores
         DESCENDING/UNSORTED input as-given with its sortedness tracked
         (the native-API default, _store.py:726)."""
+        df = _apply_coerce_columns(df, coerce_columns)
         if prune_previous_versions is not None:
             prune_previous = prune_previous_versions
         if dedup is None:   # library-level default (LibraryOptions.dedup)
@@ -2642,6 +2657,17 @@ class Library:
             raise ArcticException(
                 f"{op} schema mismatch (enable dynamic_schema): "
                 f"{sorted(old_names ^ new_names)}")
+        old_order = [f.name for f in old.fields]
+        new_order = [f.name for f in new_schema.fields]
+        if old_order != new_order:
+            # the reference's static schema is POSITIONAL: the same columns
+            # in a different order are a descriptor mismatch
+            # (test_basic_version_store.py test_wrong_df_col_order)
+            from arcticdb_spark.exceptions import StreamDescriptorMismatch
+            raise StreamDescriptorMismatch(
+                f"{op}: E_DESCRIPTOR_MISMATCH column order differs from "
+                f"the stored descriptor (static schema is positional): "
+                f"stored {old_order}, incoming {new_order}")
         old_void = set(self._void_cols(old))
         typed_into_void = old_void - set(self._void_cols(new_schema))
         old_types = {f.name: f.dataType for f in old.fields}
@@ -2676,7 +2702,8 @@ class Library:
                validate_index: bool = True,
                prune_previous_versions: bool | None = None,
                index_column: str | None = None,
-               compact_data: bool = False) -> VersionManifest:
+               compact_data: bool = False,
+               coerce_columns: dict | None = None) -> VersionManifest:
         """Rows strictly after the existing index range (``library.py:1361``).
         Previous files are *reused*, not rewritten — O(new data) cost.
 
@@ -2691,6 +2718,7 @@ class Library:
         frame inside the SAME version (reference append_internal inline
         CompactDataClause, version_core.cpp:3155-3320): the frame counts
         as one row slice, in-bounds existing slices stay untouched."""
+        df = _apply_coerce_columns(df, coerce_columns)
         try:
             prev = self._load_manifest(symbol,
                                        self._load_ref(symbol)["latest"])
@@ -2959,7 +2987,8 @@ class Library:
     def update(self, symbol: str, df, date_range: tuple | None = None,
                metadata: Any = None, upsert: bool = False,
                prune_previous_versions: bool | None = None,
-               index_column: str | None = None) -> VersionManifest:
+               index_column: str | None = None,
+               coerce_columns: dict | None = None) -> VersionManifest:
         """Range surgery (``version_core.cpp:587``): delete the index range
         covered by ``df`` (or the given range), splice the new rows in.
         Only files overlapping the range are rewritten.
@@ -2970,6 +2999,7 @@ class Library:
         test_update.py test_update_empty_frame_metadata).
         ``index_column`` is accepted for signature parity: updates
         normalize against the STORED index column."""
+        df = _apply_coerce_columns(df, coerce_columns)
         import pandas as pd
         try:
             prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
@@ -4827,7 +4857,11 @@ class Library:
                     resolved[sym] = v
                 elif not allow_partial_snapshot:
                     raise NoSuchVersionException(f"{sym}:{v}")
-            if not resolved:
+            if not resolved and versions:
+                # an explicit EMPTY versions dict is a legal empty snapshot
+                # (reference test_snapshot_empty_segment: snapshot("snap2",
+                # versions={}) pins nothing); only a non-empty request
+                # resolving to nothing is an error
                 raise NoSuchVersionException(
                     f"snapshot {snapshot_name!r}: none of the requested "
                     "symbol-version pairs exist")

@@ -228,3 +228,42 @@ def test_update_date_range_exhaustive(lib):
     out = run(None, None)
     assert len(out) == 1
     pd.testing.assert_frame_equal(upd, out, check_freq=False)
+
+
+def test_get_index_versions(lib):
+    """Port of test_basic_version_store.py test_get_index:2310-2333:
+    read_index honors as_of version/snapshot, version_id tracks the
+    writing version (pickled symbols included)."""
+    symbol = "thing"
+    lib.write_pickle(symbol, 1)
+    idx = lib.read_index(symbol)
+    assert len(idx) == 1 and idx.iloc[0]["version_id"] == 0
+    lib.write_pickle(symbol, 2)
+    assert lib.read_index(symbol).iloc[0]["version_id"] == 1
+    lib.snapshot("snap")
+    lib.write_pickle(symbol, 3)
+    assert lib.read_index(symbol).iloc[0]["version_id"] == 2
+    assert lib.read_index(symbol,
+                          as_of="snap").iloc[0]["version_id"] == 1
+    assert lib.read_index(symbol, as_of=0).iloc[0]["version_id"] == 0
+
+
+def test_read_empty_index(lib):
+    """Port of test_read_empty_index:2336-2341."""
+    lib.write("empty_idx", pd.DataFrame({"a": np.array([], dtype=float)}))
+    assert len(lib.read_index("empty_idx")) == 0
+
+
+def test_snapshot_empty_segment(lib):
+    """Port of test_snapshot_empty_segment:2344-2357: snapshot(versions={})
+    creates a legal empty snapshot pinning nothing."""
+    lib.write_pickle("a", 1)
+    lib.write_pickle("b", 1)
+    lib.snapshot("snap")
+    lib.delete("a")
+    assert lib.read("a", as_of="snap") == 1
+    lib.write_pickle("c", 1)
+    lib.snapshot("snap2", versions={})
+    lib.delete("c")
+    assert lib.has_symbol("c") is False
+    assert "snap2" in lib.list_snapshots()

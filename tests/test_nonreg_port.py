@@ -281,3 +281,72 @@ def test_staged_two_columns_with_different_dtypes(spark, tmp_path):
     out = lib.read("sym", output_format="pandas")
     assert out.index.is_monotonic_increasing
     assert out["b"].tolist() == [4, 2, 3]
+
+
+def test_dataframe_with_nat_in_timestamp_column(lib):
+    """Port of test_basic_version_store.py
+    test_dataframe_with_NaN_in_timestamp_column:1925-1944: NaT (and NaN)
+    in a datetime DATA column round-trips as NaT."""
+    normal_df = pd.DataFrame({"col": [pd.Timestamp("2024-06-01"), pd.NaT]})
+    lib.write("normal", normal_df)
+    pd.testing.assert_frame_equal(normal_df,
+                                  lib.read("normal", output_format="pandas"))
+    mixed = pd.DataFrame({"col": [pd.Timestamp("2024-06-01"), pd.NaT,
+                                  np.nan]})
+    lib.write("mixed_nan", mixed)
+    out = lib.read("mixed_nan", output_format="pandas")
+    assert out["col"].isna().tolist() == [False, True, True]
+
+
+def test_negative_strides(spark, tmp_path):
+    """Port of test_negative_strides:1488-1498."""
+    lib = Arctic(str(tmp_path), spark).create_library("ns", rows_per_file=2)
+    arr = np.array([[1, 2, 3, 4, 5, 6], [7, 8, 9, 10, 11, 12]],
+                   np.int32)[::-1]
+    lib.write("negative_strides", arr)
+    np.testing.assert_array_equal(arr, lib.read("negative_strides"))
+    df = pd.DataFrame(arr, columns=[str(i) for i in range(6)])
+    lib.write("negative_strides_df", df)
+    pd.testing.assert_frame_equal(
+        df, lib.read("negative_strides_df", output_format="pandas"),
+        check_dtype=False)
+
+
+def test_coercion_to_float(lib):
+    """Port of test_coercion_to_float:1948-1963 (the coercion half; this
+    engine's EMPTY-type support stores all-None object columns natively
+    instead of requiring pickling)."""
+    df = pd.DataFrame({"col": [np.nan, "1", np.nan]})
+    df.loc[1, "col"] = np.nan
+    assert df["col"].dtype == np.object_
+    lib.write("test", df, coerce_columns={"col": float})
+    returned = lib.read("test", output_format="pandas")
+    assert returned["col"].dtype == np.float64
+
+
+def test_get_timerange_for_symbol(lib):
+    """Port of test_get_timerange_for_symbol_tz/_dst:2200-2218."""
+    import datetime as _dt
+    dt1 = pd.Timestamp(2021, 4, 1, tz="US/Eastern")
+    dt2 = pd.Timestamp(2021, 4, 1, 3, tz="US/Eastern")
+    lib.write("tzsym", pd.DataFrame({"a": [0, 1]}, index=[dt1, dt2]))
+    mints, maxts = lib.get_timerange_for_symbol("tzsym")
+    assert mints == dt1 and maxts == dt2
+    lib.write("naive", pd.DataFrame(
+        {"a": [0, 1]}, index=[_dt.datetime(2021, 4, 1),
+                              _dt.datetime(2021, 4, 1, 3)]))
+    mints, maxts = lib.get_timerange_for_symbol("naive")
+    assert mints == _dt.datetime(2021, 4, 1)
+    assert maxts == _dt.datetime(2021, 4, 1, 3)
+
+
+def test_wrong_df_col_order(lib):
+    """Port of test_wrong_df_col_order:3199-3209: static schema is
+    positional — the same columns in a different order are a descriptor
+    mismatch."""
+    from arcticdb_spark.exceptions import StreamDescriptorMismatch
+    df1 = pd.DataFrame({"col1": [11, 12, 13], "col2": [1, 2, 3]})
+    lib.write("symbol", df1)
+    df2 = pd.DataFrame({"col2": [4, 5, 6], "col1": [14, 15, 16]})
+    with pytest.raises(StreamDescriptorMismatch):
+        lib.append("symbol", df2)
