@@ -267,3 +267,20 @@ def test_snapshot_empty_segment(lib):
     lib.delete("c")
     assert lib.has_symbol("c") is False
     assert "snap2" in lib.list_snapshots()
+
+
+def test_update_date_range_restrictive(lib):
+    """Port of integration test_update_with_date_range.py
+    test_update_date_range_dataframe:26-43: date_range restricts BOTH the
+    deleted stored range and which patch rows apply."""
+    dtidx = pd.date_range("2022-06-01", "2022-06-05")
+    lib.write("sym_1", pd.DataFrame(index=dtidx, data={"a": [1, 2, 3, 4,
+                                                             5]}))
+    dtidx2 = pd.date_range("2022-05-01", "2022-06-10")
+    upd = pd.DataFrame(index=dtidx2,
+                       data={"a": np.arange(dtidx2.shape[0])},
+                       dtype=np.int64)
+    lib.update("sym_1", upd, date_range=(datetime(2022, 6, 2),
+                                         datetime(2022, 6, 4)))
+    out = lib.read("sym_1", output_format="pandas")
+    np.testing.assert_array_equal(out["a"].values, [1, 32, 33, 34, 5])
