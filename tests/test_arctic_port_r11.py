@@ -284,3 +284,44 @@ def test_update_date_range_restrictive(lib):
                                          datetime(2022, 6, 4)))
     out = lib.read("sym_1", output_format="pandas")
     np.testing.assert_array_equal(out["a"].values, [1, 32, 33, 34, 5])
+
+
+def test_re_snapshot_with_same_name(lib):
+    """Port of test_snapshot.py test_re_snapshot_with_same_name: a second
+    snapshot under an existing name raises; the original stays intact."""
+    from arcticdb_spark.exceptions import InternalException
+    lib.write_pickle("a", [1, 2, 3])
+    lib.snapshot("snap_1")
+    lib.write_pickle("a", [4, 5, 6])
+    assert lib.read("a", as_of="snap_1") == [1, 2, 3]
+    with pytest.raises(InternalException):
+        lib.snapshot("snap_1")
+    assert lib.read("a", as_of="snap_1") == [1, 2, 3]
+
+
+def test_write_to_symbol_in_snapshot_only(lib):
+    """Port of test_snapshot.py test_write_to_symbol_in_snapshot_only: a
+    symbol surviving only via a snapshot accepts new writes; the snapshot
+    keeps the old value."""
+    lib.write_pickle("weird", [1, 2, 3])
+    lib.snapshot("store_sym_old")
+    lib.delete("weird")
+    lib.write_pickle("weird", [1, 2, 3, 4])
+    assert lib.read("weird") == [1, 2, 3, 4]
+    assert lib.read("weird", as_of="store_sym_old") == [1, 2, 3]
+
+
+def test_add_to_snapshot_invalid_leaves_snapshot_unchanged(lib):
+    """Distilled from test_add_to_snapshot_atomicity: an add_to_snapshot
+    naming an unresolvable version has NO effect on the snapshot (the
+    reference _store.py:3194 skips it silently — pinned by
+    test_snapshot_modify_port)."""
+    lib.write_pickle("s1", 1)
+    lib.snapshot("snap")
+    lib.write_pickle("s2", 2)
+    lib.add_to_snapshot("snap", ["s2"], as_ofs=[99])   # no effect
+    assert lib.read("s1", as_of="snap") == 1
+    with pytest.raises(Exception):
+        lib.read("s2", as_of="snap")
+    lib.add_to_snapshot("snap", ["s2"])
+    assert lib.read("s2", as_of="snap") == 2
