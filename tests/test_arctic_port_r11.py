@@ -325,3 +325,27 @@ def test_add_to_snapshot_invalid_leaves_snapshot_unchanged(lib):
         lib.read("s2", as_of="snap")
     lib.add_to_snapshot("snap", ["s2"])
     assert lib.read("s2", as_of="snap") == 2
+
+
+def test_get_info_date_range(lib):
+    """Port of test_basic_version_store.py test_get_info_date_range /
+    _version_no_columns_nat: per-version date_range equals
+    get_timerange_for_symbol; an empty symbol reports (NaT, NaT)."""
+    sym = "gi"
+    lib.write(sym, pd.DataFrame({"col1": np.arange(10)},
+                                index=pd.date_range(pd.Timestamp(0),
+                                                    periods=10)))
+    lib.write(sym, pd.DataFrame({"col1": np.arange(20)},
+                                index=pd.date_range(pd.Timestamp(0),
+                                                    periods=20)))
+    info_0 = lib.get_info(sym, version=0)
+    info_1 = lib.get_info(sym, version=1)
+    assert lib.get_info(sym) == info_1
+    assert info_1["date_range"] == lib.get_timerange_for_symbol(sym,
+                                                                version=1)
+    assert info_0["date_range"] == lib.get_timerange_for_symbol(sym,
+                                                                version=0)
+    lib.write("empty", pd.DataFrame({"a": np.array([], dtype="int64")},
+                                    index=pd.DatetimeIndex([])))
+    dr = lib.get_info("empty")["date_range"]
+    assert np.isnat(dr[0]) and np.isnat(dr[1])
