@@ -3227,7 +3227,9 @@ class Library:
         return out
 
     # ---- read path ----
-    def _resolve_version(self, symbol: str, as_of) -> VersionManifest:
+    def _resolve_version(self, symbol: str, as_of,
+                         iterate_snapshots_if_tombstoned: bool = True
+                         ) -> VersionManifest:
         import numbers
         if (isinstance(as_of, numbers.Integral)
                 and not isinstance(as_of, bool)):
@@ -3249,9 +3251,12 @@ class Library:
             except NoSuchVersionException:
                 # symbol deleted; only snapshot-pinned manifests remain —
                 # version-number reads of those still succeed (reference
+                # v1 default iterate_snapshots_if_tombstoned=True,
                 # test_deletion.py test_delete_snapshot: "Should not raise
-                # as it exists in a snapshot")
-                if as_of < 0:
+                # as it exists in a snapshot"); the v2 Library passes
+                # False and gets the reference's NoDataFoundException
+                # behavior (test_delete_version_with_snapshot)
+                if as_of < 0 or not iterate_snapshots_if_tombstoned:
                     raise
                 return self._load_manifest(symbol, as_of)
             if as_of < 0:
@@ -3266,7 +3271,8 @@ class Library:
                         f"{symbol!r} version {as_of - ref['latest'] - 1} "
                         "not found")
             if as_of in set(ref.get("deleted", [])):
-                if self._is_pinned(symbol, as_of):
+                if (iterate_snapshots_if_tombstoned
+                        and self._is_pinned(symbol, as_of)):
                     return self._load_manifest(symbol, as_of)
                 raise NoSuchVersionException(
                     f"{symbol!r} version {as_of} was deleted")
@@ -3306,7 +3312,8 @@ class Library:
              row_range: tuple | None = None, columns: list[str] | None = None,
              query_builder=None, with_row_ids: bool = False,
              lazy: bool = False, output_format: str | None = None,
-             incomplete: bool = False, _raw: bool = False):
+             incomplete: bool = False, _raw: bool = False,
+             iterate_snapshots_if_tombstoned: bool = True):
         """Versioned scan with manifest-side pruning (``library.py:2022``).
 
         Pruning happens before Spark sees a path: date_range drops files by
@@ -3345,7 +3352,8 @@ class Library:
                 # (reference: ReadRequest.query_builder with lazy reads)
                 ldf._clauses = list(query_builder._clauses)
             return ldf
-        m = self._resolve_version(symbol, as_of)
+        m = self._resolve_version(symbol, as_of,
+                                  iterate_snapshots_if_tombstoned)
         cmeta = (m.norm_meta.get("custom")
                  if isinstance(m.norm_meta, dict) else None)
         if cmeta is not None and not _raw:

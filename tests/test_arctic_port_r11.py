@@ -349,3 +349,18 @@ def test_get_info_date_range(lib):
                                     index=pd.DatetimeIndex([])))
     dr = lib.get_info("empty")["date_range"]
     assert np.isnat(dr[0]) and np.isnat(dr[1])
+
+
+def test_iterate_snapshots_if_tombstoned(lib):
+    """Reference two-layer contract: the v1 default
+    (iterate_snapshots_if_tombstoned=True) reads a tombstoned-but-pinned
+    version by NUMBER; passing False gives the v2 Library behavior
+    (test_delete_version_with_snapshot — NoDataFoundException); the
+    snapshot NAME always reads."""
+    lib.write_pickle("s", 1)
+    lib.snapshot("snap_i")
+    lib.delete("s")
+    assert lib.read("s", as_of=0) == 1
+    with pytest.raises(NoSuchVersionException):
+        lib.read("s", as_of=0, iterate_snapshots_if_tombstoned=False)
+    assert lib.read("s", as_of="snap_i") == 1
