@@ -1349,62 +1349,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDERING POLICY (round 4+): least-recently-driver-verified
         # first. The driver checks only the first ~50 entries per
-        # round. Round-11 sort: the 37 queries whose last driver row
-        # is CORRECTNESS_r09, then the 50 verified in
-        # CORRECTNESS_r10 in their r10 order — r11 ∪ r10 covers the
+        # round. Round-12 sort: the 37 queries whose last driver row
+        # is CORRECTNESS_r10 (everything absent from
+        # CORRECTNESS_r11.json), then the 50 verified in
+        # CORRECTNESS_r11 in their r11 order — r12 ∪ r11 covers the
         # full registry with nothing older than one round.
-        # --- last driver row is r09 ---
-        "text_stats": q_text_stats,
-        "text_langid": q_text_langid,
-        "ns_precision": q_ns_precision,
-        "text_fingerprint": q_text_fingerprint,
-        "multimodal_features": q_multimodal_features,
-        "dedup_jaccard": q_dedup_jaccard,
-        "semi_join_date_arith": q_semi_join_date_arith,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "similarity_bruteforce": q_similarity_bruteforce,
-        "similarity_lsh": q_similarity_lsh,
-        "similarity_ivf": q_similarity_ivf,
-        "json_extract": q_json_extract,
-        "approx_sketches": q_approx_sketches,
-        "filter_numeric": q_filter_numeric,
-        "filter_isin_regex": q_filter_isin_regex,
-        "filter_ternary": q_filter_ternary,
-        "project_arith": q_project_arith,
-        "groupby_single": q_groupby_single,
-        "groupby_first_last": q_groupby_first_last,
-        "uint64_mixed_compare": q_uint64_mixed_compare,
-        "compact_roundtrip": q_compact_roundtrip,
-        "groupby_tpch_q1": q_groupby_tpch_q1,
-        "groupby_ts_minmax": q_groupby_ts_minmax,
-        "resample_weekly": q_resample_weekly,
-        "concat_three": q_concat_three,
-        "resample_1h": q_resample_1h,
-        "resample_ohlc": q_resample_ohlc,
-        "resample_closed_right": q_resample_closed_right,
-        "resample_offset": q_resample_offset,
-        "resample_std_median": q_resample_std_median,
-        "corpus_clean": q_corpus_clean,
-        "project_then_groupby": q_project_then_groupby,
-        "pipeline_filter_head": q_pipeline_filter_head,
-        "stream_resample": q_stream_resample,
-        "stream_sessionize": q_stream_sessionize,
-        "shuffle_shards": q_shuffle_shards,
-        # --- green in CORRECTNESS_r10 on current code ---
-        "dynamic_backfill": q_dynamic_backfill,
-        "staged_finalize": q_staged_finalize,
-        "snapshot_asof": q_snapshot_asof,
-        "stats_prune_filter": q_stats_prune_filter,
-        "salted_join": q_salted_join,
-        "simhash_dedup": q_simhash_dedup,
-        "pii_redact": q_pii_redact,
-        "categorical_roundtrip": q_categorical_roundtrip,
-        "date_range": q_date_range,
-        "head": q_head,
-        "tail": q_tail,
-        "row_range": q_row_range,
-        "concat_outer": q_concat_outer,
+        # --- last driver row is r10 ---
         "concat_inner": q_concat_inner,
         "merge_update_upsert": q_merge_update_upsert,
         "update_range_surgery": q_update_range_surgery,
@@ -1442,6 +1392,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "rolling_mean": q_rolling_mean,
+        # --- green in CORRECTNESS_r11 on current code (r11 order) ---
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        "ns_precision": q_ns_precision,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_features": q_multimodal_features,
+        "dedup_jaccard": q_dedup_jaccard,
+        "semi_join_date_arith": q_semi_join_date_arith,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "similarity_bruteforce": q_similarity_bruteforce,
+        "similarity_lsh": q_similarity_lsh,
+        "similarity_ivf": q_similarity_ivf,
+        "json_extract": q_json_extract,
+        "approx_sketches": q_approx_sketches,
+        "filter_numeric": q_filter_numeric,
+        "filter_isin_regex": q_filter_isin_regex,
+        "filter_ternary": q_filter_ternary,
+        "project_arith": q_project_arith,
+        "groupby_single": q_groupby_single,
+        "groupby_first_last": q_groupby_first_last,
+        "uint64_mixed_compare": q_uint64_mixed_compare,
+        "compact_roundtrip": q_compact_roundtrip,
+        "groupby_tpch_q1": q_groupby_tpch_q1,
+        "groupby_ts_minmax": q_groupby_ts_minmax,
+        "resample_weekly": q_resample_weekly,
+        "concat_three": q_concat_three,
+        "resample_1h": q_resample_1h,
+        "resample_ohlc": q_resample_ohlc,
+        "resample_closed_right": q_resample_closed_right,
+        "resample_offset": q_resample_offset,
+        "resample_std_median": q_resample_std_median,
+        "corpus_clean": q_corpus_clean,
+        "project_then_groupby": q_project_then_groupby,
+        "pipeline_filter_head": q_pipeline_filter_head,
+        "stream_resample": q_stream_resample,
+        "stream_sessionize": q_stream_sessionize,
+        "shuffle_shards": q_shuffle_shards,
+        "dynamic_backfill": q_dynamic_backfill,
+        "staged_finalize": q_staged_finalize,
+        "snapshot_asof": q_snapshot_asof,
+        "stats_prune_filter": q_stats_prune_filter,
+        "salted_join": q_salted_join,
+        "simhash_dedup": q_simhash_dedup,
+        "pii_redact": q_pii_redact,
+        "categorical_roundtrip": q_categorical_roundtrip,
+        "date_range": q_date_range,
+        "head": q_head,
+        "tail": q_tail,
+        "row_range": q_row_range,
+        "concat_outer": q_concat_outer,
     }
 
 
