@@ -191,6 +191,54 @@ class FileEntry:
                          version_id=d.get("version_id"))
 
 
+# ---------------------------------------------------------------------------
+# Storage-format contract (reference analogue: the cross-version storage
+# compatibility suite under /root/reference/python/tests/compat/ — old-writer/
+# new-reader round-trips are contractual there, so they are here).
+#
+# FORMAT_VERSION is stamped into `_config.json` (library level, key
+# "format_version") and into every version manifest (key "fv"). Readers
+# accept ANY stamp <= FORMAT_VERSION — every epoch below has an explicit
+# read-side fallback — and refuse stamps ABOVE it instead of silently
+# misreading an artifact written by a newer engine.
+#
+# Shipped epochs and their fallbacks (enforced by tests/test_manifest_compat.py,
+# which fabricates each legacy shape and round-trips it on HEAD):
+#
+#  fv | introduced                      | legacy fallback on read
+#  ---+---------------------------------+---------------------------------
+#   0 | base layout: _ref.json,         | (base)
+#     | _versions/v*.json, _snapshots/  |
+#   1 | _pins.json snapshot-pin sidecar | absent sidecar -> lazily re-derive
+#     | + _chain.json high-water marker | pins from snapshot manifests
+#     |                                 | (_load_pins); chain from manifests
+#   2 | uint64 bit-pattern marker       | absent -> columns are plain signed
+#     | (schema field metadata + staged | int64 (exactly what that epoch
+#     | sidecar "uint64"/"unsigned")    | wrote)
+#   3 | tz zone-map in staged sidecar   | absent -> values stay UTC-naive
+#     | ("tzs") + norm_meta             | (physical bytes are UTC either way)
+#   4 | staged-chunk sortedness         | absent -> chunk treated as
+#     | ("sorted" in staged sidecar)    | ASCENDING, matching what stage()
+#     |                                 | accepted when that epoch wrote it
+#   5 | explicit format_version stamps  | absent stamp -> fv 0..4 legacy,
+#     | (this table)                    | all readable per the rows above
+#
+# Manifest-level keys with per-key defaults ("sorted" -> ASCENDING,
+# "schemas"/"sid" -> file uses the manifest schema, FileEntry.version_id /
+# content_hash -> None) are part of the fv0 base contract: VersionManifest /
+# FileEntry .from_json never require them.
+FORMAT_VERSION = 5
+
+
+def _check_format_version(stamp, what: str) -> None:
+    """Refuse artifacts stamped by a NEWER engine (absent stamp = legacy)."""
+    if stamp is not None and int(stamp) > FORMAT_VERSION:
+        raise ArcticException(
+            f"{what} has storage format_version {stamp}, but this engine "
+            f"supports up to {FORMAT_VERSION} — upgrade the engine to read "
+            "this library")
+
+
 @dataclass
 class VersionedItem:
     """Reference ``_store.py:205`` VersionedItem: the result wrapper for
@@ -259,6 +307,7 @@ class VersionManifest:
                 d["sid"] = epochs.index(f.schema_json)
             files.append(d)
         out = {"symbol": self.symbol, "version": self.version,
+               "fv": FORMAT_VERSION,
                "created_ns": self.created_ns, "index_column": self.index_column,
                "schema": self.schema_json, "metadata": self.metadata,
                "sorted": self.sorted, "norm_meta": self.norm_meta,
@@ -269,6 +318,8 @@ class VersionManifest:
 
     @staticmethod
     def from_json(d):
+        _check_format_version(d.get("fv"), f"manifest {d.get('symbol')!r} "
+                              f"v{d.get('version')}")
         epochs = d.get("schemas", [])
         files = []
         for fd in d["files"]:
@@ -1162,6 +1213,8 @@ class Library:
         cfg_path = self._fs.join(self.root, "_config.json")
         try:
             cfg = self._fs.read_json(cfg_path)
+            _check_format_version(cfg.get("format_version"),
+                                  f"library {name!r} _config.json")
             rows_per_file = cfg.get("rows_per_file", rows_per_file)
             dynamic_schema = cfg.get("dynamic_schema", dynamic_schema)
             dedup_default = cfg.get("dedup", dedup_default)
@@ -1173,6 +1226,7 @@ class Library:
                                             ent.background_deletion))
         except FileNotFoundError:
             self._fs.write_json_atomic(cfg_path, {
+                "format_version": FORMAT_VERSION,
                 "rows_per_file": rows_per_file,
                 "dynamic_schema": dynamic_schema,
                 "dedup": dedup_default,

@@ -70,5 +70,14 @@ def table_rows(sf_dir: str, name: str) -> int:
     The distributed analogue is the manifest's ``total_rows`` / per-file
     footer num_rows; strategy decisions (exact vs LSH) should use this, not
     ``df.count()``."""
+    import os
+
     import pyarrow.parquet as pq
-    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        # multi-file table (Spark directory layout): sum the per-file
+        # footer counts — still metadata-only, one footer read per file,
+        # exactly what a manifest total_rows aggregate does at scale
+        return sum(pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                   for f in os.listdir(path) if f.endswith(".parquet"))
+    return pq.ParquetFile(path).metadata.num_rows
