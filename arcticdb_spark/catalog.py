@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import numbers
 import os
+import re
 import shutil
 import tempfile
 import time
@@ -343,6 +344,7 @@ class VersionManifest:
 from arcticdb_spark.sources.filesystem import (AzureObjectFileSystem,
                                                GCSObjectFileSystem,
                                                LocalFileSystem,
+                                               MongoObjectFileSystem,
                                                S3ObjectFileSystem)
 
 
@@ -6459,7 +6461,8 @@ class Arctic:
 
     def __init__(self, uri: str, spark: SparkSession | None = None,
                  data_root: str | None = None, s3_client=None,
-                 azure_client=None, gcs_client=None, output_format=None):
+                 azure_client=None, gcs_client=None, mongo_database=None,
+                 output_format=None):
         from arcticdb_spark.session import get_spark
         self.spark = spark or get_spark()
         # instance-level output-format default (reference arctic.py
@@ -6494,6 +6497,26 @@ class Arctic:
             self.fs = LocalFileSystem()
             self.uri = os.path.abspath(path)
             os.makedirs(self.uri, exist_ok=True)
+        elif uri.startswith("mongodb://") or uri.startswith("mongodb+srv://"):
+            # reference MongoLibraryAdapter (adapters/
+            # mongo_library_adapter.py:28-47): mongodb://[HOST]/[DATABASE]
+            # [?OPTIONS]; the endpoint is validated eagerly and a malformed
+            # string raises the reference's exact UserInputException text.
+            # Metadata documents live in the database (MongoObjectFileSystem
+            # insert-CAS); Spark parquet data needs a filesystem, so
+            # data_root is required like the other object-store backends.
+            try:
+                m = re.search(r"//(?P<endpoint>[^/]+)", uri)
+                endpoint = m["endpoint"]
+                if not endpoint:
+                    raise ValueError("empty host")
+            except Exception as e:
+                raise UserInputException(
+                    f"Invalid connection string format. {e} Correct "
+                    "format: mongodb://[HOST]/[DATABASE][?OPTIONS]")
+            self._mongo_endpoint = endpoint
+            self.fs = MongoObjectFileSystem(database=mongo_database, uri=uri)
+            self.uri = ""
         elif uri.startswith("mem://"):
             # reference InMemoryLibraryAdapter (adapters/
             # in_memory_library_adapter.py:20-52): ephemeral per-instance
@@ -6588,6 +6611,9 @@ class Arctic:
         return self.has_library(name)
 
     def __repr__(self) -> str:
+        if getattr(self, "_mongo_endpoint", None):
+            # reference MongoLibraryAdapter.__repr__
+            return f"Arctic(config=mongodb(endpoint={self._mongo_endpoint}))"
         return f"Arctic(config={self.uri or type(self.fs).__name__})"
 
     # enum members / reference names -> this engine's attribute names.

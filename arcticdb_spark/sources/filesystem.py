@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -392,5 +393,100 @@ class GCSObjectFileSystem:
         except Exception as e:
             if (type(e).__name__ == "PreconditionFailed"
                     or getattr(e, "code", None) == 412):
+                return False
+            raise
+
+
+class MongoObjectFileSystem:
+    """Metadata store in a MongoDB database via a ``pymongo.database.
+    Database`` (or anything implementing its ``__getitem__`` ->
+    collection ``find_one / replace_one / insert_one / delete_one /
+    delete_many / count_documents / aggregate`` surface — tests inject an
+    in-memory fake since pymongo is not in this container).
+
+    Layout: one collection (default ``arcticdb_meta``) of documents
+    ``{"_id": <path>, "doc": <json-able obj>}`` — the path keys mirror the
+    posix layout exactly, so manifests/refs/snapshots keep one storage
+    schema across every backend. The reference's mongo backend
+    (``cpp/arcticdb/storage/mongo/mongo_storage.cpp``) likewise maps each
+    segment key to one document keyed by the composite key path.
+
+    CAS: ``insert_one`` on the unique ``_id`` index — a concurrent writer's
+    duplicate insert raises DuplicateKeyError (the reference's
+    ``write_internal`` relies on the same unique-key insert semantics),
+    giving ``write_json_if_absent``. ``replace_one(upsert=True)`` is
+    atomic per document, giving ``write_json_atomic``.
+    """
+
+    def __init__(self, database=None, collection: str = "arcticdb_meta",
+                 uri: str | None = None):
+        if database is None:  # pragma: no cover - network path
+            from pymongo import MongoClient
+            from pymongo.uri_parser import parse_uri
+            db_name = parse_uri(uri).get("database") or "arcticdb"
+            database = MongoClient(uri)[db_name]
+        self.col = database[collection]
+
+    @staticmethod
+    def _key(path: str) -> str:
+        return path.strip("/")
+
+    def join(self, *parts: str) -> str:
+        return "/".join(p.strip("/") for p in parts if p)
+
+    def exists(self, path: str) -> bool:
+        return self.col.count_documents({"_id": self._key(path)},
+                                        limit=1) > 0
+
+    def isdir(self, path: str) -> bool:
+        prefix = self._key(path) + "/"
+        return self.col.count_documents(
+            {"_id": {"$regex": "^" + re.escape(prefix)}}, limit=1) > 0
+
+    def makedirs(self, path: str) -> None:
+        pass  # paths are virtual, like the object stores
+
+    def listdir(self, path: str) -> list[str]:
+        prefix = self._key(path)
+        prefix = prefix + "/" if prefix else ""
+        names = set()
+        for d in self.col.find({"_id": {"$regex": "^" + re.escape(prefix)}},
+                               {"_id": 1}):
+            rest = d["_id"][len(prefix):]
+            names.add(rest.split("/", 1)[0])
+        return sorted(n for n in names if n)
+
+    def remove(self, path: str) -> None:
+        self.col.delete_one({"_id": self._key(path)})
+
+    def rmtree(self, path: str) -> None:
+        prefix = self._key(path) + "/"
+        self.col.delete_many({"_id": {"$regex": "^" + re.escape(prefix)}})
+        self.col.delete_one({"_id": self._key(path)})
+
+    def read_json(self, path: str):
+        d = self.col.find_one({"_id": self._key(path)})
+        if d is None:
+            raise FileNotFoundError(path)
+        return d["doc"]
+
+    def write_json_atomic(self, path: str, obj) -> None:
+        # round-trip through json so stored docs are exactly the same
+        # shapes every other backend persists (tuples -> lists etc.)
+        self.col.replace_one({"_id": self._key(path)},
+                             {"_id": self._key(path),
+                              "doc": json.loads(json.dumps(obj))},
+                             upsert=True)
+
+    def write_json_if_absent(self, path: str, obj) -> bool:
+        """Unique-_id insert — the VERSION_REF CAS; False when another
+        writer committed first (DuplicateKeyError)."""
+        try:
+            self.col.insert_one({"_id": self._key(path),
+                                 "doc": json.loads(json.dumps(obj))})
+            return True
+        except Exception as e:
+            if type(e).__name__ == "DuplicateKeyError" or \
+                    getattr(e, "code", None) == 11000:
                 return False
             raise
