@@ -223,12 +223,39 @@ class FileEntry:
 #     |                                 | accepted when that epoch wrote it
 #   5 | explicit format_version stamps  | absent stamp -> fv 0..4 legacy,
 #     | (this table)                    | all readable per the rows above
+#   6 | GC tombstone stubs: prune/      | absent stub (fv<=5 GC REMOVED the
+#     | delete replace a collected      | key) -> same NoSuchVersion surface;
+#     | version's manifest with         | _next_version already cleared the
+#     | {"tombstone": true} so the      | ref/chain, so old libraries stay
+#     | number can never be resurrected | monotone for new single writers
+#     | by a stale in-flight writer.    |
+#     | Pin MARKER files (_pins/v*/     | single _pins.json -> migrated to
+#     | <snap>.json) replace the        | markers on first read; neither ->
+#     | read-modify-write _pins.json    | re-derived from snapshot manifests
+#     | (concurrent snapshots clobbered | (fv1 fallback)
+#     | each other's pins).             |
+#     | Ref CAS chain (_ref/g{N}.json,  | single _ref.json -> migrated to
+#     | if-absent generation writes)    | generation 0 on first read
+#     | replaces the read-modify-write  |
+#     | _ref.json swap (racing commit/  |
+#     | prune/delete lost updates)      |
 #
 # Manifest-level keys with per-key defaults ("sorted" -> ASCENDING,
 # "schemas"/"sid" -> file uses the manifest schema, FileEntry.version_id /
 # content_hash -> None) are part of the fv0 base contract: VersionManifest /
 # FileEntry .from_json never require them.
-FORMAT_VERSION = 5
+FORMAT_VERSION = 6
+
+
+def _remove_data_file(path: str) -> None:
+    """GC removal of a parquet data file — idempotent: two concurrent
+    collectors (prune racing prune/delete, test_cas_stress.py) may both
+    decide to release the same file, and an ``exists()`` pre-check is
+    TOCTOU-racy across processes."""
+    try:
+        os.remove(path)
+    except FileNotFoundError:
+        pass
 
 
 def _check_format_version(stamp, what: str) -> None:
@@ -751,10 +778,11 @@ class AdminTools:
     def _sym_sizes(self, symbol: str) -> dict:
         lib = self._lib
         out = {k: Size(0, 0) for k in self._KEY_TYPES}
-        ref = lib._ref_path(symbol)
-        if lib._fs.exists(ref):
+        try:
             out["VERSION_REF"] = Size(
-                len(json.dumps(lib._fs.read_json(ref))), 1)
+                len(json.dumps(lib._load_ref(symbol))), 1)
+        except Exception:
+            pass
         vdir = lib._fs.join(lib._sym_dir(symbol), "_versions")
         if lib._fs.isdir(vdir):
             vb = vn = 0
@@ -1310,21 +1338,126 @@ class Library:
         return self._fs.join(self._sym_dir(symbol), "_versions", f"v{v:08d}.json")
 
     def _ref_path(self, symbol):
+        # legacy fv1..5 single-object ref (migrated into the chain on read)
         return self._fs.join(self._sym_dir(symbol), "_ref.json")
 
+    def _ref_dir(self, symbol):
+        return self._fs.join(self._sym_dir(symbol), "_ref")
+
+    def _ref_gen_path(self, symbol, gen: int):
+        return self._fs.join(self._ref_dir(symbol), f"g{gen:012d}.json")
+
     # ---- manifest IO ----
+    # The ref is a CAS CHAIN (fv6): generation files g{N}.json written with
+    # write_json_if_absent; the live ref is the highest generation. The
+    # fv<=5 single _ref.json was swapped with a blind read-modify-write —
+    # racing _commit/prune/delete_version could overwrite each other's
+    # swap and LOSE a committed latest (found by test_cas_stress.py: 48
+    # commits, latest pointed below max). This is the reference's
+    # VERSION_REF compare-and-swap made explicit (version_map.hpp).
+
+    def _load_ref_gen(self, symbol) -> tuple:
+        """(generation, ref dict) of the chain head; migrates a legacy
+        single-object ref into generation 0 on first read."""
+        d = self._ref_dir(symbol)
+        for _ in range(64):
+            gens = []
+            if self._fs.isdir(d):
+                gens = sorted(
+                    int(fn[1:-5]) for fn in self._fs.listdir(d)
+                    if fn.startswith("g") and fn.endswith(".json"))
+            if gens:
+                try:
+                    return gens[-1], self._fs.read_json(
+                        self._ref_gen_path(symbol, gens[-1]))
+                except FileNotFoundError:
+                    continue   # lost a race with generation GC; re-list
+            try:
+                legacy = self._fs.read_json(self._ref_path(symbol))
+            except FileNotFoundError:
+                raise NoSuchVersionException(
+                    f"symbol {symbol!r} does not exist")
+            # migrate (idempotent: losers re-read through the chain)
+            self._fs.makedirs(d)
+            self._fs.write_json_if_absent(
+                self._ref_gen_path(symbol, 0), legacy)
+            self._fs.remove(self._ref_path(symbol))
+        raise ArcticException(
+            f"ref chain for {symbol!r} would not settle; retry")
+
     def _load_ref(self, symbol) -> dict:
+        return self._load_ref_gen(symbol)[1]
+
+    def _ref_exists(self, symbol) -> bool:
         try:
-            return self._fs.read_json(self._ref_path(symbol))
-        except FileNotFoundError:
-            raise NoSuchVersionException(f"symbol {symbol!r} does not exist")
+            self._load_ref(symbol)
+            return True
+        except NoSuchVersionException:
+            return False
+
+    def _update_ref(self, symbol, mutate) -> dict:
+        """Atomically update the ref: ``mutate(cur_or_None) -> new dict``
+        (return None for a no-op). Retries on CAS loss with the fresh
+        head, so every ref transition composes with every other — no
+        read-modify-write window anywhere."""
+        for _ in range(10_000):
+            try:
+                gen, cur = self._load_ref_gen(symbol)
+            except NoSuchVersionException:
+                gen, cur = -1, None
+            new = mutate(cur)
+            if new is None:
+                return cur
+            self._fs.makedirs(self._ref_dir(symbol))
+            if self._fs.write_json_if_absent(
+                    self._ref_gen_path(symbol, gen + 1), new):
+                # GC old generations; keep a couple so a reader that
+                # already listed an older head can still fetch it (it
+                # retries through the chain if not)
+                for g in range(max(0, gen - 32), gen - 1):
+                    self._fs.remove(self._ref_gen_path(symbol, g))
+                return new
+        raise ArcticException(
+            f"ref chain for {symbol!r} is too contended; retry")
+
+    def _remove_ref(self, symbol) -> None:
+        if self._fs.isdir(self._ref_dir(symbol)):
+            self._fs.rmtree(self._ref_dir(symbol))
+        self._fs.remove(self._ref_path(symbol))   # legacy form, idempotent
 
     def _load_manifest(self, symbol, version) -> VersionManifest:
         try:
-            return VersionManifest.from_json(
-                self._fs.read_json(self._ver_path(symbol, version)))
+            d = self._fs.read_json(self._ver_path(symbol, version))
         except FileNotFoundError:
             raise NoSuchVersionException(f"{symbol!r} version {version} not found")
+        if d.get("tombstone"):
+            # GC'd version: the key is kept (number reserved forever, see
+            # _tombstone_manifest) but the version is gone for readers
+            raise NoSuchVersionException(f"{symbol!r} version {version} not found")
+        return VersionManifest.from_json(d)
+
+    def _manifest_exists(self, symbol, version) -> bool:
+        """True only for a LIVE (non-tombstoned) manifest."""
+        try:
+            self._load_manifest(symbol, version)
+            return True
+        except NoSuchVersionException:
+            return False
+
+    def _tombstone_manifest(self, symbol, version) -> None:
+        """GC a version's manifest by REPLACING it with a tombstone stub
+        instead of deleting the key. Deleting would let a stale in-flight
+        writer's O_EXCL commit RESURRECT the version number (found by
+        test_cas_stress.py: prune removed v{N}.json between a slow writer's
+        _next_version and its CAS, and two different manifests both
+        'won' version N). The reference keeps tombstone keys in the version
+        chain for the same reason (version_map.hpp tombstones;
+        test_tombstone_all). A tombstone is footer-sized — O(#pruned
+        versions) tiny JSONs, the same cardinality the reference carries."""
+        self._fs.write_json_atomic(
+            self._ver_path(symbol, version),
+            {"symbol": symbol, "version": version, "tombstone": True,
+             "fv": FORMAT_VERSION})
 
     def _commit(self, manifest: VersionManifest) -> VersionManifest:
         """Commit = write v{N}.json then swap _ref.json. The version file
@@ -1343,14 +1476,52 @@ class Library:
             raise ArcticException(
                 f"concurrent write to {manifest.symbol!r}: version "
                 f"{manifest.version} was committed by another writer")
-        ref = {"latest": manifest.version, "deleted": []}
-        try:
-            old = self._load_ref(manifest.symbol)
-            ref["deleted"] = old.get("deleted", [])
-            ref["latest"] = max(manifest.version, old.get("latest", -1))
-        except NoSuchVersionException:
-            pass
-        self._fs.write_json_atomic(self._ref_path(manifest.symbol), ref)
+        # carried-over entries (append/update/compact/restore reuse files
+        # from an earlier version) can race a concurrent prune: if the
+        # donor version stopped being latest while we were building this
+        # manifest, a prune that scanned the chain BEFORE our CAS may have
+        # GC'd those files (prunes that scan AFTER our CAS keep us — see
+        # keep_versions in prune_previous_versions). Validate before the
+        # ref swap makes us visible; on loss, consume our number and
+        # surface the standard retry signal (found by test_cas_stress.py).
+        carried_lost = [fe.path for fe in manifest.files
+                        if fe.version_id is not None
+                        and fe.version_id != manifest.version
+                        and not os.path.exists(fe.path)]
+        if carried_lost:
+            for fe in manifest.files:
+                if fe.version_id == manifest.version:
+                    _remove_data_file(fe.path)   # our own fresh chunks
+            self._tombstone_manifest(manifest.symbol, manifest.version)
+            raise ArcticException(
+                f"concurrent write to {manifest.symbol!r}: version "
+                f"{manifest.version} carried files that a concurrent prune "
+                f"garbage-collected ({len(carried_lost)} missing); retry")
+        if not self._ref_exists(manifest.symbol):
+            # no ref: first-ever write, or the symbol was FULLY deleted.
+            # A full delete rmtrees _versions/ (tombstone stubs included),
+            # so a stale in-flight writer's O_EXCL could resurrect a
+            # consumed number here — the _chain.json high-water mark the
+            # delete left behind is the authority (cf. _next_version);
+            # roll our own key back and surface the loss as the usual
+            # concurrent-write retry signal (test_cas_stress.py)
+            try:
+                chain = self._fs.read_json(
+                    self._fs.join(sym_dir, "_chain.json"))
+                if manifest.version <= int(chain.get("last", -1)):
+                    self._fs.remove(vpath)
+                    raise ArcticException(
+                        f"concurrent write to {manifest.symbol!r}: version "
+                        f"{manifest.version} was consumed by a deleted "
+                        "chain (high-water mark "
+                        f"{chain.get('last')})")
+            except FileNotFoundError:
+                pass
+        self._update_ref(
+            manifest.symbol,
+            lambda cur: {"latest": max(manifest.version,
+                                       (cur or {}).get("latest", -1)),
+                         "deleted": (cur or {}).get("deleted", [])})
         return manifest
 
     def _write_chain_marker(self, symbol: str, last: int) -> None:
@@ -2414,8 +2585,7 @@ class Library:
                 for fe in files:
                     old = prev_by_hash.get(fe.content_hash)
                     if old is not None and old.rows == fe.rows:
-                        if os.path.exists(fe.path):
-                            os.remove(fe.path)
+                        _remove_data_file(fe.path)
                         # the reused entry points at the OLD physical file, so
                         # it keeps the old schema epoch, not the new write's
                         swapped.append(FileEntry(old.path, fe.rows, fe.row_start,
@@ -3344,7 +3514,10 @@ class Library:
             for vv in self._list_version_numbers(symbol):
                 if vv in deleted:
                     continue
-                mm = self._load_manifest(symbol, vv)
+                try:
+                    mm = self._load_manifest(symbol, vv)
+                except NoSuchVersionException:
+                    continue   # GC tombstone: number reserved, version gone
                 if mm.created_ns <= cutoff and (best is None or vv > best.version):
                     best = mm
             if best is None:
@@ -4813,24 +4986,62 @@ class Library:
     # the ref file, because a pinned symbol-delete removes the ref but
     # must keep tracking the surviving pins.
     def _pins_path(self, symbol):
+        # legacy fv1..5 single-object pin index (migrated on first read)
         return self._fs.join(self._sym_dir(symbol), "_pins.json")
 
+    def _pins_dir(self, symbol):
+        return self._fs.join(self._sym_dir(symbol), "_pins")
+
+    def _pin_path(self, symbol, v: int, snap: str):
+        return self._fs.join(self._pins_dir(symbol), f"v{v:08d}",
+                             f"{snap}.json")
+
     def _load_pins(self, symbol) -> dict:
+        """{version(str): sorted [snapshot names]} from the pin MARKER
+        files (fv6): one tiny object per (version, snapshot) pin, so
+        concurrent pin/unpin from racing snapshot()/delete_snapshot()
+        calls touch DISJOINT keys — the fv1..5 single _pins.json was a
+        read-modify-write that concurrent snapshotters could clobber,
+        silently losing a pin and letting prune collect a snapshot-
+        referenced version (found by test_cas_stress.py)."""
+        d = self._pins_dir(symbol)
+        pins: dict[str, list] = {}
+        if self._fs.isdir(d):
+            for vd in self._fs.listdir(d):
+                if not vd.startswith("v"):
+                    continue
+                try:
+                    snaps = sorted(
+                        fn[:-5]
+                        for fn in self._fs.listdir(self._fs.join(d, vd))
+                        if fn.endswith(".json"))
+                except FileNotFoundError:
+                    continue
+                if snaps:
+                    pins[str(int(vd[1:]))] = snaps
+        if pins:
+            return pins
+        # legacy fv1..5 single-object index: migrate to marker files once
+        # (idempotent — concurrent migrators write identical markers)
         try:
-            return self._fs.read_json(self._pins_path(symbol))
+            legacy = self._fs.read_json(self._pins_path(symbol))
+            for vs, lst in legacy.items():
+                for snap in lst:
+                    self._write_pin_marker(symbol, int(vs), snap)
+            self._fs.remove(self._pins_path(symbol))
+            return {vs: sorted(lst) for vs, lst in legacy.items() if lst}
         except FileNotFoundError:
             pass
-        # Legacy libraries (snapshots created before the pin index
-        # existed) have no sidecar: lazily re-derive it from the snapshot
+        # Legacy libraries (snapshots created before any pin index
+        # existed) have neither: lazily re-derive from the snapshot
         # manifests so pinned versions never lose GC protection. A stale
         # pin only leaks until released; a MISSING pin lets prune/delete
-        # destroy snapshot-referenced data — so absence of the sidecar
+        # destroy snapshot-referenced data — so absence of the index
         # must never be read as "unpinned" while snapshots exist.
         if symbol in self._pins_backfilled:
             return {}
         self._pins_backfilled.add(symbol)
         snap_dir = self._fs.join(self.root, "_snapshots")
-        pins: dict[str, list] = {}
         if self._fs.isdir(snap_dir):
             for fn in self._fs.listdir(snap_dir):
                 if not fn.endswith(".json"):
@@ -4843,34 +5054,24 @@ class Library:
                     continue
                 if v is not None:
                     pins.setdefault(str(int(v)), []).append(name)
-        if pins:
-            for lst in pins.values():
-                lst.sort()
-            self._save_pins(symbol, pins)   # backfill the sidecar once
+                    self._write_pin_marker(symbol, int(v), name)
+        for lst in pins.values():
+            lst.sort()
         return pins
 
-    def _save_pins(self, symbol, pins: dict) -> None:
-        pins = {k: v for k, v in pins.items() if v}
-        p = self._pins_path(symbol)
-        if pins:
-            self._fs.write_json_atomic(p, pins)
-        elif self._fs.exists(p):
-            self._fs.remove(p)
+    def _write_pin_marker(self, symbol, v: int, snap: str) -> None:
+        p = self._pin_path(symbol, v, snap)
+        self._fs.makedirs(self._fs.join(self._pins_dir(symbol),
+                                        f"v{v:08d}"))
+        self._fs.write_json_atomic(p, {"snapshot": snap, "version": v})
 
     def _pin(self, symbol: str, v: int, snap: str) -> None:
-        pins = self._load_pins(symbol)
-        lst = pins.setdefault(str(v), [])
-        if snap not in lst:
-            lst.append(snap)
-            lst.sort()
-            self._save_pins(symbol, pins)
+        self._load_pins(symbol)   # trigger legacy migration/backfill first
+        self._write_pin_marker(symbol, v, snap)
 
     def _unpin(self, symbol: str, v: int, snap: str) -> None:
-        pins = self._load_pins(symbol)
-        lst = pins.get(str(v), [])
-        if snap in lst:
-            lst.remove(snap)
-            self._save_pins(symbol, pins)
+        self._load_pins(symbol)   # trigger legacy migration/backfill first
+        self._fs.remove(self._pin_path(symbol, v, snap))   # idempotent
 
     def _pinned_versions(self, symbol) -> set:
         return {int(k) for k in self._load_pins(symbol)}
@@ -4913,8 +5114,7 @@ class Library:
             for sym, v in versions.items():
                 try:
                     dead = set(self._load_ref(sym).get("deleted", []))
-                    ok = (v in self._list_version_numbers(sym)
-                          and v not in dead)
+                    ok = v not in dead and self._manifest_exists(sym, v)
                 except NoSuchVersionException:
                     ok = False
                 if ok:
@@ -4937,6 +5137,26 @@ class Library:
         # visible snapshot whose versions GC can destroy.
         for sym, v in versions.items():
             self._pin(sym, v, snapshot_name)
+        # VALIDATE after pinning: a prune that read the pin index before
+        # our pin landed may have tombstoned the version. GC's protocol is
+        # tombstone -> re-check pins -> restore-if-pinned (see
+        # prune_previous_versions), so after OUR pin is visible a transient
+        # tombstone is restored by the pruner — re-read briefly; a
+        # PERSISTENT tombstone means the version died before our pin and
+        # the snapshot must fail instead of orphaning (test_cas_stress.py).
+        for sym, v in versions.items():
+            ok = False
+            for _ in range(20):
+                if self._manifest_exists(sym, v):
+                    ok = True
+                    break
+                time.sleep(0.01)
+            if not ok:
+                for s2, v2 in versions.items():
+                    self._unpin(s2, v2, snapshot_name)
+                raise NoSuchVersionException(
+                    f"snapshot {snapshot_name!r}: {sym}:{v} was "
+                    "garbage-collected by a concurrent prune")
         # exclusive create: two racing snapshot() calls with the same name
         # can both pass the exists() pre-check — the CAS decides the winner
         if not self._fs.write_json_if_absent(
@@ -5013,11 +5233,17 @@ class Library:
                              self._load_manifest(sym, vv).files}
                 except NoSuchVersionException:
                     pass
+        self._tombstone_manifest(sym, v)
+        if self._is_pinned(sym, v):
+            # a concurrent add_to_snapshot / snapshot re-pinned the version
+            # between our pin check and the tombstone — restore and keep
+            # (same tombstone -> re-check -> restore protocol as prune)
+            self._fs.write_json_atomic(self._ver_path(sym, v), m.to_json())
+            return
         if not self.background_deletion:
             for fe in m.files:
-                if fe.path not in keep and os.path.exists(fe.path):
-                    os.remove(fe.path)
-        self._fs.remove(self._ver_path(sym, v))
+                if fe.path not in keep:
+                    _remove_data_file(fe.path)
 
     @_kwargs_contract("add_to_snapshot", _VALID_READ_KWARGS)
     def add_to_snapshot(self, name: str, symbols, as_ofs=None,
@@ -5118,7 +5344,8 @@ class Library:
                 continue
             if pat is not None and not pat.search(d):
                 continue
-            if self._fs.exists(self._ref_path(d)):
+            if (self._fs.isdir(self._ref_dir(d))
+                    or self._fs.exists(self._ref_path(d))):
                 out.append(d)
         return sorted(out)
 
@@ -5127,7 +5354,7 @@ class Library:
         a deleted symbol still answers True through a snapshot that pins
         it (reference test_arctic.py:1178 test_has_symbol)."""
         if as_of is None:
-            return self._fs.exists(self._ref_path(symbol))
+            return self._ref_exists(symbol)
         try:
             self._resolve_version(symbol, as_of)
             return True
@@ -5485,9 +5712,8 @@ class Library:
                     f"{symbol!r} has no live version "
                     f"{vs[0] if vs else '?'} (symbol does not exist)")
             dead = set(ref.get("deleted", []))
-            existing = set(self._list_version_numbers(symbol))
             for v in vs:
-                if v in dead or v not in existing:
+                if v in dead or not self._manifest_exists(symbol, v):
                     raise NoSuchVersionException(
                         f"{symbol!r} has no live version {v}")
             for v in vs:
@@ -5525,14 +5751,16 @@ class Library:
             for v in self._list_version_numbers(symbol):
                 if v in pinned:
                     continue
-                m = self._load_manifest(symbol, v)
+                try:
+                    m = self._load_manifest(symbol, v)
+                except NoSuchVersionException:
+                    continue   # already tombstoned by an earlier GC
                 if not self.background_deletion:
                     for fe in m.files:
-                        if fe.path not in keep_files and os.path.exists(fe.path):
-                            os.remove(fe.path)
-                self._fs.remove(self._ver_path(symbol, v))
-            if self._fs.exists(self._ref_path(symbol)):
-                self._fs.remove(self._ref_path(symbol))
+                        if fe.path not in keep_files:
+                            _remove_data_file(fe.path)
+                self._tombstone_manifest(symbol, v)
+            self._remove_ref(symbol)
             self._write_chain_marker(symbol, chain_last)
             return
         if self.background_deletion and self.data_root == self.root:
@@ -5602,21 +5830,32 @@ class Library:
     def delete_version(self, symbol: str, version: int) -> None:
         ref = self._load_ref(symbol)
         if (version in ref.get("deleted", [])
-                or version not in self._list_version_numbers(symbol)):
+                or not self._manifest_exists(symbol, version)):
             # missing or already-tombstoned (reference raises rather than
             # tombstoning twice — test_arctic.py:705)
             raise NoSuchVersionException(
                 f"{symbol!r} has no live version {version}")
-        ref.setdefault("deleted", []).append(version)
-        if ref["latest"] == version:
-            live = [v for v in self._list_version_numbers(symbol)
-                    if v not in set(ref["deleted"])]
-            if live:
-                ref["latest"] = max(live)
-            else:
-                self.delete(symbol)
-                return
-        self._fs.write_json_atomic(self._ref_path(symbol), ref)
+        rolled_empty = []
+
+        def _mut(cur):
+            cur = dict(cur or {"latest": -1, "deleted": []})
+            dead = list(cur.get("deleted", []))
+            if version not in dead:
+                dead.append(version)
+            cur["deleted"] = dead
+            if cur.get("latest") == version:
+                live = [v for v in self._list_version_numbers(symbol)
+                        if v not in set(dead)
+                        and self._manifest_exists(symbol, v)]
+                if live:
+                    cur["latest"] = max(live)
+                else:
+                    rolled_empty.append(True)
+                    return None   # no live versions left: full delete
+            return cur
+        self._update_ref(symbol, _mut)
+        if rolled_empty:
+            self.delete(symbol)
 
     @_kwargs_contract("restore_version", _VALID_READ_KWARGS)
     def restore_version(self, symbol: str, as_of=None) -> VersionManifest:
@@ -5651,29 +5890,69 @@ class Library:
         # prune-on-write stays O(1) in #snapshots
         snap_pins = self._pinned_versions(symbol)
         keep_versions = {latest} | snap_pins
+        # version numbers are monotone, so any committed manifest NEWER
+        # than the ref we read is an IN-FLIGHT writer that won its CAS but
+        # has not swapped the ref yet — its manifest and every file it
+        # references (including carried-over older files) must survive
+        # this GC (test_cas_stress.py: prune racing append)
+        keep_versions |= {v for v in self._list_version_numbers(symbol)
+                          if v > latest and self._manifest_exists(symbol, v)}
         referenced = set()
         for v in keep_versions:
             try:
                 referenced |= {fe.path for fe in self._load_manifest(symbol, v).files}
             except NoSuchVersionException:
                 pass
+        # GC protocol per victim: tombstone the manifest FIRST, then
+        # RE-CHECK the pin index — a snapshot pinning concurrently pins
+        # before it validates, so if its pin is visible now we restore the
+        # manifest (content still in hand) and skip its files; if not, its
+        # validation will see our tombstone and the snapshot fails cleanly.
+        # Either way no snapshot ever points at a collected version
+        # (test_cas_stress.py). File removal runs AFTER all pin re-checks
+        # so a restored victim's (possibly shared) files are never GC'd.
+        victims: list = []
+        restored_files: set = set()
         for v in self._list_version_numbers(symbol):
-            if v in keep_versions:
+            # the keep_versions in-flight union was computed from an
+            # EARLIER listdir — a commit landing between that scan and this
+            # one must not be victimized either, so the newer-than-ref rule
+            # is enforced HERE, at victim-selection time
+            if v in keep_versions or v > latest:
                 continue
-            m = self._load_manifest(symbol, v)
-            if not self.background_deletion:
+            try:
+                m = self._load_manifest(symbol, v)
+            except NoSuchVersionException:
+                continue   # already tombstoned by an earlier GC
+            self._tombstone_manifest(symbol, v)
+            if self._is_pinned(symbol, v):   # pin landed during the race
+                self._fs.write_json_atomic(
+                    self._ver_path(symbol, v), m.to_json())
+                restored_files |= {fe.path for fe in m.files}
+                continue
+            victims.append(m)
+        if not self.background_deletion:
+            keep_files = referenced | restored_files
+            for m in victims:
                 for fe in m.files:
-                    if fe.path not in referenced and os.path.exists(fe.path):
-                        os.remove(fe.path)
-            self._fs.remove(self._ver_path(symbol, v))
+                    if fe.path not in keep_files:
+                        _remove_data_file(fe.path)
         # snapshot-pinned non-latest versions are TOMBSTONED, not live:
         # readable while pinned (by snapshot or version number), released
         # by delete_snapshot's GC once the last pin goes (reference
         # test_deletion.py test_delete_snapshot)
-        ref["deleted"] = sorted(
-            {v for v in ref.get("deleted", []) if v in keep_versions}
-            | (snap_pins - {latest}))
-        self._fs.write_json_atomic(self._ref_path(symbol), ref)
+        def _mut(cur):
+            cur = cur or {"latest": latest, "deleted": []}
+            return {
+                "latest": cur.get("latest", latest),
+                # keep tombstone entries for versions we kept, entries
+                # NEWER than the latest we pruned against (a concurrent
+                # delete_version), and the snapshot pins we preserved
+                "deleted": sorted(
+                    {v for v in cur.get("deleted", [])
+                     if v in keep_versions or v > latest}
+                    | (snap_pins - {latest}))}
+        self._update_ref(symbol, _mut)
 
     # ---- column stats (reference create_column_stats, _store.py:1297) ----
     def _stats_path(self, symbol, version):

@@ -51,7 +51,15 @@ class LocalFileSystem:
         return sorted(os.listdir(path))
 
     def remove(self, path: str) -> None:
-        os.remove(path)
+        # idempotent like S3 DELETE: every caller is GC/cleanup, and two
+        # concurrent collectors (prune racing prune / delete_snapshot) may
+        # legally both decide to remove the same key — found by
+        # test_cas_stress.py; an exists() pre-check is TOCTOU-racy across
+        # processes, so tolerance lives HERE, in the storage contract
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
 
     def rmtree(self, path: str) -> None:
         shutil.rmtree(path, ignore_errors=True)
@@ -260,7 +268,14 @@ class AzureObjectFileSystem:
         return sorted(n for n in names if n)
 
     def remove(self, path: str) -> None:
-        self.client.delete_blob(self._key(path))
+        # idempotent like S3 DELETE (see LocalFileSystem.remove): a
+        # concurrent collector may have removed the blob already
+        try:
+            self.client.delete_blob(self._key(path))
+        except Exception as e:
+            if not (type(e).__name__ == "ResourceNotFoundError"
+                    or getattr(e, "status_code", None) == 404):
+                raise
 
     def rmtree(self, path: str) -> None:
         prefix = self._dir_prefix(path)
@@ -360,7 +375,13 @@ class GCSObjectFileSystem:
         return sorted(n for n in names if n)
 
     def remove(self, path: str) -> None:
-        self.client.delete_blob(self._key(path))
+        # idempotent like S3 DELETE (see LocalFileSystem.remove)
+        try:
+            self.client.delete_blob(self._key(path))
+        except Exception as e:
+            if not (type(e).__name__ == "NotFound"
+                    or getattr(e, "code", None) == 404):
+                raise
 
     def rmtree(self, path: str) -> None:
         prefix = self._dir_prefix(path)

@@ -67,12 +67,22 @@ class LibraryTool:
         find_keys_for_symbol, toolbox/library_tool.py:67)."""
         lib = self._lib
         if key_type == "VERSION_REF":
-            p = lib._ref_path(symbol)
-            return [Key("VERSION_REF", symbol, p)] if lib._fs.exists(p) else []
+            try:
+                gen, _ref = lib._load_ref_gen(symbol)
+            except Exception:
+                return []
+            return [Key("VERSION_REF", symbol,
+                        lib._ref_gen_path(symbol, gen))]
         if key_type == "VERSION":
             out = []
             for v in self._version_numbers(symbol):
-                m = lib._load_manifest(symbol, v)
+                try:
+                    m = lib._load_manifest(symbol, v)
+                except Exception:
+                    # GC tombstone stub: physical key exists, no manifest
+                    out.append(Key("VERSION", symbol,
+                                   lib._ver_path(symbol, v), version=v))
+                    continue
                 out.append(Key("VERSION", symbol, lib._ver_path(symbol, v),
                                version=v, rows=m.total_rows,
                                ts_min=m.ts_min, ts_max=m.ts_max))

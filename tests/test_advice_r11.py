@@ -95,6 +95,9 @@ class TestLegacyPinBackfill:
             p = lib._pins_path(sym)
             if lib._fs.exists(p):
                 lib._fs.remove(p)
+            d = lib._pins_dir(sym)
+            if lib._fs.isdir(d):
+                lib._fs.rmtree(d)
 
     def _reopen(self, lib):
         from arcticdb_spark.catalog import Library
@@ -111,8 +114,8 @@ class TestLegacyPinBackfill:
         # v0 is tombstoned but snapshot-pinned: data must survive
         got = lib.read("s", as_of="legacy", output_format="pandas")
         assert got["a"].tolist() == [1, 2]
-        # and the backfill persisted the sidecar for the next opener
-        assert lib._fs.exists(lib._pins_path("s"))
+        # and the backfill persisted the pin marker for the next opener
+        assert lib._fs.exists(lib._pin_path("s", 0, "legacy"))
         assert lib._load_pins("s") == {"0": ["legacy"]}
 
     def test_delete_respects_legacy_snapshot(self, tmp_lib):
@@ -129,9 +132,8 @@ class TestLegacyPinBackfill:
         tmp_lib.snapshot("legacy")
         tmp_lib.delete("s")
         # strip explicitly: "s" is no longer in list_symbols after delete
-        p = tmp_lib._pins_path("s")
-        assert tmp_lib._fs.exists(p)
-        tmp_lib._fs.remove(p)
+        assert tmp_lib._fs.exists(tmp_lib._pin_path("s", 0, "legacy"))
+        tmp_lib._fs.rmtree(tmp_lib._pins_dir("s"))
         # the deleted-but-pinned symbol dir has no sidecar; list_versions
         # must still surface its tombstone row via the lazy backfill
         lib = self._reopen(tmp_lib)

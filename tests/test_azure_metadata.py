@@ -139,7 +139,7 @@ class TestAzureCatalog:
         assert len(out) == len(pdf)
         assert list(out.sort_values("ts")["v"]) == list(pdf["v"])
         # metadata actually lives on the container, not the local data_root
-        assert az_lib._fs.exists(az_lib._ref_path("sym"))
+        assert az_lib._fs.exists(az_lib._ref_gen_path("sym", az_lib._load_ref_gen("sym")[0]))
 
     def test_versioning_and_as_of(self, az_lib):
         az_lib.write("sym", _frame(100))

@@ -146,7 +146,7 @@ class TestGCSCatalog:
         assert len(out) == len(pdf)
         assert list(out.sort_values("ts")["v"]) == list(pdf["v"])
         # metadata actually lives on the bucket, not the local data_root
-        assert gcs_lib._fs.exists(gcs_lib._ref_path("sym"))
+        assert gcs_lib._fs.exists(gcs_lib._ref_gen_path("sym", gcs_lib._load_ref_gen("sym")[0]))
 
     def test_versioning_and_as_of(self, gcs_lib):
         gcs_lib.write("sym", _frame(100))

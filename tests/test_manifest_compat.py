@@ -58,11 +58,18 @@ def df():
 
 def _fabricate_fv0(lib, symbol):
     """Strip every artifact introduced after the fv0 base layout."""
+    import shutil
     sym_dir = os.path.join(lib.root, symbol)
     for name in ("_pins.json", "_chain.json"):
         p = os.path.join(sym_dir, name)
         if os.path.exists(p):
             os.remove(p)
+    shutil.rmtree(os.path.join(sym_dir, "_pins"), ignore_errors=True)
+    # fv0..5 stored the ref as a single swapped _ref.json, not a CAS chain
+    ref = lib._load_ref(symbol)
+    shutil.rmtree(os.path.join(sym_dir, "_ref"), ignore_errors=True)
+    with open(os.path.join(sym_dir, "_ref.json"), "w") as fh:
+        json.dump(ref, fh)
     for mp in _manifest_paths(lib, symbol):
         with open(mp) as fh:
             d = json.load(fh)
@@ -242,3 +249,71 @@ class TestMixedEpochChain:
             == [1, 2, 3, 4]
         assert lib2.read("s", output_format="pandas")["a"].tolist() \
             == [1, 2, 3, 4] * 2
+
+
+class TestPinIndexEpochs:
+    def test_fv1_single_json_pins_migrate_to_markers(self, spark, tmp_path,
+                                                     df):
+        """An fv1..5 library stored pins as ONE _pins.json; HEAD migrates it
+        to per-pin marker files on first read and keeps GC protection."""
+        lib = Arctic(str(tmp_path), spark).create_library("l")
+        lib.write("s", df)
+        lib.snapshot("snap0")
+        lib.write("s", df.assign(a=df["a"] * 10))
+        # fabricate the fv1..5 shape: single json, no marker dir
+        import shutil
+        shutil.rmtree(os.path.join(lib.root, "s", "_pins"),
+                      ignore_errors=True)
+        with open(os.path.join(lib.root, "s", "_pins.json"), "w") as fh:
+            json.dump({"0": ["snap0"]}, fh)
+        lib2 = Arctic(str(tmp_path), spark)["l"]
+        assert lib2._load_pins("s") == {"0": ["snap0"]}
+        # migrated: marker exists, legacy json consumed
+        assert os.path.exists(lib2._pin_path("s", 0, "snap0"))
+        assert not os.path.exists(os.path.join(lib.root, "s", "_pins.json"))
+        lib2.prune_previous_versions("s")
+        got = lib2.read("s", as_of="snap0", output_format="pandas")
+        assert got["a"].tolist() == [1, 2, 3, 4]
+
+    def test_fv5_removed_manifest_reads_as_missing(self, spark, tmp_path,
+                                                   df):
+        """fv<=5 GC physically REMOVED collected manifests (no tombstone
+        stub): absence must surface the same NoSuchVersion as a tombstone,
+        and the chain stays monotone for new writers."""
+        from arcticdb_spark.exceptions import NoSuchVersionException
+        lib = Arctic(str(tmp_path), spark).create_library("l")
+        lib.write("s", df)
+        lib.write("s", df.assign(a=df["a"] + 1))
+        lib.prune_previous_versions("s")
+        # HEAD leaves a tombstone stub; fabricate the fv5 shape: remove it
+        vpath = os.path.join(lib.root, "s", "_versions", "v00000000.json")
+        with open(vpath) as fh:
+            assert json.load(fh)["tombstone"] is True
+        os.remove(vpath)
+        lib2 = Arctic(str(tmp_path), spark)["l"]
+        with pytest.raises(NoSuchVersionException):
+            lib2.read("s", as_of=0)
+        assert lib2.write("s", df).version == 2
+
+
+class TestRefChainEpochs:
+    def test_fv5_single_ref_json_migrates(self, spark, tmp_path, df):
+        """fv<=5 stored the ref as ONE _ref.json swapped in place; HEAD
+        migrates it into the CAS chain (generation 0) on first read and
+        every op keeps working."""
+        import shutil
+        lib = Arctic(str(tmp_path), spark).create_library("l")
+        lib.write("s", df)
+        lib.write("s", df.assign(a=df["a"] + 1))
+        # fabricate the legacy shape: single json, no chain dir
+        ref = lib._load_ref("s")
+        shutil.rmtree(os.path.join(lib.root, "s", "_ref"))
+        with open(os.path.join(lib.root, "s", "_ref.json"), "w") as fh:
+            json.dump(ref, fh)
+        lib2 = Arctic(str(tmp_path), spark)["l"]
+        assert lib2.read("s", output_format="pandas")["a"].tolist() \
+            == [2, 3, 4, 5]
+        # migrated: generation 0 exists, legacy json consumed
+        assert os.path.exists(lib2._ref_gen_path("s", 0))
+        assert not os.path.exists(os.path.join(lib.root, "s", "_ref.json"))
+        assert lib2.write("s", df).version == 2

@@ -174,7 +174,7 @@ class TestMongoCatalog:
         assert len(out) == len(pdf)
         assert list(out.sort_values("ts")["v"]) == list(pdf["v"])
         # metadata actually lives in the database, not the local data_root
-        assert mongo_lib._fs.exists(mongo_lib._ref_path("sym"))
+        assert mongo_lib._fs.exists(mongo_lib._ref_gen_path("sym", mongo_lib._load_ref_gen("sym")[0]))
 
     def test_versioning_and_as_of(self, mongo_lib):
         mongo_lib.write("sym", _frame(100))

@@ -72,7 +72,7 @@ class TestS3Catalog:
         assert len(out) == len(pdf)
         assert list(out.sort_values("ts")["v"]) == list(pdf["v"])
         # metadata actually lives on the bucket, not the local data_root
-        assert s3_lib._fs.exists(s3_lib._ref_path("sym"))
+        assert s3_lib._fs.exists(s3_lib._ref_gen_path("sym", s3_lib._load_ref_gen("sym")[0]))
 
     def test_versioning_and_as_of(self, s3_lib):
         s3_lib.write("sym", _frame(100))
