@@ -12,6 +12,10 @@ equality; column slicing is a non-axis (parquet scans prune columns).
 import numpy as np
 import pandas as pd
 import pytest
+# multi-version lifecycle / property stress: run in the FULL gate;
+# deselect with -m "not slow" for the fast (<10 min) loop
+pytestmark = pytest.mark.slow
+
 
 from arcticdb_spark.catalog import Arctic
 from arcticdb_spark.plans.compact import compact_bounds

@@ -31,6 +31,10 @@ from concurrent.futures import ProcessPoolExecutor
 
 import pandas as pd
 import pytest
+# multi-version lifecycle / property stress: run in the FULL gate;
+# deselect with -m "not slow" for the fast (<10 min) loop
+pytestmark = pytest.mark.slow
+
 
 sys.path.insert(0, "/root/repo")
 

@@ -16,6 +16,10 @@ Adaptations for this engine (documented in PARITY.md):
 import numpy as np
 import pandas as pd
 import pytest
+# multi-version lifecycle / property stress: run in the FULL gate;
+# deselect with -m "not slow" for the fast (<10 min) loop
+pytestmark = pytest.mark.slow
+
 
 from arcticdb_spark.catalog import Arctic, ArcticException, SchemaException
 from arcticdb_spark.exceptions import StorageException

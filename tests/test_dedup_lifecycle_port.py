@@ -8,6 +8,10 @@ the reference's (start_row, end_row)-matched dedup does not."""
 import numpy as np
 import pandas as pd
 import pytest
+# multi-version lifecycle / property stress: run in the FULL gate;
+# deselect with -m "not slow" for the fast (<10 min) loop
+pytestmark = pytest.mark.slow
+
 
 from arcticdb_spark.catalog import Arctic, NoSuchVersionException
 

@@ -1,5 +1,11 @@
 """Extensions: dedup / text / similarity / asof / windows / multimodal."""
 
+import pytest
+
+# multi-version lifecycle / property stress: run in the FULL gate;
+# deselect with -m "not slow" for the fast (<10 min) loop
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F

@@ -9,6 +9,10 @@ import tempfile
 import numpy as np
 import pandas as pd
 import pytest
+# multi-version lifecycle / property stress: run in the FULL gate;
+# deselect with -m "not slow" for the fast (<10 min) loop
+pytestmark = pytest.mark.slow
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from arcticdb_spark.catalog import Arctic

@@ -3,6 +3,10 @@ test_errors.py (exception hierarchy contracts)."""
 
 import pandas as pd
 import pytest
+# multi-version lifecycle / property stress: run in the FULL gate;
+# deselect with -m "not slow" for the fast (<10 min) loop
+pytestmark = pytest.mark.slow
+
 
 
 def test_top_level_imports():

@@ -21,6 +21,10 @@ import os
 
 import pandas as pd
 import pytest
+# multi-version lifecycle / property stress: run in the FULL gate;
+# deselect with -m "not slow" for the fast (<10 min) loop
+pytestmark = pytest.mark.slow
+
 
 from arcticdb_spark.catalog import FORMAT_VERSION, Arctic
 from arcticdb_spark.exceptions import ArcticException

@@ -8,6 +8,10 @@ Exercises append/update/filter composition on a realistic workflow.
 import numpy as np
 import pandas as pd
 import pytest
+# multi-version lifecycle / property stress: run in the FULL gate;
+# deselect with -m "not slow" for the fast (<10 min) loop
+pytestmark = pytest.mark.slow
+
 
 from arcticdb_spark.query import QueryBuilder
 

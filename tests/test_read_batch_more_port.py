@@ -13,6 +13,10 @@ import datetime as dt
 import numpy as np
 import pandas as pd
 import pytest
+# multi-version lifecycle / property stress: run in the FULL gate;
+# deselect with -m "not slow" for the fast (<10 min) loop
+pytestmark = pytest.mark.slow
+
 
 from arcticdb_spark import Arctic, DataError, QueryBuilder, ReadRequest
 

@@ -12,6 +12,10 @@
 import numpy as np
 import pandas as pd
 import pytest
+# multi-version lifecycle / property stress: run in the FULL gate;
+# deselect with -m "not slow" for the fast (<10 min) loop
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from arcticdb_spark.query import QueryBuilder

@@ -5,6 +5,10 @@ finalize producing the fully sorted symbol."""
 import numpy as np
 import pandas as pd
 import pytest
+# multi-version lifecycle / property stress: run in the FULL gate;
+# deselect with -m "not slow" for the fast (<10 min) loop
+pytestmark = pytest.mark.slow
+
 
 
 def _df(start, lo, hi, prefix):

@@ -3,6 +3,10 @@ semantics), plus watermark-windowed resample-on-stream."""
 
 import pandas as pd
 import pytest
+# multi-version lifecycle / property stress: run in the FULL gate;
+# deselect with -m "not slow" for the fast (<10 min) loop
+pytestmark = pytest.mark.slow
+
 
 from arcticdb_spark.streaming.ingest import stream_resample, stream_stage
 
