@@ -8,12 +8,16 @@ FABRICATED here by stripping the artifacts that epoch lacked from a
 HEAD-written library, then read back on HEAD. Each test pins one epoch's
 read-side fallback:
 
-* fv0  — no _pins.json / _chain.json / per-key manifest extras
-* fv<5 — no format_version stamps anywhere
+* fv0  — no _pins.json / _chain.json / per-key manifest extras, single
+  swapped _ref.json
+* fv<6 — no format_version stamps anywhere
 * fv2  — staged sidecar without uint64/unsigned markers
 * fv3  — staged sidecar without the tz zone map
 * fv4  — staged sidecar without the sortedness record
-* fv>5 — FORWARD stamps are refused loudly, never misread
+* fv5  — single-object _pins.json / _ref.json (migrate to marker files /
+  the CAS generation chain on first read); GC'd manifests physically
+  REMOVED rather than tombstoned
+* fv>6 — FORWARD stamps are refused loudly, never misread
 """
 
 import json
