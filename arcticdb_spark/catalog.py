@@ -1413,9 +1413,18 @@ class Library:
                     self._ref_gen_path(symbol, gen + 1), new):
                 # GC old generations; keep a couple so a reader that
                 # already listed an older head can still fetch it (it
-                # retries through the chain if not)
-                for g in range(max(0, gen - 32), gen - 1):
-                    self._fs.remove(self._ref_gen_path(symbol, g))
+                # retries through the chain if not). Steady state leaves
+                # <=3 keys with ONE delete per update; a periodic listdir
+                # sweep collects crash-gap stragglers without paying a
+                # LIST per commit on object stores
+                if gen >= 2:
+                    self._fs.remove(self._ref_gen_path(symbol, gen - 2))
+                if gen > 0 and (gen + 1) % 64 == 0:
+                    d = self._ref_dir(symbol)
+                    for fn in self._fs.listdir(d):
+                        if (fn.startswith("g") and fn.endswith(".json")
+                                and int(fn[1:-5]) < gen - 1):
+                            self._fs.remove(self._fs.join(d, fn))
                 return new
         raise ArcticException(
             f"ref chain for {symbol!r} is too contended; retry")
