@@ -71,9 +71,17 @@ def test_embedding_near_dup_exact_vs_lsh(spark):
     planted = {(i, 50 + i) for i in range(5)}
     got = {(a, b) for a, b in zip(exact.id_a, exact.id_b)}
     assert planted <= got
-    # LSH path finds the planted dups too (high-recall multi-table)
-    lsh = embedding_near_dup_pairs(df, threshold=0.99, exact_below=10,
+    # LSH path (forced: exact_below=0) finds the planted dups too — at
+    # threshold 0.99 the boundary recall estimate is high, unlike low
+    # thresholds where the byte-gated exact path is mandatory
+    from arcticdb_spark.extensions.dedup import (GATE_LOG, clear_gate_log,
+                                                 lsh_candidate_recall)
+    assert lsh_candidate_recall(0.99, 4, 8) > 0.95
+    clear_gate_log()
+    lsh = embedding_near_dup_pairs(df, threshold=0.99, exact_below=0,
                                    dim=16, n_planes=4, n_tables=8).toPandas()
+    assert [g for g in GATE_LOG
+            if g["gate"] == "embedding_strategy"][0]["path"] == "lsh"
     got_lsh = {(a, b) for a, b in zip(lsh.id_a, lsh.id_b)}
     assert len(planted & got_lsh) >= 4
 
@@ -124,3 +132,27 @@ def test_salted_join_matches_plain(spark):
     l_plain = big2.join(small, "k", "left").count()
     l_salted = salted_join(big2, small, "k", how="left").count()
     assert l_plain == l_salted
+
+
+def test_exact_blocked_gemm_crosses_row_blocks(spark):
+    """The blocked exact path iterates 1024-row GEMM blocks; with n>1024
+    every cross-block pair must still be found, and the result must equal
+    a brute-force numpy all-pairs at the same rounding."""
+    import numpy as np
+    from arcticdb_spark.extensions.dedup import embedding_near_dup_pairs
+    rng = np.random.default_rng(11)
+    n, d = 1500, 8
+    vecs = rng.standard_normal((n, d)).astype("float32")
+    vecs[1400] = vecs[3] * 2.0      # cross-block exact duplicate direction
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>")
+    got = embedding_near_dup_pairs(df, threshold=0.9, dim=d,
+                                   n_rows=n).toPandas()
+    M = vecs.astype("float64")
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    S = np.round(M @ M.T, 6)
+    ia, ib = np.nonzero(np.triu(S >= 0.9, k=1))
+    want = set(zip(ia.tolist(), ib.tolist()))
+    assert {(a, b) for a, b in zip(got.id_a, got.id_b)} == want
+    assert (3, 1400) in want   # the planted cross-block pair was in play

@@ -81,9 +81,13 @@ def main():
         spark = get_spark()
 
     con = duckdb.connect()
+    import os as _os
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        src = f"{sf_dir}/{t}.parquet"
+        if _os.path.isdir(src):   # multi-file table (e.g. the sf1 dirs)
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     if not only or any(n.startswith("stream_") for n in only):
         try:   # overlap the streaming gate's fixed startup with the run

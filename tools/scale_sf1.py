@@ -118,30 +118,52 @@ def flip_checks(spark) -> dict:
           f"(est_bytes={g_def[0]['est_bytes']}, budget={g_def[0]['budget']})",
           flush=True)
 
-    # 2) embedding_rescore: broadcast (default) vs join (budget=1 byte)
+    # 2) embedding strategy + rescore flips. The DEFAULT at sf1 is the
+    # exact blocked-GEMM path (byte gate: 10 MB matrix); its output is
+    # the oracle truth. The LSH scale path is then forced (exact_below=0)
+    # under both rescore budgets: the two LSH variants must be
+    # value-identical to each other, and their measured candidate recall
+    # against the exact truth is recorded (it is EXPECTED to be low at
+    # threshold 0.45 — that is exactly why the byte gate prefers exact).
     from arcticdb_spark.sources.tables import table_rows
     n_rows = table_rows(SF1, "embeddings")
     _cleanup(spark)
     xdedup.clear_gate_log()
+    truth = _rows(xdedup.embedding_near_dup_pairs(emb, threshold=0.45,
+                                                  n_rows=n_rows),
+                  [("id_a", 0), ("id_b", 0), ("cos", 1)])
+    g_def = [g for g in xdedup.GATE_LOG if g["gate"] == "embedding_strategy"]
+    assert g_def[0]["path"] == "exact", g_def
+    _cleanup(spark)
+    xdedup.clear_gate_log()
     a = _rows(xdedup.embedding_near_dup_pairs(emb, threshold=0.45,
-                                              n_rows=n_rows),
+                                              n_rows=n_rows, exact_below=0),
               [("id_a", 0), ("id_b", 0), ("cos", 1)])
-    g_def = [g for g in xdedup.GATE_LOG if g["gate"] == "embedding_rescore"]
+    g_lsh = [g for g in xdedup.GATE_LOG if g["gate"] == "embedding_rescore"]
+    g_est = [g for g in xdedup.GATE_LOG if g["gate"] == "embedding_strategy"]
     _cleanup(spark)
     xdedup.clear_gate_log()
     b = _rows(xdedup.embedding_near_dup_pairs(emb, threshold=0.45,
-                                              n_rows=n_rows,
+                                              n_rows=n_rows, exact_below=0,
                                               broadcast_bytes_max=1),
               [("id_a", 0), ("id_b", 0), ("cos", 1)])
     g_forced = [g for g in xdedup.GATE_LOG if g["gate"] == "embedding_rescore"]
-    assert g_def[0]["path"] == "broadcast" and g_forced[0]["path"] == "join", \
-        (g_def, g_forced)
-    assert a == b, f"embedding flip mismatch: {len(a)} vs {len(b)} rows"
-    res["embedding_rescore"] = {"default": g_def[0], "forced": g_forced[0],
-                                "pairs": len(a), "identical": True}
-    print(f"embedding_rescore flip: broadcast==join on {len(a)} pairs "
-          f"(est_bytes={g_def[0]['est_bytes']}, budget={g_def[0]['budget']})",
-          flush=True)
+    assert g_lsh[0]["path"] == "broadcast" and g_forced[0]["path"] == "join", \
+        (g_lsh, g_forced)
+    assert a == b, f"embedding rescore flip mismatch: {len(a)} vs {len(b)}"
+    assert set(a) <= set(truth), "LSH produced a pair the exact path missed"
+    recall = len(a) / max(len(truth), 1)
+    res["embedding_rescore"] = {
+        "default_strategy": g_def[0], "lsh_rescore": g_lsh[0],
+        "forced": g_forced[0], "exact_pairs": len(truth),
+        "lsh_pairs": len(a), "lsh_measured_recall": round(recall, 4),
+        "lsh_est_boundary_recall": g_est[0].get("est_boundary_recall"),
+        "identical": True}
+    print(f"embedding: exact(default)={len(truth)} pairs; forced-LSH "
+          f"broadcast==join on {len(a)} pairs; measured LSH recall "
+          f"{recall:.3f} (est boundary "
+          f"{g_est[0].get('est_boundary_recall')}) — the byte gate prefers "
+          "exact for exactly this reason", flush=True)
 
     # 3) cluster_solver: driver union-find (default) vs min-label propagation
     _cleanup(spark)
