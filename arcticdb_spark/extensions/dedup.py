@@ -175,6 +175,13 @@ def minhash_band_table(df: DataFrame, text_col: str = "text",
     return _materialize(keyed)
 
 
+def minhash_candidate_recall(s: float, bands: int, rows_per_band: int
+                             ) -> float:
+    """P(a pair with true Jaccard ``s`` shares >= 1 band) =
+    1 - (1 - s^r)^b — the banded-minhash S-curve (MMDS ch.3)."""
+    return 1.0 - (1.0 - s ** rows_per_band) ** bands
+
+
 def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 16,
                            bands: int = 4, k: int = 3) -> DataFrame:
@@ -183,7 +190,21 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     Plan shape at scale: one narrow map computes signatures (persisted);
     explode to (band_key, id); self-equi-join on band_key (shuffle on short
     hash keys); distinct pairs. No cartesian anywhere.
+
+    Candidate recall is a function of the TRUE Jaccard similarity s:
+    P(candidate) = 1 - (1 - s^r)^b with r = num_hashes/bands rows per band
+    (defaults 16/4: ~0.23 at s=0.5, ~0.87 at s=0.8, ~0.99 at s=0.95) —
+    the S-curve every banded-minhash system rides. Each call logs
+    ``minhash_candidates`` with the curve at s = 0.5/0.8/0.95 so a
+    low-similarity request is visibly recall-bounded (the same discipline
+    the embedding LSH gate got after the sf1 oracle found its low-threshold
+    recall hole).
     """
+    r = max(num_hashes // bands, 1)
+    _gate("minhash_candidates", "banded_lsh", num_hashes=num_hashes,
+          bands=bands, rows_per_band=r,
+          recall_at_s={s: round(minhash_candidate_recall(s, bands, r), 4)
+                       for s in (0.5, 0.8, 0.95)})
     keyed = minhash_band_table(df, text_col, id_col, num_hashes, bands, k)
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))

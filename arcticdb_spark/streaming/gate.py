@@ -52,8 +52,20 @@ def _events_stream(session: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a bounded stream. Declaring ``ts timestamp``
     coerces TIMESTAMP(NANOS) to µs directly — the same truncation as the
     batch loader / DuckDB's CAST."""
+    import os
+
     from arcticdb_spark.sources.tables import ensure_session_conf
     ensure_session_conf(session)
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        # multi-file table (directory layout, e.g. the sf1 dataset): point
+        # the stream at the directory itself — a pathGlobFilter of
+        # "events.parquet" matches LEAF file names, so it would silently
+        # select ZERO of the part-*.parquet files (found by the sf1
+        # oracle sweep: stream queries returned empty)
+        return (session.readStream
+                .schema(_EVENTS_SCHEMA)
+                .parquet(path))
     return (session.readStream
             .schema(_EVENTS_SCHEMA)
             .option("pathGlobFilter", "events.parquet")
