@@ -294,6 +294,12 @@ class VersionManifest:
     # normalization metadata (reference _normalization.py:931-950): how the
     # pandas index was demoted to physical columns, so reads can restore it
     norm_meta: Any = None
+    # TRANSIENT (never serialized): the version whose manifest supplied any
+    # carried-over file entries (append/update/compact/restore reuse).
+    # _commit's donor-liveness handshake checks THIS version's manifest is
+    # still live — per-file version_id is the ORIGINAL writer, which may be
+    # long tombstoned while its files remain legitimately shared forward.
+    base_version: int | None = None
 
     # -- VersionedItem attribute compatibility (reference _store.py:205):
     # write/append/update return this manifest; upstream code reading
@@ -1394,6 +1400,13 @@ class Library:
             return True
         except NoSuchVersionException:
             return False
+        except ArcticException:
+            # "ref chain would not settle" after 64 lost races with
+            # generation GC — the chain only churns when writers are
+            # actively committing, so the symbol certainly exists; a
+            # boolean existence probe must not propagate the contention
+            # error (ADVICE r12: has_symbol raised under heavy load)
+            return True
 
     def _update_ref(self, symbol, mutate) -> dict:
         """Atomically update the ref: ``mutate(cur_or_None) -> new dict``
@@ -1493,10 +1506,32 @@ class Library:
         # keep_versions in prune_previous_versions). Validate before the
         # ref swap makes us visible; on loss, consume our number and
         # surface the standard retry signal (found by test_cas_stress.py).
-        carried_lost = [fe.path for fe in manifest.files
-                        if fe.version_id is not None
-                        and fe.version_id != manifest.version
-                        and not os.path.exists(fe.path)]
+        #
+        # A bare file-exists probe is check-then-act (ADVICE r12): a prune
+        # whose keep-scan predates our CAS may remove the files AFTER the
+        # probe passes. Closed by a cross-ordering handshake with prune:
+        #   commit:  v{N} O_EXCL CAS  ->  donor manifests still LIVE?
+        #   prune:   tombstone ALL victims -> re-list live manifests
+        #            (extends keep_files)   -> remove files
+        # Either the donor's tombstone precedes our liveness check (we
+        # abort + retry, files untouched by us), or our CAS preceded the
+        # re-list (prune loads our manifest and keeps every carried file).
+        # There is no interleaving where both miss each other.
+        carried = [fe for fe in manifest.files
+                   if fe.version_id is not None
+                   and fe.version_id != manifest.version]
+        carried_lost: list[str] = []
+        if (carried and manifest.base_version is not None
+                and not self._manifest_exists(manifest.symbol,
+                                              manifest.base_version)):
+            # the manifest we carried from was tombstoned while we were
+            # building — a prune may already hold our files on its victim
+            # list (NOT per-file version_id: the original writer may be
+            # legitimately tombstoned while its files live on, shared
+            # forward through every intermediate manifest)
+            carried_lost.append(f"base v{manifest.base_version}")
+        carried_lost += [fe.path for fe in carried
+                         if not os.path.exists(fe.path)]
         if carried_lost:
             for fe in manifest.files:
                 if fe.version_id == manifest.version:
@@ -2584,10 +2619,12 @@ class Library:
             sort=(sorted_flag == "ASCENDING"),
             rows_hint=(len(df) if isinstance(df, (pd.DataFrame, pd.Series))
                        else None))
+        dedup_base = None
         if dedup:
             self._content_hashes(files)
             try:
                 prev = self._load_manifest(symbol, self._load_ref(symbol)["latest"])
+                dedup_base = prev.version
                 prev_by_hash = {fe.content_hash: fe for fe in prev.files
                                 if fe.content_hash}
                 swapped = []
@@ -2616,6 +2653,7 @@ class Library:
                             sorted=("UNKNOWN" if idx is None
                                     else sorted_flag),
                             norm_meta=norm_meta)
+        m.base_version = dedup_base
         self._commit(m)
         if self._resolve_prune(prune_previous):
             self.prune_previous_versions(symbol)
@@ -2998,7 +3036,8 @@ class Library:
             m = VersionManifest(
                 symbol, self._next_version(symbol), time.time_ns(),
                 prev.index_column, prev.schema_json, prev.files,
-                metadata, sorted=prev.sorted, norm_meta=prev.norm_meta)
+                metadata, sorted=prev.sorted, norm_meta=prev.norm_meta,
+                base_version=prev.version)
             if compact_data:
                 # an empty append with compact_data=True still compacts the
                 # EXISTING data inside this version (reference
@@ -3138,7 +3177,8 @@ class Library:
                             schema_json, _renumber(prev.files + new_files),
                             metadata,  # per-version, verbatim (None clears;
                             # reference test_append_empty_frame_metadata)
-                            sorted=out_sorted, norm_meta=out_norm_meta)
+                            sorted=out_sorted, norm_meta=out_norm_meta,
+                            base_version=prev.version)
         if compact_data:
             # inline compaction is part of the SAME version (reference
             # append_internal — test_append_compact_data.py pins
@@ -3215,7 +3255,8 @@ class Library:
         m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(),
                             None, prev.schema_json,
                             _renumber(prev.files + new_files),
-                            metadata, norm_meta=nm)
+                            metadata, norm_meta=nm,
+                            base_version=prev.version)
         return self._commit(m)
 
     @_kwargs_contract("update", frozenset({"dynamic_strings", "dynamic_schema", "coerce_columns", "prune_previous_version"}))
@@ -3259,7 +3300,8 @@ class Library:
             m = VersionManifest(
                 symbol, self._next_version(symbol), time.time_ns(),
                 prev.index_column, prev.schema_json, prev.files,
-                metadata, sorted=prev.sorted, norm_meta=prev.norm_meta)
+                metadata, sorted=prev.sorted, norm_meta=prev.norm_meta,
+                base_version=prev.version)
             out = self._commit(m)
             if self._resolve_prune(prune_previous_versions):
                 self.prune_previous_versions(symbol)
@@ -3340,7 +3382,8 @@ class Library:
                             schema_json, _renumber(new_entries),
                             metadata,  # per-version, verbatim (None clears;
                             # reference test_update_empty_frame_metadata)
-                            norm_meta=out_norm_meta)
+                            norm_meta=out_norm_meta,
+                            base_version=prev.version)
         out = self._commit(m)
         if self._resolve_prune(prune_previous_versions):
             self.prune_previous_versions(symbol)
@@ -3455,7 +3498,8 @@ class Library:
         new_entries.sort(key=lambda e: (e.ts_min if e.ts_min is not None else 0, e.path))
         m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(), idx,
                             prev.schema_json, _renumber(new_entries), prev.metadata,
-                            norm_meta=prev.norm_meta)
+                            norm_meta=prev.norm_meta,
+                            base_version=prev.version)
         out = self._commit(m)
         if self._resolve_prune(prune_previous_versions):
             self.prune_previous_versions(symbol)
@@ -4812,7 +4856,8 @@ class Library:
                     norm_meta=self._uint64_meta_for(
                         prev, {"uint64": sorted(u64_cols),
                                "unsigned": sinfo.get("unsigned") or []},
-                        df.schema, "finalize_staged_data"))
+                        df.schema, "finalize_staged_data"),
+                    base_version=prev.version)
             else:
                 # mode="append" on a missing symbol behaves like write
                 # (reference test_sort_merge.py test_append_to_missing_symbol)
@@ -5028,19 +5073,32 @@ class Library:
                     continue
                 if snaps:
                     pins[str(int(vd[1:]))] = snaps
-        if pins:
-            return pins
-        # legacy fv1..5 single-object index: migrate to marker files once
-        # (idempotent — concurrent migrators write identical markers)
+        # legacy fv1..5 single-object index: while the file is STILL
+        # PRESENT it must be merged even when markers already exist — a
+        # crashed or concurrent migrator writes markers one-by-one before
+        # removing the legacy file, so a partial marker set is never
+        # authoritative on its own (ADVICE r12: treating it as such let a
+        # concurrent prune GC a snapshot-pinned version). Migration is
+        # idempotent: concurrent migrators write identical markers.
         try:
             legacy = self._fs.read_json(self._pins_path(symbol))
             for vs, lst in legacy.items():
+                key = str(int(vs))
+                have = set(pins.get(key, ()))
                 for snap in lst:
-                    self._write_pin_marker(symbol, int(vs), snap)
-            self._fs.remove(self._pins_path(symbol))
-            return {vs: sorted(lst) for vs, lst in legacy.items() if lst}
+                    if snap not in have:
+                        self._write_pin_marker(symbol, int(vs), snap)
+                        pins.setdefault(key, []).append(snap)
+            try:
+                self._fs.remove(self._pins_path(symbol))
+            except FileNotFoundError:
+                pass   # a concurrent migrator finished first
+            for lst in pins.values():
+                lst.sort()
         except FileNotFoundError:
             pass
+        if pins:
+            return pins
         # Legacy libraries (snapshots created before any pin index
         # existed) have neither: lazily re-derive from the snapshot
         # manifests so pinned versions never lose GC protection. A stale
@@ -5234,6 +5292,18 @@ class Library:
             m = self._load_manifest(sym, v)
         except NoSuchVersionException:
             return
+        self._tombstone_manifest(sym, v)
+        if self._is_pinned(sym, v):
+            # a concurrent add_to_snapshot / snapshot re-pinned the version
+            # between our pin check and the tombstone — restore and keep
+            # (same tombstone -> re-check -> restore protocol as prune)
+            self._fs.write_json_atomic(self._ver_path(sym, v), m.to_json())
+            return
+        # shared-file scan runs AFTER the tombstone, immediately before
+        # removal (same handshake as prune_previous_versions, ADVICE r12):
+        # a commit carrying v's files that CAS'd before this scan is live
+        # here and extends ``keep``; one that CAS'd after sees our
+        # tombstone in its donor-liveness check and aborts.
         keep = set()
         for vv in self._list_version_numbers(sym):
             if vv != v:
@@ -5242,13 +5312,6 @@ class Library:
                              self._load_manifest(sym, vv).files}
                 except NoSuchVersionException:
                     pass
-        self._tombstone_manifest(sym, v)
-        if self._is_pinned(sym, v):
-            # a concurrent add_to_snapshot / snapshot re-pinned the version
-            # between our pin check and the tombstone — restore and keep
-            # (same tombstone -> re-check -> restore protocol as prune)
-            self._fs.write_json_atomic(self._ver_path(sym, v), m.to_json())
-            return
         if not self.background_deletion:
             for fe in m.files:
                 if fe.path not in keep:
@@ -5511,7 +5574,8 @@ class Library:
             return self.write_pickle(symbol, None, metadata=metadata)
         m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(),
                             prev.index_column, prev.schema_json, prev.files,
-                            metadata, prev.sorted, prev.norm_meta)
+                            metadata, prev.sorted, prev.norm_meta,
+                            base_version=prev.version)
         return self._commit(m)
 
     @staticmethod
@@ -5878,6 +5942,7 @@ class Library:
         m = copy.deepcopy(old)
         m.version = self._next_version(symbol)
         m.created_ns = time.time_ns()
+        m.base_version = old.version
         return self._commit(m)
 
     @_kwargs_contract("batch_restore_version", _VALID_READ_KWARGS)
@@ -5942,6 +6007,23 @@ class Library:
             victims.append(m)
         if not self.background_deletion:
             keep_files = referenced | restored_files
+            # Re-list LIVE manifests now that all tombstoning is done and
+            # IMMEDIATELY before removal: a commit whose v{N} O_EXCL landed
+            # after the keep_versions scan may CARRY files from a victim
+            # (append/update/compact reuse). Its manifest is live here, so
+            # its files extend keep_files. Together with _commit's
+            # donor-liveness check this closes the check-then-act window
+            # (ADVICE r12): a commit that our re-list misses must have
+            # CAS'd after every victim tombstone was visible, so its own
+            # donor check sees the tombstone and aborts before going live.
+            for v in self._list_version_numbers(symbol):
+                if v in keep_versions:
+                    continue   # already in ``referenced``
+                try:
+                    keep_files |= {fe.path for fe
+                                   in self._load_manifest(symbol, v).files}
+                except NoSuchVersionException:
+                    pass   # tombstoned (our victims included)
             for m in victims:
                 for fe in m.files:
                     if fe.path not in keep_files:
@@ -6182,7 +6264,8 @@ class Library:
                 new_files.extend(self._rewrite_group(prev, group, s, sizes))
         m = VersionManifest(symbol, self._next_version(symbol), time.time_ns(),
                             idx, prev.schema_json, _renumber(new_files),
-                            prev.metadata, prev.sorted, prev.norm_meta)
+                            prev.metadata, prev.sorted, prev.norm_meta,
+                            base_version=prev.version)
         return self._commit(m)
 
     def is_symbol_fragmented(self, symbol: str,
