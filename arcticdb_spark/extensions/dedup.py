@@ -348,15 +348,32 @@ def jaccard_near_dup_pairs(df: DataFrame, text_col: str = "text",
 _BCAST_VECS_MAX = 2_000_000
 
 
+def _collect_matrix(base: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """(ids_sorted, row-normalized matrix sorted by id) via ``toArrow()``
+    — one Arrow batch transfer into flat buffers instead of a Row-object
+    collect (several GB of Python-object overhead at the 1M-row budget
+    ceiling; ADVICE r12)."""
+    tbl = base.select("id", "vec").toArrow()
+    ids = tbl.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+    vec = tbl.column("vec").combine_chunks()
+    flat = np.asarray(vec.flatten(), dtype=np.float64)
+    n = len(ids)
+    if n == 0:
+        return ids, flat.reshape(0, 0)
+    d = len(flat) // n
+    if n * d != len(flat):
+        raise ValueError("ragged embedding column: all vectors must share "
+                         f"one dimension (n={n}, total={len(flat)})")
+    M = flat.reshape(n, d)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    return ids[order], M[order]
+
+
 def _score_pairs_broadcast(base: DataFrame, pairs: DataFrame) -> DataFrame:
     """cos(id_a, id_b) via a normalized vector matrix shipped to tasks —
     the same physical pattern as broadcasting a dimension table."""
-    rows = base.select("id", "vec").collect()
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    M = np.stack([np.asarray(r["vec"], dtype="float64") for r in rows])
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    order = np.argsort(ids)
-    ids_sorted, M_sorted = ids[order], M[order]
+    ids_sorted, M_sorted = _collect_matrix(base)
 
     @F.pandas_udf("double")
     def cos_lookup(ia: pd.Series, ib: pd.Series) -> pd.Series:
@@ -396,12 +413,7 @@ def _exact_pairs_blocked(base: DataFrame, threshold: float) -> DataFrame:
     (round 6), at ANY threshold — unlike LSH candidates, whose recall
     collapses for low thresholds (measured 0.49 at threshold 0.45 on
     isotropic sf1 vectors; see embedding_near_dup_pairs)."""
-    rows = base.select("id", "vec").collect()
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    M = np.stack([np.asarray(r["vec"], dtype="float64") for r in rows])
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    order = np.argsort(ids)
-    ids_sorted, M_sorted = ids[order], M[order]
+    ids_sorted, M_sorted = _collect_matrix(base)
     spark = base.sparkSession
 
     def gen(batches):
@@ -409,13 +421,16 @@ def _exact_pairs_blocked(base: DataFrame, threshold: float) -> DataFrame:
             bid = pdf["id"].to_numpy()
             bidx = np.searchsorted(ids_sorted, bid)
             # block the GEMM so temp memory stays ~rows_blk x cols_blk
+            # (1024 x 8192 float64 = 64 MB per temp, rounded IN PLACE —
+            # ADVICE r12: 1024 x 65536 was 512 MB, doubled by np.round's
+            # copy, on top of the broadcast matrix itself)
             for i in range(0, len(bidx), 1024):
                 ridx = bidx[i:i + 1024]
                 A = M_sorted[ridx]
                 out_a, out_b, out_c = [], [], []
-                for j in range(0, len(ids_sorted), 65536):
-                    S = A @ M_sorted[j:j + 65536].T
-                    S = np.round(S, 6)
+                for j in range(0, len(ids_sorted), 8192):
+                    S = A @ M_sorted[j:j + 8192].T
+                    np.round(S, 6, out=S)
                     hit_r, hit_c = np.nonzero(S >= threshold)
                     ia = ids_sorted[ridx[hit_r]]
                     ib = ids_sorted[j + hit_c]
@@ -436,6 +451,96 @@ def _exact_pairs_blocked(base: DataFrame, threshold: float) -> DataFrame:
             .mapInPandas(gen, "id_a long, id_b long, cos double"))
 
 
+# per-task block budget for the grid path: each task holds TWO blocks of
+# the normalized matrix (plus the GEMM temp), so 128 MB keeps task memory
+# ~comfortably under 1 GB with pandas overhead. Replication factor of the
+# groupBy shuffle is k = ceil(matrix_bytes / block_bytes) — grow the block
+# with executor memory to shrink the shuffle.
+_GRID_BLOCK_BYTES_MAX = 128 << 20
+
+
+def _exact_pairs_grid(base: DataFrame, threshold: float, n_rows: int,
+                      dim: int,
+                      block_bytes_max: int = _GRID_BLOCK_BYTES_MAX
+                      ) -> DataFrame:
+    """EXACT all-pairs cosine >= threshold ABOVE the single-matrix
+    broadcast budget: 2-D blocked GEMM over the upper triangle of a
+    k x k block grid (the SUMMA-style decomposition used by distributed
+    matrix multiply, e.g. Spark MLlib's BlockMatrix).
+
+    Rows hash into k row-blocks (k = ceil(matrix_bytes / block budget));
+    one task per block pair (i, j), i <= j, receives exactly blocks i and
+    j via a grouped shuffle and BLAS-multiplies them, emitting only the
+    surviving pairs. No task ever holds more than two blocks; nothing
+    O(n²) is shuffled (the k(k+1)/2 grid replicates each input row k
+    times — matrix_bytes x k total shuffle, the standard 2-D-grid matmul
+    communication bound). Exact at ANY n and ANY threshold — this is the
+    above-budget default; LSH (recall collapses at low thresholds) is
+    opt-in via strategy='lsh'. Values are bit-identical to
+    _exact_pairs_blocked (same normalize + round(6))."""
+    spark = base.sparkSession
+    k = max(2, int(-(-(n_rows * dim * 8) // block_bytes_max)))
+    blocked = base.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(k)).cast("int"))
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(k) for j in range(i, k)], "bi int, bj int")
+    # broadcast the k(k+1)/2-row grid against the data: a row in block b
+    # feeds every grid task whose bi or bj is b (k tasks)
+    left = (blocked.join(F.broadcast(grid), F.col("blk") == F.col("bi"))
+            .select("bi", "bj", F.lit(0).alias("side"), "id", "vec"))
+    right = (blocked.join(F.broadcast(grid.filter("bi <> bj")),
+                          F.col("blk") == F.col("bj"))
+             .select("bi", "bj", F.lit(1).alias("side"), "id", "vec"))
+    both = left.unionByName(right)
+
+    def compute(key, pdf):
+        bi, bj = int(key[0]), int(key[1])
+        a = pdf[pdf["side"] == 0]
+        ida = a["id"].to_numpy().astype(np.int64)
+        A = np.array(a["vec"].tolist(), dtype=np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        if bi == bj:
+            idb, B = ida, A
+        else:
+            b = pdf[pdf["side"] == 1]
+            idb = b["id"].to_numpy().astype(np.int64)
+            B = np.array(b["vec"].tolist(), dtype=np.float64)
+            B /= np.linalg.norm(B, axis=1, keepdims=True)
+        out_a, out_b, out_c = [], [], []
+        # sub-block the GEMM: 1024 x 8192 float64 temps, rounded in place
+        for i in range(0, len(ida), 1024):
+            Ai, ia_blk = A[i:i + 1024], ida[i:i + 1024]
+            for j in range(0, len(idb), 8192):
+                S = Ai @ B[j:j + 8192].T
+                np.round(S, 6, out=S)
+                hit_r, hit_c = np.nonzero(S >= threshold)
+                ia = ia_blk[hit_r]
+                ib = idb[j + hit_c]
+                keep = ia != ib   # blocks are disjoint unless bi == bj
+                ia, ib, cs = ia[keep], ib[keep], S[hit_r, hit_c][keep]
+                if bi == bj:
+                    # symmetric block: each unordered pair appears twice
+                    m = ia < ib
+                    ia, ib, cs = ia[m], ib[m], cs[m]
+                else:
+                    lo = np.minimum(ia, ib)
+                    ib = np.maximum(ia, ib)
+                    ia = lo
+                out_a.append(ia)
+                out_b.append(ib)
+                out_c.append(cs)
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "cos": pd.Series(dtype="float64")})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "cos": np.concatenate(out_c)})
+
+    return both.groupBy("bi", "bj").applyInPandas(
+        compute, "id_a long, id_b long, cos double")
+
+
 def lsh_candidate_recall(threshold: float, n_planes: int,
                          n_tables: int) -> float:
     """Expected probability that a TRUE pair at exactly ``threshold``
@@ -449,79 +554,148 @@ def lsh_candidate_recall(threshold: float, n_planes: int,
     return 1.0 - (1.0 - per_table) ** n_tables
 
 
+def lsh_plan(threshold: float, target_recall: float = 0.9,
+             fp_budget: float = 0.02, max_planes: int = 24,
+             max_tables: int = 64) -> tuple[int, int]:
+    """Size (n_planes, n_tables) FROM the quality contract instead of a
+    fixed 6x8 (which collapses to ~0.49 candidate recall at threshold
+    0.45 — found by the r12 sf1 sweep). Inverts the S-curve:
+
+    * recall: 1-(1-p^r)^b >= target_recall at the decision boundary,
+      where p = 1 - acos(threshold)/pi, so b = ceil(ln(1-target) /
+      ln(1-p^r));
+    * precision: an orthogonal pair (cos ~ 0, p = 1/2) must collide with
+      probability <= fp_budget, i.e. b * 0.5^r <= fp_budget — without
+      this constraint the recall target alone is met by r=1, b=2, whose
+      buckets are HALF-SPACES (candidate set ~ n²/4, quadratic again);
+    * cost: among feasible (r, b) pick minimal hashing work r*b.
+
+    Raises if no (r <= max_planes, b <= max_tables) satisfies both —
+    caller should use the exact grid path instead of silently degraded
+    LSH."""
+    import math
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    best = None
+    for r in range(1, max_planes + 1):
+        per = p ** r
+        if per >= 1.0:
+            b = 1
+        elif per <= 0.0:
+            continue
+        else:
+            b = math.ceil(math.log(1.0 - target_recall)
+                          / math.log(1.0 - per))
+        if b > max_tables or b * 0.5 ** r > fp_budget:
+            continue
+        if best is None or r * b < best[0] * best[1]:
+            best = (r, b)
+    if best is None:
+        raise ValueError(
+            f"no LSH plan meets recall>={target_recall} at threshold "
+            f"{threshold} with fp<={fp_budget} within {max_planes} planes "
+            f"x {max_tables} tables — use the exact grid strategy")
+    return best
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              exact_below: int = 2000, dim: int = 64,
-                             n_planes: int = 6, n_tables: int = 8,
+                             n_planes: int | None = None,
+                             n_tables: int | None = None,
                              n_rows: int | None = None,
-                             broadcast_bytes_max: int | None = None
+                             broadcast_bytes_max: int | None = None,
+                             strategy: str | None = None,
+                             grid_block_bytes: int | None = None,
+                             lsh_target_recall: float = 0.9
                              ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold.
 
-    Two physical strategies:
-    * **exact blocked GEMM** whenever the normalized matrix fits the
-      broadcast byte budget (n*dim*8 <= broadcast_bytes_max — 1M rows at
-      d=64 under the default 512 MB): every task scores its Arrow batch's
-      block-row against the broadcast matrix with BLAS; EXACT at any
-      threshold, no O(n²) shuffle, matches the all-pairs oracle.
-    * **hyperplane-LSH candidates + exact verify** above the budget —
-      sub-quadratic, but candidate recall depends on the threshold:
-      p_plane = 1 - acos(threshold)/pi per plane, so LOW thresholds
-      collapse recall (measured 0.49 at threshold 0.45 with 6x8 on
-      isotropic sf1 vectors — which is why the byte-gated exact path is
-      the default, not an optimization). The gate log records the
-      estimated boundary recall (``lsh_candidate_recall``); production
-      dedup thresholds (>=0.8) keep it >=0.9 with the defaults.
+    Physical strategies (``strategy=None`` picks by byte gate — EXACT at
+    every scale; both exact paths are value-identical):
+    * **'exact'** — single-matrix blocked GEMM while the normalized matrix
+      fits the broadcast byte budget (n*dim*8 <= broadcast_bytes_max —
+      1M rows at d=64 under the default 512 MB): every task scores its
+      Arrow batch's block-row against the broadcast matrix with BLAS; no
+      O(n²) shuffle, matches the all-pairs oracle.
+    * **'grid'** — ABOVE the budget (the default there since r13): 2-D
+      blocked GEMM over the upper triangle of a k x k block grid, one
+      task per block pair, each holding two <=``grid_block_bytes``
+      blocks. Exact at any n; shuffle = matrix_bytes x k (the standard
+      distributed-matmul communication bound), never O(n²) rows.
+    * **'lsh'** — OPT-IN ONLY (demoted from the above-budget default in
+      r13): hyperplane-LSH candidates + exact verify. Sub-quadratic, but
+      candidate recall depends on the threshold: p_plane =
+      1 - acos(threshold)/pi per plane, so LOW thresholds collapse recall
+      (measured 0.49 at threshold 0.45 with 6x8 on isotropic sf1
+      vectors). When ``n_planes``/``n_tables`` are not given they are
+      sized by ``lsh_plan(threshold, lsh_target_recall)`` instead of a
+      fixed 6x8; the gate log records the estimated boundary recall.
 
     Pass ``n_rows`` (manifest total_rows / parquet footer count) to pick the
     strategy without a driver-side scan; ``exact_below=0`` forces the LSH
-    path unconditionally (tests/probes). The ``df.count()`` fallback only
-    runs when the caller provides neither.
+    path unconditionally (legacy probe knob, same as strategy='lsh'). The
+    ``df.count()`` fallback only runs when the caller provides neither.
     """
     from arcticdb_spark.extensions.similarity import _bucket_udf, _planes
     if broadcast_bytes_max is None:   # resolve at CALL time (tests/probes
         broadcast_bytes_max = _BCAST_BYTES_MAX   # monkeypatch the global)
-    n = n_rows if n_rows is not None else (0 if exact_below <= 0 else df.count())
+    if strategy is None and exact_below <= 0:
+        strategy = "lsh"
+    n = n_rows if n_rows is not None else (0 if strategy == "lsh" else df.count())
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    exact = exact_below > 0 and (n < exact_below
-                                 or n * dim * 8 <= broadcast_bytes_max)
-    if exact:
+    if strategy is None:
+        strategy = ("exact" if (n < exact_below
+                                or n * dim * 8 <= broadcast_bytes_max)
+                    else "grid")
+    if strategy == "exact":
         _gate("embedding_strategy", "exact", n_rows=n,
               est_bytes=n * dim * 8, budget=broadcast_bytes_max)
         return _exact_pairs_blocked(base, threshold)
-    else:
-        est_recall = lsh_candidate_recall(threshold, n_planes, n_tables)
-        _gate("embedding_strategy", "lsh", n_rows=n,
+    if strategy == "grid":
+        blk = grid_block_bytes if grid_block_bytes else _GRID_BLOCK_BYTES_MAX
+        k = max(2, int(-(-(n * dim * 8) // blk)))
+        _gate("embedding_strategy", "exact_grid", n_rows=n,
               est_bytes=n * dim * 8, budget=broadcast_bytes_max,
-              est_boundary_recall=round(est_recall, 4))
-        buckets = _bucket_udf([_planes(dim, n_planes, seed=7000 + t)
-                               for t in range(n_tables)])
-        # candidate generation joins IDS ONLY: the (id, bucket) table is two
-        # scalars per row, so the self-join + dedup shuffles never carry the
-        # 64-float vectors (the naive form moves dim*8 bytes per candidate)
-        keyed = _materialize(base.select(
-            "id", F.explode(buckets(F.col("vec"))).alias("bk")))
-        a, b = keyed.alias("a"), keyed.alias("b")
-        pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
-                        & (F.col("a.id") < F.col("b.id")))
-                  .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-                  .dropDuplicates(["id_a", "id_b"]))
-        _gate("embedding_rescore",
-              "broadcast" if (n_rows is not None
-                              and n_rows * dim * 8 <= broadcast_bytes_max)
-              else "join",
-              est_bytes=(n_rows or 0) * dim * 8, budget=broadcast_bytes_max)
-        if n_rows is not None and n_rows * dim * 8 <= broadcast_bytes_max:
-            # vectors fit an executor-side broadcast (the dimension-table
-            # pattern; byte gate: n_rows x dim x 8B float64 matrix):
-            # rescore candidate id pairs against a normalized numpy
-            # matrix — Arrow moves 2 longs per pair, not 2 vectors
-            scored = _score_pairs_broadcast(base, pairs)
-        else:
-            # at larger scale re-attach vectors by joining the (small
-            # relative to pairs) vector table back, then rescore per batch
-            scored = _score_pairs_join(base, pairs)
-        return scored.filter(F.col("cos") >= threshold)
+              grid_k=k, block_bytes=blk)
+        return _exact_pairs_grid(base, threshold, n, dim,
+                                 block_bytes_max=blk)
+    if strategy != "lsh":
+        raise ValueError(f"unknown strategy {strategy!r}: "
+                         "None | 'exact' | 'grid' | 'lsh'")
+    if n_planes is None or n_tables is None:
+        n_planes, n_tables = lsh_plan(threshold, lsh_target_recall)
+    est_recall = lsh_candidate_recall(threshold, n_planes, n_tables)
+    _gate("embedding_strategy", "lsh", n_rows=n,
+          est_bytes=n * dim * 8, budget=broadcast_bytes_max,
+          est_boundary_recall=round(est_recall, 4))
+    buckets = _bucket_udf([_planes(dim, n_planes, seed=7000 + t)
+                           for t in range(n_tables)])
+    # candidate generation joins IDS ONLY: the (id, bucket) table is two
+    # scalars per row, so the self-join + dedup shuffles never carry the
+    # 64-float vectors (the naive form moves dim*8 bytes per candidate)
+    keyed = _materialize(base.select(
+        "id", F.explode(buckets(F.col("vec"))).alias("bk")))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                    & (F.col("a.id") < F.col("b.id")))
+              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+              .dropDuplicates(["id_a", "id_b"]))
+    _gate("embedding_rescore",
+          "broadcast" if (n_rows is not None
+                          and n_rows * dim * 8 <= broadcast_bytes_max)
+          else "join",
+          est_bytes=(n_rows or 0) * dim * 8, budget=broadcast_bytes_max)
+    if n_rows is not None and n_rows * dim * 8 <= broadcast_bytes_max:
+        # vectors fit an executor-side broadcast (the dimension-table
+        # pattern; byte gate: n_rows x dim x 8B float64 matrix):
+        # rescore candidate id pairs against a normalized numpy
+        # matrix — Arrow moves 2 longs per pair, not 2 vectors
+        scored = _score_pairs_broadcast(base, pairs)
+    else:
+        # at larger scale re-attach vectors by joining the (small
+        # relative to pairs) vector table back, then rescore per batch
+        scored = _score_pairs_join(base, pairs)
+    return scored.filter(F.col("cos") >= threshold)
 
 
 # ---------------------------------------------------------------------------

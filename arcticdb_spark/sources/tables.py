@@ -77,7 +77,11 @@ def table_rows(sf_dir: str, name: str) -> int:
     if os.path.isdir(path):
         # multi-file table (Spark directory layout): sum the per-file
         # footer counts — still metadata-only, one footer read per file,
-        # exactly what a manifest total_rows aggregate does at scale
-        return sum(pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-                   for f in os.listdir(path) if f.endswith(".parquet"))
+        # exactly what a manifest total_rows aggregate does at scale.
+        # os.walk, not listdir: hive-partitioned tables nest their part
+        # files under key=value subdirectories (r13 source-layout matrix)
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _dirs, files in os.walk(path)
+            for f in files if f.endswith(".parquet"))
     return pq.ParquetFile(path).metadata.num_rows

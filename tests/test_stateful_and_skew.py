@@ -156,3 +156,53 @@ def test_exact_blocked_gemm_crosses_row_blocks(spark):
     want = set(zip(ia.tolist(), ib.tolist()))
     assert {(a, b) for a, b in zip(got.id_a, got.id_b)} == want
     assert (3, 1400) in want   # the planted cross-block pair was in play
+
+
+def test_exact_grid_gemm_above_broadcast_budget(spark):
+    """Above the broadcast byte budget the r13 default is the 2-D block
+    grid GEMM — force it (budget=1 byte, tiny blocks so k is large and
+    every cross-block combination is exercised) and require the result
+    set AND cosine values to be identical to the single-matrix exact path
+    and the numpy oracle."""
+    import numpy as np
+    from arcticdb_spark.extensions.dedup import (GATE_LOG, clear_gate_log,
+                                                 embedding_near_dup_pairs)
+    rng = np.random.default_rng(13)
+    n, d = 1200, 8
+    vecs = rng.standard_normal((n, d)).astype("float32")
+    vecs[900] = vecs[17] * -0.5 * -1.0   # planted exact-direction dup
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>")
+    exact = embedding_near_dup_pairs(df, threshold=0.7, dim=d,
+                                     n_rows=n).toPandas()
+    clear_gate_log()
+    grid = embedding_near_dup_pairs(df, threshold=0.7, dim=d, n_rows=n,
+                                    broadcast_bytes_max=1,
+                                    grid_block_bytes=16 << 10).toPandas()
+    g = [g for g in GATE_LOG if g["gate"] == "embedding_strategy"]
+    assert g[0]["path"] == "exact_grid" and g[0]["grid_k"] >= 4, g
+    key = lambda pdf: sorted(zip(pdf.id_a, pdf.id_b, pdf.cos))
+    assert key(grid) == key(exact)
+    M = vecs.astype("float64")
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    S = np.round(M @ M.T, 6)
+    ia, ib = np.nonzero(np.triu(S >= 0.7, k=1))
+    assert len(grid) == len(ia)
+    assert (17, 900) in set(zip(grid.id_a, grid.id_b))
+
+
+def test_lsh_plan_sizing():
+    """lsh_plan inverts the banded S-curve: the returned (planes, tables)
+    meets the recall target at the decision boundary, respects the
+    orthogonal-pair false-positive budget, and refuses thresholds where
+    no feasible plan exists (the r12 sf1 sweep's 0.49-recall hole)."""
+    import pytest
+    from arcticdb_spark.extensions.dedup import (lsh_candidate_recall,
+                                                 lsh_plan)
+    for t in (0.99, 0.95, 0.9, 0.8):
+        r, b = lsh_plan(t, target_recall=0.9)
+        assert lsh_candidate_recall(t, r, b) >= 0.9, (t, r, b)
+        assert b * 0.5 ** r <= 0.02, (t, r, b)
+    with pytest.raises(ValueError, match="exact grid"):
+        lsh_plan(0.45, target_recall=0.9)

