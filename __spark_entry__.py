@@ -1354,63 +1354,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDERING POLICY (round 4+): least-recently-driver-verified
         # first. The driver checks only the first ~50 entries per
-        # round. Round-12 sort: the 37 queries whose last driver row
-        # is CORRECTNESS_r10 (everything absent from
-        # CORRECTNESS_r11.json), then the 50 verified in
-        # CORRECTNESS_r11 in their r11 order — r12 ∪ r11 covers the
+        # round. Round-13 sort: the 37 queries whose last driver row
+        # is CORRECTNESS_r11 (everything absent from
+        # CORRECTNESS_r12.json), then the 50 verified in
+        # CORRECTNESS_r12 in their r12 order — r13 ∪ r12 covers the
         # full registry with nothing older than one round.
-        # --- last driver row is r10 ---
-        "concat_inner": q_concat_inner,
-        "merge_update_upsert": q_merge_update_upsert,
-        "update_range_surgery": q_update_range_surgery,
-        "join_revenue": q_join_revenue,
-        "anti_join": q_anti_join,
-        "except_users": q_except_users,
-        "topk_per_group": q_topk_per_group,
-        "window_lag_lead": q_window_lag_lead,
-        "uint64_filter_agg": q_uint64_filter_agg,
-        "embedding_kmeans": q_embedding_kmeans,
-        "embedding_centroids": q_embedding_centroids,
-        "ngram_top": q_ngram_top,
-        "token_frequencies": q_token_frequencies,
-        "dup_ngram_fraction": q_dup_ngram_fraction,
-        "decontaminate": q_decontaminate,
-        "cumulative_sum": q_cumulative_sum,
-        "distinct_agg": q_distinct_agg,
-        "pivot": q_pivot,
-        "percentiles": q_percentiles,
-        "set_ops": q_set_ops,
-        "rollup": q_rollup,
-        "unpivot": q_unpivot,
-        "skew_salted_agg": q_skew_salted_agg,
-        "media_frame_sample": q_media_frame_sample,
-        "pack_chunks": q_pack_chunks,
-        "pii_scan": q_pii_scan,
-        "range_join": q_range_join,
-        "quality_repetition": q_quality_repetition,
-        "sample_split": q_sample_split,
-        "sample_stratified": q_sample_stratified,
-        "dedup_cluster": q_dedup_cluster,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_exact": q_dedup_exact,
-        "embedding_label_stats": q_embedding_label_stats,
-        "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
-        "rolling_mean": q_rolling_mean,
-        # --- green in CORRECTNESS_r11 on current code (r11 order) ---
-        "text_stats": q_text_stats,
-        "text_langid": q_text_langid,
-        "ns_precision": q_ns_precision,
-        "text_fingerprint": q_text_fingerprint,
-        "multimodal_features": q_multimodal_features,
-        "dedup_jaccard": q_dedup_jaccard,
-        "semi_join_date_arith": q_semi_join_date_arith,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "similarity_bruteforce": q_similarity_bruteforce,
-        "similarity_lsh": q_similarity_lsh,
-        "similarity_ivf": q_similarity_ivf,
-        "json_extract": q_json_extract,
+        # --- last driver row is r11 ---
         "approx_sketches": q_approx_sketches,
         "filter_numeric": q_filter_numeric,
         "filter_isin_regex": q_filter_isin_regex,
@@ -1448,6 +1397,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tail": q_tail,
         "row_range": q_row_range,
         "concat_outer": q_concat_outer,
+        # --- green in CORRECTNESS_r12 on current code (r12 order) ---
+        "concat_inner": q_concat_inner,
+        "merge_update_upsert": q_merge_update_upsert,
+        "update_range_surgery": q_update_range_surgery,
+        "join_revenue": q_join_revenue,
+        "anti_join": q_anti_join,
+        "except_users": q_except_users,
+        "topk_per_group": q_topk_per_group,
+        "window_lag_lead": q_window_lag_lead,
+        "uint64_filter_agg": q_uint64_filter_agg,
+        "embedding_kmeans": q_embedding_kmeans,
+        "embedding_centroids": q_embedding_centroids,
+        "ngram_top": q_ngram_top,
+        "token_frequencies": q_token_frequencies,
+        "dup_ngram_fraction": q_dup_ngram_fraction,
+        "decontaminate": q_decontaminate,
+        "cumulative_sum": q_cumulative_sum,
+        "distinct_agg": q_distinct_agg,
+        "pivot": q_pivot,
+        "percentiles": q_percentiles,
+        "set_ops": q_set_ops,
+        "rollup": q_rollup,
+        "unpivot": q_unpivot,
+        "skew_salted_agg": q_skew_salted_agg,
+        "media_frame_sample": q_media_frame_sample,
+        "pack_chunks": q_pack_chunks,
+        "pii_scan": q_pii_scan,
+        "range_join": q_range_join,
+        "quality_repetition": q_quality_repetition,
+        "sample_split": q_sample_split,
+        "sample_stratified": q_sample_stratified,
+        "dedup_cluster": q_dedup_cluster,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_exact": q_dedup_exact,
+        "embedding_label_stats": q_embedding_label_stats,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "rolling_mean": q_rolling_mean,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        "ns_precision": q_ns_precision,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_features": q_multimodal_features,
+        "dedup_jaccard": q_dedup_jaccard,
+        "semi_join_date_arith": q_semi_join_date_arith,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "similarity_bruteforce": q_similarity_bruteforce,
+        "similarity_lsh": q_similarity_lsh,
+        "similarity_ivf": q_similarity_ivf,
+        "json_extract": q_json_extract,
     }
 
 
