@@ -1350,6 +1350,37 @@ def q_uint64_mixed_compare(spark, sf):
 # registry
 # ---------------------------------------------------------------------------
 
+def q_dict_groupby(spark, sf):
+    """Dictionary-coded string columns end-to-end (r13; the reference
+    string-pool analogue — string_pool.hpp, SURVEY §1.1): declared
+    id/categorical STRING columns are stored as int64 content-hash codes
+    with a (code, value) parquet sidecar; a pure groupby pipeline
+    aggregates ON THE CODES (8-byte hash keys instead of UTF8 strings —
+    the measured 40% of qb_query_1's floor) and decodes only the k-row
+    result. The in-code asserts pin that (a) the physical schema really
+    stores longs and (b) decode-after-agg restores exact strings, so the
+    driver row fails if either half regresses."""
+    import json as _json
+    import tempfile
+    from arcticdb_spark.catalog import Arctic, LibraryOptions
+    from arcticdb_spark.query import QueryBuilder
+    docs = (load_table(spark, sf, "documents")
+            .select("doc_id", "source", "lang", "n_chars"))
+    lib = Arctic(tempfile.mkdtemp(), spark).create_library(
+        "dictlib", library_options=LibraryOptions(
+            dictionary_columns=("source", "lang")))
+    lib.write("docs", docs.toPandas().sort_values("doc_id")
+              .reset_index(drop=True))
+    m = lib._load_manifest("docs", 0)
+    stored = {f["name"]: f["type"]
+              for f in _json.loads(m.schema_json)["fields"]}
+    assert stored["source"] == "long" and stored["lang"] == "long", stored
+    q = QueryBuilder().groupby(["source", "lang"]).agg(
+        {"n_docs": ("doc_id", "count"), "sum_chars": ("n_chars", "sum")})
+    out = lib.read("docs", query_builder=q)
+    return out.select("source", "lang", "n_docs", "sum_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDERING POLICY (round 4+): least-recently-driver-verified
@@ -1360,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r12 in their r12 order — r13 ∪ r12 covers the
         # full registry with nothing older than one round.
         # --- last driver row is r11 ---
+        "dict_groupby": q_dict_groupby,   # NEW r13: never driver-verified
         "approx_sketches": q_approx_sketches,
         "filter_numeric": q_filter_numeric,
         "filter_isin_regex": q_filter_isin_regex,
@@ -1905,6 +1937,11 @@ WHERE doc_id % 7 = 0 OR doc_id % 11 = 0""",
         "categorical_roundtrip": """
 SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs
 FROM documents GROUP BY source""",
+
+        "dict_groupby": """
+SELECT source, lang, COUNT(doc_id) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY source, lang""",
 
         "media_frame_sample": """
 WITH media AS (

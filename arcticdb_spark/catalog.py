@@ -43,6 +43,7 @@ from typing import Any
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from arcticdb_spark.plans.rowid import ROW_ID
 
@@ -555,23 +556,38 @@ class LibraryOptions:
 
     def __init__(self, *, dynamic_schema: bool = False, dedup: bool = False,
                  rows_per_segment: int = 100_000,
-                 columns_per_segment: int = 127):
+                 columns_per_segment: int = 127,
+                 dictionary_columns: tuple | list = ()):
         self.dynamic_schema = dynamic_schema
         self.dedup = dedup
         self.rows_per_segment = rows_per_segment
         self.columns_per_segment = columns_per_segment
+        # declared categorical/id STRING columns stored as int64 content
+        # hashes with a (code, value) parquet sidecar — the engine's
+        # analogue of the reference's string pool (string_pool.hpp; SURVEY
+        # §1.1 mapped it to parquet dictionary encoding, which Spark does
+        # not exploit ACROSS an aggregation): groupbys on a declared
+        # column hash 8-byte longs instead of UTF8 strings and decode
+        # post-agg. Exactness is guaranteed by a write-time collision
+        # check (new codes are verified against both the incoming batch
+        # and every previously stored value). Opt-in; intended for
+        # columns with bounded cardinality (ids, categories).
+        self.dictionary_columns = tuple(dictionary_columns)
 
     def __eq__(self, o):
         return (self.dynamic_schema == o.dynamic_schema
                 and self.dedup == o.dedup
                 and self.rows_per_segment == o.rows_per_segment
-                and self.columns_per_segment == o.columns_per_segment)
+                and self.columns_per_segment == o.columns_per_segment
+                and self.dictionary_columns
+                    == getattr(o, "dictionary_columns", ()))
 
     def __repr__(self):
         return (f"LibraryOptions(dynamic_schema={self.dynamic_schema}, "
                 f"dedup={self.dedup}, "
                 f"rows_per_segment={self.rows_per_segment}, "
-                f"columns_per_segment={self.columns_per_segment})")
+                f"columns_per_segment={self.columns_per_segment}, "
+                f"dictionary_columns={self.dictionary_columns})")
 
 
 class EnterpriseLibraryOptions:
@@ -1246,6 +1262,9 @@ class Library:
                          else False)
         columns_per_segment = (library_options.columns_per_segment
                                if library_options is not None else 127)
+        dictionary_columns = tuple(
+            library_options.dictionary_columns
+            if library_options is not None else ())
         cfg_path = self._fs.join(self.root, "_config.json")
         try:
             cfg = self._fs.read_json(cfg_path)
@@ -1256,6 +1275,8 @@ class Library:
             dedup_default = cfg.get("dedup", dedup_default)
             columns_per_segment = cfg.get("columns_per_segment",
                                           columns_per_segment)
+            dictionary_columns = tuple(cfg.get("dictionary_columns",
+                                               dictionary_columns))
             ent = EnterpriseLibraryOptions(
                 replication=cfg.get("replication", ent.replication),
                 background_deletion=cfg.get("background_deletion",
@@ -1268,10 +1289,12 @@ class Library:
                 "dedup": dedup_default,
                 "columns_per_segment": columns_per_segment,
                 "replication": ent.replication,
-                "background_deletion": ent.background_deletion})
+                "background_deletion": ent.background_deletion,
+                "dictionary_columns": list(dictionary_columns)})
         self.rows_per_file = rows_per_file
         self.dedup = dedup_default
         self.columns_per_segment = columns_per_segment
+        self.dictionary_columns = dictionary_columns
         self.replication = ent.replication
         # background deletion (reference EnterpriseLibraryOptions): delete /
         # prune tombstone versions but defer physical data-file removal to
@@ -1289,6 +1312,9 @@ class Library:
         # migration, see _load_pins) — avoids re-walking snapshots for
         # symbols that genuinely have no pins
         self._pins_backfilled: set[str] = set()
+        # persisted (code, value) lookup frames per dictionary column,
+        # keyed by the sidecar directory's file-listing signature
+        self._dict_cache: dict = {}
 
     _OUTPUT_FORMATS = {"spark": "spark", "spark-ns": "spark-ns",
                        "pandas": "pandas", "arrow": "arrow",
@@ -1332,6 +1358,111 @@ class Library:
         file layout."""
         from arcticdb_spark.toolbox import LibraryTool
         return LibraryTool(self)
+
+    # ---- dictionary-coded columns (reference string_pool.hpp analogue) ----
+    def _dicts_dir(self, symbol: str, col: str) -> str:
+        return os.path.join(self._data_sym_dir(symbol), "_dicts", col)
+
+    def _dict_lookup(self, symbol: str, col: str):
+        """(code long, value string) DataFrame for a dictionary-coded
+        column, or None if the column was never encoded for this symbol.
+        Codes are CONTENT hashes (xxhash64 of the value), so the lookup is
+        append-only and version-independent: any superset decodes any
+        version exactly. Cached per (symbol, col) and persisted — the
+        sidecar is re-read only when a write added a delta file (the
+        file-listing signature changes), so repeated decodes on a hot
+        library skip the parquet scan + dedup entirely."""
+        d = self._dicts_dir(symbol, col)
+        if not os.path.isdir(d):
+            return None
+        sig = tuple(sorted(fn for fn in os.listdir(d)
+                           if fn.endswith(".parquet")))
+        cached = self._dict_cache.get((symbol, col))
+        if cached is not None and cached[0] == sig:
+            return cached[1]
+        if cached is not None:
+            try:
+                cached[1].unpersist()
+            except Exception:
+                pass
+        lk = (self.spark.read.parquet(d)
+              .dropDuplicates(["code"]).persist())
+        self._dict_cache[(symbol, col)] = (sig, lk)
+        return lk
+
+    def _encode_dict_columns(self, symbol: str, sdf: DataFrame) -> DataFrame:
+        """Replace each declared dictionary column (string-typed, present)
+        with its int64 content-hash code and append the new (code, value)
+        pairs to the sidecar. EXACTNESS CONTRACT: before anything is
+        stored, new codes are checked for collisions within the batch AND
+        against every previously stored value — a collision (probability
+        ~n²/2^65) raises instead of silently mis-grouping, which is why
+        this is exact where the rejected read-side xxhash64 grouping probe
+        (r12) was not. NULL values stay NULL (F.when guard: Spark's
+        xxhash64 of NULL returns the seed, not NULL).
+
+        At 100 TB the sidecar write is one distinct + anti-join per
+        declared column per write, all on the (small by contract)
+        dictionary domain; data files then carry fixed-width longs, and a
+        downstream groupby hashes 8-byte keys instead of UTF8 strings."""
+        cols = [c for c in self.dictionary_columns
+                if c in sdf.columns
+                and isinstance(sdf.schema[c].dataType, T.StringType)]
+        for c in cols:
+            code = F.xxhash64(F.col("value"))
+            new = (sdf.select(F.col(c).alias("value"))
+                   .where(F.col("value").isNotNull()).distinct()
+                   .withColumn("code", code))
+            agg = new.agg(F.count(F.lit(1)).alias("n"),
+                          F.countDistinct("code").alias("h")).first()
+            if agg["n"] != agg["h"]:
+                raise ArcticException(
+                    f"dictionary column {c!r}: xxhash64 collision among "
+                    f"{agg['n']} incoming values — remove the column from "
+                    "dictionary_columns for this library")
+            existing = self._dict_lookup(symbol, c)
+            if existing is not None:
+                clash = (new.join(existing.withColumnRenamed(
+                            "value", "__stored"), "code")
+                         .where(F.col("value") != F.col("__stored")).count())
+                if clash:
+                    raise ArcticException(
+                        f"dictionary column {c!r}: xxhash64 collision with "
+                        f"{clash} previously stored value(s) — remove the "
+                        "column from dictionary_columns for this library")
+                new = new.join(existing.select("code"), "code", "left_anti")
+            (new.select("code", "value").coalesce(1)
+             .write.mode("append").parquet(self._dicts_dir(symbol, c)))
+            sdf = sdf.withColumn(
+                c, F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c))))
+        return sdf
+
+    def _decode_dict_columns(self, symbol: str, df: DataFrame,
+                             cols=None) -> DataFrame:
+        """Restore declared dictionary columns to strings via a broadcast
+        join with the sidecar (a NULL code stays NULL through the left
+        join). Safe to call on any frame: only LONG columns with an
+        existing sidecar are touched, so a symbol written before the
+        library declared dictionaries passes through unchanged."""
+        for c in (cols if cols is not None else self.dictionary_columns):
+            if c not in df.columns or not isinstance(
+                    df.schema[c].dataType, T.LongType):
+                continue
+            lk = self._dict_lookup(symbol, c)
+            if lk is None:
+                continue
+            lk = F.broadcast(lk.select(F.col("code").alias(f"__dc_{c}"),
+                                       F.col("value").alias(f"__dv_{c}")))
+            df = (df.join(lk, F.col(c) == F.col(f"__dc_{c}"), "left")
+                    .withColumn(c, F.col(f"__dv_{c}"))
+                    .drop(f"__dc_{c}", f"__dv_{c}"))
+        return df
+
+    def _dict_cols_stored(self, df: DataFrame) -> list:
+        """Declared dictionary columns present in ``df`` as stored codes."""
+        return [c for c in self.dictionary_columns
+                if c in df.columns
+                and isinstance(df.schema[c].dataType, T.LongType)]
 
     # ---- paths (metadata via self._fs; data via local/Spark paths) ----
     def _sym_dir(self, symbol):
@@ -2614,6 +2745,7 @@ class Library:
         # reorders within a ts value — MultiIndex level values do NOT
         # participate in the write sort; _write_data_files' __ipos__
         # stability column makes the layout deterministic instead)
+        sdf = self._encode_dict_columns(symbol, sdf)
         files = self._write_data_files(
             symbol, self._drop_void(sdf), idx,
             sort=(sorted_flag == "ASCENDING"),
@@ -3141,6 +3273,7 @@ class Library:
                     f"incoming frame (columns: {sdf.columns})")
         out_norm_meta = self._uint64_meta_for(prev, inm, sdf.schema, "append")
         sdf = self._align_index_phys(sdf, idx, prev)
+        sdf = self._encode_dict_columns(symbol, sdf)
         if self.dynamic_schema:
             schema_json = self._merge_schema(prev.schema_json, sdf.schema)
         else:
@@ -3333,6 +3466,7 @@ class Library:
         if not sdf.head(1):
             return prev  # zero-row update: nothing done, no new version
         sdf = self._align_index_phys(sdf, idx, prev)
+        sdf = self._encode_dict_columns(symbol, sdf)
         if self.dynamic_schema:
             schema_json = self._merge_schema(prev.schema_json, sdf.schema)
         else:
@@ -3429,6 +3563,7 @@ class Library:
         # through (same rule as append/update)
         self._uint64_meta_for(prev, src_nm, src.schema, "merge")
         src = self._align_index_phys(src, idx, prev)
+        src = self._encode_dict_columns(symbol, src)
         target = self._read_physical(prev)
         keys = [idx] + [c for c in (on or []) if c != idx]
         if matched == "update":
@@ -3767,7 +3902,8 @@ class Library:
                     files = prune_files_by_stats(
                         files, stats, merged,
                         uint64_cols=frozenset(
-                            (m.norm_meta or {}).get("uint64") or ()))
+                            (m.norm_meta or {}).get("uint64") or ()),
+                        skip_cols=frozenset(self.dictionary_columns))
             # positional pruning for a LEADING head/tail/row_range clause:
             # cumulative row offsets identify the files containing the
             # requested positions (reference RowRangeClause
@@ -3841,6 +3977,7 @@ class Library:
                     if c in empty.columns and c not in keep:
                         keep = [c] + keep
                 empty = empty.select(keep)
+            empty = self._decode_dict_columns(symbol, empty)
             out = query_builder.to_df(empty, idx) if query_builder else empty
             if ROW_ID in out.columns and not with_row_ids:
                 # positional clauses attach the row id even on the pruned
@@ -3942,8 +4079,37 @@ class Library:
                         for k, _ in qb_clauses))
         if range_positions:
             df = df.withColumn(ORIG_POS, F.col(ROW_ID))
+        # dictionary-coded columns (string-pool analogue): when the
+        # pipeline is purely aggregating/positional, the int64 codes flow
+        # THROUGH the groupby (hashing 8-byte longs, not UTF8 strings —
+        # the measured 40% of qb_query_1's floor) and decode on the
+        # k-row result; any pipeline with filter/project/resample
+        # semantics decodes up front so every expression sees strings.
+        dict_cols = self._dict_cols_stored(df)
+        dict_fast = False
+        if dict_cols:
+            def _dict_safe(kind_c, args_c):
+                if kind_c in ("head", "tail", "row_range", "date_range"):
+                    return True   # positional/index-only: no column refs
+                if kind_c != "groupby_agg":
+                    return False  # filter/project/resample see strings
+                # codes may serve as GROUP KEYS (equal code <=> equal
+                # string, collision-checked at write) but never as an
+                # aggregation INPUT: min/max/first of a hash code is not
+                # min/max/first of the string
+                for k_o, v_o in args_c["aggs"].items():
+                    inp = v_o[0] if isinstance(v_o, (tuple, list)) else k_o
+                    if inp in dict_cols:
+                        return False
+                return True
+            dict_fast = bool(query_builder is not None and qb_clauses and all(
+                _dict_safe(k, a) for k, a in qb_clauses))
+            if not dict_fast:
+                df = self._decode_dict_columns(symbol, df, dict_cols)
         if query_builder is not None:
             df = query_builder.to_df(df, idx)
+        if dict_fast:
+            df = self._decode_dict_columns(symbol, df, dict_cols)
         if post_select is not None:
             # pipeline-output column selection (see the deferral above):
             # requested names that survived (stored OR projected), plus the
@@ -4818,6 +4984,7 @@ class Library:
                             .sortWithinPartitions(idx, *helpers))
                     sort = False   # already range-sorted (stably)
                 df = df.drop(*helpers)
+            df = self._encode_dict_columns(symbol, df)
             if mode == "append" and self.has_symbol(symbol):
                 prev = self._load_manifest(symbol,
                                            self._load_ref(symbol)["latest"])

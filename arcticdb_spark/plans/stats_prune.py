@@ -111,7 +111,8 @@ def _unsigned_range(mn, mx):
 
 def prune_files_by_stats(files: list, stats: dict | None,
                          filter_expr: ExpressionNode | None,
-                         uint64_cols=frozenset()) -> list:
+                         uint64_cols=frozenset(),
+                         skip_cols=frozenset()) -> list:
     """Drop FileEntries whose stored column ranges cannot satisfy the
     filter. ``uint64_cols`` names columns stored as int64 BIT PATTERNS
     (full-range uint64 support): their footer stats are signed patterns
@@ -133,7 +134,9 @@ def prune_files_by_stats(files: list, stats: dict | None,
             continue
         ok = True
         for col, op, lit in conjuncts:
-            if col not in ranges:
+            if col not in ranges or col in skip_cols:
+                # skip_cols: dictionary-coded columns — their footer stats
+                # are hash codes, meaningless against a string literal
                 continue
             mn, mx = ranges[col]
             if col in uint64_cols:

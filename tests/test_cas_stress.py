@@ -54,9 +54,80 @@ class _StubSpark:
     conf = _StubConf()
 
 
+class FaultyLocalFileSystem:
+    """Object-store failure-mode injector over LocalFileSystem (r12 verdict
+    item 7). The O_EXCL stress races posix semantics; conditional-PUT
+    backends differ in TIMING and RETRY shape, which this fake injects:
+
+    * **delay** — random 0-8 ms sleeps around every metadata op (a PUT/GET
+      round-trip has real latency; this widens every race window ~1000x
+      relative to local syscalls);
+    * **duplicate PUT** — ``write_json_atomic``/``remove`` re-executed
+      (a client retry after a lost ACK; both must be idempotent);
+    * **retried CAS** — a winning ``write_json_if_absent`` immediately
+      re-attempts and discards the (always-False) second answer — the
+      wire shape of an S3 ``If-None-Match`` retry whose first attempt
+      actually landed.
+
+    NOT injected: stale listings. Every shipped backend (S3 since 2020,
+    GCS, Azure, Mongo) gives strongly-consistent list-after-write, and the
+    prune/commit carried-file handshake explicitly relies on it — that is
+    a documented storage-contract requirement, not an implementation
+    detail."""
+
+    def __init__(self, seed: int):
+        import random
+
+        from arcticdb_spark.sources.filesystem import LocalFileSystem
+        self._inner = LocalFileSystem()
+        self._rng = random.Random(seed)
+
+    def _jitter(self, p: float = 0.5) -> None:
+        import time as _t
+        if self._rng.random() < p:
+            _t.sleep(self._rng.random() * 0.008)
+
+    def __getattr__(self, name):   # join/exists/isdir/makedirs passthrough
+        return getattr(self._inner, name)
+
+    def listdir(self, path):
+        self._jitter()
+        return self._inner.listdir(path)
+
+    def read_json(self, path):
+        self._jitter()
+        return self._inner.read_json(path)
+
+    def remove(self, path):
+        self._jitter()
+        self._inner.remove(path)
+        if self._rng.random() < 0.2:   # duplicated DELETE must be a no-op
+            self._inner.remove(path)
+
+    def write_json_atomic(self, path, obj):
+        self._jitter()
+        self._inner.write_json_atomic(path, obj)
+        if self._rng.random() < 0.2:   # duplicated PUT, same content
+            self._inner.write_json_atomic(path, obj)
+        self._jitter()
+
+    def write_json_if_absent(self, path, obj):
+        self._jitter()
+        won = self._inner.write_json_if_absent(path, obj)
+        if won and self._rng.random() < 0.2:
+            # retried conditional PUT: the duplicate loses to our own key
+            assert not self._inner.write_json_if_absent(path, obj)
+        self._jitter()
+        return won
+
+
 def _open_metadata_lib(root):
     from arcticdb_spark.catalog import Library
-    return Library(_StubSpark(), root, "stresslib")
+    fault_seed = os.environ.get("ASDB_CAS_FAULT_SEED")
+    fs = (FaultyLocalFileSystem(int(fault_seed) + os.getpid())
+          if fault_seed else None)
+    return Library(_StubSpark(), root, "stresslib", fs=fs,
+                   data_root=(root if fs else None))
 
 
 def _data_file(lib, worker: int, seq: int, tag: int) -> tuple[str, int]:
@@ -150,6 +221,20 @@ def _worker(args):
 
 @pytest.mark.slow
 def test_multiprocess_cas_stress(spark, tmp_path):
+    _run_multiprocess_stress(spark, tmp_path)
+
+
+@pytest.mark.slow
+def test_multiprocess_cas_stress_object_store_faults(spark, tmp_path,
+                                                     monkeypatch):
+    """The same 12-op mix and invariants with object-store failure modes
+    injected between every protocol step (FaultyLocalFileSystem): PUT/GET
+    latency, duplicated PUTs/DELETEs, retried conditional PUTs."""
+    monkeypatch.setenv("ASDB_CAS_FAULT_SEED", "20260816")
+    _run_multiprocess_stress(spark, tmp_path)
+
+
+def _run_multiprocess_stress(spark, tmp_path):
     from arcticdb_spark.catalog import Arctic
     ac = Arctic(str(tmp_path), spark)
     ac.create_library("stresslib")
