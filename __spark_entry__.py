@@ -1381,6 +1381,40 @@ def q_dict_groupby(spark, sf):
     return out.select("source", "lang", "n_docs", "sum_chars")
 
 
+def q_dedup_keep_best(spark, sf):
+    """Retention policy over exact-dup groups
+    (``extensions/dedup.py keep_best_per_dup_group``): ONE surviving doc
+    per distinct normalized text, the winner by (quality DESC, n_chars
+    DESC, doc_id ASC). Physical: max_by over a lexicographic struct key —
+    map-side combinable, one shuffle on the fingerprint, no per-group sort
+    (a row_number window would shuffle every duplicate row)."""
+    d = load_table(spark, sf, "documents")
+    return xdedup.keep_best_per_dup_group(d)
+
+
+def q_incremental_dedup(spark, sf):
+    """New-vs-seen incremental dedup (``extensions/dedup.py
+    incremental_dedup``): docs of the odd-id half whose normalized text
+    never occurs in the even-id half. At oracle scale the byte gate picks
+    the broadcast-set path (zero shuffle); the Bloom-prefilter scale path
+    is value-identical (exact verify step) and forced in pytest."""
+    d = load_table(spark, sf, "documents")
+    seen = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    return (xdedup.incremental_dedup(new, seen)
+            .select("doc_id", "fingerprint"))
+
+
+def q_unigram_logprob(spark, sf):
+    """Corpus-unigram LM quality score (``extensions/text.py
+    unigram_logprob``): mean ln p(token) per doc under the corpus unigram
+    distribution — explode -> map-side-combinable token counts ->
+    broadcast vocab join back -> per-doc mean. The CCNet-style
+    'surprisingness' filter a pre-training pipeline runs at 100 TB."""
+    d = load_table(spark, sf, "documents")
+    return xtext.unigram_logprob(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDERING POLICY (round 4+): least-recently-driver-verified
@@ -1392,6 +1426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full registry with nothing older than one round.
         # --- last driver row is r11 ---
         "dict_groupby": q_dict_groupby,   # NEW r13: never driver-verified
+        "dedup_keep_best": q_dedup_keep_best,     # NEW r13
+        "incremental_dedup": q_incremental_dedup,  # NEW r13
+        "unigram_logprob": q_unigram_logprob,      # NEW r13
         "approx_sketches": q_approx_sketches,
         "filter_numeric": q_filter_numeric,
         "filter_isin_regex": q_filter_isin_regex,
@@ -1942,6 +1979,57 @@ FROM documents GROUP BY source""",
 SELECT source, lang, COUNT(doc_id) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY source, lang""",
+
+        "dedup_keep_best": """
+WITH t AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE list_transform(string_split_regex(trim(text), '\\s+'), x -> lower(x)) END AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct
+  FROM documents),
+s AS (
+  SELECT doc_id, fingerprint, n_chars, n_punct, len(toks) AS n_tokens,
+         len(list_filter(toks, x -> list_contains(['the', 'and', 'of', 'to', 'in', 'is', 'that', 'for', 'with', 'a', 'an', 'it', 'on', 'as', 'at', 'by'], x))) AS n_stop
+  FROM t),
+q AS (
+  SELECT doc_id, fingerprint, CAST(n_chars AS BIGINT) AS n_chars,
+         round((CASE WHEN n_tokens >= 5 AND n_chars >= 20 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN n_tokens > 0 AND round(n_stop / CAST(n_tokens AS DOUBLE), 6) >= 0.05 THEN 0.3 ELSE 0.0 END)
+             + (CASE WHEN n_chars IS NULL OR n_chars = 0
+                       OR round(n_punct / CAST(n_chars AS DOUBLE), 6) <= 0.1
+                     THEN 0.3 ELSE 0.0 END), 1) AS quality
+  FROM s)
+SELECT fingerprint, doc_id, quality, n_chars, dup_count
+FROM (SELECT fingerprint, doc_id, quality, n_chars,
+             count(*) OVER (PARTITION BY fingerprint) AS dup_count,
+             row_number() OVER (PARTITION BY fingerprint
+                                ORDER BY quality DESC, n_chars DESC, doc_id ASC) AS rn
+      FROM q)
+WHERE rn = 1""",
+
+        "incremental_dedup": """
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents)
+SELECT doc_id, fingerprint
+FROM fp n
+WHERE doc_id % 2 = 1
+  AND NOT EXISTS (SELECT 1 FROM fp s
+                  WHERE s.doc_id % 2 = 0 AND s.fingerprint = n.fingerprint)""",
+
+        "unigram_logprob": """
+WITH t AS (
+  SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\\s+'))) AS tok
+  FROM documents WHERE length(trim(text)) > 0),
+c AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(n / total)), 6) AS logprob
+FROM t JOIN c USING (tok) CROSS JOIN tot
+GROUP BY doc_id""",
 
         "media_frame_sample": """
 WITH media AS (

@@ -207,6 +207,42 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
                            F.round(F.col("top_count") / nt, 6)))
 
 
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    vocab_broadcast_rows_max: int = 2_000_000) -> DataFrame:
+    """Corpus-unigram language-model score per document — the CCNet-style
+    "how surprising is this text under a model of the corpus" quality
+    signal (docs full of hapax gibberish score low, stopword-dense prose
+    scores high). For each doc with >= 1 token: ``n_tokens`` and
+    ``logprob`` = mean ln p(token), p = corpus_count(token)/corpus_total
+    over lowercased whitespace tokens. No smoothing needed: every scored
+    token is by construction in the corpus vocabulary. Empty docs are
+    excluded (no tokens to average).
+
+    Distributed shape: one explode (linear, narrow) -> token-count agg
+    (map-side combinable; vocab ~ O(corpus^0.6) by Heaps' law, far smaller
+    than the corpus) -> re-attach counts by an equi-join that BROADCASTS
+    the vocab while it is under ``vocab_broadcast_rows_max`` rows (~32 MB)
+    so the doc side never shuffles; above that it degrades to an ordinary
+    shuffle join on the token key -> per-doc mean (one shuffle on the id).
+    The corpus total is a single scalar driver agg (O(1) result)."""
+    from arcticdb_spark.extensions.dedup import _persist  # noqa: PLC0415
+    toks = _persist(df.select(F.col(id_col),
+                              F.explode(tokens(F.lower(F.col(text_col))))
+                               .alias("tok")))
+    counts = _persist(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__n__")))
+    total = counts.agg(F.sum("__n__")).collect()[0][0] or 0
+    vocab_rows = counts.count()
+    rhs = F.broadcast(counts) if vocab_rows <= vocab_broadcast_rows_max \
+        else counts
+    lp = F.log(F.col("__n__").cast("double") / F.lit(float(total)))
+    return (toks.join(rhs, "tok")
+                .groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("n_tokens"),
+                     F.round(F.avg(lp), 6).alias("logprob")))
+
+
 def pack_chunks(df: DataFrame, chunk_tokens: int, text_col: str = "text",
                 id_col: str = "doc_id", carry_cols: tuple = ()) -> DataFrame:
     """Concat-and-chunk sequence packing (the standard LLM pre-training
