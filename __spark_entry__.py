@@ -1415,6 +1415,39 @@ def q_unigram_logprob(spark, sf):
     return xtext.unigram_logprob(d)
 
 
+def q_segment_dedup(spark, sf):
+    """Segment-level exact dedup with reassembly (``extensions/dedup.py
+    segment_dedup``): remove every 8-token span whose exact text occurs in
+    >= 2 distinct documents, rebuild each doc from its surviving spans in
+    order — the CCNet/RefinedWeb "repeated-line boilerplate" pass at a
+    granularity finer than whole-doc dedup. Physical: posexplode ->
+    map-side-combinable count_distinct on the span -> broadcast-gated
+    join-back on a 16 B md5 key -> one id shuffle with sort_array
+    reassembly (no window function)."""
+    d = load_table(spark, sf, "documents")
+    return xdedup.segment_dedup(d, window=8, min_docs=2)
+
+
+def q_heavy_hitters(spark, sf):
+    """EXACT top-40 corpus tokens via mergeable Misra-Gries nomination +
+    exact candidate recount (``extensions/text.py heavy_hitters``): the
+    sketch bounds the shuffle to counters x partitions rows and its error
+    bound PROVES the top-k (k-th count > summed subtracted mass), with a
+    value-identical full-groupBy fallback when the proof fails."""
+    d = load_table(spark, sf, "documents")
+    return xtext.heavy_hitters(d, k=40)
+
+
+def q_bigram_logprob(spark, sf):
+    """Corpus-bigram LM score per doc (``extensions/text.py
+    bigram_logprob``): mean ln p(tok_i | tok_{i-1}) under corpus bigram /
+    prefix counts — catches token-salad text whose unigrams are common but
+    whose transitions are not. One JVM slice/zip -> explode -> combinable
+    bigram counts -> broadcast-gated join-back -> per-doc mean."""
+    d = load_table(spark, sf, "documents")
+    return xtext.bigram_logprob(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDERING POLICY (round 4+): least-recently-driver-verified
@@ -1425,6 +1458,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r12 in their r12 order — r13 ∪ r12 covers the
         # full registry with nothing older than one round.
         # --- last driver row is r11 ---
+        "segment_dedup": q_segment_dedup,   # NEW r13: never driver-verified
+        "heavy_hitters": q_heavy_hitters,   # NEW r13
+        "bigram_logprob": q_bigram_logprob,  # NEW r13
         "dict_groupby": q_dict_groupby,   # NEW r13: never driver-verified
         "dedup_keep_best": q_dedup_keep_best,     # NEW r13
         "incremental_dedup": q_incremental_dedup,  # NEW r13
@@ -2019,6 +2055,54 @@ FROM fp n
 WHERE doc_id % 2 = 1
   AND NOT EXISTS (SELECT 1 FROM fp s
                   WHERE s.doc_id % 2 = 0 AND s.fingerprint = n.fingerprint)""",
+
+        "segment_dedup": """
+WITH l AS (
+  SELECT doc_id, trim(text) AS t,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents),
+seg AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS seg
+  FROM l, unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS u(i)
+  WHERE length(t) > 0),
+dup AS (
+  SELECT seg FROM seg GROUP BY seg HAVING count(DISTINCT doc_id) >= 2),
+kept AS (
+  SELECT s.doc_id, s.pos, s.seg, (d.seg IS NOT NULL) AS is_dup
+  FROM seg s LEFT JOIN dup d USING (seg))
+SELECT l.doc_id,
+       CAST(count(k.pos) AS BIGINT) AS n_segments,
+       CAST(coalesce(sum(CASE WHEN k.is_dup THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_removed,
+       coalesce(string_agg(CASE WHEN NOT k.is_dup THEN k.seg END,
+                           ' ' ORDER BY k.pos), '') AS text
+FROM l LEFT JOIN kept k USING (doc_id)
+GROUP BY l.doc_id""",
+
+        "heavy_hitters": """
+WITH t AS (
+  SELECT lower(unnest(string_split_regex(trim(text), '\\s+'))) AS tok
+  FROM documents WHERE length(trim(text)) > 0)
+SELECT tok, CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY tok ORDER BY n DESC, tok LIMIT 40""",
+
+        "bigram_logprob": """
+WITH l AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(trim(text), '\\s+'),
+                        x -> lower(x)) AS toks
+  FROM documents WHERE length(trim(text)) > 0),
+bg AS (
+  SELECT doc_id, toks[i] AS a, toks[i+1] AS b
+  FROM l, unnest(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2),
+c AS (SELECT a, b, count(*) AS nab FROM bg GROUP BY a, b),
+p AS (SELECT a, sum(nab) AS na FROM c GROUP BY a)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln(nab / na)), 6) AS logprob
+FROM bg JOIN c USING (a, b) JOIN p USING (a)
+GROUP BY doc_id""",
 
         "unigram_logprob": """
 WITH t AS (

@@ -306,3 +306,116 @@ def pii_redact(df: DataFrame, text_col: str = "text",
     for kind, pat in pats.items():
         c = F.regexp_replace(c, pat, f"<{kind.upper()}>")
     return df.withColumn(out_col or text_col, c)
+
+
+def heavy_hitters(df: DataFrame, text_col: str = "text", k: int = 50,
+                  counters_per_partition: int = 4096) -> DataFrame:
+    """EXACT top-k most frequent tokens with a shuffle bounded by the
+    sketch size, not the vocabulary: a per-partition Misra-Gries summary
+    (mergeable-summaries form: combine counts, subtract the (m+1)-th
+    largest on overflow) nominates <= m candidates per partition, the
+    candidates are exactly recounted with a broadcast semi-join (only
+    candidate tokens reach the final groupBy), and the Misra-Gries error
+    bound PROVES the answer: any token absent from every partition summary
+    has global count <= E = sum of per-partition subtracted mass, so if
+    the k-th exact candidate count strictly exceeds E the top-k is exact.
+    If the proof fails (adversarially flat distributions) the operator
+    falls back to the full exact groupBy — value-identical, never
+    approximate. At 100 TB the sketch path shuffles m x #partitions rows
+    instead of the full token stream's vocabulary.
+
+    Returns ``(tok, n)``, the k most frequent lowercased whitespace
+    tokens, ties broken by token ascending."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    toks = df.select(F.explode(tokens(F.lower(F.col(text_col))))
+                      .alias("tok"))
+    from arcticdb_spark.extensions.dedup import _gate, _persist  # noqa: PLC0415
+    toks = _persist(toks)
+    m = counters_per_partition
+
+    def mg_summary(batches):
+        counts: dict[str, int] = {}
+        err = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for t, c in pdf["tok"].value_counts().items():
+                counts[t] = counts.get(t, 0) + int(c)
+            if len(counts) > 4 * m:
+                vals = np.partition(np.fromiter(counts.values(), np.int64),
+                                    len(counts) - m - 1)
+                d = int(vals[len(counts) - m - 1])
+                err += d
+                counts = {t: c - d for t, c in counts.items() if c > d}
+        if len(counts) > m:
+            vals = np.partition(np.fromiter(counts.values(), np.int64),
+                                len(counts) - m - 1)
+            d = int(vals[len(counts) - m - 1])
+            err += d
+            counts = {t: c - d for t, c in counts.items() if c > d}
+        out = pd.DataFrame({"tok": list(counts.keys()) + [None],
+                            "est": list(counts.values()) + [err]})
+        yield out
+
+    summary = _persist(toks.mapInPandas(mg_summary, "tok string, est long"))
+    E = (summary.filter(F.col("tok").isNull())
+                .agg(F.coalesce(F.sum("est"), F.lit(0))).collect()[0][0])
+    cand = summary.filter(F.col("tok").isNotNull()).select("tok").distinct()
+    exact = (toks.join(F.broadcast(cand), "tok")
+                 .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+    top = exact.orderBy(F.desc("n"), F.asc("tok")).limit(k)
+    rows = top.collect()
+    kth = rows[-1]["n"] if len(rows) >= k else 0
+    proven = len(rows) >= k and kth > E
+    _gate("heavy_hitters", "sketch" if proven else "full_groupby",
+          k=k, counters=m, error_bound=int(E), kth_count=int(kth))
+    if proven:
+        return top
+    return (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.desc("n"), F.asc("tok")).limit(k))
+
+
+def bigram_logprob(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   vocab_broadcast_rows_max: int = 2_000_000) -> DataFrame:
+    """Corpus-BIGRAM language-model score per document — the next step up
+    from :func:`unigram_logprob` in fidelity (catches token-salad text
+    whose unigrams are individually common but whose transitions are not).
+    For each doc with >= 2 tokens: ``n_bigrams`` and ``logprob`` = mean
+    ln p(tok_i | tok_{i-1}) with p(b|a) = corpus_count(a,b) /
+    corpus_prefix_count(a), both estimated from the corpus itself over
+    lowercased whitespace tokens (every scored bigram is in the corpus by
+    construction — no smoothing needed; prefix_count(a) counts a as a
+    PREDECESSOR, so the conditional distribution sums to 1).
+
+    Distributed shape mirrors unigram_logprob: one slice/zip transform
+    (JVM, narrow) -> explode -> bigram counts (map-side combinable; the
+    bigram table is O(corpus^~0.8), still far below the corpus) -> prefix
+    counts derived from the bigram table (second tiny agg, not a second
+    corpus pass) -> broadcast-gated join-back -> per-doc mean."""
+    from arcticdb_spark.extensions.dedup import _gate, _persist  # noqa: PLC0415
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    pairs = F.when(n >= 2, F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("a"),
+        F.slice(toks, 2, n - 1).alias("b"))).otherwise(
+            F.array().cast("array<struct<a:string,b:string>>"))
+    big = _persist(df.select(F.col(id_col), F.explode(pairs).alias("bg"))
+                     .select(id_col, F.col("bg.a").alias("a"),
+                             F.col("bg.b").alias("b")))
+    counts = _persist(big.groupBy("a", "b")
+                         .agg(F.count(F.lit(1)).alias("__nab__")))
+    prefix = counts.groupBy("a").agg(F.sum("__nab__").alias("__na__"))
+    n_vocab = counts.count()
+    broadcast = n_vocab <= vocab_broadcast_rows_max
+    _gate("bigram_logprob", "broadcast" if broadcast else "join",
+          n_bigram_vocab=n_vocab, budget_rows=vocab_broadcast_rows_max)
+    model = counts.join(prefix, "a").withColumn(
+        "__lp__", F.log(F.col("__nab__").cast("double") / F.col("__na__")))
+    rhs = F.broadcast(model) if broadcast else model
+    return (big.join(rhs, ["a", "b"])
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    F.round(F.avg("__lp__"), 6).alias("logprob")))
