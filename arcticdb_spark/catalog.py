@@ -40,12 +40,21 @@ from dataclasses import dataclass, field
 from enum import Enum
 from typing import Any
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from arcticdb_spark.plans.rowid import ROW_ID
+
+# dictionary-coded column gates: the encode collects every declared
+# column's incoming distinct domain in ONE Spark job while it stays under
+# the row cap (above it, the per-column distributed encode runs instead);
+# the decode builds its lookup driver-side while the sidecar is under the
+# byte cap (above it, a persisted parquet scan serves the broadcast join)
+_DICT_COLLECT_ROWS_MAX = 2_000_000
+_DICT_DRIVER_READ_BYTES_MAX = 64 << 20
 
 ORIG_POS = "__orig_pos__"
 
@@ -1315,6 +1324,10 @@ class Library:
         # persisted (code, value) lookup frames per dictionary column,
         # keyed by the sidecar directory's file-listing signature
         self._dict_cache: dict = {}
+        # driver-side {code: value} maps per dictionary column (same
+        # signature invalidation) — serve the encode clash check and the
+        # small-sidecar decode without a Spark job
+        self._dict_map_cache: dict = {}
 
     _OUTPUT_FORMATS = {"spark": "spark", "spark-ns": "spark-ns",
                        "pandas": "pandas", "arrow": "arrow",
@@ -1385,10 +1398,42 @@ class Library:
                 cached[1].unpersist()
             except Exception:
                 pass
-        lk = (self.spark.read.parquet(d)
-              .dropDuplicates(["code"]).persist())
+        total = sum(os.path.getsize(os.path.join(d, fn)) for fn in sig)
+        if total <= _DICT_DRIVER_READ_BYTES_MAX:
+            # small sidecar (the declared-categorical contract): build the
+            # lookup from the driver-cached map as a local relation — the
+            # decode broadcast join then needs no parquet scan job at all
+            mp = self._dict_map(symbol, col) or {}
+            lk = self.spark.createDataFrame(
+                list(mp.items()), "code long, value string")
+        else:
+            lk = (self.spark.read.parquet(d)
+                  .dropDuplicates(["code"]).persist())
         self._dict_cache[(symbol, col)] = (sig, lk)
         return lk
+
+    def _dict_map(self, symbol: str, col: str):
+        """Driver-side {code: value} map of a column's sidecar (pyarrow
+        read, no Spark job), cached under the same file-listing signature
+        as ``_dict_lookup``; None when no sidecar exists. Duplicate codes
+        across delta files are collapsed (values are equal by the clash
+        invariant the encode enforces)."""
+        d = self._dicts_dir(symbol, col)
+        if not os.path.isdir(d):
+            return None
+        sig = tuple(sorted(fn for fn in os.listdir(d)
+                           if fn.endswith(".parquet")))
+        cached = self._dict_map_cache.get((symbol, col))
+        if cached is not None and cached[0] == sig:
+            return cached[1]
+        mp: dict = {}
+        for fn in sig:
+            t = pq.read_table(os.path.join(d, fn), columns=["code", "value"])
+            for cd, v in zip(t.column("code").to_pylist(),
+                             t.column("value").to_pylist()):
+                mp.setdefault(cd, v)
+        self._dict_map_cache[(symbol, col)] = (sig, mp)
+        return mp
 
     def _encode_dict_columns(self, symbol: str, sdf: DataFrame) -> DataFrame:
         """Replace each declared dictionary column (string-typed, present)
@@ -1401,41 +1446,107 @@ class Library:
         (r12) was not. NULL values stay NULL (F.when guard: Spark's
         xxhash64 of NULL returns the seed, not NULL).
 
-        At 100 TB the sidecar write is one distinct + anti-join per
-        declared column per write, all on the (small by contract)
-        dictionary domain; data files then carry fixed-width longs, and a
-        downstream groupby hashes 8-byte keys instead of UTF8 strings."""
+        At 100 TB the sidecar write is, for every declared column
+        together, ONE Spark job (a tagged union of per-column distincts,
+        collected through a row-capped Arrow transfer) followed by
+        driver-side collision checks and a pyarrow delta write — the
+        dictionary domain is small by contract, so the collect is gated at
+        ``_DICT_COLLECT_ROWS_MAX`` with the original per-column
+        distributed encode (distinct + anti-join, one sidecar write job
+        per column) as the above-cap fallback. Data files then carry
+        fixed-width longs, and a downstream groupby hashes 8-byte keys
+        instead of UTF8 strings."""
         cols = [c for c in self.dictionary_columns
                 if c in sdf.columns
                 and isinstance(sdf.schema[c].dataType, T.StringType)]
+        if not cols:
+            return sdf
+        u = None
         for c in cols:
-            code = F.xxhash64(F.col("value"))
-            new = (sdf.select(F.col(c).alias("value"))
-                   .where(F.col("value").isNotNull()).distinct()
-                   .withColumn("code", code))
-            agg = new.agg(F.count(F.lit(1)).alias("n"),
-                          F.countDistinct("code").alias("h")).first()
-            if agg["n"] != agg["h"]:
+            part = (sdf.select(F.lit(c).alias("col"),
+                               F.col(c).alias("value"))
+                    .where(F.col("value").isNotNull()).distinct())
+            u = part if u is None else u.unionByName(part)
+        cap = _DICT_COLLECT_ROWS_MAX
+        tbl = (u.withColumn("code", F.xxhash64(F.col("value")))
+               .limit(cap + 1).toArrow())
+        if tbl.num_rows > cap:
+            for c in cols:
+                sdf = self._encode_dict_column_distributed(symbol, sdf, c)
+            return sdf
+        per: dict[str, list] = {c: [] for c in cols}
+        for ct, v, cd in zip(tbl.column("col").to_pylist(),
+                             tbl.column("value").to_pylist(),
+                             tbl.column("code").to_pylist()):
+            per[ct].append((cd, v))
+        for c in cols:
+            pairs = per[c]
+            if len({cd for cd, _ in pairs}) != len(pairs):
                 raise ArcticException(
                     f"dictionary column {c!r}: xxhash64 collision among "
-                    f"{agg['n']} incoming values — remove the column from "
+                    f"{len(pairs)} incoming values — remove the column from "
                     "dictionary_columns for this library")
-            existing = self._dict_lookup(symbol, c)
+            existing = self._dict_map(symbol, c)
+            clash = 0
             if existing is not None:
-                clash = (new.join(existing.withColumnRenamed(
-                            "value", "__stored"), "code")
-                         .where(F.col("value") != F.col("__stored")).count())
-                if clash:
-                    raise ArcticException(
-                        f"dictionary column {c!r}: xxhash64 collision with "
-                        f"{clash} previously stored value(s) — remove the "
-                        "column from dictionary_columns for this library")
-                new = new.join(existing.select("code"), "code", "left_anti")
-            (new.select("code", "value").coalesce(1)
-             .write.mode("append").parquet(self._dicts_dir(symbol, c)))
+                clash = sum(1 for cd, v in pairs
+                            if cd in existing and existing[cd] != v)
+            if clash:
+                raise ArcticException(
+                    f"dictionary column {c!r}: xxhash64 collision with "
+                    f"{clash} previously stored value(s) — remove the "
+                    "column from dictionary_columns for this library")
+            delta = (pairs if existing is None
+                     else [(cd, v) for cd, v in pairs if cd not in existing])
+            d = self._dicts_dir(symbol, c)
+            if delta or existing is None:
+                os.makedirs(d, exist_ok=True)
+                t = pa.table({"code": pa.array([cd for cd, _ in delta],
+                                               pa.int64()),
+                              "value": pa.array([v for _, v in delta],
+                                                pa.string())})
+                pq.write_table(t, os.path.join(
+                    d, f"part-{uuid.uuid4().hex}.parquet"))
+                merged = dict(existing or {})
+                merged.update(delta)
+                sig = tuple(sorted(fn for fn in os.listdir(d)
+                                   if fn.endswith(".parquet")))
+                self._dict_map_cache[(symbol, c)] = (sig, merged)
             sdf = sdf.withColumn(
                 c, F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c))))
         return sdf
+
+    def _encode_dict_column_distributed(self, symbol: str, sdf: DataFrame,
+                                        c: str) -> DataFrame:
+        """Above-cap encode for one column: the original distributed
+        distinct + collision aggregate + anti-join + Spark sidecar write —
+        never collects the domain."""
+        code = F.xxhash64(F.col("value"))
+        new = (sdf.select(F.col(c).alias("value"))
+               .where(F.col("value").isNotNull()).distinct()
+               .withColumn("code", code))
+        agg = new.agg(F.count(F.lit(1)).alias("n"),
+                      F.countDistinct("code").alias("h")).first()
+        if agg["n"] != agg["h"]:
+            raise ArcticException(
+                f"dictionary column {c!r}: xxhash64 collision among "
+                f"{agg['n']} incoming values — remove the column from "
+                "dictionary_columns for this library")
+        existing = self._dict_lookup(symbol, c)
+        if existing is not None:
+            clash = (new.join(existing.withColumnRenamed(
+                        "value", "__stored"), "code")
+                     .where(F.col("value") != F.col("__stored")).count())
+            if clash:
+                raise ArcticException(
+                    f"dictionary column {c!r}: xxhash64 collision with "
+                    f"{clash} previously stored value(s) — remove the "
+                    "column from dictionary_columns for this library")
+            new = new.join(existing.select("code"), "code", "left_anti")
+        (new.select("code", "value").coalesce(1)
+         .write.mode("append").parquet(self._dicts_dir(symbol, c)))
+        return sdf.withColumn(
+            c, F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c))))
 
     def _decode_dict_columns(self, symbol: str, df: DataFrame,
                              cols=None) -> DataFrame:

@@ -1063,7 +1063,12 @@ def _clusters_union_find(spark, rows) -> DataFrame:
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    labels = [(i, find(i)) for i in list(parent)]
+    ids = list(parent)
+    labels = pd.DataFrame({"id": np.asarray(ids, dtype=np.int64),
+                           "cluster": np.asarray([find(i) for i in ids],
+                                                 dtype=np.int64)})
+    # pandas input rides the Arrow createDataFrame fast path; a list of
+    # tuples would be pickled row by row
     return spark.createDataFrame(labels, "id long, cluster long")
 
 
@@ -1087,14 +1092,23 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
     propagation rounds (a component with diameter > max_iter) rather than
     silently returning split clusters."""
     p2 = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    if driver_edges_max > 0:
+        # ONE Arrow-batched job decides the gate AND delivers the edges:
+        # <= max rows means the limit+1 transfer already holds the whole
+        # graph (the former materialize + count + Row-object collect was
+        # three jobs and several GB of Python Row overhead at the cap)
+        tbl = p2.limit(driver_edges_max + 1).toArrow()
+        if tbl.num_rows <= driver_edges_max:
+            _gate("cluster_solver", "driver_union_find",
+                  edges=tbl.num_rows, budget=driver_edges_max)
+            return _clusters_union_find(
+                pairs.sparkSession,
+                zip(tbl.column("a").to_pylist(),
+                    tbl.column("b").to_pylist()))
     p2 = _materialize(p2)
     n_edges = p2.count()
-    _gate("cluster_solver", "driver_union_find" if n_edges <= driver_edges_max
-          else "distributed_propagation",
+    _gate("cluster_solver", "distributed_propagation",
           edges=n_edges, budget=driver_edges_max)
-    if n_edges <= driver_edges_max:
-        return _clusters_union_find(pairs.sparkSession,
-                                    [(r["a"], r["b"]) for r in p2.collect()])
     edges = p2.unionByName(p2.select(F.col("b").alias("a"),
                                      F.col("a").alias("b")))
     labels = (edges.groupBy("a").agg(F.min("b").alias("nbr"))
