@@ -160,19 +160,39 @@ def incremental_dedup(new_df: DataFrame, seen_df: DataFrame,
     fp_new = new_df.select(F.col(id_col),
                            fingerprint(F.col(text_col)).alias("fingerprint"))
     fp_seen = seen_df.select(fingerprint(F.col(text_col)).alias("fingerprint"))
-    n = n_seen if n_seen is not None else seen_df.count()
+    if n_seen is None:
+        # ONE row-capped Arrow job decides the gate AND delivers the seen
+        # set (was: a separate seen_df.count() job before the collect);
+        # above the cap the transfer stops at cap+1 rows and the bloom
+        # path takes over with an exact count for its sizing
+        cap_rows = max(broadcast_bytes_max // 32, 0)
+        tbl = fp_seen.distinct().limit(cap_rows + 1).toArrow()
+        if tbl.num_rows <= cap_rows:
+            _gate("incremental_dedup", "broadcast_set", n_seen=tbl.num_rows,
+                  est_bytes=tbl.num_rows * 32, budget=broadcast_bytes_max)
+            seen_set = frozenset(tbl.column("fingerprint").to_pylist())
+
+            @F.pandas_udf("boolean")
+            def is_seen(s: pd.Series) -> pd.Series:
+                return s.isin(seen_set)
+
+            return fp_new.filter(~is_seen(F.col("fingerprint")))
+        n = seen_df.count()
+    else:
+        n = n_seen
+        est_bytes = n * 32
+        if est_bytes <= broadcast_bytes_max:
+            _gate("incremental_dedup", "broadcast_set", n_seen=n,
+                  est_bytes=est_bytes, budget=broadcast_bytes_max)
+            tbl = fp_seen.distinct().toArrow()
+            seen_set = frozenset(tbl.column("fingerprint").to_pylist())
+
+            @F.pandas_udf("boolean")
+            def is_seen(s: pd.Series) -> pd.Series:
+                return s.isin(seen_set)
+
+            return fp_new.filter(~is_seen(F.col("fingerprint")))
     est_bytes = n * 32
-    if est_bytes <= broadcast_bytes_max:
-        _gate("incremental_dedup", "broadcast_set", n_seen=n,
-              est_bytes=est_bytes, budget=broadcast_bytes_max)
-        tbl = fp_seen.distinct().toArrow()
-        seen_set = frozenset(tbl.column("fingerprint").to_pylist())
-
-        @F.pandas_udf("boolean")
-        def is_seen(s: pd.Series) -> pd.Series:
-            return s.isin(seen_set)
-
-        return fp_new.filter(~is_seen(F.col("fingerprint")))
 
     m, k = _bloom_params(n, bloom_fpp)
     _gate("incremental_dedup", "bloom_prefilter", n_seen=n,
@@ -262,15 +282,19 @@ def segment_dedup(df: DataFrame, text_col: str = "text",
                     lambda i: F.array_join(
                         F.slice(toks, i * window + 1, window), " ")))
     base = df.select(F.col(id_col), segs.alias("__segs__"))
+    # lazy persist: the gate count below fills the cache while computing
+    # the dup table in the SAME job (an eager materialize here was a whole
+    # extra pass over the exploded segments)
     exploded = _persist(
         base.select(id_col, F.posexplode_outer("__segs__")
                             .alias("pos", "seg"))
             .withColumn("__fp__", F.md5(F.col("seg"))))
-    dup = (exploded.filter(F.col("seg").isNotNull())
-                   .groupBy("__fp__")
-                   .agg(F.count_distinct(F.col(id_col)).alias("__nd__"))
-                   .filter(F.col("__nd__") >= min_docs)
-                   .select("__fp__"))
+    dup = _persist(
+        exploded.filter(F.col("seg").isNotNull())
+                .groupBy("__fp__")
+                .agg(F.count_distinct(F.col(id_col)).alias("__nd__"))
+                .filter(F.col("__nd__") >= min_docs)
+                .select("__fp__"))
     n_dup = dup.count()
     broadcast = n_dup <= dup_broadcast_rows_max
     _gate("segment_dedup", "broadcast" if broadcast else "join",
@@ -537,12 +561,15 @@ def jaccard_near_dup_pairs(df: DataFrame, text_col: str = "text",
     """
     if broadcast_bytes_max is None:   # resolve at CALL time
         broadcast_bytes_max = _BCAST_BYTES_MAX
-    cand = _materialize(
+    # lazy persists: neither frame feeds a self-join, so the stats agg
+    # below is the single materializing action for BOTH caches (an eager
+    # materialize here was two extra count jobs)
+    cand = _persist(
         minhash_near_dup_pairs(df, text_col, id_col, num_hashes, bands, k))
     cand_ids = (cand.select(F.col("id_a").alias("id"))
                 .unionByName(cand.select(F.col("id_b").alias("id")))
                 .distinct())
-    sets_df = _materialize(
+    sets_df = _persist(
         _shingle_hash_sets(df, cand_ids, text_col, id_col, k))
     # exact broadcast footprint from the persisted sets: 8 B per hash plus
     # the measured per-entry overhead of the {id: int64 ndarray} lookup

@@ -157,12 +157,16 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     qb = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
                         F.explode(_bucket_udf(planes, probe=probe)(F.col(vec_col)))
                          .alias("bucket"))
-    cands = (cb.join(F.broadcast(qb), "bucket")
-               .filter(F.col("query_id") != F.col("vec_id"))
-               .select("query_id", "vec_id", "qvec", "cvec")
-               .dropDuplicates(["query_id", "vec_id"]))
-    scored = cands.select("query_id", "vec_id",
-                          F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("score"))
+    # score BEFORE deduplicating: a (query, vector) pair colliding in
+    # several tables scores identically each time, and the dedup shuffle
+    # then moves (query_id, vec_id, score) triples instead of two
+    # dim-float vectors per row (~30x fewer shuffle bytes at d=64)
+    scored = (cb.join(F.broadcast(qb), "bucket")
+                .filter(F.col("query_id") != F.col("vec_id"))
+                .select("query_id", "vec_id",
+                        F.round(cosine(F.col("qvec"), F.col("cvec")), 6)
+                         .alias("score"))
+                .dropDuplicates(["query_id", "vec_id"]))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -257,11 +261,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                         .alias("list_id"))
     j = c.join(F.broadcast(q), "list_id").filter(F.col("query_id") != F.col("vec_id"))
     # a (query, vector) pair can meet in up to n_assign probed lists:
-    # dedup before ranking (identical score either way)
-    pairs = j.select("query_id", "vec_id", "qvec", "cvec").dropDuplicates(
-        ["query_id", "vec_id"])
-    scored = pairs.select("query_id", "vec_id",
-                          F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("score"))
+    # score first (identical in every list), THEN dedup — the shuffle
+    # moves score triples instead of two dim-float vectors per row
+    scored = (j.select("query_id", "vec_id",
+                       F.round(cosine(F.col("qvec"), F.col("cvec")), 6)
+                        .alias("score"))
+               .dropDuplicates(["query_id", "vec_id"]))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

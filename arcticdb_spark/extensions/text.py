@@ -230,14 +230,26 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     toks = _persist(df.select(F.col(id_col),
                               F.explode(tokens(F.lower(F.col(text_col))))
                                .alias("tok")))
-    counts = _persist(
-        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__n__")))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__n__"))
+    if vocab_broadcast_rows_max > 0:
+        # ONE Arrow job both gates and delivers the vocabulary (the former
+        # shape spent three actions: total agg, vocab count, broadcast
+        # build); the log/division stays a Spark expression on the local
+        # relation so the float math is bit-identical to the join path
+        tbl = counts.limit(vocab_broadcast_rows_max + 1).toArrow()
+        if tbl.num_rows <= vocab_broadcast_rows_max:
+            total = sum(tbl.column("__n__").to_pylist())
+            model = df.sparkSession.createDataFrame(
+                tbl.to_pandas(), "tok string, __n__ long")
+            lp = F.log(F.col("__n__").cast("double") / F.lit(float(total)))
+            return (toks.join(F.broadcast(model), "tok")
+                        .groupBy(id_col)
+                        .agg(F.count(F.lit(1)).alias("n_tokens"),
+                             F.round(F.avg(lp), 6).alias("logprob")))
+    counts = _persist(counts)
     total = counts.agg(F.sum("__n__")).collect()[0][0] or 0
-    vocab_rows = counts.count()
-    rhs = F.broadcast(counts) if vocab_rows <= vocab_broadcast_rows_max \
-        else counts
     lp = F.log(F.col("__n__").cast("double") / F.lit(float(total)))
-    return (toks.join(rhs, "tok")
+    return (toks.join(counts, "tok")
                 .groupBy(id_col)
                 .agg(F.count(F.lit(1)).alias("n_tokens"),
                      F.round(F.avg(lp), 6).alias("logprob")))
@@ -372,7 +384,14 @@ def heavy_hitters(df: DataFrame, text_col: str = "text", k: int = 50,
     _gate("heavy_hitters", "sketch" if proven else "full_groupby",
           k=k, counters=m, error_bound=int(E), kth_count=int(kth))
     if proven:
-        return top
+        # the proof already collected the exact answer — return it as a
+        # local relation so the caller's action does not replay the
+        # recount join (the rows ARE the recount's output, unchanged)
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            pd.DataFrame({"tok": [r["tok"] for r in rows],
+                          "n": [r["n"] for r in rows]}),
+            "tok string, n long")
     return (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
                 .orderBy(F.desc("n"), F.asc("tok")).limit(k))
 
@@ -405,17 +424,35 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     big = _persist(df.select(F.col(id_col), F.explode(pairs).alias("bg"))
                      .select(id_col, F.col("bg.a").alias("a"),
                              F.col("bg.b").alias("b")))
-    counts = _persist(big.groupBy("a", "b")
-                         .agg(F.count(F.lit(1)).alias("__nab__")))
+    counts = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("__nab__"))
+    if vocab_broadcast_rows_max > 0:
+        # ONE Arrow job gates and delivers the bigram table; the prefix
+        # counts are an exact-integer pandas groupby on the collected
+        # table, and the log/division stays a Spark expression on the
+        # local relation — bit-identical to the join path's float math
+        tbl = counts.limit(vocab_broadcast_rows_max + 1).toArrow()
+        if tbl.num_rows <= vocab_broadcast_rows_max:
+            _gate("bigram_logprob", "broadcast",
+                  n_bigram_vocab=tbl.num_rows,
+                  budget_rows=vocab_broadcast_rows_max)
+            pdf = tbl.to_pandas()
+            pdf["__na__"] = pdf.groupby("a")["__nab__"].transform("sum")
+            model = df.sparkSession.createDataFrame(
+                pdf, "a string, b string, __nab__ long, __na__ long")
+            lp = F.log(F.col("__nab__").cast("double") / F.col("__na__"))
+            return (big.join(F.broadcast(model.withColumn("__lp__", lp)),
+                             ["a", "b"])
+                       .groupBy(id_col)
+                       .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                            F.round(F.avg("__lp__"), 6).alias("logprob")))
+    counts = _persist(counts)
     prefix = counts.groupBy("a").agg(F.sum("__nab__").alias("__na__"))
     n_vocab = counts.count()
-    broadcast = n_vocab <= vocab_broadcast_rows_max
-    _gate("bigram_logprob", "broadcast" if broadcast else "join",
-          n_bigram_vocab=n_vocab, budget_rows=vocab_broadcast_rows_max)
+    _gate("bigram_logprob", "join", n_bigram_vocab=n_vocab,
+          budget_rows=vocab_broadcast_rows_max)
     model = counts.join(prefix, "a").withColumn(
         "__lp__", F.log(F.col("__nab__").cast("double") / F.col("__na__")))
-    rhs = F.broadcast(model) if broadcast else model
-    return (big.join(rhs, ["a", "b"])
+    return (big.join(model, ["a", "b"])
                .groupBy(id_col)
                .agg(F.count(F.lit(1)).alias("n_bigrams"),
                     F.round(F.avg("__lp__"), 6).alias("logprob")))

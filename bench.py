@@ -25,14 +25,17 @@ def main():
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("arcticdb_spark_bench")
 
-    # warm up the JVM: codegen, parquet reader classes, shuffle machinery;
-    # pre-cache the tables (reference ASV benchmarks read LMDB-resident data
-    # — the Spark equivalent of that warm state is the columnar cache)
+    # warm up the JVM: codegen, parquet reader classes, shuffle machinery.
+    # METHODOLOGY CHANGE (r13 optimization round): the base tables are NOT
+    # pre-cached any more — every timed query computes from the parquet
+    # inputs (rounds <=12 called _tables.enable_cache() here and
+    # materialized every table before timing; that warm columnar cache is
+    # result-adjacent precomputation the optimization rules disallow, and
+    # it also hid the scan cost the 100 TB story is about). The DuckDB
+    # head-to-head reads the same parquet per query, so the comparison is
+    # now symmetric. OPTIMIZATION_r13.md records numbers under both
+    # methodologies for cross-round comparability.
     spark.range(1000).selectExpr("sum(id)").collect()
-    from arcticdb_spark.sources import tables as _tables
-    _tables.enable_cache()
-    for t in _tables.TABLES:
-        _tables.load_table(spark, sf_dir, t)
 
     # harness init: start the one-pass streaming-gate computation in the
     # background (streaming/gate.py) — its ~1-2 s of fixed Structured
