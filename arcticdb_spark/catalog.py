@@ -1559,6 +1559,29 @@ class Library:
             if c not in df.columns or not isinstance(
                     df.schema[c].dataType, T.LongType):
                 continue
+            d = self._dicts_dir(symbol, c)
+            if os.path.isdir(d):
+                sig_files = [os.path.join(d, fn) for fn in os.listdir(d)
+                             if fn.endswith(".parquet")]
+                if (sig_files and sum(map(os.path.getsize, sig_files))
+                        <= _DICT_DRIVER_READ_BYTES_MAX):
+                    mp = self._dict_map(symbol, c) or {}
+                    if len(mp) <= 1024:
+                        # tiny dictionary: a literal-map projection decodes
+                        # in pure codegen — no broadcast build, no join
+                        # (element_at yields NULL for NULL/unknown codes,
+                        # matching the left join)
+                        items = []
+                        for cd, v in mp.items():
+                            items += [F.lit(cd).cast("long"), F.lit(v)]
+                        if items:
+                            df = df.withColumn(
+                                c, F.element_at(F.create_map(*items),
+                                                F.col(c)))
+                        else:
+                            df = df.withColumn(
+                                c, F.lit(None).cast("string"))
+                        continue
             lk = self._dict_lookup(symbol, c)
             if lk is None:
                 continue

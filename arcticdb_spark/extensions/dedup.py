@@ -377,11 +377,49 @@ def band_keys(sig: Column, bands: int, rows: int) -> Column:
     return F.array(*keys)
 
 
+def _scan_partitions_estimate(df: DataFrame) -> int | None:
+    """Exact scan-partition count for the few-small-local-files case,
+    from file sizes + Spark's split-packing math (maxPartitionBytes /
+    openCostInBytes): when everything fits one split the scan is exactly
+    1 partition. Returns None whenever that cannot be decided cheaply —
+    the caller then falls back to the precise ``.rdd`` probe, which costs
+    a full RDD plan conversion (~100 ms per fresh plan)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or len(files) > 64:
+        return None
+    import os
+    from urllib.parse import unquote, urlparse
+
+    def _conf_bytes(key: str, default: int) -> int:
+        try:
+            v = df.sparkSession.conf.get(key)
+            return int(str(v).lower().rstrip("b"))
+        except Exception:
+            return default
+    mpb = _conf_bytes("spark.sql.files.maxPartitionBytes", 128 << 20)
+    opencost = _conf_bytes("spark.sql.files.openCostInBytes", 4 << 20)
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return None
+        p = unquote(u.path)
+        if not os.path.exists(p):
+            return None
+        total += os.path.getsize(p) + opencost
+    return 1 if total <= mpb else None
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Single-file parquet scans arrive as 1 partition — spread the heavy
     hash computation across cores before the narrow map."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    est = _scan_partitions_estimate(df)
+    nparts = est if est is not None else df.rdd.getNumPartitions()
+    if nparts < max(2, target // 2):
         return df.repartition(target)
     return df
 
@@ -506,8 +544,17 @@ def _jaccard_rescore_broadcast(sets_df, cand):
     pair, never the sets. Per-pair work is np.intersect1d over sorted
     int64 arrays (C merge), not Python set ops (measured ~10x on the
     near-dup-heavy sf1 probe)."""
-    lookup = {r["id"]: np.asarray(r["sh"], dtype=np.int64)
-              for r in sets_df.collect()}
+    # Arrow transfer into flat buffers (same fix as _collect_matrix,
+    # ADVICE r12): a Row-object collect of {id: list} pays several GB of
+    # Python-object overhead at the 512 MB budget ceiling. The per-id
+    # arrays are zero-copy views over the Arrow values buffer.
+    tbl = sets_df.select("id", "sh").toArrow()
+    ids = tbl.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+    sh = tbl.column("sh").combine_chunks()
+    offs = np.asarray(sh.offsets, dtype=np.int64)
+    vals = np.asarray(sh.values, dtype=np.int64)
+    lookup = {int(ids[i]): vals[offs[i]:offs[i + 1]]
+              for i in range(len(ids))}
     bc = cand.sparkSession.sparkContext.broadcast(lookup)
 
     @F.pandas_udf("double")

@@ -35,7 +35,13 @@ _DEFAULTS = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.ui.enabled": "false",
-    "spark.sql.shuffle.partitions": "32",
+    # scale-adaptive, not a constant: initial shuffle partitions track the
+    # provisioned cores (the driver benches several core counts via
+    # $SPARK_GRAFT_CPUS) and AQE coalescing shrinks small shuffles further;
+    # on a real cluster set 2-3x total cores via the cluster conf instead
+    "spark.sql.shuffle.partitions":
+        os.environ.get("SPARK_GRAFT_CPUS", "32")
+        if os.environ.get("SPARK_GRAFT_CPUS", "").isdigit() else "32",
     # local mode = ONE JVM doing executor work for all threads; the 1g
     # default heap GC-thrashes under 32 concurrent tasks + cached tables.
     # Only effective at JVM launch (harmless no-op via getOrCreate on an
