@@ -55,6 +55,11 @@ from arcticdb_spark.plans.rowid import ROW_ID
 # byte cap (above it, a persisted parquet scan serves the broadcast join)
 _DICT_COLLECT_ROWS_MAX = 2_000_000
 _DICT_DRIVER_READ_BYTES_MAX = 64 << 20
+# local-relation decode lookup cap: LocalRelation data is embedded in
+# every consuming plan, so only small dictionaries skip the scan-backed
+# persisted lookup (a 100k-entry local relation re-shipped per query cost
+# more than the parquet scan it replaced)
+_DICT_LOCAL_RELATION_ROWS_MAX = 16_384
 
 ORIG_POS = "__orig_pos__"
 
@@ -1398,14 +1403,22 @@ class Library:
                 cached[1].unpersist()
             except Exception:
                 pass
-        total = sum(os.path.getsize(os.path.join(d, fn)) for fn in sig)
-        if total <= _DICT_DRIVER_READ_BYTES_MAX:
+        rows = sum(pq.ParquetFile(os.path.join(d, fn)).metadata.num_rows
+                   for fn in sig)
+        if rows <= _DICT_LOCAL_RELATION_ROWS_MAX:
             # small sidecar (the declared-categorical contract): build the
             # lookup from the driver-cached map as a local relation — the
-            # decode broadcast join then needs no parquet scan job at all
+            # decode broadcast join then needs no parquet scan job at all.
+            # Row-capped: a LocalRelation's data is embedded in every plan
+            # that uses it, so large dictionaries must stay scan-backed
+            # (measured: the 100k-entry ASV dict re-shipped per query cost
+            # more than the scan it saved)
             mp = self._dict_map(symbol, col) or {}
+            import pandas as pd
             lk = self.spark.createDataFrame(
-                list(mp.items()), "code long, value string")
+                pd.DataFrame({"code": list(mp.keys()),
+                              "value": list(mp.values())}),
+                "code long, value string")
         else:
             lk = (self.spark.read.parquet(d)
                   .dropDuplicates(["code"]).persist())

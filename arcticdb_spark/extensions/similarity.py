@@ -374,11 +374,19 @@ def kmeans(corpus: DataFrame, k: int = 8, iters: int = 2,
         _PERSISTED.append(base)
     assigned = _kmeans_estep(base, cents)
     for _ in range(iters - 1):
-        new_rows = (assigned.groupBy("cluster")
-                    .agg(*[F.round(F.avg(F.col("v")[i]), 9).alias(f"c{i}")
-                           for i in range(dim)])
+        # M-step as posexplode -> avg per (cluster, dim): still map-side
+        # combinable (k x dim partial rows per partition), ~2x cheaper than
+        # a dim-wide column-per-dimension aggregate (64 element_at + avg
+        # expression updates per input row), and the same shape the DuckDB
+        # oracle replays (generate_subscripts + unnest + AVG)
+        new_rows = (assigned.select("cluster",
+                                    F.posexplode("v").alias("__p__", "__x__"))
+                    .groupBy("cluster", "__p__")
+                    .agg(F.round(F.avg("__x__"), 9).alias("c"))
                     .collect())
-        cents = {**cents, **{int(r["cluster"]): [r[f"c{i}"] for i in range(dim)]
-                             for r in new_rows}}
+        upd: dict[int, list] = {}
+        for r in new_rows:
+            upd.setdefault(int(r["cluster"]), [0.0] * dim)[r["__p__"]] = r["c"]
+        cents = {**cents, **upd}
         assigned = _kmeans_estep(base, cents)
     return assigned.select("vec_id", "cluster", "dist")

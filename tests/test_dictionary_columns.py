@@ -179,3 +179,31 @@ def test_undeclared_symbol_passthrough(libs):
     coded.write("s", df)
     got = coded.read("s", output_format="pandas")
     pd.testing.assert_frame_equal(got, df, check_freq=False)
+
+
+def test_decode_paths_agree_across_lookup_threshold(libs, monkeypatch):
+    """The decode broadcast lookup has two builds: a local relation from
+    the driver-cached map (sidecar under _DICT_LOCAL_RELATION_ROWS_MAX
+    rows) and a persisted parquet scan above it. Both must decode
+    identically — force each side of the threshold on the same library."""
+    import arcticdb_spark.catalog as cat
+    plain, coded = libs
+    df = _frame()
+    plain.write("s", df)
+    coded.write("s", df)
+    expect = plain.read("s", output_format="pandas")
+
+    monkeypatch.setattr(cat, "_DICT_LOCAL_RELATION_ROWS_MAX", 10**9)
+    coded._dict_cache.clear()
+    via_local = coded.read("s", output_format="pandas")
+    lk = coded._dict_lookup("s", "cat")
+    assert lk.storageLevel.useMemory is False  # local relation, not persisted
+
+    monkeypatch.setattr(cat, "_DICT_LOCAL_RELATION_ROWS_MAX", 0)
+    coded._dict_cache.clear()
+    via_scan = coded.read("s", output_format="pandas")
+    lk = coded._dict_lookup("s", "cat")
+    assert lk.storageLevel.useMemory is True  # persisted scan path
+
+    pd.testing.assert_frame_equal(via_local, expect)
+    pd.testing.assert_frame_equal(via_scan, expect)
