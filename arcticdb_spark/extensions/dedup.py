@@ -940,8 +940,9 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     n = n_rows if n_rows is not None else (0 if strategy == "lsh" else df.count())
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     if strategy is None:
-        strategy = ("exact" if (n < exact_below
-                                or n * dim * 8 <= broadcast_bytes_max)
+        # broadcast_bytes_max is a memory BUDGET: it dominates exact_below
+        # (which only keeps its legacy <=0 -> lsh meaning above).
+        strategy = ("exact" if n * dim * 8 <= broadcast_bytes_max
                     else "grid")
     if strategy == "exact":
         _gate("embedding_strategy", "exact", n_rows=n,
