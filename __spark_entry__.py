@@ -1452,63 +1452,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDERING POLICY (round 4+): least-recently-driver-verified
         # first. The driver checks only the first ~50 entries per
-        # round. Round-13 sort: the 37 queries whose last driver row
-        # is CORRECTNESS_r11 (everything absent from
-        # CORRECTNESS_r12.json), then the 50 verified in
-        # CORRECTNESS_r12 in their r12 order — r13 ∪ r12 covers the
-        # full registry with nothing older than one round.
-        # --- last driver row is r11 ---
-        "segment_dedup": q_segment_dedup,   # NEW r13: never driver-verified
-        "heavy_hitters": q_heavy_hitters,   # NEW r13
-        "bigram_logprob": q_bigram_logprob,  # NEW r13
-        "dict_groupby": q_dict_groupby,   # NEW r13: never driver-verified
-        "dedup_keep_best": q_dedup_keep_best,     # NEW r13
-        "incremental_dedup": q_incremental_dedup,  # NEW r13
-        "unigram_logprob": q_unigram_logprob,      # NEW r13
-        "approx_sketches": q_approx_sketches,
-        "filter_numeric": q_filter_numeric,
-        "filter_isin_regex": q_filter_isin_regex,
-        "filter_ternary": q_filter_ternary,
-        "project_arith": q_project_arith,
-        "groupby_single": q_groupby_single,
-        "groupby_first_last": q_groupby_first_last,
-        "uint64_mixed_compare": q_uint64_mixed_compare,
-        "compact_roundtrip": q_compact_roundtrip,
-        "groupby_tpch_q1": q_groupby_tpch_q1,
-        "groupby_ts_minmax": q_groupby_ts_minmax,
-        "resample_weekly": q_resample_weekly,
-        "concat_three": q_concat_three,
-        "resample_1h": q_resample_1h,
-        "resample_ohlc": q_resample_ohlc,
-        "resample_closed_right": q_resample_closed_right,
-        "resample_offset": q_resample_offset,
-        "resample_std_median": q_resample_std_median,
-        "corpus_clean": q_corpus_clean,
-        "project_then_groupby": q_project_then_groupby,
-        "pipeline_filter_head": q_pipeline_filter_head,
-        "stream_resample": q_stream_resample,
-        "stream_sessionize": q_stream_sessionize,
-        "shuffle_shards": q_shuffle_shards,
-        "dynamic_backfill": q_dynamic_backfill,
-        "staged_finalize": q_staged_finalize,
-        "snapshot_asof": q_snapshot_asof,
-        "stats_prune_filter": q_stats_prune_filter,
-        "salted_join": q_salted_join,
-        "simhash_dedup": q_simhash_dedup,
-        "pii_redact": q_pii_redact,
-        "categorical_roundtrip": q_categorical_roundtrip,
-        "date_range": q_date_range,
-        "head": q_head,
-        "tail": q_tail,
-        "row_range": q_row_range,
-        "concat_outer": q_concat_outer,
-        # --- green in CORRECTNESS_r12 on current code (r12 order) ---
-        "concat_inner": q_concat_inner,
-        "merge_update_upsert": q_merge_update_upsert,
-        "update_range_surgery": q_update_range_surgery,
-        "join_revenue": q_join_revenue,
-        "anti_join": q_anti_join,
-        "except_users": q_except_users,
+        # round. Round-14 sort: the 44 queries whose last driver row is
+        # CORRECTNESS_r12 (everything absent from CORRECTNESS_r13.json)
+        # come first — this round they include the dedup/similarity/
+        # embedding operators rewritten in optimization round 1, which
+        # the r13 verdict explicitly asked to put in front of the driver
+        # — then the 50 verified in CORRECTNESS_r13 in their r13 order.
+        # r14 ∪ r13 covers the full registry with nothing older than one
+        # round.
+        # --- last driver row is r12 ---
         "topk_per_group": q_topk_per_group,
         "window_lag_lead": q_window_lag_lead,
         "uint64_filter_agg": q_uint64_filter_agg,
@@ -1553,6 +1505,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
         "json_extract": q_json_extract,
+        # --- green in CORRECTNESS_r13 on current code (r13 order) ---
+        "segment_dedup": q_segment_dedup,
+        "heavy_hitters": q_heavy_hitters,
+        "bigram_logprob": q_bigram_logprob,
+        "dict_groupby": q_dict_groupby,
+        "dedup_keep_best": q_dedup_keep_best,
+        "incremental_dedup": q_incremental_dedup,
+        "unigram_logprob": q_unigram_logprob,
+        "approx_sketches": q_approx_sketches,
+        "filter_numeric": q_filter_numeric,
+        "filter_isin_regex": q_filter_isin_regex,
+        "filter_ternary": q_filter_ternary,
+        "project_arith": q_project_arith,
+        "groupby_single": q_groupby_single,
+        "groupby_first_last": q_groupby_first_last,
+        "uint64_mixed_compare": q_uint64_mixed_compare,
+        "compact_roundtrip": q_compact_roundtrip,
+        "groupby_tpch_q1": q_groupby_tpch_q1,
+        "groupby_ts_minmax": q_groupby_ts_minmax,
+        "resample_weekly": q_resample_weekly,
+        "concat_three": q_concat_three,
+        "resample_1h": q_resample_1h,
+        "resample_ohlc": q_resample_ohlc,
+        "resample_closed_right": q_resample_closed_right,
+        "resample_offset": q_resample_offset,
+        "resample_std_median": q_resample_std_median,
+        "corpus_clean": q_corpus_clean,
+        "project_then_groupby": q_project_then_groupby,
+        "pipeline_filter_head": q_pipeline_filter_head,
+        "stream_resample": q_stream_resample,
+        "stream_sessionize": q_stream_sessionize,
+        "shuffle_shards": q_shuffle_shards,
+        "dynamic_backfill": q_dynamic_backfill,
+        "staged_finalize": q_staged_finalize,
+        "snapshot_asof": q_snapshot_asof,
+        "stats_prune_filter": q_stats_prune_filter,
+        "salted_join": q_salted_join,
+        "simhash_dedup": q_simhash_dedup,
+        "pii_redact": q_pii_redact,
+        "categorical_roundtrip": q_categorical_roundtrip,
+        "date_range": q_date_range,
+        "head": q_head,
+        "tail": q_tail,
+        "row_range": q_row_range,
+        "concat_outer": q_concat_outer,
+        "concat_inner": q_concat_inner,
+        "merge_update_upsert": q_merge_update_upsert,
+        "update_range_surgery": q_update_range_surgery,
+        "join_revenue": q_join_revenue,
+        "anti_join": q_anti_join,
+        "except_users": q_except_users,
     }
 
 

@@ -60,8 +60,32 @@ _DICT_DRIVER_READ_BYTES_MAX = 64 << 20
 # persisted lookup (a 100k-entry local relation re-shipped per query cost
 # more than the parquet scan it replaced)
 _DICT_LOCAL_RELATION_ROWS_MAX = 16_384
+# tiny-dictionary decode: below this many entries the decode is a pure
+# codegen literal-map projection (no broadcast build, no join); above it
+# the broadcast-join decode runs (tests monkeypatch this to 0 to drive
+# the scan-backed join decode through read())
+_DICT_LITERAL_MAP_ROWS_MAX = 1024
 
 ORIG_POS = "__orig_pos__"
+
+# pandas-source stash for the pyarrow write fast path (arrowwrite.py): the
+# normalizer records (spark_frame, normalized_pandas_frame) per thread; the
+# data-file writer uses the pandas source ONLY when handed the IDENTICAL
+# Spark frame object — any intervening transform (dict encode, void drop,
+# index alignment, staged bookkeeping columns) breaks identity and falls
+# back to the Spark writer, so the fast path can never write stale values.
+import threading as _threading
+
+_NORM_STASH = _threading.local()
+
+
+def _stash_pandas_src(sdf, pdf) -> None:
+    _NORM_STASH.v = (sdf, pdf)
+
+
+def _pandas_src_for(sdf):
+    v = getattr(_NORM_STASH, "v", None)
+    return v[1] if v is not None and v[0] is sdf else None
 
 
 class ArcticException(RuntimeError):
@@ -1425,6 +1449,25 @@ class Library:
         self._dict_cache[(symbol, col)] = (sig, lk)
         return lk
 
+    def _dict_sidecar_over_cap(self, symbol: str, col: str) -> bool:
+        """True when building the driver-side {code: value} map would read
+        more than ``_DICT_DRIVER_READ_BYTES_MAX`` sidecar bytes (ADVICE
+        r13: the encode's batch row cap does not bound the STORED domain —
+        a domain written by the distributed path can be multi-GB, and a
+        later small write must not slurp it onto the driver). A map
+        already cached under the current file signature costs nothing to
+        consult and never trips the gate."""
+        d = self._dicts_dir(symbol, col)
+        if not os.path.isdir(d):
+            return False
+        sig = tuple(sorted(fn for fn in os.listdir(d)
+                           if fn.endswith(".parquet")))
+        cached = self._dict_map_cache.get((symbol, col))
+        if cached is not None and cached[0] == sig:
+            return False
+        total = sum(os.path.getsize(os.path.join(d, fn)) for fn in sig)
+        return total > _DICT_DRIVER_READ_BYTES_MAX
+
     def _dict_map(self, symbol: str, col: str):
         """Driver-side {code: value} map of a column's sidecar (pyarrow
         read, no Spark job), cached under the same file-listing signature
@@ -1481,8 +1524,21 @@ class Library:
                     .where(F.col("value").isNotNull()).distinct())
             u = part if u is None else u.unionByName(part)
         cap = _DICT_COLLECT_ROWS_MAX
-        tbl = (u.withColumn("code", F.xxhash64(F.col("value")))
-               .limit(cap + 1).toArrow())
+        try:
+            tbl = (u.withColumn("code", F.xxhash64(F.col("value")))
+                   .limit(cap + 1).toArrow())
+        except Exception as e:
+            # ADVICE r13: the row cap does not bound BYTES — long values
+            # can blow spark.driver.maxResultSize before the cap trips.
+            # Degrade to the never-collecting distributed encode instead
+            # of failing the write (a genuine schema bug resurfaces there).
+            import warnings
+            warnings.warn(f"dictionary encode collect failed "
+                          f"({type(e).__name__}); taking the distributed "
+                          "encode path")
+            for c in cols:
+                sdf = self._encode_dict_column_distributed(symbol, sdf, c)
+            return sdf
         if tbl.num_rows > cap:
             for c in cols:
                 sdf = self._encode_dict_column_distributed(symbol, sdf, c)
@@ -1499,6 +1555,11 @@ class Library:
                     f"dictionary column {c!r}: xxhash64 collision among "
                     f"{len(pairs)} incoming values — remove the column from "
                     "dictionary_columns for this library")
+            if self._dict_sidecar_over_cap(symbol, c):
+                # stored domain too big to clash-check driver-side: the
+                # distributed encode joins against the sidecar instead
+                sdf = self._encode_dict_column_distributed(symbol, sdf, c)
+                continue
             existing = self._dict_map(symbol, c)
             clash = 0
             if existing is not None:
@@ -1579,7 +1640,7 @@ class Library:
                 if (sig_files and sum(map(os.path.getsize, sig_files))
                         <= _DICT_DRIVER_READ_BYTES_MAX):
                     mp = self._dict_map(symbol, c) or {}
-                    if len(mp) <= 1024:
+                    if len(mp) <= _DICT_LITERAL_MAP_ROWS_MAX:
                         # tiny dictionary: a literal-map projection decodes
                         # in pure codegen — no broadcast build, no join
                         # (element_at yields NULL for NULL/unknown codes,
@@ -1911,6 +1972,17 @@ class Library:
         is already sized by the cluster's partitioning."""
         out_dir = os.path.join(self._data_sym_dir(symbol), "data", uuid.uuid4().hex)
         os.makedirs(os.path.dirname(out_dir), exist_ok=True)
+        # pyarrow fast path: a pandas-sourced frame whose layout is exactly
+        # reproducible driver-side skips the Spark job entirely (guide §5 —
+        # a driver-resident frame gains nothing from a cluster round-trip);
+        # every ineligible case returns None and takes the Spark writer
+        pdf_src = _pandas_src_for(df)
+        if pdf_src is not None and rows_hint is not None and not tiebreak_cols:
+            entries = self._arrow_write_data_files(
+                df, pdf_src, out_dir, index_column, sort, rows_hint,
+                exact_slices)
+            if entries is not None:
+                return entries
         if not df.columns:
             # every column was EMPTY/void (reference supports writing an
             # all-None frame, test_empty_column_type.py): parquet cannot
@@ -2026,6 +2098,53 @@ class Library:
             entries.sort(key=lambda e: (e.ts_min if e.ts_min is not None else 0, e.path))
         return _renumber(entries)
 
+    def _arrow_write_data_files(self, df: DataFrame, pdf, out_dir: str,
+                                index_column: str | None, sort: bool,
+                                rows_hint: int, exact_slices: bool
+                                ) -> "list[FileEntry] | None":
+        """pyarrow write fast path for a pandas-sourced frame (see
+        arrowwrite.py for the physical contract). Returns None whenever the
+        Spark writer's layout is not exactly reproducible driver-side —
+        the caller then takes the normal Spark path."""
+        from arcticdb_spark import arrowwrite as aw
+        if not aw.enabled() or rows_hint != len(pdf) or rows_hint == 0:
+            return None
+        if index_column and sort:
+            if index_column not in pdf.columns:
+                return None
+            col = pdf[index_column]
+            if str(col.dtype) not in ("int64", "Int64") or col.isna().any():
+                return None
+            vals = col.to_numpy(dtype="int64", copy=False)
+            import numpy as np
+            if len(vals) > 1 and (np.diff(vals) < 0).any():
+                # the stable index sort would actually reorder rows; only
+                # the identity case (already-monotonic input, which is what
+                # validate_index admits) is replicated driver-side
+                return None
+            if rows_hint > self.rows_per_file and not exact_slices:
+                return None   # repartitionByRange samples its boundaries
+            slice_rows = min(self.rows_per_file, rows_hint)
+        else:
+            # order-preserving (rowcount / DESCENDING / UNSORTED) write:
+            # only the single-file case reproduces the Spark coalesce
+            # layout exactly; multi-file boundary placement is Spark's
+            if rows_hint > self.rows_per_file:
+                return None
+            slice_rows = rows_hint
+        tbl = aw.arrow_table_for(df.schema, pdf)
+        if tbl is None:
+            return None
+        schema_json = df.schema.json()
+        entries = []
+        for p in aw.write_slices(tbl, out_dir, slice_rows, schema_json):
+            rows, ts_min, ts_max = _footer_stats(p, index_column)
+            if rows == 0:
+                continue
+            entries.append(FileEntry(p, rows, 0, ts_min, ts_max,
+                                     schema_json=schema_json))
+        return _renumber(entries)
+
     @staticmethod
     def _resolve_index_column_arg(df, index_column):
         """Reference Arrow contract (library.py:1020 ``index_column: bool``,
@@ -2053,6 +2172,7 @@ class Library:
         test_arrow_pandas_interop.py test_write_pandas_df_with_specified_
         index_column: "index_column value should be ignored when writing
         as pandas")."""
+        _NORM_STASH.v = None   # set by the plain-pandas branch below
         if isinstance(df, DataFrame):
             return df, None
         import numpy as np
@@ -2433,6 +2553,11 @@ class Library:
                 # strict int->f64 promotion, type_utils.cpp:94) needs it to
                 # convert old epochs by unsigned VALUE at read time
                 sdf = _attach_uint64_marker(sdf, {"uint64": meta["uint64"]})
+            # record the (spark frame -> pandas source) pair for the pyarrow
+            # write fast path; recursive normalize wrappers (series,
+            # categorical, renamed, timeframe) return this sdf unchanged,
+            # so the stash stays valid through them
+            _stash_pandas_src(sdf, pdf)
             return sdf, meta
         raise ArcticUnsupportedDataTypeException(
             f"cannot normalize {type(df).__name__}: write() takes a Spark or "
@@ -4770,10 +4895,13 @@ class Library:
         # (reference compact preserves within-segment row order under
         # equal timestamps — test_sort.py test_stage_finalize); dropped
         # before the finalized version materializes
-        sdf = (self._drop_void(sdf)
-               .withColumn("__stage_seq__", F.lit(time.time_ns()))
-               .withColumn("__stage_pos__", F.monotonically_increasing_id()))
-        sdf.write.mode("overwrite").parquet(out)
+        seq = time.time_ns()
+        base = self._drop_void(sdf)
+        if not self._arrow_stage_write(sdf, base, out, seq):
+            (base
+             .withColumn("__stage_seq__", F.lit(seq))
+             .withColumn("__stage_pos__", F.monotonically_increasing_id())
+             .write.mode("overwrite").parquet(out))
         nm = nmeta or {}
         side: dict = {}
         if nm.get("index_ns"):
@@ -4826,6 +4954,38 @@ class Library:
         segs = sorted(os.path.join(out, fn) for fn in os.listdir(out)
                       if fn.endswith(".parquet"))
         return StageResult(symbol, segs)
+
+    def _arrow_stage_write(self, sdf: DataFrame, base: DataFrame, out: str,
+                           seq: int) -> bool:
+        """pyarrow fast path for a pandas-sourced staged chunk: one file,
+        driver-written, with the ``__stage_seq__``/``__stage_pos__`` order
+        helpers appended as int64 columns. ``__stage_pos__`` is 0..n-1 —
+        the same ORDER as the Spark path's partition-major
+        monotonically_increasing_id (the helpers are stable-sort tiebreak
+        keys only and are dropped before any version materializes).
+        Returns False when ineligible; the caller then takes the Spark
+        writer."""
+        from arcticdb_spark import arrowwrite as aw
+        if not aw.enabled() or base is not sdf:
+            return False
+        pdf = _pandas_src_for(sdf)
+        if pdf is None or len(pdf) == 0:
+            return False
+        tbl = aw.arrow_table_for(sdf.schema, pdf)
+        if tbl is None:
+            return False
+        import numpy as np
+        n = tbl.num_rows
+        tbl = tbl.append_column(
+            "__stage_seq__", pa.array(np.full(n, seq, dtype=np.int64)))
+        tbl = tbl.append_column(
+            "__stage_pos__", pa.array(np.arange(n, dtype=np.int64)))
+        schema = T.StructType(
+            list(sdf.schema.fields)
+            + [T.StructField("__stage_seq__", T.LongType(), False),
+               T.StructField("__stage_pos__", T.LongType(), False)])
+        aw.write_slices(tbl, out, n, schema.json())
+        return True
 
     def _read_staged_promoting(self, seg_files: list[str]) -> DataFrame:
         """Dynamic-schema staged union with numeric PROMOTION (reference

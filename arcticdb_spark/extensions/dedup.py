@@ -378,10 +378,15 @@ def band_keys(sig: Column, bands: int, rows: int) -> Column:
 
 
 def _scan_partitions_estimate(df: DataFrame) -> int | None:
-    """Exact scan-partition count for the few-small-local-files case,
-    from file sizes + Spark's split-packing math (maxPartitionBytes /
-    openCostInBytes): when everything fits one split the scan is exactly
-    1 partition. Returns None whenever that cannot be decided cheaply —
+    """Exact scan-partition count for the few-local-files case, from file
+    sizes + Spark's split-packing math (FilePartition.getFilePartitions):
+    ``maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    (totalBytes + files*openCost) / defaultParallelism))``, files split
+    into maxSplitBytes chunks, chunks greedy-packed largest-first with
+    openCost charged per chunk (ADVICE r13: the previous
+    ``total <= maxPartitionBytes -> 1`` shortcut said 1 for a 120 MB file
+    that really scans as ~30 partitions, adding a repartition Spark did
+    not need). Returns None whenever the count cannot be decided cheaply —
     the caller then falls back to the precise ``.rdd`` probe, which costs
     a full RDD plan conversion (~100 ms per fresh plan)."""
     try:
@@ -401,7 +406,7 @@ def _scan_partitions_estimate(df: DataFrame) -> int | None:
             return default
     mpb = _conf_bytes("spark.sql.files.maxPartitionBytes", 128 << 20)
     opencost = _conf_bytes("spark.sql.files.openCostInBytes", 4 << 20)
-    total = 0
+    sizes = []
     for f in files:
         u = urlparse(f)
         if u.scheme not in ("", "file"):
@@ -409,8 +414,29 @@ def _scan_partitions_estimate(df: DataFrame) -> int | None:
         p = unquote(u.path)
         if not os.path.exists(p):
             return None
-        total += os.path.getsize(p) + opencost
-    return 1 if total <= mpb else None
+        sizes.append(os.path.getsize(p))
+    total = sum(sizes) + len(sizes) * opencost
+    par = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    max_split = min(mpb, max(opencost, total // par))
+    chunks = []
+    for size in sizes:
+        off = 0
+        while off < size:
+            chunks.append(min(max_split, size - off))
+            off += max_split
+    if not chunks:
+        return 1
+    # greedy pack, largest first; the close test charges the incoming
+    # chunk's LENGTH only, the accumulator adds length + openCost —
+    # exactly FilePartition.getFilePartitions
+    chunks.sort(reverse=True)
+    parts, cur = 0, 0
+    for c in chunks:
+        if cur and cur + c > max_split:
+            parts += 1
+            cur = 0
+        cur += c + opencost
+    return parts + 1
 
 
 def _spread(df: DataFrame) -> DataFrame:

@@ -436,7 +436,12 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
                   n_bigram_vocab=tbl.num_rows,
                   budget_rows=vocab_broadcast_rows_max)
             pdf = tbl.to_pandas()
-            pdf["__na__"] = pdf.groupby("a")["__nab__"].transform("sum")
+            # dropna=False: Spark's groupBy keeps NULL keys; pandas'
+            # default would drop a NULL token's rows, leaving __na__ NaN
+            # and failing the long cast (ADVICE r13 — latent, tokens are
+            # non-null by construction today)
+            pdf["__na__"] = (pdf.groupby("a", dropna=False)["__nab__"]
+                             .transform("sum"))
             model = df.sparkSession.createDataFrame(
                 pdf, "a string, b string, __nab__ long, __na__ long")
             lp = F.log(F.col("__nab__").cast("double") / F.col("__na__"))

@@ -129,6 +129,15 @@ def _compute(spark: SparkSession, sf_dir: str) -> dict:
             "sessionize": sess.table(ss_name)}
 
 
+def reset() -> None:
+    """Drop the memoized gate results so the next ``gate_results`` call
+    recomputes from the parquet inputs. The bench calls this at the start
+    of every timing pass and charges the recomputation to a dedicated
+    timed line — no untimed computation may feed a bench line."""
+    with _LOCK:
+        _RESULTS.clear()
+
+
 def gate_results(spark: SparkSession, sf_dir: str) -> dict:
     """Both streaming gate results for ``sf_dir``, computed once (both
     streams in one concurrent pass) and cached for the process lifetime."""

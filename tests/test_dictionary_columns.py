@@ -193,6 +193,10 @@ def test_decode_paths_agree_across_lookup_threshold(libs, monkeypatch):
     coded.write("s", df)
     expect = plain.read("s", output_format="pandas")
 
+    # force the JOIN decode: _frame()'s 40-value dictionary would
+    # otherwise take the literal-map projection on every read and never
+    # build a lookup at all (ADVICE r13)
+    monkeypatch.setattr(cat, "_DICT_LITERAL_MAP_ROWS_MAX", 0)
     monkeypatch.setattr(cat, "_DICT_LOCAL_RELATION_ROWS_MAX", 10**9)
     coded._dict_cache.clear()
     via_local = coded.read("s", output_format="pandas")
