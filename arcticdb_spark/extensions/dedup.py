@@ -453,9 +453,10 @@ def _spread(df: DataFrame) -> DataFrame:
 def minhash_band_table(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 16,
                        bands: int = 4, k: int = 3) -> DataFrame:
-    """(id, band_key) rows, persisted: the signature expression is expensive
-    (num_hashes × md5 per shingle), and the self-join would otherwise
-    evaluate it twice per side."""
+    """(id, band_key) rows. Lazy since r14: the only consumer
+    (minhash_near_dup_pairs) groups rather than self-joins, so the
+    expensive signature expression (num_hashes × md5 per shingle) is
+    evaluated exactly once per row with no persist/materialize job."""
     rows = num_hashes // bands
     n_seeds = -(-num_hashes // 4)
     # ONE array traversal computes all digests (n_seeds md5 per shingle,
@@ -481,8 +482,7 @@ def minhash_band_table(df: DataFrame, text_col: str = "text",
                      F.md5(F.concat_ws("|", *[sig_i(b * rows + r)
                                               for r in range(rows)])))
             for b in range(bands)]
-    keyed = hs_df.select("id", F.explode(F.array(*keys)).alias("band"))
-    return _materialize(keyed)
+    return hs_df.select("id", F.explode(F.array(*keys)).alias("band"))
 
 
 def minhash_candidate_recall(s: float, bands: int, rows_per_band: int
@@ -497,9 +497,15 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            bands: int = 4, k: int = 3) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing >= 1 LSH band.
 
-    Plan shape at scale: one narrow map computes signatures (persisted);
-    explode to (band_key, id); self-equi-join on band_key (shuffle on short
-    hash keys); distinct pairs. No cartesian anywhere.
+    Plan shape at scale: one narrow map computes signatures; explode to
+    (band_key, id); ONE shuffle groups each band's members; ordered pairs
+    are generated in-band from the sorted member array; distinct pairs.
+    No cartesian anywhere. (r14, guide §2.4: the former band self-equi-
+    join shuffled the keyed table twice and needed an eager materialize
+    so the signature expression would not compute once per join side —
+    grouping lands a band's members on one reducer exactly like the
+    join's hash partitioning did, so hot-band concentration is unchanged
+    while one exchange and the materialize job disappear.)
 
     Candidate recall is a function of the TRUE Jaccard similarity s:
     P(candidate) = 1 - (1 - s^r)^b with r = num_hashes/bands rows per band
@@ -516,12 +522,21 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
           recall_at_s={s: round(minhash_candidate_recall(s, bands, r), 4)
                        for s in (0.5, 0.8, 0.95)})
     keyed = minhash_band_table(df, text_col, id_col, num_hashes, bands, k)
-    a, b = keyed.alias("a"), keyed.alias("b")
-    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.id") < F.col("b.id")))
-              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-              .distinct())
-    return pairs
+    grouped = (keyed.groupBy("band")
+               .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+               .where(F.size("ids") >= 2))
+    arr = F.col("ids")
+    # ordered pairs from the sorted member array: element i pairs with
+    # every later element, so id_a < id_b by construction (identical to
+    # the old a.id < b.id join predicate)
+    pair_structs = F.flatten(F.transform(
+        arr,
+        lambda x, i: F.transform(
+            F.slice(arr, i + F.lit(2), F.size(arr)),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    return (grouped.select(F.explode(pair_structs).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .distinct())
 
 
 # driver/executor broadcast budget for the collected-lookup rescore paths
@@ -993,16 +1008,27 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
           est_boundary_recall=round(est_recall, 4))
     buckets = _bucket_udf([_planes(dim, n_planes, seed=7000 + t)
                            for t in range(n_tables)])
-    # candidate generation joins IDS ONLY: the (id, bucket) table is two
-    # scalars per row, so the self-join + dedup shuffles never carry the
-    # 64-float vectors (the naive form moves dim*8 bytes per candidate)
-    keyed = _materialize(base.select(
-        "id", F.explode(buckets(F.col("vec"))).alias("bk")))
-    a, b = keyed.alias("a"), keyed.alias("b")
-    pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
-                    & (F.col("a.id") < F.col("b.id")))
-              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-              .dropDuplicates(["id_a", "id_b"]))
+    # candidate generation shuffles IDS ONLY: the (id, bucket) table is
+    # two scalars per row, so the bucket grouping never carries the
+    # 64-float vectors (the naive form moves dim*8 bytes per candidate).
+    # r14 (guide §2.4): group per bucket and emit ordered pairs from the
+    # sorted member array — the former self-equi-join shuffled the keyed
+    # table twice and needed an eager materialize so the bucket UDF would
+    # not run once per join side; grouping keeps the same per-bucket
+    # reducer concentration with one exchange and no materialize job.
+    keyed = base.select("id", F.explode(buckets(F.col("vec"))).alias("bk"))
+    grouped = (keyed.groupBy("bk")
+               .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+               .where(F.size("ids") >= 2))
+    arr = F.col("ids")
+    pair_structs = F.flatten(F.transform(
+        arr,
+        lambda x, i: F.transform(
+            F.slice(arr, i + F.lit(2), F.size(arr)),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    pairs = (grouped.select(F.explode(pair_structs).alias("p"))
+             .select("p.id_a", "p.id_b")
+             .dropDuplicates(["id_a", "id_b"]))
     _gate("embedding_rescore",
           "broadcast" if (n_rows is not None
                           and n_rows * dim * 8 <= broadcast_bytes_max)
@@ -1065,8 +1091,11 @@ def simhash(text: Column, bits: int = _SIMHASH_BITS) -> Column:
 def _simhash_hash_pairs(groups: DataFrame, bands: int,
                         max_hamming: int) -> DataFrame:
     """Verified near-dup pairs over DISTINCT SimHash values (``sh_a < sh_b``
-    + ``hamming``): band each hash into ``bands`` chunks, self-join on the
-    chunk key, verify with popcount. Shared by the pair and cluster APIs so
+    + ``hamming``): band each hash into ``bands`` chunks, group per chunk
+    key, emit ordered pairs from the sorted member array, verify with
+    popcount (r14, guide §2.4 — one exchange where the former chunk
+    self-join shuffled the chunk table twice; per-chunk reducer
+    concentration is identical). Shared by the pair and cluster APIs so
     the banding math cannot diverge between them."""
     width = _SIMHASH_BITS // bands
     hc = groups.select(
@@ -1075,12 +1104,19 @@ def _simhash_hash_pairs(groups: DataFrame, bands: int,
             F.concat(F.lit(f"c{i}:"),
                      F.shiftright(F.col("sh"), i * width).bitwiseAND(F.lit((1 << width) - 1)))
             for i in range(bands)])).alias("chunk"))
-    a, b = hc.alias("a"), hc.alias("b")
-    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
-    return (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
-                   & (F.col("a.sh") < F.col("b.sh")))
-            .select(F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"),
-                    ham.alias("hamming"))
+    grouped = (hc.groupBy("chunk")
+               .agg(F.array_sort(F.collect_list("sh")).alias("shs"))
+               .where(F.size("shs") >= 2))
+    arr = F.col("shs")
+    pair_structs = F.flatten(F.transform(
+        arr,
+        lambda x, i: F.transform(
+            F.slice(arr, i + F.lit(2), F.size(arr)),
+            lambda y: F.struct(x.alias("sh_a"), y.alias("sh_b")))))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (grouped.select(F.explode(pair_structs).alias("p"))
+            .select("p.sh_a", "p.sh_b")
+            .withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .distinct())
 
