@@ -256,6 +256,14 @@ def q_corpus_clean(spark, sf):
                                                 quality_score, token_count)
     from arcticdb_spark.extensions.dedup import _spread
     d = _spread(load_table(spark, sf, "documents"))
+    # observe() is a pushdown barrier (filters may not cross
+    # CollectMetrics): without it the optimizer pushes the heavy
+    # quality/lang predicate below _spread's exchange onto the scan's
+    # few partitions, single-threading ~10 regex splits per row while
+    # only the cheap projection runs spread (r14; plan evidence in
+    # plans/r14/corpus_clean_*). At 100 TB _spread is an identity (the
+    # scan is already parallel), so the barrier costs one counter.
+    d = d.observe("corpus_clean_src", F.count(F.lit(1)).alias("rows"))
     scored = d.select(
         "doc_id", "text",
         token_count(F.col("text")).alias("n_tokens"),
