@@ -1393,31 +1393,28 @@ def duplicate_ngram_fraction(df: DataFrame, n: int = 8,
     all-pairs anything — linear in total tokens at any corpus size.
     """
     keep = [id_col, *carry_cols]
-    # pre-combine per (doc, gram): the join and both downstream aggregates
-    # then see one row per distinct gram per doc (carrying its in-doc
-    # multiplicity) instead of every gram instance — and the per-gram doc
-    # count becomes a plain count(*) rather than an expensive exact
-    # countDistinct expansion. Spark's exchange reuse computes g2's shuffle
-    # once for both consumers.
+    # pre-combine per (doc, gram): downstream sees one row per distinct
+    # gram per doc (carrying its in-doc multiplicity) instead of every
+    # gram instance — the per-gram doc count is then a plain count(*)
+    # rather than an expensive exact countDistinct expansion
     g2 = (_spread(df.select(*keep, text_col))
             .select(*keep, tokens(F.lower(F.col(text_col)))
                             .alias("__toks__"))
             .select(*keep, F.explode(ngrams_from_tokens(F.col("__toks__"), n))
                             .alias("gram"))
             .groupBy(*keep, "gram").agg(F.count(F.lit(1)).alias("c")))
-    # two consumers (per-gram doc counts + the join-back); without a persist
-    # Spark re-runs the scan+explode+combine for each — the explode is the
-    # dominant cost, so pay it once (same pattern as minhash_band_table)
-    g2 = _persist(g2)
-    # grams seen in >1 distinct docs; only the duplicated ones join back
-    dup = (g2.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs_with"))
-             .filter(F.col("n_docs_with") > 1)
-             .select("gram", F.lit(1).alias("__dup__")))
-    per = (g2.join(dup, "gram", "left")
+    # per-gram doc count as ONE window over the gram partition (r14,
+    # guide §2.4): the former groupBy("gram") + left-join-back consumed g2
+    # twice — persist + two shuffles + a join; count().over(gram) computes
+    # the same n_docs_with (g2 is unique per (doc, gram), so rows per
+    # gram = docs per gram) in the single gram shuffle, and g2 goes back
+    # to one consumer with no persist
+    from pyspark.sql import Window
+    w = Window.partitionBy("gram")
+    per = (g2.withColumn("__nd__", F.count(F.lit(1)).over(w))
              .groupBy(*keep)
              .agg(F.sum("c").alias("n_grams"),
-                  F.coalesce(F.sum(F.when(F.col("__dup__").isNotNull(),
-                                          F.col("c"))),
+                  F.coalesce(F.sum(F.when(F.col("__nd__") > 1, F.col("c"))),
                              F.lit(0)).alias("n_dup_grams")))
     return per.withColumn(
         "dup_ngram_frac",
