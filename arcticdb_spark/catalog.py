@@ -85,7 +85,12 @@ def _stash_pandas_src(sdf, pdf) -> None:
 
 def _pandas_src_for(sdf):
     v = getattr(_NORM_STASH, "v", None)
-    return v[1] if v is not None and v[0] is sdf else None
+    if v is not None and v[0] is sdf:
+        # consume-once: don't keep a large pandas frame alive past the
+        # write that stashed it
+        _NORM_STASH.v = None
+        return v[1]
+    return None
 
 
 class ArcticException(RuntimeError):
