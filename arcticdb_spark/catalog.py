@@ -5097,6 +5097,43 @@ class Library:
                     f"{drift[:6]}")
 
     @staticmethod
+    def _staged_footer_schema(seg_files: list[str]):
+        """Union of the staged segments' Spark footer schemas
+        (``org.apache.spark.sql.parquet.row.metadata``), merged driver-side
+        in file order: first-seen field order, later files append fields
+        they alone carry (e.g. stream-staged chunks lack the
+        ``__stage_seq__``/``__stage_pos__`` helpers). Every field is
+        nullable — exactly what Spark's file-source read schema forces —
+        so a file missing a column NULL-fills like the mergeSchema union
+        did. Returns None (caller falls back to the mergeSchema read)
+        when any file lacks the key or same-name fields disagree in type:
+        every chunk writer here (stage()'s Spark and pyarrow paths, the
+        structured-streaming sink) writes the key, so None is the
+        foreign-file safety valve, not an expected path."""
+        import pyarrow.parquet as pq
+        key = b"org.apache.spark.sql.parquet.row.metadata"
+        fields: dict[str, T.StructField] = {}
+        order: list[str] = []
+        for f in seg_files:
+            try:
+                md = pq.ParquetFile(f).metadata.metadata or {}
+                raw = md.get(key)
+                if raw is None:
+                    return None
+                sch = T.StructType.fromJson(json.loads(raw.decode("utf-8")))
+            except Exception:
+                return None
+            for fld in sch.fields:
+                prev = fields.get(fld.name)
+                if prev is None:
+                    fields[fld.name] = T.StructField(fld.name, fld.dataType,
+                                                     True)
+                    order.append(fld.name)
+                elif prev.dataType != fld.dataType:
+                    return None
+        return T.StructType([fields[n] for n in order])
+
+    @staticmethod
     def _staged_uint64_check(seg_files: list[str], u64_cols: set) -> None:
         """Every chunk whose segments physically contain a uint64-claimed
         column must itself claim it — otherwise a signed-long chunk would
@@ -5179,8 +5216,16 @@ class Library:
                 # incompatible) — BEFORE the read, so a type drift raises
                 # SchemaException instead of Spark's CANNOT_MERGE_SCHEMAS
                 self._validate_staged_static_schemas(seg_files)
-                df = self.spark.read.option("mergeSchema",
-                                            "true").parquet(*seg_files)
+                merged = self._staged_footer_schema(seg_files)
+                if merged is not None:
+                    # the Spark footer keys give the exact union schema
+                    # driver-side — skips mergeSchema's distributed
+                    # footer-merge job (one whole Spark job of pure
+                    # metadata per finalize, guide §5)
+                    df = self.spark.read.schema(merged).parquet(*seg_files)
+                else:
+                    df = self.spark.read.option("mergeSchema",
+                                                "true").parquet(*seg_files)
             else:
                 # dynamic schema: Spark's mergeSchema only unions ADDED
                 # columns, it cannot promote numeric types (a float32
@@ -5292,8 +5337,19 @@ class Library:
             sort = sort is not False   # None/True both merge index-ordered
             if helpers:
                 if sort and idx is not None:
-                    df = (df.repartitionByRange(F.col(idx))
-                            .sortWithinPartitions(idx, *helpers))
+                    n_parts = max(1, -(-staged_rows // self.rows_per_file))
+                    if n_parts == 1:
+                        # sub-segment staged total (known exactly from the
+                        # footers): the finalized version is ONE slice, so
+                        # a single-task sort replaces the range exchange
+                        # AND its boundary-sampling job; above one segment
+                        # the sampled range shuffle stands (scale path
+                        # unchanged)
+                        df = df.coalesce(1).sortWithinPartitions(
+                            idx, *helpers)
+                    else:
+                        df = (df.repartitionByRange(n_parts, F.col(idx))
+                                .sortWithinPartitions(idx, *helpers))
                     sort = False   # already range-sorted (stably)
                 df = df.drop(*helpers)
             df = self._encode_dict_columns(symbol, df)
