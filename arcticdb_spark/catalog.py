@@ -5335,6 +5335,7 @@ class Library:
             helpers = [c for c in ("__stage_seq__", "__stage_pos__")
                        if c in df.columns]
             sort = sort is not False   # None/True both merge index-ordered
+            rows_hint: int | None = staged_rows
             if helpers:
                 if sort and idx is not None:
                     n_parts = max(1, -(-staged_rows // self.rows_per_file))
@@ -5350,6 +5351,12 @@ class Library:
                     else:
                         df = (df.repartitionByRange(n_parts, F.col(idx))
                                 .sortWithinPartitions(idx, *helpers))
+                    # the partitioning is final here, so the writer must
+                    # not coalesce again: under AQE a same-count coalesce
+                    # on an explicit-count range exchange PERMUTES the
+                    # partition order, and this sort=False write derives
+                    # global row order from part-file listing order
+                    rows_hint = None
                     sort = False   # already range-sorted (stably)
                 df = df.drop(*helpers)
             df = self._encode_dict_columns(symbol, df)
@@ -5368,7 +5375,7 @@ class Library:
                         prev.schema_json, df.schema, "finalize_staged_data")
                 new_files = self._write_data_files(symbol, df, idx,
                                                    sort=sort,
-                                                   rows_hint=staged_rows,
+                                                   rows_hint=rows_hint,
                                                    exact_slices=False)
                 overlap = False
                 if idx and prev.ts_max is not None and new_files:
@@ -5397,7 +5404,7 @@ class Library:
                 # mode="append" on a missing symbol behaves like write
                 # (reference test_sort_merge.py test_append_to_missing_symbol)
                 files = self._write_data_files(symbol, df, idx, sort=sort,
-                                               rows_hint=staged_rows,
+                                               rows_hint=rows_hint,
                                                exact_slices=False)
                 nm_out: dict = {}
                 if index_ns:
