@@ -485,6 +485,47 @@ def minhash_band_table(df: DataFrame, text_col: str = "text",
     return hs_df.select("id", F.explode(F.array(*keys)).alias("band"))
 
 
+def _minhash_band_table_canonical(df: DataFrame, text_col: str,
+                                  id_col: str, num_hashes: int,
+                                  bands: int, k: int) -> DataFrame:
+    """``minhash_band_table`` variant for canonical-band pair emission:
+    (id, bi, band, ek) rows where ``bi`` is the band index and ``ek`` the
+    row's EARLIER band keys (slice [0, bi) of the key array). Carrying
+    ~(bands-1)/2 x 35 B of earlier keys per keyed row lets the pair
+    generator suppress re-emissions in-group, removing the pair-stream
+    ``distinct()`` exchange — the stream that goes quadratic on hot
+    bands, far larger than the keyed table whenever dedup pressure is
+    real. Same key construction as ``minhash_band_table`` (the md5
+    signature family is oracle-pinned)."""
+    rows = num_hashes // bands
+    n_seeds = -(-num_hashes // 4)
+    digests = F.transform(
+        shingles_from_tokens(F.col("__toks__"), k),
+        lambda s: F.concat(*[F.md5(F.concat(F.lit(f"h{j}:"), s))
+                             for j in range(n_seeds)]))
+    hs_df = (_spread(df.select(F.col(id_col).alias("id"), text_col))
+             .select("id", tokens(F.lower(F.col(text_col))).alias("__toks__"))
+             .select("id", digests.alias("hs")))
+
+    def sig_i(i: int):
+        off = i * 8 + 1
+        return F.array_min(F.transform(F.col("hs"),
+                                       lambda h: F.substring(h, off, 8)))
+
+    keys = [F.concat(F.lit(f"b{b}:"),
+                     F.md5(F.concat_ws("|", *[sig_i(b * rows + r)
+                                              for r in range(rows)])))
+            for b in range(bands)]
+    # project the key array to a physical column first so the md5 chain
+    # evaluates once, then slice the earlier keys per exploded band
+    return (hs_df.select("id", F.array(*keys).alias("__ks__"))
+            .select("id", F.posexplode("__ks__").alias("bi", "band"),
+                    "__ks__")
+            .select("id", "bi", "band",
+                    F.slice(F.col("__ks__"), F.lit(1), F.col("bi"))
+                     .alias("ek")))
+
+
 def minhash_candidate_recall(s: float, bands: int, rows_per_band: int
                              ) -> float:
     """P(a pair with true Jaccard ``s`` shares >= 1 band) =
@@ -499,13 +540,15 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
 
     Plan shape at scale: one narrow map computes signatures; explode to
     (band_key, id); ONE shuffle groups each band's members; ordered pairs
-    are generated in-band from the sorted member array; distinct pairs.
-    No cartesian anywhere. (r14, guide §2.4: the former band self-equi-
-    join shuffled the keyed table twice and needed an eager materialize
-    so the signature expression would not compute once per join side —
-    grouping lands a band's members on one reducer exactly like the
-    join's hash partitioning did, so hot-band concentration is unchanged
-    while one exchange and the materialize job disappear.)
+    are generated in-band from the sorted member array, each pair emitted
+    exactly once from the first band it shares (canonical-band emission —
+    no pair-stream ``distinct()``). No cartesian anywhere. (r14, guide
+    §2.4: the former band self-equi-join shuffled the keyed table twice
+    and needed an eager materialize so the signature expression would not
+    compute once per join side — grouping lands a band's members on one
+    reducer exactly like the join's hash partitioning did, so hot-band
+    concentration is unchanged while one exchange and the materialize job
+    disappear.)
 
     Candidate recall is a function of the TRUE Jaccard similarity s:
     P(candidate) = 1 - (1 - s^r)^b with r = num_hashes/bands rows per band
@@ -521,22 +564,34 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
           bands=bands, rows_per_band=r,
           recall_at_s={s: round(minhash_candidate_recall(s, bands, r), 4)
                        for s in (0.5, 0.8, 0.95)})
-    keyed = minhash_band_table(df, text_col, id_col, num_hashes, bands, k)
-    grouped = (keyed.groupBy("band")
-               .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-               .where(F.size("ids") >= 2))
-    arr = F.col("ids")
+    keyed = _minhash_band_table_canonical(df, text_col, id_col,
+                                          num_hashes, bands, k)
+    grouped = (keyed.groupBy("bi", "band")
+               .agg(F.array_sort(F.collect_list(F.struct("id", "ek")))
+                     .alias("ms"))
+               .where(F.size("ms") >= 2))
+    arr = F.col("ms")
     # ordered pairs from the sorted member array: element i pairs with
     # every later element, so id_a < id_b by construction (identical to
-    # the old a.id < b.id join predicate)
+    # the old a.id < b.id join predicate); each member carries its
+    # earlier band keys for the canonical-band filter below
     pair_structs = F.flatten(F.transform(
         arr,
         lambda x, i: F.transform(
             F.slice(arr, i + F.lit(2), F.size(arr)),
-            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+            lambda y: F.struct(x["id"].alias("id_a"), y["id"].alias("id_b"),
+                               x["ek"].alias("ea"), y["ek"].alias("eb")))))
+    # canonical-band emission (r14, guide §2.4): emit a pair only from the
+    # FIRST band both members share — an agreeing earlier key means the
+    # pair already surfaced in that band's group. Replaces the
+    # ``distinct()`` exchange over the pair stream (the stream that goes
+    # quadratic on hot bands) with an in-group elementwise key compare.
+    dup_earlier = F.exists(
+        F.zip_with(F.col("p.ea"), F.col("p.eb"), lambda a, b: a == b),
+        lambda v: v)
     return (grouped.select(F.explode(pair_structs).alias("p"))
-            .select("p.id_a", "p.id_b")
-            .distinct())
+            .filter(~dup_earlier)
+            .select("p.id_a", "p.id_b"))
 
 
 # driver/executor broadcast budget for the collected-lookup rescore paths
@@ -1132,15 +1187,28 @@ def _simhash_hash_pairs(groups: DataFrame, bands: int,
     popcount (r14, guide §2.4 — one exchange where the former chunk
     self-join shuffled the chunk table twice; per-chunk reducer
     concentration is identical). Shared by the pair and cluster APIs so
-    the banding math cannot diverge between them."""
+    the banding math cannot diverge between them.
+
+    Canonical-band emission (r14, guide §2.4): a pair whose hashes agree
+    in several chunks used to be emitted once per shared chunk and
+    deduplicated with a ``distinct()`` — a full extra exchange over the
+    PAIR stream, which is exactly the stream that goes quadratic on hot
+    chunks. Both full hashes are present inside the group, so each pair
+    is now emitted only from its FIRST shared chunk (no earlier chunk
+    j < bi agrees — pure integer shift/mask math, zero extra shuffle
+    bytes), which yields each qualifying pair exactly once with no
+    dedup exchange."""
     width = _SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+
+    def chunk(col: Column, i) -> Column:
+        return F.shiftright(col, i * width).bitwiseAND(F.lit(mask))
+
     hc = groups.select(
         "sh",
-        F.explode(F.array(*[
-            F.concat(F.lit(f"c{i}:"),
-                     F.shiftright(F.col("sh"), i * width).bitwiseAND(F.lit((1 << width) - 1)))
-            for i in range(bands)])).alias("chunk"))
-    grouped = (hc.groupBy("chunk")
+        F.posexplode(F.array(*[chunk(F.col("sh"), i)
+                               for i in range(bands)])).alias("bi", "cv"))
+    grouped = (hc.groupBy("bi", "cv")
                .agg(F.array_sort(F.collect_list("sh")).alias("shs"))
                .where(F.size("shs") >= 2))
     arr = F.col("shs")
@@ -1149,12 +1217,22 @@ def _simhash_hash_pairs(groups: DataFrame, bands: int,
         lambda x, i: F.transform(
             F.slice(arr, i + F.lit(2), F.size(arr)),
             lambda y: F.struct(x.alias("sh_a"), y.alias("sh_b")))))
+    sha, shb = F.col("p.sh_a"), F.col("p.sh_b")
+    # first-shared-chunk filter: band 0 always emits; band b emits only
+    # when no chunk j < b agrees (an agreeing earlier chunk means the
+    # same pair already surfaced in that chunk's group)
+    keep = F.when(F.col("bi") == 0, F.lit(True))
+    earlier = None
+    for b in range(1, bands):
+        m = chunk(sha, b - 1) == chunk(shb, b - 1)
+        earlier = m if earlier is None else (earlier | m)
+        keep = keep.when(F.col("bi") == b, ~earlier)
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (grouped.select(F.explode(pair_structs).alias("p"))
+    return (grouped.select("bi", F.explode(pair_structs).alias("p"))
+            .filter(keep)
             .select("p.sh_a", "p.sh_b")
             .withColumn("hamming", ham)
-            .filter(F.col("hamming") <= max_hamming)
-            .distinct())
+            .filter(F.col("hamming") <= max_hamming))
 
 
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
