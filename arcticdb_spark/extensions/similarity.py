@@ -160,12 +160,17 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     # score BEFORE deduplicating: a (query, vector) pair colliding in
     # several tables scores identically each time, and the dedup shuffle
     # then moves (query_id, vec_id, score) triples instead of two
-    # dim-float vectors per row (~30x fewer shuffle bytes at d=64)
+    # dim-float vectors per row (~30x fewer shuffle bytes at d=64).
+    # ONE exchange serves both the dedup and the top-k window (r14, guide
+    # §2.4): hash-partitioning on query_id alone satisfies the dedup's
+    # (query_id, vec_id) clustering requirement AND the window's, so the
+    # scored stream crosses the network once instead of twice
     scored = (cb.join(F.broadcast(qb), "bucket")
                 .filter(F.col("query_id") != F.col("vec_id"))
                 .select("query_id", "vec_id",
                         F.round(cosine(F.col("qvec"), F.col("cvec")), 6)
                          .alias("score"))
+                .repartition("query_id")
                 .dropDuplicates(["query_id", "vec_id"]))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -262,10 +267,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     j = c.join(F.broadcast(q), "list_id").filter(F.col("query_id") != F.col("vec_id"))
     # a (query, vector) pair can meet in up to n_assign probed lists:
     # score first (identical in every list), THEN dedup — the shuffle
-    # moves score triples instead of two dim-float vectors per row
+    # moves score triples instead of two dim-float vectors per row.
+    # ONE exchange serves both the dedup and the top-k window (r14, guide
+    # §2.4): hash-partitioning on query_id alone satisfies the dedup's
+    # (query_id, vec_id) clustering requirement AND the window's
     scored = (j.select("query_id", "vec_id",
                        F.round(cosine(F.col("qvec"), F.col("cvec")), 6)
                         .alias("score"))
+               .repartition("query_id")
                .dropDuplicates(["query_id", "vec_id"]))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
