@@ -1255,6 +1255,10 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     h = simhash(F.col(text_col))
     base = _spread(df.select(F.col(id_col).alias("id"), text_col)) \
         .select("id", h.alias("sh"))
+    # eager materialize stays here (measured r14): this pair query has four
+    # consumers in one action, and the lazy TableCacheQueryStage form costs
+    # MORE jobs (10 -> 11) than the count it saves — unlike simhash_dedup,
+    # whose first consumer is a single driver collect (lazy there: 13 -> 11)
     groups = _materialize(base.groupBy("sh").agg(F.collect_list("id").alias("ids")))
     hpairs = _simhash_hash_pairs(groups, bands, max_hamming)
     # cross-hash expansion: each (sh_a < sh_b) pair appears once, and a doc
@@ -1415,8 +1419,12 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
     h = simhash(F.col(text_col))
     base = _spread(df.select(F.col(id_col).alias("id"), text_col)) \
         .select("id", h.alias("sh"))
-    groups = _materialize(base.groupBy("sh").agg(F.min("id").alias("min_id"),
-                                                 F.collect_list("id").alias("ids")))
+    # lazy persist (r14): the first consumer is the cluster gate's single
+    # Arrow collect (near_dup_clusters), which fills the cache; the member/
+    # rep joins in the returned plan then read it — the eager count here
+    # was a whole extra pass over the signature computation
+    groups = _persist(base.groupBy("sh").agg(F.min("id").alias("min_id"),
+                                             F.collect_list("id").alias("ids")))
     hpairs = _simhash_hash_pairs(groups, bands, max_hamming)
     # hash -> cluster-root hash
     hclusters = near_dup_clusters(hpairs, id_a="sh_a", id_b="sh_b")
