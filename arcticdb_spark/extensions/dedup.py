@@ -516,14 +516,27 @@ def _minhash_band_table_canonical(df: DataFrame, text_col: str,
                      F.md5(F.concat_ws("|", *[sig_i(b * rows + r)
                                               for r in range(rows)])))
             for b in range(bands)]
-    # project the key array to a physical column first so the md5 chain
-    # evaluates once, then slice the earlier keys per exploded band
-    return (hs_df.select("id", F.array(*keys).alias("__ks__"))
-            .select("id", F.posexplode("__ks__").alias("bi", "band"),
-                    "__ks__")
-            .select("id", "bi", "band",
-                    F.slice(F.col("__ks__"), F.lit(1), F.col("bi"))
-                     .alias("ek")))
+    # each key becomes a PHYSICAL column first, and the generator explodes
+    # a CONSTANT-size array of (bi, band, ek) structs over those
+    # attributes. Two traps this shape avoids (measured, 70x): a
+    # posexplode over a computed array ATTRIBUTE makes
+    # InferFiltersFromGenerate add ``size(arr) > 0``, which filter
+    # pushdown inlines through every projection down to the scan —
+    # re-evaluating the whole md5 pipeline per input row (a literal-size
+    # array folds the inferred filter away instead); and referencing the
+    # key array after the Generate would duplicate its expression. The
+    # key columns stay a separate Project (CollapseProject never inlines
+    # non-cheap multiply-referenced exprs), so every md5 runs once.
+    kd = hs_df.select("id", *[k.alias(f"__k{b}__")
+                              for b, k in enumerate(keys)])
+    items = F.array(*[
+        F.struct(F.lit(b).alias("bi"),
+                 F.col(f"__k{b}__").alias("band"),
+                 F.array(*[F.col(f"__k{j}__") for j in range(b)])
+                  .alias("ek"))
+        for b in range(bands)])
+    return (kd.select("id", F.explode(items).alias("x"))
+            .select("id", "x.bi", "x.band", "x.ek"))
 
 
 def minhash_candidate_recall(s: float, bands: int, rows_per_band: int
